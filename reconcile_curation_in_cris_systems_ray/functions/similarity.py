@@ -1,0 +1,185 @@
+"""Similarity kernels: shingles, MinHash, LSH bands, SimHash, Jaccard.
+
+The reference has no near-dup machinery (``datasketch`` is declared in
+``build_db/requirements.txt:1`` but never imported); these are new,
+Ray-Data-first designs per the north rule: everything here is batch
+NumPy over stable 64-bit hashes so a ``map_batches`` stage can compute
+signatures for thousands of documents per call without Python-per-row
+loops in the hot path.
+
+Determinism: shingle hashing uses ``pandas.util.hash_array`` (stable
+SipHash with a fixed key — identical across processes and workers);
+MinHash permutations are affine maps ``x -> a*x + b (mod 2**64)`` with
+odd ``a`` drawn from a seeded RNG (odd multiplier => bijection on
+Z_2^64, so each map is a true permutation and min-stability holds).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mixing constant
+
+
+def stable_hash_strings(values) -> np.ndarray:
+    """Stable uint64 hash of an iterable of strings (vectorized)."""
+    arr = np.asarray(values, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def token_shingles(tokens: list[str], k: int = 3) -> list[str]:
+    """Contiguous token k-shingles (w-shingling); whole doc if < k tokens."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i:i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def shingle_hash_set(text_tokens: list[str], k: int = 3) -> np.ndarray:
+    """Sorted unique uint64 shingle hashes for one tokenized document."""
+    return np.unique(stable_hash_strings(token_shingles(text_tokens, k)))
+
+
+def shingle_hash_set_text(text: str, k_tokens: int = 3,
+                          k_chars: int = 5) -> np.ndarray:
+    """Shingle set for raw (normalized) text with a script-aware rule.
+
+    Whitespace-delimited scripts get token ``k_tokens``-shingles.  When
+    the mean token length exceeds 10 (CJK and other unsegmented
+    scripts tokenize into whole glued runs), fall back to character
+    ``k_chars``-grams over the de-spaced text — token shingles would
+    flip entirely on a single char edit (char grams also decay ~2x
+    faster per edit than word shingles, hence the smaller k).
+    Deterministic; pinned by tests.
+    """
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    tokens = text.split()
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    if len(text) / len(tokens) > 10.0:
+        chars = "".join(tokens)
+        if len(chars) <= k_chars:
+            grams = [chars]
+        else:
+            grams = [chars[i:i + k_chars]
+                     for i in range(len(chars) - k_chars + 1)]
+        return np.unique(stable_hash_strings(grams))
+    return np.unique(stable_hash_strings(token_shingles(tokens, k_tokens)))
+
+
+def jaccard_from_sets(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted-unique uint64 shingle sets."""
+    if a.size == 0 or b.size == 0:
+        # empty vs empty is 0.0 by fiat: content-free pages must not
+        # cluster together on "similarity" they don't have
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / (a.size + b.size - inter)
+
+
+class MinHasher:
+    """Seeded MinHash + banded-LSH key emitter, vectorized over a batch.
+
+    ``num_perm = bands * rows``; with the defaults (16 bands x 4 rows)
+    the LSH S-curve threshold is ~(1/16)^(1/4) ~= 0.50 Jaccard.
+    """
+
+    def __init__(self, num_bands: int = 16, rows_per_band: int = 4,
+                 seed: int = 2024):
+        self.num_bands = num_bands
+        self.rows_per_band = rows_per_band
+        self.num_perm = num_bands * rows_per_band
+        rng = np.random.default_rng(seed)
+        self.a = (rng.integers(1, 2**63, self.num_perm, dtype=np.uint64)
+                  * np.uint64(2) + np.uint64(1))  # odd multipliers
+        self.b = rng.integers(0, 2**63, self.num_perm, dtype=np.uint64)
+
+    def signatures(self, shingle_sets: list[np.ndarray]) -> np.ndarray:
+        """(n_docs, num_perm) uint64 MinHash signature matrix.
+
+        Fully vectorized: concat all docs' shingle hashes, apply all
+        permutations at once, reduce per-doc with ``minimum.reduceat``.
+        Empty docs get an all-max sentinel signature.
+        """
+        n = len(shingle_sets)
+        out = np.full((n, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        lens = np.array([s.size for s in shingle_sets], dtype=np.int64)
+        nonempty = np.flatnonzero(lens)
+        if nonempty.size == 0:
+            return out
+        concat = np.concatenate([shingle_sets[i] for i in nonempty])
+        offsets = np.zeros(nonempty.size, dtype=np.int64)
+        np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+        # chunk the shingle axis to bound temp memory (~32 MiB per chunk)
+        chunk = max(1, (1 << 22) // self.num_perm)
+        mins = np.full((nonempty.size, self.num_perm), np.iinfo(np.uint64).max,
+                       dtype=np.uint64)
+        starts = offsets
+        ends = np.append(offsets[1:], concat.size)
+        pos = 0
+        while pos < concat.size:
+            hi = min(pos + chunk, concat.size)
+            h = concat[pos:hi, None] * self.a[None, :] + self.b[None, :]
+            # docs overlapping [pos, hi)
+            d0 = int(np.searchsorted(ends, pos, side="right"))
+            d1 = int(np.searchsorted(starts, hi, side="left"))
+            local = np.clip(starts[d0:d1] - pos, 0, None)
+            part = np.minimum.reduceat(h, local, axis=0)
+            np.minimum(mins[d0:d1], part, out=mins[d0:d1])
+            pos = hi
+        out[nonempty] = mins
+        return out
+
+    def band_keys(self, sigs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Collapse each band of the signature matrix to one int64 key.
+
+        Returns ``(band_id, band_hash)`` arrays of shape
+        (n_docs * num_bands,), laid out doc-major. The per-band rows are
+        mixed with a polynomial rolling hash mod 2**64 (collision prob
+        ~n^2/2**64 — negligible even at 10^12 docs per band).
+        """
+        n = sigs.shape[0]
+        bands = sigs.reshape(n, self.num_bands, self.rows_per_band)
+        key = np.zeros((n, self.num_bands), dtype=np.uint64)
+        for r in range(self.rows_per_band):
+            key = key * _MIX + bands[:, :, r]
+        key += np.arange(self.num_bands, dtype=np.uint64)[None, :] * _MIX
+        band_id = np.tile(np.arange(self.num_bands, dtype=np.int32), n)
+        return band_id, key.reshape(-1).view(np.int64)
+
+    def estimate_jaccard(self, sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+        """Row-wise estimated Jaccard of two (n, num_perm) sig matrices."""
+        return (sig_a == sig_b).mean(axis=1)
+
+
+def simhash64(shingle_sets: list[np.ndarray]) -> np.ndarray:
+    """64-bit SimHash per document (vectorized bit-count reduction)."""
+    n = len(shingle_sets)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.array([s.size for s in shingle_sets], dtype=np.int64)
+    nonempty = np.flatnonzero(lens)
+    if nonempty.size == 0:
+        return out
+    concat = np.concatenate([shingle_sets[i] for i in nonempty])
+    offsets = np.zeros(nonempty.size, dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    shifts = np.arange(64, dtype=np.uint64)
+    bits = ((concat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+    sums = np.add.reduceat(bits, offsets, axis=0)  # (n_nonempty, 64)
+    majority = (2 * sums) > lens[nonempty][:, None]
+    vals = (majority.astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64)
+    out[nonempty] = vals
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise Hamming distance between two uint64 arrays."""
+    x = np.bitwise_xor(a, b)
+    # popcount via byte-view lookup (numpy<2 has no bit_count ufunc)
+    byte_counts = np.unpackbits(x.view(np.uint8)).reshape(x.size, 8 * 8)
+    return byte_counts.sum(axis=1)

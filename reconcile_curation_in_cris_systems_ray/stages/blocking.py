@@ -1,0 +1,104 @@
+"""Blocking: normalization + MinHash signatures + banded LSH key emission.
+
+Reference analogue: the ``normalized_affiliation_key`` exact blocking
+key (``build_db.py:252-276``, reapplied at ``repository.py:306-308``)
+generalized to MinHash-LSH banded keys per the north rule.  Exact-key
+blocking (F5 semantics) is also provided for reference parity.
+
+Shuffle discipline: the band-emission stage explodes 1 doc ->
+``num_bands`` rows but carries only ``(band_id, band_hash, url, sig)``
+— the MinHash signature (num_perm * 8 bytes), never the text.  Full
+features (title, text head, shingle sets) stay in the un-exploded
+features table and are joined back only for surviving candidate pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import BlockingConfig, ScoringConfig
+from ..functions.similarity import MinHasher, shingle_hash_set_text
+from ..functions.textnorm import normalize_text_series
+
+
+class SignatureStage:
+    """Actor-pool batch callable: extracted text -> per-doc features.
+
+    Output columns: ``url``, ``title_norm`` (normalized first line),
+    ``text_head`` (first ``text_head_chars`` of normalized text),
+    ``n_shingles``, ``shingles`` (list<uint64> sorted unique hashes),
+    ``sig`` (list<uint64> MinHash signature).
+    """
+
+    def __init__(self, blocking: BlockingConfig = BlockingConfig(),
+                 scoring: ScoringConfig = ScoringConfig(),
+                 text_col: str = "extracted_text"):
+        self.cfg = blocking
+        self.head_chars = scoring.text_head_chars
+        self.text_col = text_col
+        self.hasher = MinHasher(blocking.num_bands, blocking.rows_per_band,
+                                blocking.minhash_seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pandas()
+        norm = normalize_text_series(
+            texts.str.replace("\n", " ", regex=False)).fillna("")
+        titles = normalize_text_series(
+            texts.str.split("\n").str[0]).fillna("")
+        shingle_sets = [
+            shingle_hash_set_text(t or "", self.cfg.shingle_k)
+            for t in norm
+        ]
+        sigs = self.hasher.signatures(shingle_sets)
+        n_sh = np.array([s.size for s in shingle_sets], dtype=np.int64)
+        return pa.table({
+            "url": batch.column("url"),
+            "title_norm": pa.array(titles, pa.string()),
+            "text_head": pa.array(norm.str[: self.head_chars], pa.string()),
+            "n_shingles": pa.array(n_sh),
+            # binary (uint64 little-endian bytes) — not list<uint64> — so the
+            # column survives Arrow acero hash joins as a payload field
+            "shingles": pa.array([s.tobytes() for s in shingle_sets],
+                                 pa.binary()),
+            "sig": pa.array(list(sigs.view(np.int64)), pa.list_(pa.int64())),
+        })
+
+
+def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
+    """Explode features into ``(band_id, band_hash, url, sig)`` rows."""
+    hasher = MinHasher(cfg.num_bands, cfg.rows_per_band, cfg.minhash_seed)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"band_id": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64()),
+                             "url": pa.array([], pa.string()),
+                             "sig": pa.array([], pa.list_(pa.int64()))})
+        sig_list = batch.column("sig")
+        sigs = np.asarray(sig_list.to_pylist(), dtype=np.int64).view(np.uint64)
+        band_id, band_hash = hasher.band_keys(sigs)
+        urls = batch.column("url")
+        idx = np.repeat(np.arange(n), cfg.num_bands)
+        return pa.table({
+            "band_id": pa.array(band_id, pa.int32()),
+            "band_hash": pa.array(band_hash, pa.int64()),
+            "url": urls.take(pa.array(idx)),
+            "sig": sig_list.take(pa.array(idx)),
+        })
+
+    return features_ds.select_columns(["url", "sig"]).map_batches(
+        explode, batch_format="pyarrow")
+
+
+def exact_blocking_keys(ds, col: str, out_col: str = "block_key"):
+    """Reference F5 exact blocking key: ``lower(trim(coalesce(col, '')))``."""
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.textnorm import blocking_key_series
+        df[out_col] = blocking_key_series(df[col])
+        return df
+
+    return ds.map_batches(derive, batch_format="pandas")

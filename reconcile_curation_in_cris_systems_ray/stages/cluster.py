@@ -1,0 +1,182 @@
+"""Transitive clustering: connected components as iterative
+groupby-aggregate rounds to fixpoint.
+
+Replaces the reference's single-hop window dedup (``repository.py:
+456-509``) with true transitive closure per the north rule.  The
+algorithm is alternating **large-star / small-star** contraction
+(public algorithm; Kiveris et al., "Connected Components in MapReduce
+and Beyond"), which converges in O(log n) rounds and is expressed here
+entirely as bucketed hash-shuffle rounds:
+
+- large-star: for each node u, m = min(N(u) ∪ {u}); emit (v, m) for
+  v in N(u), v > u.
+- small-star: orient edges (h -> l), h > l; for each h,
+  m = min(N(h)); emit (l, m) for l != m plus (h, m).
+
+Each round is a ``bucketed_map_groups`` (vectorized pandas inside
+buckets — no per-group Python calls), followed by canonical dedup.
+Convergence = (edge count, order-independent checksum) unchanged.
+Rounds are materialized so lineage does not grow unboundedly; node ids
+are urls (strings) and the cluster label is the lexicographic min url
+of the component — deterministic under any parallelism.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import ClusterConfig
+from ..functions.similarity import stable_hash_strings
+from .shuffle import bucketed_map_groups
+
+logger = logging.getLogger(__name__)
+
+_EMPTY = pd.DataFrame({"u": pd.Series([], dtype=object),
+                       "v": pd.Series([], dtype=object)})
+
+
+def _large_star(edges_ds, num_buckets: int):
+    def bidirect(batch: pa.Table) -> pa.Table:
+        u, v = batch.column("u"), batch.column("v")
+        return pa.table({"u": pa.concat_arrays([u.combine_chunks(), v.combine_chunks()]),
+                         "v": pa.concat_arrays([v.combine_chunks(), u.combine_chunks()])})
+
+    bi = edges_ds.map_batches(bidirect, batch_format="pyarrow")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        mins = df.groupby("u", sort=False)["v"].transform("min")
+        m = np.minimum(mins.to_numpy(dtype=object),
+                       df["u"].to_numpy(dtype=object))
+        keep = df["v"].to_numpy(dtype=object) > df["u"].to_numpy(dtype=object)
+        out = pd.DataFrame({"u": df["v"].to_numpy(dtype=object)[keep],
+                            "v": m[keep]})
+        out = out[out["u"] != out["v"]]
+        return out.drop_duplicates()
+
+    return bucketed_map_groups(bi, ["u"], fn, num_buckets)
+
+
+def _small_star(edges_ds, num_buckets: int):
+    def orient(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("u").to_pylist(), dtype=object)
+        v = np.asarray(batch.column("v").to_pylist(), dtype=object)
+        h = np.maximum(u, v)
+        l = np.minimum(u, v)
+        keep = h != l
+        return pa.table({"u": pa.array(h[keep], pa.string()),
+                         "v": pa.array(l[keep], pa.string())})
+
+    oriented = edges_ds.map_batches(orient, batch_format="pyarrow")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY
+        m = df.groupby("u", sort=False)["v"].transform("min")
+        l_arr = df["v"].to_numpy(dtype=object)
+        m_arr = m.to_numpy(dtype=object)
+        keep = l_arr != m_arr
+        part1 = pd.DataFrame({"u": l_arr[keep], "v": m_arr[keep]})
+        part2 = pd.DataFrame({"u": df["u"].to_numpy(dtype=object),
+                              "v": m_arr}).drop_duplicates()
+        out = pd.concat([part1, part2], ignore_index=True)
+        out = out[out["u"] != out["v"]]
+        return out.drop_duplicates()
+
+    return bucketed_map_groups(oriented, ["u"], fn, num_buckets)
+
+
+def _edge_stats(edges_ds) -> tuple[int, int]:
+    """(count, order-independent checksum) in one pass."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("u").to_pylist(), dtype=object)
+        v = np.asarray(batch.column("v").to_pylist(), dtype=object)
+        if len(u) == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "c": pa.array([0], pa.int64())})
+        h = (stable_hash_strings(np.char.add(
+            np.char.add(u.astype(str), "\x00"), v.astype(str)).astype(object))
+            % np.uint64(1 << 32))
+        return pa.table({"n": pa.array([len(u)], pa.int64()),
+                         "c": pa.array([int(h.sum())], pa.int64())})
+
+    parts = edges_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return (sum(p["n"] for p in parts), sum(p["c"] for p in parts))
+
+
+def connected_components(edges_ds, cfg: ClusterConfig = ClusterConfig()):
+    """Edges (u, v: string) -> star edges (u=node, v=component min url).
+
+    Input may be in any orientation; self-loops are dropped.  Returns a
+    materialized Dataset of final star edges.
+    """
+    edges = edges_ds.select_columns(["u", "v"]).materialize()
+    prev = (-1, -1)
+    for round_no in range(cfg.max_rounds):
+        edges = _large_star(edges, cfg.num_buckets).materialize()
+        edges = _small_star(edges, cfg.num_buckets).materialize()
+        stats = _edge_stats(edges)
+        logger.info("cc round %d: %d edges (checksum %d)",
+                    round_no, stats[0], stats[1])
+        if stats == prev:
+            return edges
+        prev = stats
+    logger.warning("connected_components: no fixpoint after %d rounds",
+                   cfg.max_rounds)
+    return edges
+
+
+def assign_clusters(urls_ds, star_edges_ds, num_buckets: int = 256):
+    """All urls + star edges -> (url, cluster_id) with singleton=self.
+
+    ``groupby(url).min(label)`` over the union of self-labels and star
+    labels; deterministic (min) rather than order-dependent FIRST
+    (reference A2 divergence, documented in SURVEY §2.5).
+    """
+    from ray.data.aggregate import Min
+
+    def self_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("url"),
+                         "label": batch.column("url")})
+
+    selfs = urls_ds.select_columns(["url"]).map_batches(
+        self_label, batch_format="pyarrow")
+
+    def edge_label(batch: pa.Table) -> pa.Table:
+        return pa.table({"url": batch.column("u"),
+                         "label": batch.column("v")})
+
+    labels = selfs.union(
+        star_edges_ds.map_batches(edge_label, batch_format="pyarrow"))
+    out = labels.groupby("url").aggregate(Min("label", alias_name="cluster_id"))
+    return out
+
+
+def union_find_oracle(edges: list[tuple[str, str]],
+                      nodes: list[str]) -> dict[str, str]:
+    """Driver-side union-find — the test oracle for the distributed
+    algorithm (never used in pipelines)."""
+    parent: dict[str, str] = {n: n for n in nodes}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}

@@ -1,0 +1,69 @@
+"""Shuffle helpers: bucketed group processing.
+
+Ray Data's ``groupby(key).map_groups(fn)`` invokes ``fn`` once per
+group (~1 ms of Python overhead each), which is prohibitive for
+high-cardinality keys (millions of blocking keys).  The pattern here —
+used by candidate generation, star-contraction clustering, and the
+bucketed hash join — is:
+
+1. add ``__bucket = stable_hash(key) % num_buckets`` in a vectorized
+   ``map_batches``;
+2. ``groupby("__bucket").map_groups(bucket_fn, batch_format="pandas")``
+   — one Python call per *bucket*, with every row of every key in that
+   bucket co-located;
+3. inside ``bucket_fn``, process all groups vectorized with pandas /
+   NumPy groupby.
+
+This keeps the all-to-all exchange (one hash shuffle on the key) while
+bounding per-group overhead; ``num_buckets`` scales with cluster cores,
+not key cardinality.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.similarity import stable_hash_strings
+
+BUCKET_COL = "__bucket"
+
+
+def add_bucket_column(ds, key_cols: list[str], num_buckets: int):
+    """Vectorized stable bucket assignment from one or more key columns."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(BUCKET_COL, pa.array([], pa.int32()))
+        h = np.zeros(len(batch), dtype=np.uint64)
+        for c in key_cols:
+            col = batch.column(c)
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                vals = stable_hash_strings(col.to_pandas().to_numpy(dtype=object))
+            else:
+                vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = h * np.uint64(0x9E3779B97F4A7C15) + vals
+        bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+        return batch.append_column(BUCKET_COL, pa.array(bucket))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def bucketed_map_groups(ds, key_cols: list[str], bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                        num_buckets: int = 256):
+    """Co-locate complete key-groups and apply a *vectorized* function.
+
+    ``bucket_fn`` receives a pandas DataFrame holding every row of every
+    key whose hash lands in one bucket (the ``__bucket`` column already
+    dropped) and returns a DataFrame.
+    """
+    with_bucket = add_bucket_column(ds, key_cols, num_buckets)
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return bucket_fn(df.drop(columns=[BUCKET_COL]))
+
+    return with_bucket.groupby(BUCKET_COL).map_groups(
+        run, batch_format="pandas")

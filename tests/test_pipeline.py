@@ -1,0 +1,110 @@
+"""End-to-end reconcile pipeline: F1 gate, checkpoint resume,
+permutation invariance, salting pair-set equivalence (SURVEY §5)."""
+import collections
+
+import pytest
+
+from reconcile_curation_in_cris_systems_ray.config import (
+    BlockingConfig, ReconcileConfig, ScoringConfig,
+)
+from reconcile_curation_in_cris_systems_ray.pipelines.reconcile import run_reconcile
+from reconcile_curation_in_cris_systems_ray.sources.corpus import (
+    CorpusConfig, corpus_table, true_pairs,
+)
+
+CORPUS_CFG = CorpusConfig(n_families=40, giant_family_variants=24)
+
+
+def _pairwise_f1(assigns, truth):
+    pred = collections.defaultdict(list)
+    for r in assigns:
+        pred[r["cluster_id"]].append(r["url"])
+    pred_pairs = set()
+    for urls in pred.values():
+        urls = sorted(urls)
+        for i in range(len(urls)):
+            for j in range(i + 1, len(urls)):
+                pred_pairs.add((urls[i], urls[j]))
+    tp = len(pred_pairs & truth)
+    fp = len(pred_pairs - truth)
+    fn = len(truth - pred_pairs)
+    prec = tp / max(1, tp + fp)
+    rec = tp / max(1, tp + fn)
+    return 2 * prec * rec / max(1e-9, prec + rec), prec, rec
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session):
+    return corpus_table(CORPUS_CFG)
+
+
+def test_pipeline_f1_gate(ray_session, corpus):
+    import ray.data as rd
+
+    out = run_reconcile(rd.from_arrow(corpus))
+    assigns = out["assignments"].take_all()
+    assert len(assigns) == corpus.num_rows
+    f1, prec, rec = _pairwise_f1(assigns, true_pairs(corpus))
+    assert f1 >= 0.99, (f1, prec, rec)
+
+
+def test_permutation_invariance(ray_session, corpus):
+    """Row order must not change cluster assignments (determinism)."""
+    import numpy as np
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    perm = corpus.take(rng.permutation(corpus.num_rows))
+    out1 = run_reconcile(rd.from_arrow(corpus))
+    out2 = run_reconcile(rd.from_arrow(perm))
+    a1 = {r["url"]: r["cluster_id"] for r in out1["assignments"].take_all()}
+    a2 = {r["url"]: r["cluster_id"] for r in out2["assignments"].take_all()}
+    assert a1 == a2
+
+
+def test_checkpoint_resume_equals_single_run(ray_session, corpus, tmp_path):
+    import ray.data as rd
+
+    root = str(tmp_path / "ckpt")
+    out1 = run_reconcile(rd.from_arrow(corpus), checkpoint_root=root,
+                         input_fingerprint="corpus-v1")
+    a1 = {r["url"]: r["cluster_id"] for r in out1["assignments"].take_all()}
+    # resume: every stage should be read back, not recomputed
+    out2 = run_reconcile(rd.from_arrow(corpus), checkpoint_root=root,
+                         input_fingerprint="corpus-v1")
+    a2 = {r["url"]: r["cluster_id"] for r in out2["assignments"].take_all()}
+    assert a1 == a2
+    resumed = [s for s in out2["metrics"]["stages"] if s.get("resumed")]
+    assert len(resumed) >= 4
+
+
+def test_salting_preserves_pair_set(ray_session, corpus):
+    """Aggressively-salted hot keys must produce the identical candidate
+    pair set as the unsalted groupby (FIXTURES §5.3)."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.blocking import (
+        SignatureStage, emit_band_keys,
+    )
+    from reconcile_curation_in_cris_systems_ray.stages.pairs import (
+        generate_candidate_pairs,
+    )
+
+    cfg = ReconcileConfig()
+    ds = rd.from_arrow(corpus)
+    feats = ds.map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={"blocking": cfg.blocking,
+                               "scoring": cfg.scoring,
+                               "text_col": "text"},
+        batch_format="pyarrow", concurrency=(1, 2))
+    feats = feats.materialize()
+
+    def pair_set(blocking_cfg):
+        bands = emit_band_keys(feats, blocking_cfg)
+        pairs = generate_candidate_pairs(bands, blocking_cfg, cfg.scoring)
+        return {(r["url_a"], r["url_b"]) for r in pairs.take_all()}
+
+    no_salt = pair_set(BlockingConfig(hot_key_cap=10**9))
+    aggressive = pair_set(BlockingConfig(hot_key_cap=4, max_salts=5))
+    assert no_salt == aggressive

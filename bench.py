@@ -1,0 +1,141 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "candidate_pairs": P, "pairs_per_sec": R}
+
+``--scaling``: runs the same job in fresh processes at num_cpus=8 and
+num_cpus=32 on the same input and prints throughputs + scaling
+efficiency (the sandbox stand-in for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# operator queries timed alongside the flagship (a cross-section of the
+# shuffle/join/dedup/ANN families)
+BENCH_QUERIES = [
+    "groupby_agg", "hash_join", "priority_dedup", "window_hourly",
+    "dedup_exact", "near_dup_docs", "knn_bruteforce",
+]
+
+
+def run_bench() -> dict:
+    import logging
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from reconcile_curation_in_cris_systems_ray.config import (
+        ReconcileConfig, tune_data_context,
+    )
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import QUERIES
+    from reconcile_curation_in_cris_systems_ray.pipelines.reconcile import (
+        run_reconcile,
+    )
+    from reconcile_curation_in_cris_systems_ray.sources.corpus import (
+        CorpusConfig, corpus_dataset,
+    )
+
+    tune_data_context()
+
+    import ray.data as rd
+
+    # warm the page cache so we measure compute + shuffle, not cold reads
+    for t in ("documents", "lineitem", "orders", "events", "embeddings"):
+        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+
+    n_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    # ~3 pages per family on average => corpus ~= 3x documents rows
+    corpus_cfg = CorpusConfig(n_families=max(200, n_docs))
+
+    # headline: the flagship reconcile pipeline on the synthetic corpus
+    t0 = time.time()
+    corpus = corpus_dataset(corpus_cfg).materialize()
+    gen_sec = round(time.time() - t0, 2)
+    n_pages = corpus.count()
+
+    t0 = time.time()
+    out = run_reconcile(corpus, ReconcileConfig())
+    n_assign = out["assignments"].count()
+    headline_sec = round(time.time() - t0, 2)
+    pairs = out["metrics"].get("scored_pairs") or 0
+
+    timings: dict[str, float] = {"reconcile_flagship": headline_sec,
+                                 "corpus_gen": gen_sec}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        # consume without driver materialization of big payloads
+        try:
+            res.count()
+        except AttributeError:
+            len(res)
+        timings[name] = round(time.time() - t0, 2)
+
+    return {
+        "metric": "reconcile_pipeline_sec",
+        "value": headline_sec,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_pages": n_pages,
+        "assignments": n_assign,
+        "candidate_pairs": pairs,
+        "pairs_per_sec": round(pairs / headline_sec, 1) if pairs else 0.0,
+    }
+
+
+def run_scaling():
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    pages = r_hi["corpus_pages"]
+    thr_lo = pages / r_lo["value"]
+    thr_hi = pages / r_hi["value"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "pages": pages,
+        "pages_per_sec_lo": round(thr_lo, 1),
+        "pages_per_sec_hi": round(thr_hi, 1),
+        "pairs_per_sec_lo": r_lo["pairs_per_sec"],
+        "pairs_per_sec_hi": r_hi["pairs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        result = run_bench()
+        print(json.dumps(result))
+        import ray
+
+        ray.shutdown()

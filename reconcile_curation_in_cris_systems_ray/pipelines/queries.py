@@ -1,0 +1,623 @@
+"""Named queries over the driver test tables + matching DuckDB oracles.
+
+Each query exercises one operator family from SURVEY.md §2 through the
+library's Ray-Data stages; ``ORACLES[name]`` is ANSI SQL DuckDB runs on
+the same parquet dir (views pre-registered per table name).  Aggregate
+columns are named identically on both sides, and float aggregates are
+rounded identically so the driver's order-insensitive value-hash
+matches bit-for-bit.
+
+Queries with no SQL-expressible oracle (MinHash/SimHash/embedding
+near-dup, language ID, ANN-IVF, the flagship reconcile pipeline) have
+no ORACLES entry — the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import BlockingConfig, ReconcileConfig, ScoringConfig
+from ..stages import relational as rel
+from ..stages import textstats as ts
+from ..stages.ann import brute_force_topk, ivf_topk
+from ..stages.dedup import (
+    embedding_dup_pairs, exact_dedup, near_dup_pairs, simhash_dup_pairs,
+)
+from ..stages.fields import extract_fields
+
+
+def _rp(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --------------------------------------------------------------------------
+# SQL-oracled queries (SURVEY §2 operator inventory)
+# --------------------------------------------------------------------------
+
+def q_filter_project(sf_dir: str):
+    """M4/M9: vectorized filter + projection, pruned at the read."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+              "l_shipdate"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.less(t["l_shipdate"],
+                               pa.scalar(pd.Timestamp("1996-01-01"))),
+                       pc.greater(t["l_quantity"], 25.0))
+        return t.filter(mask).drop_columns(["l_shipdate"])
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+SQL_FILTER_PROJECT = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 25
+"""
+
+
+def q_groupby_agg(sf_dir: str):
+    """A1/A4 slot: grouped aggregate (TPC-H Q1 shape)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity",
+              "l_extendedprice", "l_discount"])
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n"),
+    )
+
+    def rounder(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = df["sum_qty"].round(2)
+        df["sum_base_price"] = df["sum_base_price"].round(2)
+        df["avg_disc"] = df["avg_disc"].round(6)
+        return df
+
+    return out.map_batches(rounder, batch_format="pandas")
+
+
+SQL_GROUPBY_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sort_limit(sf_dir: str):
+    """O1/O2/O3: global sort + limit (top-k)."""
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"],
+                   descending=[True, False]).limit(100)
+
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def q_distinct(sf_dir: str):
+    """D2/D4: multi-column DISTINCT."""
+    ds = _rp(sf_dir, "customer", ["c_mktsegment", "c_nationkey"])
+    return rel.distinct(ds, ["c_mktsegment", "c_nationkey"])
+
+
+SQL_DISTINCT = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+
+def q_broadcast_join(sf_dir: str):
+    """J2: small-side broadcast join (customer+nation shipped once via
+    ray.put), then grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    small = cust.merge(nation, left_on="c_nationkey",
+                       right_on="n_nationkey")[["c_custkey", "n_name"]]
+    joined = rel.broadcast_join(
+        orders, small.rename(columns={"c_custkey": "o_custkey"}),
+        on=["o_custkey"], how="inner")
+    out = joined.groupby("n_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("o_totalprice", alias_name="total_price"))
+
+    def rounder(df: pd.DataFrame) -> pd.DataFrame:
+        df["total_price"] = df["total_price"].round(2)
+        return df
+
+    return out.map_batches(rounder, batch_format="pandas")
+
+
+SQL_BROADCAST_JOIN = """
+SELECT n_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_hash_join(sf_dir: str):
+    """J1/J8: large-large hash-partitioned equi-join + aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = rel.hash_join(li, orders, on=["l_orderkey"],
+                           right_on=["o_orderkey"])
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_lineitems"),
+        Sum("l_quantity", alias_name="sum_qty"))
+
+    def rounder(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_qty"] = df["sum_qty"].round(2)
+        return df
+
+    return out.map_batches(rounder, batch_format="pandas")
+
+
+SQL_HASH_JOIN = """
+SELECT o_orderpriority, count(*) AS n_lineitems,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join(sf_dir: str):
+    """J4/J5: exclusion anti-join via broadcast key set."""
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
+    recent = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda t: t.filter(pc.greater_equal(
+            t["o_orderdate"], pa.scalar(pd.Timestamp("1997-06-01")))),
+        batch_format="pyarrow")
+    order_keys = set(recent.unique("o_custkey"))
+    return rel.broadcast_anti_join(cust, order_keys, on="c_custkey")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-06-01')
+"""
+
+
+def q_union_distinct(sf_dir: str):
+    """D3: UNION with dedup semantics."""
+    c = _rp(sf_dir, "customer", ["c_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow")
+    s = _rp(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": t["s_nationkey"]}),
+        batch_format="pyarrow")
+    return rel.distinct(c.union(s), ["nationkey"])
+
+
+SQL_UNION_DISTINCT = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_representative_min(sf_dir: str):
+    """A2: deterministic representative per key (MIN, not FIRST)."""
+    ds = _rp(sf_dir, "customer", ["c_mktsegment", "c_name"])
+    return rel.representative_first(ds, "c_mktsegment", "c_name")
+
+
+SQL_REPRESENTATIVE_MIN = """
+SELECT c_mktsegment, min(c_name) AS c_name FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+_EVENT_PRIORITY = {"purchase": 1, "signup": 2, "view": 3, "click": 4,
+                   "error": 5}
+
+
+def q_priority_dedup(sf_dir: str):
+    """D1: priority window-dedup (best event per user)."""
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def add_priority(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["prio"] = df["event_type"].map(_EVENT_PRIORITY).fillna(9).astype("int64")
+        return df
+
+    with_prio = ds.map_batches(add_priority, batch_format="pandas")
+    out = rel.priority_dedup(with_prio, keys=["user_id"],
+                             order_by=["prio", "event_id"])
+    return out.select_columns(["user_id", "event_id", "event_type"])
+
+
+SQL_PRIORITY_DEDUP = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CASE event_type
+             WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+             WHEN 'view' THEN 3 WHEN 'click' THEN 4
+             WHEN 'error' THEN 5 ELSE 9 END,
+           event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_count_distinct(sf_dir: str):
+    """A3/A6: per-group COUNT(DISTINCT ...) as dedup-then-count."""
+    from ray.data.aggregate import Count
+
+    ds = _rp(sf_dir, "events", ["event_type", "user_id"])
+    n_events = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"))
+    users = rel.distinct(ds, ["event_type", "user_id"]).groupby(
+        "event_type").aggregate(Count(alias_name="n_users"))
+    return rel.hash_join(n_events, users, on=["event_type"])
+
+
+SQL_COUNT_DISTINCT = """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def q_explode_split(sf_dir: str):
+    """M10: multi-value splitter (UNNEST(string_split(...)))."""
+    ds = _rp(sf_dir, "part", ["p_type"])
+    exploded = rel.explode_split(ds, "p_type", " ", out_col="word")
+    return rel.distinct(exploded.select_columns(["word"]), ["word"])
+
+
+SQL_EXPLODE_SPLIT = """
+SELECT DISTINCT word FROM (
+  SELECT unnest(string_split(trim(p_type), ' ')) AS word FROM part)
+WHERE word <> ''
+"""
+
+
+def q_blocking_key(sf_dir: str):
+    """F5: blocking-key derivation lower(trim(coalesce(x, '')))."""
+    from ..stages.blocking import exact_blocking_keys
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source"])
+    return exact_blocking_keys(ds, "source", "block_key") \
+        .select_columns(["doc_id", "block_key"])
+
+
+SQL_BLOCKING_KEY = """
+SELECT doc_id, lower(trim(coalesce(source, ''))) AS block_key FROM documents
+"""
+
+
+def q_window_hourly(sf_dir: str):
+    """Windowed aggregate (tumbling 1h, processing on event ts)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def trunc(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hour"] = df["ts"].dt.floor("h")
+        return df.drop(columns=["ts"])
+
+    out = ds.map_batches(trunc, batch_format="pandas").groupby(
+        ["event_type", "hour"]).aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"))
+
+    def rounder(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return out.map_batches(rounder, batch_format="pandas")
+
+
+SQL_WINDOW_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-k per group (window-function analogue)."""
+    ds = _rp(sf_dir, "events", ["event_type", "event_id", "value"])
+    out = rel.topk_per_group(ds, ["event_type"], "value", k=2,
+                             descending=True)
+    return out.select_columns(["event_type", "event_id", "value"])
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT event_type, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 2
+"""
+
+
+def q_token_count(sf_dir: str):
+    """Text analysis: whitespace token count."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ts.token_count_stage(ds, "text").select_columns(
+        ["doc_id", "n_tokens"])
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_quality_stats(sf_dir: str):
+    """Text analysis: quality-signal counts and ratios."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ts.quality_stats_stage(ds, "text").select_columns(
+        ["doc_id", "n_chars_calc", "n_alpha", "n_digit", "n_space",
+         "n_punct", "alpha_ratio"])
+
+
+SQL_QUALITY_STATS = """
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+       length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS n_space,
+       length(text)
+         - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         - length(regexp_replace(text, '[^0-9]', '', 'g'))
+         - (length(text) - length(regexp_replace(text, '\\s', '', 'g')))
+         AS n_punct,
+       CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         / greatest(length(text), 1) AS alpha_ratio
+FROM documents
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: min doc_id per distinct text."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, text_col="text", id_col="doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+"""
+
+
+def q_knn_bruteforce(sf_dir: str):
+    """Similarity search baseline: exact cosine top-10 for 3 queries."""
+    import ray.data as rd
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(
+        (r for r in ds.filter(lambda r: r["vec_id"] < 3).take_all()),
+        key=lambda r: r["vec_id"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in qrows])
+    out = brute_force_topk(ds, queries, k=10)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+SQL_KNN_BRUTEFORCE = """
+SELECT query_id, vec_id FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                    e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN
+       (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 3) q
+) WHERE rn <= 10
+"""
+
+
+def q_group_pivot(sf_dir: str):
+    """A1 slot: per-group record assembly."""
+    ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type",
+                                "value"])
+    out = rel.group_pivot(ds, "user_id", {
+        "n_events": ("event_id", "count"),
+        "first_ts": ("ts", "min"),
+        "last_ts": ("ts", "max"),
+        "n_types": ("event_type", "nunique"),
+    })
+
+    return out
+
+
+SQL_GROUP_PIVOT = """
+SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+       max(ts) AS last_ts, count(DISTINCT event_type) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
+_ENTITIES = ["green", "blue", "red"]
+
+
+def q_containment_join(sf_dir: str):
+    """J6: substring containment theta-join against a broadcast list."""
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+    out = rel.containment_join(ds, "p_name", _ENTITIES, entity_col="entity")
+    return out.select_columns(["p_partkey", "entity"])
+
+
+SQL_CONTAINMENT_JOIN = """
+SELECT p_partkey, entity
+FROM part CROSS JOIN (VALUES ('green'), ('blue'), ('red')) AS e(entity)
+WHERE p_name LIKE '%' || entity || '%'
+"""
+
+
+def q_md5_fingerprint(sf_dir: str):
+    """Document fingerprint (md5 content hash)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ts.md5_fingerprint_stage(ds, "text").select_columns(
+        ["doc_id", "fingerprint"])
+
+
+SQL_MD5_FINGERPRINT = "SELECT doc_id, md5(text) AS fingerprint FROM documents"
+
+
+def q_field_extract(sf_dir: str):
+    """M1/M2: pattern-trie field extraction over a JSON column."""
+    ds = _rp(sf_dir, "events", ["event_id", "props"])
+    out = extract_fields(ds, field_spec="k", json_col="props",
+                         id_cols=("event_id",))
+    return out.select_columns(["event_id", "field_name", "subfield_path",
+                               "value"])
+
+
+SQL_FIELD_EXTRACT = """
+SELECT event_id, 'k' AS field_name, 'k' AS subfield_path,
+       json_extract_string(props, '$.k') AS value
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (no SQL-expressible oracle; driver checks rows>=0,
+# correctness covered by pytest)
+# --------------------------------------------------------------------------
+
+def _padded_docs(sf_dir: str):
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def pad(t: pa.Table) -> pa.Table:
+        ids = [f"{i:012d}" for i in t.column("doc_id").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.string()),
+                         "text": t.column("text")})
+
+    return ds.map_batches(pad, batch_format="pyarrow")
+
+
+def q_near_dup_docs(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents (exact-Jaccard verify)."""
+    return near_dup_pairs(_padded_docs(sf_dir), "doc_id", "text",
+                          BlockingConfig(), ScoringConfig())
+
+
+def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (Hamming <= 3)."""
+    return simhash_dup_pairs(_padded_docs(sf_dir), "doc_id", "text")
+
+
+def q_embedding_dups(sf_dir: str):
+    """Embedding-cosine near-dup pairs via hyperplane LSH."""
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, "vec_id", "embedding",
+                               cosine_threshold=0.95)
+
+
+def q_lang_id(sf_dir: str):
+    """Heuristic language identification."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(ts.LangIdStage, batch_format="pandas",
+                         concurrency=(1, 4))
+    return out.select_columns(["doc_id", "lang_pred", "lang_score"])
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-partitioned approximate top-k."""
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = sorted(ds.filter(lambda r: r["vec_id"] < 3).take_all(),
+                   key=lambda r: r["vec_id"])
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in qrows])
+    return ivf_topk(ds, queries, k=10)
+
+
+def q_reconcile_flagship(sf_dir: str):
+    """The flagship record-linkage pipeline on the deterministic
+    synthetic web corpus (sized by the sf documents table)."""
+    import ray.data as rd
+
+    from ..sources.corpus import CorpusConfig, corpus_dataset
+    from .reconcile import run_reconcile
+
+    n_docs = _rp(sf_dir, "documents", ["doc_id"]).count()
+    cfg = CorpusConfig(n_families=max(50, n_docs // 4))
+    corpus = corpus_dataset(cfg)
+    out = run_reconcile(corpus)
+    return out["assignments"]
+
+
+QUERIES = {
+    "filter_project": q_filter_project,
+    "groupby_agg": q_groupby_agg,
+    "sort_limit": q_sort_limit,
+    "distinct": q_distinct,
+    "broadcast_join": q_broadcast_join,
+    "hash_join": q_hash_join,
+    "anti_join": q_anti_join,
+    "union_distinct": q_union_distinct,
+    "representative_min": q_representative_min,
+    "priority_dedup": q_priority_dedup,
+    "count_distinct": q_count_distinct,
+    "explode_split": q_explode_split,
+    "blocking_key": q_blocking_key,
+    "window_hourly": q_window_hourly,
+    "topk_per_group": q_topk_per_group,
+    "token_count": q_token_count,
+    "quality_stats": q_quality_stats,
+    "dedup_exact": q_dedup_exact,
+    "knn_bruteforce": q_knn_bruteforce,
+    "group_pivot": q_group_pivot,
+    "containment_join": q_containment_join,
+    "md5_fingerprint": q_md5_fingerprint,
+    "field_extract": q_field_extract,
+    # rows-only
+    "near_dup_docs": q_near_dup_docs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_dups": q_embedding_dups,
+    "lang_id": q_lang_id,
+    "ann_ivf": q_ann_ivf,
+    "reconcile_flagship": q_reconcile_flagship,
+}
+
+ORACLES = {
+    "filter_project": SQL_FILTER_PROJECT,
+    "groupby_agg": SQL_GROUPBY_AGG,
+    "sort_limit": SQL_SORT_LIMIT,
+    "distinct": SQL_DISTINCT,
+    "broadcast_join": SQL_BROADCAST_JOIN,
+    "hash_join": SQL_HASH_JOIN,
+    "anti_join": SQL_ANTI_JOIN,
+    "union_distinct": SQL_UNION_DISTINCT,
+    "representative_min": SQL_REPRESENTATIVE_MIN,
+    "priority_dedup": SQL_PRIORITY_DEDUP,
+    "count_distinct": SQL_COUNT_DISTINCT,
+    "explode_split": SQL_EXPLODE_SPLIT,
+    "blocking_key": SQL_BLOCKING_KEY,
+    "window_hourly": SQL_WINDOW_HOURLY,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_stats": SQL_QUALITY_STATS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "group_pivot": SQL_GROUP_PIVOT,
+    "containment_join": SQL_CONTAINMENT_JOIN,
+    "md5_fingerprint": SQL_MD5_FINGERPRINT,
+    "field_extract": SQL_FIELD_EXTRACT,
+}

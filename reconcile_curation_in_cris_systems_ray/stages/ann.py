@@ -1,0 +1,136 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- :func:`brute_force_topk` — the exact baseline: broadcast the query
+  matrix once (``ray.put``), compute per-batch cosine via one NumPy
+  matmul, keep per-batch top-k partials, reduce to global top-k with a
+  single small groupby (partial top-k makes the shuffle k*queries
+  rows per block, never the full score matrix).
+- :func:`ivf_topk` — the scale path: IVF-style partitioning with
+  deterministic seeded centroids; index assigns each vector to its
+  nearest centroid (one pass), queries probe the ``n_probe`` nearest
+  centroid partitions only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .relational import topk_per_group
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     metric: str = "cosine"):
+    """Exact top-k per query row. Returns (query_id, vec_id, score)."""
+    qm = _normalize(np.asarray(queries, dtype=np.float64)) \
+        if metric == "cosine" else np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put(qm)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        vecs = _as_matrix(batch.column(vec_col))
+        if metric == "cosine":
+            vecs = _normalize(vecs)
+        sims = vecs @ q.T                      # (n, nq)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        nq = q.shape[0]
+        out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        out_idx = top.T.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(out_q),
+            id_col: pa.array(ids[out_idx]),
+            "score": pa.array(sims[out_idx, out_q]),
+        })
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return topk_per_group(partials, ["query_id"], "score", k,
+                          descending=True, num_buckets=16)
+
+
+def build_ivf_centroids(ds, n_centroids: int = 16,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic centroids: the vectors with the ``n_centroids``
+    smallest stable-hashed ids (a seeded sample without an extra pass
+    ordering dependence), L2-normalized."""
+    from ..functions.similarity import stable_hash_strings
+
+    def cand(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.string()).to_pandas().to_numpy(dtype=object)
+        h = stable_hash_strings(ids).view(np.int64)
+        kk = min(n_centroids, len(batch))
+        sel = np.argpartition(h, kk - 1)[:kk]
+        return pa.table({
+            "h": pa.array(h[sel]),
+            "vec": pa.array([v.tobytes() for v in
+                             _as_matrix(batch.column(vec_col))[sel]],
+                            pa.binary()),
+        })
+
+    rows = (ds.select_columns([id_col, vec_col])
+            .map_batches(cand, batch_format="pyarrow")
+            .sort("h").limit(n_centroids).take_all())
+    mat = np.stack([np.frombuffer(r["vec"], dtype=np.float64) for r in rows])
+    return _normalize(mat)
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
+             n_probe: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding"):
+    """IVF-partitioned cosine top-k (approximate; probes n_probe lists).
+
+    Returns (query_id, vec_id, score).  Recall vs brute force is
+    measured in tests; at scale the assignment column doubles as the
+    Parquet partition key for the persisted index.
+    """
+    centroids = build_ivf_centroids(ds, n_centroids, vec_col, id_col)
+    c_ref = ray.put(centroids)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(qm @ centroids.T), axis=1)[:, :n_probe]  # (nq,p)
+    probe_ref = ray.put(probe)
+    q_ref = ray.put(qm)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        q = ray.get(q_ref)
+        probes = ray.get(probe_ref)
+        vecs = _normalize(_as_matrix(batch.column(vec_col)))
+        assign = np.argmax(vecs @ cents.T, axis=1)          # (n,)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_q, out_i, out_s = [], [], []
+        sims_all = vecs @ q.T                                # (n, nq)
+        for qi in range(q.shape[0]):
+            mask = np.isin(assign, probes[qi])
+            if not mask.any():
+                continue
+            sims = sims_all[mask, qi]
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            sel_ids = ids[mask][top]
+            out_q.extend([qi] * kk)
+            out_i.extend(sel_ids.tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_i),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return topk_per_group(partials, ["query_id"], "score", k,
+                          descending=True, num_buckets=16)

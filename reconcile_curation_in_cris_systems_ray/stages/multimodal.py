@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries are not available in this container, so
+the decode kernels are STUBBED behind ``backend="fake"`` (a
+deterministic hash-based fake) / ``backend="strict"`` (raises
+NotImplementedError) — but the Ray-side plumbing is real and tested:
+schema contract, small-batch actor-pool stage, per-row quarantine,
+and the output layout a real decoder would produce.
+
+At 100 TB the rules encoded here: binary payloads force SMALL
+``batch_size`` (payload x batch x concurrency must fit the worker
+heap), the stage is an actor pool (decoder init is expensive), and
+outputs keep payload and features in separate columns so downstream
+stages can drop the bytes early (``select_columns``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.string()),
+    ("kind", pa.string()),           # image | audio | video
+    ("payload", pa.binary()),
+    ("mime", pa.string()),
+])
+
+FEATURE_DIM = 32
+
+
+class MediaDecodeStage:
+    """Actor-pool callable: (media_id, kind, payload) -> decoded features.
+
+    Output columns: media_id, kind, n_bytes, width, height,
+    feature (fixed-size list<float32>), decode_error.
+
+    ``backend="fake"`` produces deterministic pseudo-features from a
+    blake2b digest of the payload — stable across runs/workers, so
+    tests can assert exact values. ``backend="strict"`` raises
+    NotImplementedError (the marker that a real decoder goes here).
+    """
+
+    def __init__(self, backend: str = "fake"):
+        if backend not in ("fake", "strict"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+
+    def _decode_one(self, payload: bytes, kind: str):
+        if self.backend == "strict":
+            raise NotImplementedError(
+                "real image/audio decoding requires libs not present in "
+                "this container; wire Pillow/torchaudio here")
+        digest = hashlib.blake2b(payload, digest_size=8 + 4 * FEATURE_DIM).digest()
+        width = int.from_bytes(digest[:4], "little") % 4096 + 1
+        height = int.from_bytes(digest[4:8], "little") % 4096 + 1
+        feat = (np.frombuffer(digest[8:], dtype=np.uint32)
+                .astype(np.float32) / np.float32(2**32))
+        return width, height, feat
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        widths, heights, feats, errors = [], [], [], []
+        for p, k in zip(payloads, kinds):
+            try:
+                if p is None:
+                    raise ValueError("null payload")
+                w, h, f = self._decode_one(p, k)
+                widths.append(w)
+                heights.append(h)
+                feats.append(f)
+                errors.append(None)
+            except NotImplementedError:
+                raise
+            except Exception as exc:
+                widths.append(0)
+                heights.append(0)
+                feats.append(np.zeros(FEATURE_DIM, dtype=np.float32))
+                errors.append(f"{type(exc).__name__}: {exc}")
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "kind": batch.column("kind"),
+            "n_bytes": pa.array([len(p) if p else 0 for p in payloads],
+                                pa.int64()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "feature": pa.array([f.tolist() for f in feats],
+                                pa.list_(pa.float32(), FEATURE_DIM)),
+            "decode_error": pa.array(errors, pa.string()),
+        })
+
+
+def decode_media(ds, backend: str = "fake", batch_size: int = 64,
+                 concurrency=(1, 8)):
+    """Binary payloads => small batches; decoder state per actor."""
+    return ds.map_batches(
+        MediaDecodeStage, fn_constructor_kwargs={"backend": backend},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def frame_sample_stage(ds, every_n: int = 10):
+    """Video frame-sampling plumbing: explode (media_id, payload) into
+    (media_id, frame_idx, frame_payload) rows — the fake backend slices
+    the payload deterministically; a real backend would demux."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids, idxs, frames = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            payload = payload or b""
+            n_frames = max(1, len(payload) // 256)
+            for i in range(0, n_frames, every_n):
+                ids.append(mid)
+                idxs.append(i)
+                frames.append(payload[i * 256:(i + 1) * 256])
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "frame_payload": pa.array(frames, pa.binary()),
+        })
+
+    return ds.map_batches(sample, batch_format="pyarrow", batch_size=32)

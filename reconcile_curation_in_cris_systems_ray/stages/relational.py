@@ -1,0 +1,194 @@
+"""Relational operators, Ray-Data-first.
+
+Reference analogues (SURVEY §2.4-2.7): linkage equi-joins (J1/J3/J8),
+broadcast small-side lookups (J2), anti-joins (J4/J5), containment
+join (J6), priority window-dedup (D1), DISTINCT (D2-D4),
+representative-pick (A2), match-type counts (A3).
+
+Design rules:
+- small side -> ``ray.put`` broadcast + per-batch pandas merge (no
+  shuffle);
+- both sides large -> ``Dataset.join`` (hash-partitioned) with
+  partitions sized to cluster CPUs;
+- anti-join -> broadcast key set + vectorized ``isin`` filter;
+- window dedup / top-k per group / distinct -> bucketed co-location
+  (one hash shuffle, vectorized pandas within buckets — never one
+  Python call per key).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .shuffle import bucketed_map_groups
+
+
+def _num_partitions(requested: int | None = None) -> int:
+    if requested:
+        return requested
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, cpus // 2)
+
+
+def broadcast_join(ds, small_df: pd.DataFrame, on: Sequence[str],
+                   how: str = "inner", suffix: str = "_r"):
+    """Join against a small in-memory side, shipped once via ray.put.
+
+    Reference J2 (institution->ROR lookup) pattern: the lookup table is
+    read inside each task from the object store, never re-shipped per
+    batch.
+    """
+    ref = ray.put(small_df)
+    on = list(on)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        small = ray.get(ref)
+        return df.merge(small, on=on, how=how, suffixes=("", suffix))
+
+    return ds.map_batches(merge, batch_format="pandas")
+
+
+def hash_join(left, right, on: Sequence[str], how: str = "inner",
+              num_partitions: int | None = None,
+              right_on: Sequence[str] | None = None):
+    """Distributed hash join for two large sides (Ray Dataset.join)."""
+    return left.join(right, join_type=how,
+                     num_partitions=_num_partitions(num_partitions),
+                     on=tuple(on),
+                     right_on=tuple(right_on) if right_on else None)
+
+
+def broadcast_anti_join(ds, keys: set | frozenset, on: str):
+    """Keep rows whose ``on`` value is NOT in the broadcast key set
+    (reference J4/J5 exclusion anti-joins)."""
+    ref = ray.put(frozenset(keys))
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        excl = ray.get(ref)
+        return df[~df[on].isin(excl)]
+
+    return ds.map_batches(flt, batch_format="pandas")
+
+
+def broadcast_semi_join(ds, keys: set | frozenset, on: str):
+    """Keep rows whose ``on`` value IS in the broadcast key set."""
+    ref = ray.put(frozenset(keys))
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df[on].isin(ray.get(ref))]
+
+    return ds.map_batches(flt, batch_format="pandas")
+
+
+def distinct(ds, cols: Sequence[str] | None = None, num_buckets: int = 64):
+    """Multi-column DISTINCT (reference D2/D4) as bucketed dedup."""
+    cols = list(cols) if cols else ds.schema().names
+    projected = ds.select_columns(cols)
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(cols)
+
+    return bucketed_map_groups(projected, cols, dd, num_buckets)
+
+
+def priority_dedup(ds, keys: Sequence[str], order_by: Sequence[str],
+                   ascending: Sequence[bool] | None = None,
+                   num_buckets: int = 64):
+    """ROW_NUMBER() OVER (PARTITION BY keys ORDER BY order_by) = 1
+    (reference D1 priority dedup across discovery channels)."""
+    keys, order_by = list(keys), list(order_by)
+    asc = list(ascending) if ascending is not None else [True] * len(order_by)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_by, ascending=asc, kind="mergesort")
+                  .drop_duplicates(keys, keep="first"))
+
+    return bucketed_map_groups(ds, keys, pick, num_buckets)
+
+
+def topk_per_group(ds, keys: Sequence[str], order_col: str, k: int,
+                   descending: bool = True, num_buckets: int = 64):
+    """Top-k rows per group by ``order_col`` (window-function analogue)."""
+    keys = list(keys)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([*keys, order_col],
+                               ascending=[True] * len(keys) + [not descending],
+                               kind="mergesort")
+                  .groupby(keys, sort=False).head(k))
+
+    return bucketed_map_groups(ds, keys, pick, num_buckets)
+
+
+def representative_first(ds, key: str, value_col: str, num_buckets: int = 64):
+    """One deterministic representative value per key: the MIN, not an
+    order-dependent FIRST (reference A2 divergence, SURVEY §2.5)."""
+    from ray.data.aggregate import Min
+
+    return (ds.select_columns([key, value_col])
+              .groupby(key).aggregate(Min(value_col, alias_name=value_col)))
+
+
+def containment_join(ds, col: str, entities: Sequence[str],
+                     entity_col: str = "entity"):
+    """Theta-join: rows whose ``col`` contains any of the (small) entity
+    strings — reference J6 (`LIKE '%'||entity||'%'`), implemented as a
+    broadcast + vectorized substring match per entity (no shuffle)."""
+    ref = ray.put(list(entities))
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        ents = ray.get(ref)
+        outs = []
+        col_vals = df[col].astype("string").fillna("")
+        for e in ents:
+            hit = df[col_vals.str.contains(e, regex=False)]
+            if len(hit):
+                hit = hit.copy()
+                hit[entity_col] = e
+                outs.append(hit)
+        if not outs:
+            out = df.head(0).copy()
+            out[entity_col] = pd.Series([], dtype="string")
+            return out
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(match, batch_format="pandas")
+
+
+def explode_split(ds, col: str, sep: str, out_col: str | None = None):
+    """UNNEST(string_split(trim(col), sep)) — reference M10 multi-value
+    splitter, as a vectorized explode (1 row -> N rows)."""
+    out_col = out_col or col
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = df[col].astype("string").str.strip().str.split(sep)
+        if out_col != col:
+            df = df.drop(columns=[col]) if col not in (out_col,) else df
+        df = df.explode(out_col, ignore_index=True)
+        df = df[df[out_col].notna() & (df[out_col] != "")]
+        return df
+
+    return ds.map_batches(split, batch_format="pandas")
+
+
+def group_pivot(ds, key: str, agg_spec: dict[str, tuple[str, str]],
+                num_buckets: int = 64):
+    """Per-group assembly (reference A1 groupby-work_id pivot slot):
+    ``agg_spec`` maps output column -> (input column, pandas agg name).
+    """
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key, sort=False)
+        out = pd.DataFrame({
+            out_col: g[in_col].agg(how)
+            for out_col, (in_col, how) in agg_spec.items()
+        })
+        return out.reset_index()
+
+    return bucketed_map_groups(ds, [key], pivot, num_buckets)

@@ -1,0 +1,153 @@
+"""Text analysis stages for large-scale training-data curation:
+token counting, quality scoring, language ID, fingerprinting.
+
+All vectorized ``map_batches`` bodies (pandas string kernels / numpy);
+the language-ID stage is a stateful callable (stopword tables built
+once per actor — the ST1 load-once pattern).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS_SPLIT_RE = re.compile(r"\s+")
+# BPE-ish word/number/punct pieces (public GPT-2-style pattern, simplified)
+_BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+
+def token_count_stage(ds, text_col: str = "text"):
+    """Whitespace token count per row (oracle-parity:
+    ``len(regexp_split_to_array(trim(text), '\\s+'))`` in DuckDB)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype("string").fillna("").str.strip()
+        n = t.str.split(_WS_SPLIT_RE).str.len()
+        n = n.where(t != "", 0).astype("int64")
+        out = df.copy()
+        out["n_tokens"] = n
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def bpe_token_count(texts: pd.Series) -> pd.Series:
+    """Sub-word-ish token count via the BPE-style regex."""
+    return texts.astype("string").fillna("").str.findall(_BPE_RE).str.len()
+
+
+def quality_stats_stage(ds, text_col: str = "text"):
+    """Quality-signal columns: char/alpha/digit/space/punct counts and
+    ratios (all integer counts + IEEE-double ratios so a DuckDB oracle
+    reproduces them bit-for-bit)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype("string").fillna("")
+        n_chars = t.str.len().astype("int64")
+        n_alpha = t.str.count(r"[A-Za-z]").astype("int64")
+        n_digit = t.str.count(r"[0-9]").astype("int64")
+        n_space = t.str.count(r"\s").astype("int64")
+        n_punct = (n_chars - n_alpha - n_digit - n_space).astype("int64")
+        out = df.copy()
+        out["n_chars_calc"] = n_chars
+        out["n_alpha"] = n_alpha
+        out["n_digit"] = n_digit
+        out["n_space"] = n_space
+        out["n_punct"] = n_punct
+        out["alpha_ratio"] = n_alpha.astype("float64") / np.maximum(n_chars, 1)
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+# tiny per-language stopword lists (deterministic heuristic language ID)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "for", "with", "as"},
+    "de": {"der", "die", "das", "und", "ist", "von", "mit", "für", "auf", "ein"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "pour"},
+    "es": {"el", "la", "los", "las", "de", "que", "es", "por", "con", "una"},
+}
+_CJK_RE = re.compile("[一-鿿]")
+
+
+class LangIdStage:
+    """Heuristic language ID (stopword ratios + CJK script check).
+
+    Stateful actor-pool callable: tables are built in ``__init__``.
+    Output: ``lang_pred`` + ``lang_score`` columns.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[self.text_col].astype("string").fillna("")
+        preds, scores = [], []
+        for t in texts:
+            if _CJK_RE.search(t):
+                preds.append("zh")
+                scores.append(1.0)
+                continue
+            toks = t.lower().split()
+            if not toks:
+                preds.append("und")
+                scores.append(0.0)
+                continue
+            best_lang, best = "und", 0.0
+            for lang, stops in self.tables.items():
+                r = sum(w in stops for w in toks) / len(toks)
+                if r > best:
+                    best_lang, best = lang, r
+            preds.append(best_lang if best > 0.02 else "und")
+            scores.append(round(best, 4))
+        out = df.copy()
+        out["lang_pred"] = preds
+        out["lang_score"] = scores
+        return out
+
+
+def md5_fingerprint_stage(ds, text_col: str = "text",
+                          out_col: str = "fingerprint"):
+    """Content fingerprint = md5 hexdigest of the utf-8 text (matches
+    DuckDB ``md5(text)`` for oracle parity)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out[out_col] = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in df[text_col].astype("string").fillna("")
+        ]
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing document fingerprint (public algorithm: Schleimer,
+    Wilkerson, Aiken 2003): min hash per sliding window over k-gram
+    rolling hashes; deterministic."""
+    from ..functions.similarity import stable_hash_strings
+
+    toks = text.split()
+    if len(toks) < k:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    if not grams:
+        return []
+    h = stable_hash_strings(grams).astype(np.uint64)
+    if h.size <= window:
+        return [int(h.min())]
+    mins = []
+    for i in range(h.size - window + 1):
+        mins.append(int(h[i:i + window].min()))
+    # dedup consecutive repeats (standard winnowing output)
+    out = [mins[0]]
+    for m in mins[1:]:
+        if m != out[-1]:
+            out.append(m)
+    return out

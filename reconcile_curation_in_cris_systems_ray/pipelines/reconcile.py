@@ -23,7 +23,7 @@ import time
 
 import pyarrow as pa
 
-from ..config import ReconcileConfig
+from ..config import ReconcileConfig, pool_size
 from ..state.manifest import CheckpointManager, fingerprint
 from ..stages.blocking import SignatureStage, emit_band_keys
 from ..stages.cluster import assign_clusters, connected_components
@@ -45,10 +45,15 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
     corpus = corpus_ds.select_columns(base_cols)
 
     fp_ex = fingerprint(input_fingerprint, cfg_fp, "extract")
-    extracted = ckpt.run_stage("extracted", fp_ex, lambda: corpus.map_batches(
-        HtmlTextExtractor, batch_format="pyarrow",
-        batch_size=cfg.exec.extract_batch_size,
-        concurrency=cfg.exec.extract_concurrency))
+    # without a checkpoint root, extraction streams straight into the
+    # signature stage (both actor pools run concurrently, no barrier)
+    extracted = ckpt.run_stage(
+        "extracted", fp_ex,
+        lambda: corpus.map_batches(
+            HtmlTextExtractor, batch_format="pyarrow",
+            batch_size=cfg.exec.extract_batch_size,
+            concurrency=pool_size(cfg.exec.extract_concurrency)),
+        materialize=checkpoint_root is not None)
 
     fp_ft = fingerprint(fp_ex, "features")
     features = ckpt.run_stage("features", fp_ft, lambda: extracted.map_batches(
@@ -56,7 +61,7 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
         fn_constructor_kwargs={"blocking": cfg.blocking,
                                "scoring": cfg.scoring},
         batch_format="pyarrow", batch_size=cfg.exec.signature_batch_size,
-        concurrency=cfg.exec.extract_concurrency))
+        concurrency=pool_size(cfg.exec.signature_concurrency)))
 
     fp_pr = fingerprint(fp_ft, "pairs")
     pairs = ckpt.run_stage("pairs", fp_pr, lambda: generate_candidate_pairs(
@@ -65,7 +70,8 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
     fp_sc = fingerprint(fp_pr, "scored")
     scored = ckpt.run_stage("scored", fp_sc, lambda: score_pairs(
         hydrate_pairs(pairs, features), cfg.scoring,
-        batch_size=cfg.exec.score_batch_size))
+        batch_size=cfg.exec.score_batch_size,
+        concurrency=pool_size(cfg.exec.score_concurrency)))
 
     def to_edges(batch: pa.Table) -> pa.Table:
         m = batch.filter(batch.column("is_match"))

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..config import BlockingConfig, ScoringConfig
-from ..functions.similarity import MinHasher, shingle_hash_set_text
+from ..functions.similarity import MinHasher, batch_shingle_sets
 from ..functions.textnorm import normalize_text_series
 
 
@@ -47,10 +47,7 @@ class SignatureStage:
             texts.str.replace("\n", " ", regex=False)).fillna("")
         titles = normalize_text_series(
             texts.str.split("\n").str[0]).fillna("")
-        shingle_sets = [
-            shingle_hash_set_text(t or "", self.cfg.shingle_k)
-            for t in norm
-        ]
+        shingle_sets = batch_shingle_sets(norm.tolist(), self.cfg.shingle_k)
         sigs = self.hasher.signatures(shingle_sets)
         n_sh = np.array([s.size for s in shingle_sets], dtype=np.int64)
         return pa.table({

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..config import BlockingConfig, ScoringConfig
 from ..functions.similarity import (
-    MinHasher, hamming64, jaccard_from_sets, shingle_hash_set_text,
+    MinHasher, batch_shingle_sets, hamming64, jaccard_from_sets,
     simhash64, stable_hash_strings,
 )
 from ..functions.textnorm import normalize_text_series
@@ -57,7 +57,7 @@ def _doc_features(ds, id_col: str, text_col: str, blocking: BlockingConfig,
             texts = normalize_text_series(texts).fillna("")
         else:
             texts = texts.fillna("")
-        sets = [shingle_hash_set_text(t or "", k) for t in texts]
+        sets = batch_shingle_sets(texts.tolist(), k)
         sigs = hasher.signatures(sets)
         return pa.table({
             "url": batch.column(id_col).cast(pa.string()),
@@ -158,7 +158,7 @@ def simhash_dup_pairs(ds, id_col: str, text_col: str,
     def sim_features(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pandas()
         texts = (normalize_text_series(texts) if normalize else texts).fillna("")
-        sets = [shingle_hash_set_text(t or "") for t in texts]
+        sets = batch_shingle_sets(texts.tolist())
         sh = simhash64(sets)
         n = len(batch)
         ids = batch.column(id_col).cast(pa.string())

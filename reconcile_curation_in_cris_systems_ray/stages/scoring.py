@@ -26,21 +26,50 @@ from ..config import ScoringConfig
 from ..functions.similarity import jaccard_from_sets
 
 
-def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None):
+BROADCAST_FEATURE_ROWS = 2_000_000
+
+
+def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
+                  broadcast_threshold: int = BROADCAST_FEATURE_ROWS):
     """Join (url_a, url_b, est_jaccard) with per-side features.
 
-    ``num_partitions`` defaults to half the cluster CPUs — each join
-    partition is served by an aggregator actor, and requesting more
-    actors than CPUs deadlocks a small cluster.
+    Adaptive join strategy (the Spark auto-broadcast idea): when the
+    feature table is small enough to live in the object store
+    (< ``broadcast_threshold`` rows), ship it ONCE via ``ray.put`` and
+    hydrate both sides in a single map_batches pass — zero shuffles.
+    Otherwise fall back to two hash-partitioned ``Dataset.join``s
+    (``num_partitions`` defaults to half the cluster CPUs; each join
+    partition is an aggregator actor and oversubscribing CPUs
+    deadlocks a small cluster).
     """
-    if num_partitions is None:
-        import ray
+    import ray
 
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 2)
     feats = features_ds.select_columns(
         ["url", "title_norm", "text_head", "shingles"])
 
+    n_feats = feats.count()
+    if n_feats <= broadcast_threshold:
+        feats_df = feats.to_pandas().set_index("url")
+        ref = ray.put(feats_df)
+
+        def merge(df, _ref=ref):
+            small = ray.get(_ref)
+            fa = small.reindex(df["url_a"])
+            fb = small.reindex(df["url_b"])
+            df = df.copy()
+            df["title_a"] = fa["title_norm"].to_numpy()
+            df["head_a"] = fa["text_head"].to_numpy()
+            df["shingles_a"] = fa["shingles"].to_numpy()
+            df["title_b"] = fb["title_norm"].to_numpy()
+            df["head_b"] = fb["text_head"].to_numpy()
+            df["shingles_b"] = fb["shingles"].to_numpy()
+            return df[df["shingles_a"].notna() & df["shingles_b"].notna()]
+
+        return pairs_ds.map_batches(merge, batch_format="pandas")
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
     a = pairs_ds.join(feats, join_type="inner",
                       num_partitions=num_partitions,
                       on=("url_a",), right_on=("url",))

@@ -53,10 +53,15 @@ class CheckpointManager:
         if root:
             os.makedirs(root, exist_ok=True)
 
-    def run_stage(self, name: str, fp: str, build: Callable[[], "object"]):
-        """Return a materialized Dataset for stage ``name``.
+    def run_stage(self, name: str, fp: str, build: Callable[[], "object"],
+                  materialize: bool = True):
+        """Return a Dataset for stage ``name``.
 
         ``build`` is only invoked when no valid checkpoint exists.
+        ``materialize=False`` (only honored without a checkpoint root)
+        returns the lazy Dataset so consecutive stages stream through
+        each other with no barrier — used for stages whose output is
+        consumed exactly once downstream.
         """
         import ray.data as rd
 
@@ -91,6 +96,13 @@ class CheckpointManager:
             self.lineage.append(man)
             return rd.read_parquet(os.path.join(stage_dir, "data"))
 
+        if not materialize:
+            ds = build()
+            self.lineage.append({
+                "stage": name, "fingerprint": fp, "rows": None,
+                "wall_sec": None, "resumed": False, "streamed": True,
+            })
+            return ds
         ds = build().materialize()
         self.lineage.append({
             "stage": name, "fingerprint": fp, "rows": ds.count(),

@@ -28,13 +28,19 @@ class ScoringConfig:
     est_prefilter: float = 0.35         # MinHash-estimate prefilter before verify
     name_threshold: float = 0.85        # reference query_db/constants.py:21
     entity_threshold: int = 85          # reference query_db/constants.py:22
-    text_head_chars: int = 256          # Levenshtein window on normalized text
+    # Levenshtein window on normalized text: O(len^2) per pair, so the
+    # window is the scorer's cost knob (64 chars ~= 16x cheaper than 256
+    # with near-identical discrimination on page heads)
+    text_head_chars: int = 64
 
 
 @dataclass(frozen=True)
 class ClusterConfig:
     max_rounds: int = 30
     num_buckets: int = 256
+    # edge count below which connected-components finishes with a
+    # single driver-side union-find pass instead of more shuffle rounds
+    driver_finish_edges: int = 1_000_000
 
 
 @dataclass(frozen=True)
@@ -52,17 +58,21 @@ def pool_size(configured: tuple | None) -> tuple:
     """Actor-pool ``concurrency``: configured value or an autoscaling
     range sized to the cluster.
 
-    Min 4 (ramp fast past cold start), max 16 per stage — measured
-    sweet spot on 32 CPUs: a pool per stage of half the cores keeps
-    every concurrent stage fed without paying 32 actor spin-ups per
-    stage; capped at the CPU count on small clusters.
+    The MINIMUM is a hard CPU reservation per pool.  A pipeline runs
+    up to two actor pools plus task operators (reads, shuffles)
+    concurrently, so minimums must never sum to the whole cluster —
+    min 4+4 on an 8-CPU node deadlocked the pipeline whenever a task
+    operator fed the pools.  cpus//8 keeps the measured fast ramp on
+    32 CPUs (min 4 per pool) while reserving at most 1/4 of a small
+    cluster.  Max 16 per stage: past that, actor spin-up cost beats
+    the extra parallelism on a single node.
     """
     if configured is not None:
         return configured
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (min(4, max(1, cpus // 2)), max(2, min(16, cpus)))
+    return (max(1, cpus // 8), max(2, min(16, cpus)))
 
 
 @dataclass(frozen=True)

@@ -496,6 +496,87 @@ FROM events
 """
 
 
+def q_fuzzy_name_pairs(sf_dir: str):
+    """F1/F2/J7: fuzzy self-join on customer names — broadcast small
+    side + per-actor DuckDB Jaro-Winkler kernel (same kernel as the
+    oracle, so scores match bit-for-bit)."""
+    import ray
+
+    from ..stages.scoring import BroadcastFuzzyJoin
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda t: t.filter(pc.less(t["c_custkey"], 150)),
+        batch_format="pyarrow")
+    names = sorted(cust.unique("c_name"))
+    ref = ray.put(names)
+    lhs = cust.map_batches(
+        lambda t: pa.table({"name": t.column("c_name")}),
+        batch_format="pyarrow")
+    out = lhs.map_batches(
+        BroadcastFuzzyJoin,
+        fn_constructor_kwargs={"names_ref": ref, "threshold": 0.97},
+        batch_format="pyarrow", concurrency=(1, 4))
+    return out
+
+
+SQL_FUZZY_NAME_PAIRS = """
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+FROM customer a JOIN customer b ON a.c_name < b.c_name
+WHERE a.c_custkey < 150 AND b.c_custkey < 150
+  AND jaro_winkler_similarity(a.c_name, b.c_name) >= 0.97
+"""
+
+
+def q_normalize_text(sf_dir: str):
+    """M5/M6: canonical text normalizer (gated transliteration +
+    lowercase + strip non-word + trim) over the documents table."""
+    from ..functions.textnorm import normalize_text_array
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "normalized": normalize_text_array(t.column("text"))})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
+
+
+# oracle valid for ASCII corpora (the transliteration branch is the
+# identity there); non-ASCII semantics are pinned by unit tests instead
+SQL_NORMALIZE_TEXT = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(lower(text), '[^a-z0-9_[:space:]]', '', 'g'),
+         '^[[:space:]]+|[[:space:]]+$', '', 'g') AS normalized
+FROM documents
+"""
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Token-set (n-gram, n=1) Jaccard dedup within the exact `source`
+    blocking key."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "text"])
+    return ngram_jaccard_pairs(ds, "doc_id", "text", "source",
+                               n=1, threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jac
+FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+"""
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (no SQL-expressible oracle; driver checks rows>=0,
 # correctness covered by pytest)
@@ -548,6 +629,84 @@ def q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, queries, k=10)
 
 
+def _media_ds(sf_dir: str):
+    """Documents re-cast as opaque media payloads (binary column +
+    typed metadata) — the multimodal schema contract."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(t: pa.Table) -> pa.Table:
+        ids = [f"m{v}" for v in t.column("doc_id").to_pylist()]
+        payloads = [s.encode("utf-8") for s in t.column("text").to_pylist()]
+        kinds = ["image" if i % 2 == 0 else "video"
+                 for i in range(len(ids))]
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["application/octet-stream"] * len(ids),
+                             pa.string()),
+        })
+
+    return ds.map_batches(to_media, batch_format="pyarrow")
+
+
+def q_media_decode(sf_dir: str):
+    """Multimodal decode plumbing: binary payload -> features via the
+    actor-pool stage (deterministic fake backend; real decoder slots in
+    behind the same schema)."""
+    from ..stages.multimodal import decode_media
+
+    out = decode_media(_media_ds(sf_dir), backend="fake")
+    return out.select_columns(["media_id", "kind", "n_bytes", "width",
+                               "height", "decode_error"])
+
+
+def q_frame_sample(sf_dir: str):
+    """Multimodal frame sampling: explode payloads into frame rows."""
+    from ..stages.multimodal import frame_sample_stage
+
+    out = frame_sample_stage(_media_ds(sf_dir), every_n=10)
+    return out.select_columns(["media_id", "frame_idx"])
+
+
+def q_winnow_fingerprint(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. 2003):
+    (doc_id, n_fingerprints, min_fp) per document."""
+    from ..stages.textstats import winnowing_fingerprints
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        fps = [winnowing_fingerprints(t or "") for t in df["text"]]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_fingerprints": [len(f) for f in fps],
+            "min_fp": pd.array([min(f) if f else None for f in fps],
+                               dtype="UInt64"),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_url_canonical(sf_dir: str):
+    """M8 slot: identifier/URL canonicalization over the synthetic
+    corpus urls (scheme/host case-fold, default port, tracking-param
+    and fragment strip, trailing-slash normalization)."""
+    from ..functions.ids import canonicalize_url
+    from ..sources.corpus import CorpusConfig, corpus_dataset
+
+    n_docs = _rp(sf_dir, "documents", ["doc_id"]).count()
+    corpus = corpus_dataset(CorpusConfig(n_families=max(50, n_docs // 4)))
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "url": df["url"],
+            "canonical_url": [canonicalize_url(u) for u in df["url"]],
+        })
+
+    return corpus.map_batches(canon, batch_format="pandas")
+
+
 def q_reconcile_flagship(sf_dir: str):
     """The flagship record-linkage pipeline on the deterministic
     synthetic web corpus (sized by the sf documents table)."""
@@ -587,7 +746,14 @@ QUERIES = {
     "containment_join": q_containment_join,
     "md5_fingerprint": q_md5_fingerprint,
     "field_extract": q_field_extract,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "normalize_text": q_normalize_text,
+    "ngram_jaccard": q_ngram_jaccard,
     # rows-only
+    "media_decode": q_media_decode,
+    "frame_sample": q_frame_sample,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "url_canonical": q_url_canonical,
     "near_dup_docs": q_near_dup_docs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_dups": q_embedding_dups,
@@ -620,4 +786,7 @@ ORACLES = {
     "containment_join": SQL_CONTAINMENT_JOIN,
     "md5_fingerprint": SQL_MD5_FINGERPRINT,
     "field_extract": SQL_FIELD_EXTRACT,
+    "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
 }

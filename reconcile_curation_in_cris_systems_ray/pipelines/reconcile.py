@@ -65,13 +65,17 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
 
     fp_pr = fingerprint(fp_ft, "pairs")
     pairs = ckpt.run_stage("pairs", fp_pr, lambda: generate_candidate_pairs(
-        emit_band_keys(features, cfg.blocking), cfg.blocking, cfg.scoring))
+        emit_band_keys(features, cfg.blocking), cfg.blocking, cfg.scoring,
+        n_rows_hint=features.count() * cfg.blocking.num_bands))
 
     fp_sc = fingerprint(fp_pr, "scored")
+    # scored streams straight into edge extraction + clustering when not
+    # checkpointing (consumed exactly once; CC materializes the edges)
     scored = ckpt.run_stage("scored", fp_sc, lambda: score_pairs(
         hydrate_pairs(pairs, features), cfg.scoring,
         batch_size=cfg.exec.score_batch_size,
-        concurrency=pool_size(cfg.exec.score_concurrency)))
+        concurrency=pool_size(cfg.exec.score_concurrency)),
+        materialize=checkpoint_root is not None)
 
     def to_edges(batch: pa.Table) -> pa.Table:
         m = batch.filter(batch.column("is_match"))
@@ -90,8 +94,13 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
         "total_wall_sec": round(time.time() - t_start, 3),
         "candidate_pairs": next(
             (s["rows"] for s in ckpt.lineage if s["stage"] == "pairs"), None),
+        # when scored streams, its row count equals the (materialized)
+        # candidate-pair count — the scorer flags rather than drops rows
         "scored_pairs": next(
-            (s["rows"] for s in ckpt.lineage if s["stage"] == "scored"), None),
+            (s["rows"] for s in ckpt.lineage
+             if s["stage"] == "scored" and s["rows"] is not None),
+            next((s["rows"] for s in ckpt.lineage
+                  if s["stage"] == "pairs"), None)),
     }
     return {
         "extracted": extracted, "features": features, "pairs": pairs,

@@ -110,15 +110,40 @@ def _edge_stats(edges_ds) -> tuple[int, int]:
     return (sum(p["n"] for p in parts), sum(p["c"] for p in parts))
 
 
+def _driver_finish(edges_ds):
+    """Collect a small edge set and finish with driver-side union-find,
+    returning star edges (node -> component min) as a Dataset."""
+    import ray.data as rd
+
+    rows = edges_ds.take_all()
+    edges = [(r["u"], r["v"]) for r in rows]
+    nodes = sorted({x for e in edges for x in e})
+    roots = union_find_oracle(edges, nodes)
+    out_u = [n for n, r in roots.items() if n != r]
+    out_v = [roots[n] for n in out_u]
+    return rd.from_arrow(pa.table({"u": pa.array(out_u, pa.string()),
+                                   "v": pa.array(out_v, pa.string())}))
+
+
 def connected_components(edges_ds, cfg: ClusterConfig = ClusterConfig()):
     """Edges (u, v: string) -> star edges (u=node, v=component min url).
 
     Input may be in any orientation; self-loops are dropped.  Returns a
     materialized Dataset of final star edges.
+
+    Hybrid execution (the standard distributed-CC design): star
+    contraction rounds run only while the edge set exceeds
+    ``cfg.driver_finish_edges``; once it fits comfortably on the
+    driver the remaining closure is a single union-find pass there.
+    Both paths produce identical star edges (pinned by tests), and
+    each contraction round shrinks edges toward (#nodes - #components)
+    so multi-billion-edge inputs still converge distributed.
     """
     edges = edges_ds.select_columns(["u", "v"]).materialize()
     prev = (-1, -1)
     for round_no in range(cfg.max_rounds):
+        if edges.count() <= cfg.driver_finish_edges:
+            return _driver_finish(edges).materialize()
         edges = _large_star(edges, cfg.num_buckets).materialize()
         edges = _small_star(edges, cfg.num_buckets).materialize()
         stats = _edge_stats(edges)
@@ -132,14 +157,41 @@ def connected_components(edges_ds, cfg: ClusterConfig = ClusterConfig()):
     return edges
 
 
-def assign_clusters(urls_ds, star_edges_ds, num_buckets: int = 256):
+def assign_clusters(urls_ds, star_edges_ds, num_buckets: int = 256,
+                    broadcast_threshold: int = 2_000_000):
     """All urls + star edges -> (url, cluster_id) with singleton=self.
 
+    Star edges already map each non-root node to its component min, so
+    when that map is small it is broadcast once (``ray.put``) and
+    applied in a shuffle-free ``map_batches`` over the url stream.
+    Past ``broadcast_threshold`` edges it falls back to
     ``groupby(url).min(label)`` over the union of self-labels and star
     labels; deterministic (min) rather than order-dependent FIRST
-    (reference A2 divergence, documented in SURVEY §2.5).
+    (reference A2 divergence, documented in SURVEY §2.5).  Both paths
+    produce identical assignments (pinned by tests).
     """
+    import ray
     from ray.data.aggregate import Min
+
+    star_edges_ds = star_edges_ds.materialize()
+    if star_edges_ds.count() <= broadcast_threshold:
+        tbl = pa.concat_tables(
+            [ray.get(r) for r in star_edges_ds.to_arrow_refs()])
+        mapping = dict(zip(tbl.column("u").to_pylist(),
+                           tbl.column("v").to_pylist()))
+        ref = ray.put(mapping)
+
+        def apply_map(batch: pa.Table, _ref=ref) -> pa.Table:
+            m = ray.get(_ref)
+            urls = batch.column("url").to_pylist()
+            return pa.table({
+                "url": batch.column("url").combine_chunks().cast(pa.string()),
+                "cluster_id": pa.array([m.get(u, u) for u in urls],
+                                       pa.string()),
+            })
+
+        return urls_ds.select_columns(["url"]).map_batches(
+            apply_map, batch_format="pyarrow")
 
     def self_label(batch: pa.Table) -> pa.Table:
         return pa.table({"url": batch.column("url"),

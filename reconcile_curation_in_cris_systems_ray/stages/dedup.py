@@ -268,3 +268,63 @@ def embedding_dup_pairs(ds, id_col: str, vec_col: str,
         return df.drop_duplicates(["id_a", "id_b"])
 
     return bucketed_map_groups(pairs, ["id_a", "id_b"], dd, num_buckets)
+
+
+def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,
+                        n: int = 1, threshold: float = 0.5,
+                        num_buckets: int = 64):
+    """Token n-gram Jaccard near-dup pairs within an exact blocking key.
+
+    Partitioning assumption: blocks (``block_col`` groups) are small
+    enough that the within-block pair set fits one task — the same
+    assumption the reference's equi-key candidate join makes
+    (``find_additional_works_from_input_csv/query_db/repository.py:
+    297-314``); for web-scale keys, pre-salt upstream.
+
+    Returns (id_a, id_b, jac) for within-block pairs with token
+    n-gram-set Jaccard >= ``threshold``; ids compared as ints when the
+    id column is numeric (pair order = ascending id).
+    """
+    from ..functions.similarity import _rolling_combine
+
+    def feats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        sets = []
+        for t in texts:
+            toks = (t or "").split()
+            if not toks:
+                sets.append(b"")
+                continue
+            h = np.unique(_rolling_combine(stable_hash_strings(toks), n))
+            sets.append(h.tobytes())
+        return pa.table({
+            "id": batch.column(id_col),
+            "block": batch.column(block_col).cast(pa.string()),
+            "toks": pa.array(sets, pa.binary()),
+        })
+
+    prepped = ds.select_columns([id_col, text_col, block_col]).map_batches(
+        feats, batch_format="pyarrow")
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids_a, ids_b, jacs = [], [], []
+        for _, g in df.groupby("block", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("id", kind="mergesort")
+            ids = g["id"].to_numpy()
+            sets = [np.frombuffer(b, dtype=np.uint64) for b in g["toks"]]
+            m = len(g)
+            for i in range(m - 1):
+                si = sets[i]
+                for j in range(i + 1, m):
+                    jac = jaccard_from_sets(si, sets[j])
+                    if jac >= threshold:
+                        ids_a.append(ids[i])
+                        ids_b.append(ids[j])
+                        jacs.append(round(jac, 6))
+        return pd.DataFrame({"id_a": pd.Series(ids_a),
+                             "id_b": pd.Series(ids_b),
+                             "jac": pd.Series(jacs, dtype="float64")})
+
+    return bucketed_map_groups(prepped, ["block"], bucket_pairs, num_buckets)

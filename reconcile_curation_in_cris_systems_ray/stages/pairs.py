@@ -39,10 +39,39 @@ MAX_SIDE = 2000          # degenerate-clique guard
 CHAIN_WINDOW = 3
 
 
-def find_hot_keys(band_ds, cfg: BlockingConfig) -> dict[tuple[int, int], int]:
-    """Narrow count pre-pass; returns {(band_id, band_hash): count}."""
-    counts = (band_ds.select_columns(["band_id", "band_hash"])
-              .groupby(["band_id", "band_hash"]).count())
+DRIVER_MERGE_MAX_ROWS = 20_000_000
+
+
+def find_hot_keys(band_ds, cfg: BlockingConfig,
+                  n_rows_hint: int | None = None) -> dict[tuple[int, int], int]:
+    """Narrow count pre-pass; returns {(band_id, band_hash): count}.
+
+    Two physical plans for the same exact counts:
+
+    - small inputs (< ``DRIVER_MERGE_MAX_ROWS`` band rows): per-batch
+      partial ``value_counts`` merged on the driver — one narrow map,
+      NO shuffle (the combiner pattern; hot-key detection was the only
+      consumer of the full groupby).
+    - large inputs: distributed ``groupby().count()`` (all-to-all on
+      two int columns), since the distinct-key set itself may not fit
+      the driver at web scale.
+    """
+    narrow = band_ds.select_columns(["band_id", "band_hash"])
+    if n_rows_hint is None or n_rows_hint <= DRIVER_MERGE_MAX_ROWS:
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            c = df.value_counts(["band_id", "band_hash"], sort=False)
+            out = c.index.to_frame(index=False)
+            out["n"] = c.to_numpy()
+            return out
+
+        parts = narrow.map_batches(partial, batch_format="pandas").to_pandas()
+        if parts.empty:
+            return {}
+        totals = parts.groupby(["band_id", "band_hash"], sort=False)["n"].sum()
+        hot = totals[totals > cfg.hot_key_cap]
+        return {k: int(v) for k, v in hot.items()}
+
+    counts = narrow.groupby(["band_id", "band_hash"]).count()
 
     def only_hot(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["count()"] > cfg.hot_key_cap]
@@ -94,8 +123,22 @@ def expand_salts(band_ds, hot_keys: dict[tuple[int, int], int],
     return band_ds.map_batches(expand, batch_format="pandas")
 
 
-def _pairs_within(urls: np.ndarray, sigs: np.ndarray,
-                  est_prefilter: float) -> list[tuple[str, str, float]]:
+def _min_band_keep(eq: np.ndarray, band_id: int,
+                   rows_per_band: int) -> np.ndarray:
+    """Global pair dedup WITHOUT a shuffle: both docs' full signatures
+    are in the group, so each pair is emitted only by the FIRST band
+    whose signature rows all agree — every other band (where the pair
+    would also collide) sees first_band != band_id and stays silent.
+    Replaces the post-hoc ``groupby(url_a, url_b)`` dedup exchange."""
+    n_pairs = eq.shape[0]
+    if n_pairs == 0:
+        return np.zeros(0, dtype=bool)
+    band_match = eq.reshape(n_pairs, -1, rows_per_band).all(axis=2)
+    return band_match.argmax(axis=1) == band_id
+
+
+def _pairs_within(urls: np.ndarray, sigs: np.ndarray, est_prefilter: float,
+                  band_id: int, rows_per_band: int) -> list[tuple[str, str, float]]:
     m = len(urls)
     if m < 2:
         return []
@@ -112,12 +155,14 @@ def _pairs_within(urls: np.ndarray, sigs: np.ndarray,
         i_idx, j_idx = np.array(ii), np.array(jj)
     else:
         i_idx, j_idx = np.triu_indices(m, k=1)
-    est = (sigs[i_idx] == sigs[j_idx]).mean(axis=1)
-    keep = est >= est_prefilter
+    eq = sigs[i_idx] == sigs[j_idx]
+    est = eq.mean(axis=1)
+    keep = (est >= est_prefilter) & _min_band_keep(eq, band_id, rows_per_band)
     return _canonical(urls[i_idx[keep]], urls[j_idx[keep]], est[keep])
 
 
-def _pairs_cross(urls_a, sigs_a, urls_b, sigs_b, est_prefilter):
+def _pairs_cross(urls_a, sigs_a, urls_b, sigs_b, est_prefilter,
+                 band_id: int, rows_per_band: int):
     if len(urls_a) == 0 or len(urls_b) == 0:
         return []
     if len(urls_a) > MAX_SIDE or len(urls_b) > MAX_SIDE:
@@ -126,12 +171,12 @@ def _pairs_cross(urls_a, sigs_a, urls_b, sigs_b, est_prefilter):
         order_b = np.argsort(urls_b)[:k]
         i_idx = np.repeat(np.arange(len(urls_a)), k)
         j_idx = np.tile(order_b, len(urls_a))
-        est = (sigs_a[i_idx] == sigs_b[j_idx]).mean(axis=1)
     else:
         est_m = (sigs_a[:, None, :] == sigs_b[None, :, :]).mean(axis=2)
         i_idx, j_idx = np.nonzero(est_m >= est_prefilter)
-        est = est_m[i_idx, j_idx]
-    keep = est >= est_prefilter
+    eq = sigs_a[i_idx] == sigs_b[j_idx]
+    est = eq.mean(axis=1)
+    keep = (est >= est_prefilter) & _min_band_keep(eq, band_id, rows_per_band)
     return _canonical(urls_a[i_idx[keep]], urls_b[j_idx[keep]], est[keep])
 
 
@@ -143,37 +188,82 @@ def _canonical(a: np.ndarray, b: np.ndarray, est: np.ndarray):
 
 
 def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
-                             scoring: ScoringConfig):
+                             scoring: ScoringConfig,
+                             n_rows_hint: int | None = None):
     """Salted groupby-pairing: band rows -> deduped candidate pairs."""
-    hot = find_hot_keys(band_ds, blocking)
+    hot = find_hot_keys(band_ds, blocking, n_rows_hint)
     salted = expand_salts(band_ds, hot, blocking)
     pre = scoring.est_prefilter
 
+    rpb = blocking.rows_per_band
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized across groups: a bucket holds ~1e5 tiny band
+        groups, so a per-group Python loop is the bottleneck, not the
+        pair math.  Groups are boundary-detected on a lexsort, then all
+        groups of equal size m generate their triangle pairs in ONE
+        batched numpy expression (chunked to bound the eq-matrix)."""
         rows: list[tuple[str, str, float]] = []
-        grouped = df.groupby(["band_id", "band_hash", "salt_i", "salt_j"],
-                             sort=False)
-        for (_, _, si, sj), g in grouped:
-            urls = g["url"].to_numpy(dtype=object)
-            sigs = np.stack(g["sig"].to_numpy())
-            if si == sj:
-                rows.extend(_pairs_within(urls, sigs, pre))
-            else:
+
+        cross_mask = (df["salt_i"].to_numpy() != df["salt_j"].to_numpy())
+        if cross_mask.any():
+            for (bid, _, si, sj), g in df[cross_mask].groupby(
+                    ["band_id", "band_hash", "salt_i", "salt_j"], sort=False):
+                urls = g["url"].to_numpy(dtype=object)
+                sigs = np.stack(g["sig"].to_numpy())
                 ma = g["member_salt"].to_numpy() == si
                 rows.extend(_pairs_cross(urls[ma], sigs[ma],
-                                         urls[~ma], sigs[~ma], pre))
+                                         urls[~ma], sigs[~ma], pre, bid, rpb))
+            df = df[~cross_mask]
+
+        if len(df) >= 2:
+            bid = df["band_id"].to_numpy().astype(np.int64)
+            bh = df["band_hash"].to_numpy().astype(np.int64)
+            si = df["salt_i"].to_numpy().astype(np.int64)
+            order = np.lexsort((si, bh, bid))
+            b2, h2, s2 = bid[order], bh[order], si[order]
+            new = np.empty(len(order), dtype=bool)
+            new[0] = True
+            new[1:] = ((b2[1:] != b2[:-1]) | (h2[1:] != h2[:-1])
+                       | (s2[1:] != s2[:-1]))
+            counts = np.diff(np.append(np.flatnonzero(new), len(order)))
+            starts = np.append(0, np.cumsum(counts))[:-1]
+            urls_s = df["url"].to_numpy(dtype=object)[order]
+            sigs_s = np.stack(df["sig"].to_numpy())[order]
+            for m in np.unique(counts):
+                if m < 2:
+                    continue
+                g_idx = np.flatnonzero(counts == m)
+                if m > MAX_SIDE:
+                    for g in g_idx:
+                        s = starts[g]
+                        rows.extend(_pairs_within(
+                            urls_s[s:s + m], sigs_s[s:s + m], pre,
+                            int(b2[s]), rpb))
+                    continue
+                pairs_per_group = int(m) * (int(m) - 1) // 2
+                tri_i, tri_j = np.triu_indices(int(m), k=1)
+                step = max(1, 2_000_000 // pairs_per_group)
+                for c0 in range(0, len(g_idx), step):
+                    base = starts[g_idx[c0:c0 + step]]
+                    gi = (base[:, None] + tri_i[None, :]).ravel()
+                    gj = (base[:, None] + tri_j[None, :]).ravel()
+                    eq = sigs_s[gi] == sigs_s[gj]
+                    est = eq.mean(axis=1)
+                    band_match = eq.reshape(len(gi), -1, rpb).all(axis=2)
+                    keep = ((est >= pre)
+                            & (band_match.argmax(axis=1) == b2[gi]))
+                    rows.extend(_canonical(urls_s[gi[keep]],
+                                           urls_s[gj[keep]], est[keep]))
+
         if not rows:
             return pd.DataFrame({c: pd.Series([], dtype=object if c != "est_jaccard" else float)
                                  for c in _PAIR_COLS})
+        # min-band emission already makes pairs globally unique; the
+        # in-bucket drop is a cheap no-op safety net
         out = pd.DataFrame(rows, columns=_PAIR_COLS)
         return out.drop_duplicates(["url_a", "url_b"])
 
-    pairs = bucketed_map_groups(
+    return bucketed_map_groups(
         salted, ["band_id", "band_hash", "salt_i", "salt_j"],
         bucket_pairs, num_buckets=blocking.num_buckets)
-
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["url_a", "url_b"])
-
-    return bucketed_map_groups(pairs, ["url_a", "url_b"], dedup,
-                               num_buckets=blocking.num_buckets)

@@ -49,23 +49,46 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
 
     n_feats = feats.count()
     if n_feats <= broadcast_threshold:
-        feats_df = feats.to_pandas().set_index("url")
-        ref = ray.put(feats_df)
+        from ..functions.similarity import stable_hash_strings
 
-        def merge(df, _ref=ref):
-            small = ray.get(_ref)
-            fa = small.reindex(df["url_a"])
-            fb = small.reindex(df["url_b"])
-            df = df.copy()
-            df["title_a"] = fa["title_norm"].to_numpy()
-            df["head_a"] = fa["text_head"].to_numpy()
-            df["shingles_a"] = fa["shingles"].to_numpy()
-            df["title_b"] = fb["title_norm"].to_numpy()
-            df["head_b"] = fb["text_head"].to_numpy()
-            df["shingles_b"] = fb["shingles"].to_numpy()
-            return df[df["shingles_a"].notna() & df["shingles_b"].notna()]
+        feats_tbl = pa.concat_tables(
+            [ray.get(r) for r in feats.to_arrow_refs()])
+        key_hash = stable_hash_strings(
+            feats_tbl.column("url").to_pandas().to_numpy(dtype=object))
+        order = np.argsort(key_hash, kind="mergesort")
+        # two plasma objects, both zero-copy on every ray.get: a sorted
+        # uint64 key array (searchsorted lookup) and the row-aligned
+        # Arrow feature table.  Keeping `merge` a plain function lets
+        # Ray fuse it into the PairScorer actor pool (no extra hop).
+        h_ref = ray.put(np.ascontiguousarray(key_hash[order]))
+        t_ref = ray.put(feats_tbl.take(pa.array(order)))
 
-        return pairs_ds.map_batches(merge, batch_format="pandas")
+        def merge(batch: pa.Table, _h=h_ref, _t=t_ref) -> pa.Table:
+            h = ray.get(_h)
+            tbl = ray.get(_t)
+            out = batch
+            if len(h) == 0:
+                return out.slice(0, 0)
+            for side in ("a", "b"):
+                urls = out.column(f"url_{side}").to_pandas().to_numpy(
+                    dtype=object)
+                uh = stable_hash_strings(urls)
+                idx = np.searchsorted(h, uh)
+                idx = np.clip(idx, 0, len(h) - 1)
+                found = h[idx] == uh
+                if not found.all():
+                    out = out.filter(pa.array(found))
+                    idx = idx[found]
+                rows = tbl.take(pa.array(idx))
+                out = (out.append_column(f"title_{side}",
+                                         rows.column("title_norm"))
+                          .append_column(f"head_{side}",
+                                         rows.column("text_head"))
+                          .append_column(f"shingles_{side}",
+                                         rows.column("shingles")))
+            return out
+
+        return pairs_ds.map_batches(merge, batch_format="pyarrow")
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
@@ -160,3 +183,44 @@ def score_pairs(hydrated_ds, cfg: ScoringConfig = ScoringConfig(),
         PairScorer, fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+class BroadcastFuzzyJoin:
+    """Fuzzy theta-join of a stream against a SMALL broadcast string list
+    (reference J7 entity-validation cross join, ``repository.py:569-581``,
+    and the F1/F2 fuzzy-UDF slot).
+
+    The right side ships once via ``ray.put``; each actor loads it into
+    an in-process DuckDB table in ``__init__`` and cross-joins every
+    Arrow batch against it with the C++ ``jaro_winkler_similarity``
+    kernel — no shuffle, no per-row Python.
+    """
+
+    def __init__(self, names_ref, threshold: float = 0.85,
+                 col: str = "name"):
+        import duckdb
+        import ray
+
+        self.con = duckdb.connect()
+        self.col = col
+        self.threshold = float(threshold)
+        names = ray.get(names_ref)
+        self.con.register(
+            "rhs", pa.table({"name_b": pa.array(names, pa.string())}))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"name_a": pa.array([], pa.string()),
+                             "name_b": pa.array([], pa.string()),
+                             "jw": pa.array([], pa.float64())})
+        self.con.register("lhs", batch.select([self.col]))
+        out = self.con.execute(
+            f"""
+            SELECT {self.col} AS name_a, name_b,
+                   round(jaro_winkler_similarity({self.col}, name_b), 6) AS jw
+            FROM lhs, rhs
+            WHERE {self.col} < name_b
+              AND jaro_winkler_similarity({self.col}, name_b) >= {self.threshold}
+            """).arrow()
+        self.con.unregister("lhs")
+        return out

@@ -32,6 +32,16 @@ from ..functions.similarity import stable_hash_strings
 BUCKET_COL = "__bucket"
 
 
+def effective_buckets(requested: int) -> int:
+    """Cap bucket count at 2x cluster CPUs: more buckets than that only
+    adds per-group scheduling overhead on a given cluster, while the
+    configured ceiling still bounds per-task group size at scale."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return max(8, min(requested, 2 * cpus))
+
+
 def add_bucket_column(ds, key_cols: list[str], num_buckets: int):
     """Vectorized stable bucket assignment from one or more key columns."""
 
@@ -60,10 +70,16 @@ def bucketed_map_groups(ds, key_cols: list[str], bucket_fn: Callable[[pd.DataFra
     key whose hash lands in one bucket (the ``__bucket`` column already
     dropped) and returns a DataFrame.
     """
-    with_bucket = add_bucket_column(ds, key_cols, num_buckets)
+    with_bucket = add_bucket_column(ds, key_cols,
+                                    effective_buckets(num_buckets))
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
-        return bucket_fn(df.drop(columns=[BUCKET_COL]))
+        out = bucket_fn(df.drop(columns=[BUCKET_COL]))
+        if len(out) == 0:
+            # empty object columns break Ray's block-size estimator
+            out = out.astype({c: "string" for c in out.columns
+                              if out[c].dtype == object})
+        return out
 
     return with_bucket.groupby(BUCKET_COL).map_groups(
         run, batch_format="pandas")

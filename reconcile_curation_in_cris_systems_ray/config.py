@@ -45,6 +45,16 @@ class ClusterConfig:
 
 @dataclass(frozen=True)
 class ExecConfig:
+    # False (default): map stages run as task pools with per-worker
+    # cached state — Ray fuses consecutive task operators (extract +
+    # signature execute in ONE task per block, no object-store hop) and
+    # there is no actor-pool ramp-up.  Measured 2-3x faster end-to-end
+    # on this pipeline.  True: stages run as actor pools (bounded
+    # number of state copies) — the right mode when per-worker state is
+    # genuinely heavy (multi-second model load).
+    use_actor_pools: bool = False
+    # batch sizes apply in actor-pool mode; task mode uses per-block
+    # batches (batch_size=None) to preserve fusion and task parallelism
     extract_batch_size: int = 256
     signature_batch_size: int = 512
     score_batch_size: int = 1024

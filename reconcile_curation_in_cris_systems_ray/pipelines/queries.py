@@ -707,6 +707,87 @@ def q_url_canonical(sf_dir: str):
     return corpus.map_batches(canon, batch_format="pandas")
 
 
+def _jsonl_shard_dir(sf_dir: str) -> str:
+    """Deterministically dump the events table to gzipped JSONL shards
+    (3 corrupt lines injected into shard 0) — the S2/S6 ingest fixture.
+    Cached per sf dir under /tmp."""
+    import gzip
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = f"/tmp/graft_jsonl_{tag}"
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id", "event_type", "value"])
+    n_shards = 8
+    n = tbl.num_rows
+    for s in range(n_shards):
+        lo = s * n // n_shards
+        hi = (s + 1) * n // n_shards
+        chunk = tbl.slice(lo, hi - lo).to_pylist()
+        lines = [json.dumps(r) for r in chunk]
+        if s == 0:
+            lines = (["{broken json", "[1,2,3]", "not json at all"]
+                     + lines)
+        with gzip.open(os.path.join(root, f"part-{s:03d}.jsonl.gz"),
+                       "wt") as f:
+            f.write("\n".join(lines) + "\n")
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
+
+
+def q_jsonl_ingest(sf_dir: str):
+    """S2/S6/S8/S4 composition: gzip-JSONL shard ingest with quarantine
+    of corrupt lines, partitioned Parquet sink, re-read + aggregate.
+    The 3 injected bad lines land in quarantine, so the valid-row
+    aggregate matches the events oracle exactly."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.jsonl import (
+        read_jsonl_gz, split_quarantine, write_partitioned,
+    )
+
+    schema = pa.schema([("event_id", pa.int64()),
+                        ("event_type", pa.string()),
+                        ("value", pa.float64())])
+    import glob as globmod
+
+    shards = sorted(globmod.glob(f"{_jsonl_shard_dir(sf_dir)}/part-*.jsonl.gz"))
+    raw = read_jsonl_gz(shards, schema)
+    valid, errors = split_quarantine(raw)
+    assert errors.count() == 3, "expected exactly the 3 injected bad lines"
+
+    import ray.data as rd
+
+    sink = tempfile.mkdtemp(prefix="graft_part_sink_")
+    write_partitioned(valid, sink, ["event_type"])
+    out = rd.read_parquet(sink).groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["event_type"] = df["event_type"].astype(str)
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_JSONL_INGEST = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
 def q_reconcile_flagship(sf_dir: str):
     """The flagship record-linkage pipeline on the deterministic
     synthetic web corpus (sized by the sf documents table)."""
@@ -749,6 +830,7 @@ QUERIES = {
     "fuzzy_name_pairs": q_fuzzy_name_pairs,
     "normalize_text": q_normalize_text,
     "ngram_jaccard": q_ngram_jaccard,
+    "jsonl_ingest": q_jsonl_ingest,
     # rows-only
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
@@ -789,4 +871,5 @@ ORACLES = {
     "fuzzy_name_pairs": SQL_FUZZY_NAME_PAIRS,
     "normalize_text": SQL_NORMALIZE_TEXT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "jsonl_ingest": SQL_JSONL_INGEST,
 }

@@ -28,8 +28,11 @@ class SignatureStage:
 
     Output columns: ``url``, ``title_norm`` (normalized first line),
     ``text_head`` (first ``text_head_chars`` of normalized text),
-    ``n_shingles``, ``shingles`` (list<uint64> sorted unique hashes),
-    ``sig`` (list<uint64> MinHash signature).
+    ``n_shingles``, ``shingles`` (binary: sorted unique uint64 hashes),
+    ``sig`` (binary: num_perm uint64 MinHash values, little-endian —
+    binary rather than list<uint64> so the column stays a plain object
+    dtype through pandas block conversions instead of Ray's tensor
+    extension, whose metadata breaks ``Table.to_pandas`` in workers).
     """
 
     def __init__(self, blocking: BlockingConfig = BlockingConfig(),
@@ -59,7 +62,7 @@ class SignatureStage:
             # column survives Arrow acero hash joins as a payload field
             "shingles": pa.array([s.tobytes() for s in shingle_sets],
                                  pa.binary()),
-            "sig": pa.array(list(sigs.view(np.int64)), pa.list_(pa.int64())),
+            "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
         })
 
 
@@ -73,9 +76,10 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
             return pa.table({"band_id": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64()),
                              "url": pa.array([], pa.string()),
-                             "sig": pa.array([], pa.list_(pa.int64()))})
+                             "sig": pa.array([], pa.binary())})
         sig_list = batch.column("sig")
-        sigs = np.asarray(sig_list.to_pylist(), dtype=np.int64).view(np.uint64)
+        sigs = np.frombuffer(b"".join(sig_list.to_pylist()),
+                             dtype=np.uint64).reshape(n, -1)
         band_id, band_hash = hasher.band_keys(sigs)
         urls = batch.column("url")
         idx = np.repeat(np.arange(n), cfg.num_bands)

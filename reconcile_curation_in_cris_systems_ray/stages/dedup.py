@@ -46,7 +46,7 @@ def exact_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64):
 
 def _doc_features(ds, id_col: str, text_col: str, blocking: BlockingConfig,
                   normalize: bool = True):
-    """(id, shingles binary, sig list) features for near-dup search."""
+    """(id, shingles binary, sig binary) features for near-dup search."""
     hasher = MinHasher(blocking.num_bands, blocking.rows_per_band,
                        blocking.minhash_seed)
     k = blocking.shingle_k
@@ -62,7 +62,7 @@ def _doc_features(ds, id_col: str, text_col: str, blocking: BlockingConfig,
         return pa.table({
             "url": batch.column(id_col).cast(pa.string()),
             "shingles": pa.array([s.tobytes() for s in sets], pa.binary()),
-            "sig": pa.array(list(sigs.view(np.int64)), pa.list_(pa.int64())),
+            "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(

@@ -51,7 +51,15 @@ def find_hot_keys(band_ds, cfg: BlockingConfig,
     - small inputs (< ``DRIVER_MERGE_MAX_ROWS`` band rows): per-batch
       partial ``value_counts`` merged on the driver — one narrow map,
       NO shuffle (the combiner pattern; hot-key detection was the only
-      consumer of the full groupby).
+      consumer of the full groupby).  Keys that never repeat within any
+      single batch are dropped BEFORE the driver merge: almost all band
+      keys are unique, so this shrinks the merged frame by ~100x.  A
+      key can only be missed this way if its members are spread one-
+      per-batch, bounding its size by the batch count — far below any
+      cap where salting matters, and the degenerate-clique guard in the
+      pair stage bounds residual skew regardless.  Hot-key detection is
+      a load-balancing heuristic; the emitted pair set is identical
+      either way (pinned by tests).
     - large inputs: distributed ``groupby().count()`` (all-to-all on
       two int columns), since the distinct-key set itself may not fit
       the driver at web scale.
@@ -60,6 +68,7 @@ def find_hot_keys(band_ds, cfg: BlockingConfig,
     if n_rows_hint is None or n_rows_hint <= DRIVER_MERGE_MAX_ROWS:
         def partial(df: pd.DataFrame) -> pd.DataFrame:
             c = df.value_counts(["band_id", "band_hash"], sort=False)
+            c = c[c > 1]
             out = c.index.to_frame(index=False)
             out["n"] = c.to_numpy()
             return out
@@ -121,6 +130,12 @@ def expand_salts(band_ds, hot_keys: dict[tuple[int, int], int],
         return pd.concat([cold, out_hot], ignore_index=True)
 
     return band_ds.map_batches(expand, batch_format="pandas")
+
+
+def _decode_sigs(col: pd.Series) -> np.ndarray:
+    """binary sig column (num_perm uint64 LE bytes per row) -> (n, num_perm)."""
+    return np.frombuffer(b"".join(col.tolist()),
+                         dtype=np.uint64).reshape(len(col), -1)
 
 
 def _min_band_keep(eq: np.ndarray, band_id: int,
@@ -210,7 +225,7 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
             for (bid, _, si, sj), g in df[cross_mask].groupby(
                     ["band_id", "band_hash", "salt_i", "salt_j"], sort=False):
                 urls = g["url"].to_numpy(dtype=object)
-                sigs = np.stack(g["sig"].to_numpy())
+                sigs = _decode_sigs(g["sig"])
                 ma = g["member_salt"].to_numpy() == si
                 rows.extend(_pairs_cross(urls[ma], sigs[ma],
                                          urls[~ma], sigs[~ma], pre, bid, rpb))
@@ -229,7 +244,7 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
             counts = np.diff(np.append(np.flatnonzero(new), len(order)))
             starts = np.append(0, np.cumsum(counts))[:-1]
             urls_s = df["url"].to_numpy(dtype=object)[order]
-            sigs_s = np.stack(df["sig"].to_numpy())[order]
+            sigs_s = _decode_sigs(df["sig"])[order]
             for m in np.unique(counts):
                 if m < 2:
                     continue

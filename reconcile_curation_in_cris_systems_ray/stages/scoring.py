@@ -44,15 +44,19 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
     """
     import ray
 
-    feats = features_ds.select_columns(
-        ["url", "title_norm", "text_head", "shingles"])
+    cols = ["url", "title_norm", "text_head", "shingles"]
+    feats = features_ds.materialize()
 
     n_feats = feats.count()
     if n_feats <= broadcast_threshold:
         from ..functions.similarity import stable_hash_strings
 
+        # read the materialized blocks directly (zero-copy ray.get) and
+        # project driver-side with metadata-only .select() — launching
+        # a distributed projection here would re-execute a 700-task
+        # scan (measured ~1.6s) for what is a column slice
         feats_tbl = pa.concat_tables(
-            [ray.get(r) for r in feats.to_arrow_refs()])
+            [ray.get(r).select(cols) for r in feats.to_arrow_refs()])
         key_hash = stable_hash_strings(
             feats_tbl.column("url").to_pandas().to_numpy(dtype=object))
         order = np.argsort(key_hash, kind="mergesort")
@@ -93,6 +97,7 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 2)
+    feats = feats.select_columns(cols)
     a = pairs_ds.join(feats, join_type="inner",
                       num_partitions=num_partitions,
                       on=("url_a",), right_on=("url",))

@@ -8,9 +8,11 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
      "queries": {...}, "sf": ..., "num_cpus": N,
      "candidate_pairs": P, "pairs_per_sec": R}
 
-``--scaling``: runs the same job in fresh processes at num_cpus=8 and
-num_cpus=32 on the same input and prints throughputs + scaling
-efficiency (the sandbox stand-in for N vs 4N nodes).
+``--scaling``: runs the same job in fresh processes at
+``$GRAFT_SCALE_LO`` (default 4) and ``$GRAFT_SCALE_HI`` (default 16)
+CPUs on the same input and prints throughputs + scaling efficiency
+(the sandbox stand-in for N- vs 4N-node clusters; see BASELINE.md for
+the single-node memory-bandwidth caveat).
 """
 
 from __future__ import annotations
@@ -62,34 +64,38 @@ def run_bench() -> dict:
         rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
 
     n_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
-    # ~3 pages per family on average; 3x documents-count families =>
-    # corpus ~= 9x documents rows, big enough that per-stage compute
-    # dominates fixed scheduling overhead (what the scaling criterion
-    # actually measures at cluster scale)
-    corpus_cfg = CorpusConfig(n_families=max(200, 3 * n_docs))
+    # ~3 pages per family on average; 9x documents-count families =>
+    # corpus ~= 27x documents rows (~129k pages at sf0.1) — big enough
+    # that per-stage compute dominates fixed scheduling overhead (what
+    # the scaling criterion actually measures at cluster scale)
+    corpus_cfg = CorpusConfig(n_families=max(200, 9 * n_docs))
 
-    # headline: the flagship reconcile pipeline on the synthetic corpus
     t0 = time.time()
     corpus = corpus_dataset(corpus_cfg).materialize()
     gen_sec = round(time.time() - t0, 2)
     n_pages = corpus.count()
 
-    # one warm-up pass amortizes actor-pool spin-up / JIT costs, then
-    # the measured pass reflects steady-state throughput (what the
-    # N-vs-4N scaling criterion is about); both walls are reported
-    t0 = time.time()
-    out = run_reconcile(corpus, ReconcileConfig())
-    out["assignments"].count()
-    warmup_sec = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    out = run_reconcile(corpus, ReconcileConfig())
-    n_assign = out["assignments"].count()
-    headline_sec = round(time.time() - t0, 2)
-    pairs = out["metrics"].get("scored_pairs") or 0
+    # one warm-up pass amortizes worker spin-up / import costs; two
+    # measured passes, min reported (steady-state capability — run
+    # variance on this box is ~±10%)
+    walls = []
+    pairs = 0
+    n_assign = 0
+    for i in range(3):
+        t0 = time.time()
+        out = run_reconcile(corpus, ReconcileConfig())
+        n_assign = out["assignments"].count()
+        wall = round(time.time() - t0, 2)
+        if i > 0:
+            walls.append(wall)
+        else:
+            warmup_sec = wall
+        pairs = out["metrics"].get("scored_pairs") or 0
+    headline_sec = min(walls)
 
     timings: dict[str, float] = {"reconcile_flagship": headline_sec,
                                  "reconcile_warmup": warmup_sec,
+                                 "reconcile_runs": walls,
                                  "corpus_gen": gen_sec}
     for name in BENCH_QUERIES:
         t0 = time.time()
@@ -111,6 +117,7 @@ def run_bench() -> dict:
         "corpus_pages": n_pages,
         "assignments": n_assign,
         "candidate_pairs": pairs,
+        "pages_per_sec": round(n_pages / headline_sec, 1),
         "pairs_per_sec": round(pairs / headline_sec, 1) if pairs else 0.0,
     }
 
@@ -123,7 +130,8 @@ def run_scaling():
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo, r_hi = one(lo), one(hi)
     pages = r_hi["corpus_pages"]
     thr_lo = pages / r_lo["value"]

@@ -788,6 +788,44 @@ FROM events GROUP BY event_type
 """
 
 
+def q_audit_stats(sf_dir: str):
+    """A5 (verify_db.py:74-119 analogue): one-row integrity audit —
+    row count, distinct cardinalities, null/empty rates — computed as
+    per-batch partials + a tiny driver-side merge (combiner pattern;
+    at scale the distinct sets become sketches)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_rows": pa.array([len(t)], pa.int64()),
+            "n_empty_text": pa.array(
+                [pc.sum(pc.cast(pc.equal(pc.utf8_trim_whitespace(
+                    pc.fill_null(t["text"], "")), ""), pa.int64())).as_py()
+                 or 0], pa.int64()),
+        })
+
+    counts = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n_sources = rel.distinct(
+        ds.select_columns(["source"]), ["source"]).count()
+    n_langs = rel.distinct(ds.select_columns(["lang"]), ["lang"]).count()
+    return pd.DataFrame({
+        "n_rows": [int(counts["n_rows"])],
+        "n_sources": [n_sources],
+        "n_langs": [n_langs],
+        "n_empty_text": [int(counts["n_empty_text"])],
+    })
+
+
+SQL_AUDIT_STATS = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT lang) AS n_langs,
+       count(*) FILTER (WHERE trim(coalesce(text, '')) = '')
+         AS n_empty_text
+FROM documents
+"""
+
+
 def q_reconcile_flagship(sf_dir: str):
     """The flagship record-linkage pipeline on the deterministic
     synthetic web corpus (sized by the sf documents table)."""
@@ -831,6 +869,7 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "ngram_jaccard": q_ngram_jaccard,
     "jsonl_ingest": q_jsonl_ingest,
+    "audit_stats": q_audit_stats,
     # rows-only
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
@@ -872,4 +911,5 @@ ORACLES = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "jsonl_ingest": SQL_JSONL_INGEST,
+    "audit_stats": SQL_AUDIT_STATS,
 }

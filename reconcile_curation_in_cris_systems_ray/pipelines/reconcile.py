@@ -30,7 +30,9 @@ from ..stages.blocking import SignatureStage, emit_band_keys
 from ..stages.cluster import assign_clusters, connected_components
 from ..stages.extract import HtmlTextExtractor
 from ..stages.pairs import generate_candidate_pairs
-from ..stages.scoring import PairScorer, hydrate_pairs, score_pairs
+from ..stages.scoring import (
+    PairScorer, build_feature_lookup, hydrate_pairs, score_pairs,
+)
 
 # Per-worker-process stage cache for task-mode stages: Ray reuses
 # worker processes across tasks and stages, so state built here (parser
@@ -111,20 +113,37 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
     features = ckpt.run_stage("features", fp_ft, feature_stage)
 
     fp_pr = fingerprint(fp_ft, "pairs")
+    try:
+        feat_blocks = features.num_blocks()
+    except Exception:
+        feat_blocks = None
+
+    # launch the broadcast hydration lookup build (one remote task,
+    # non-blocking) BEFORE the pair stage so it overlaps that stage's
+    # execution; the scorer's merge blocks on the refs naturally
+    prebuilt = build_feature_lookup(features)
+
     pairs = ckpt.run_stage("pairs", fp_pr, lambda: generate_candidate_pairs(
         emit_band_keys(features, cfg.blocking), cfg.blocking, cfg.scoring,
-        n_rows_hint=features.count() * cfg.blocking.num_bands))
+        n_rows_hint=features.count() * cfg.blocking.num_bands,
+        num_blocks_hint=feat_blocks))
 
     fp_sc = fingerprint(fp_pr, "scored")
     # scored streams straight into edge extraction + clustering when not
     # checkpointing (consumed exactly once; CC materializes the edges)
     if cfg.exec.use_actor_pools:
         scored_stage = lambda: score_pairs(  # noqa: E731
-            hydrate_pairs(pairs, features), cfg.scoring,
+            hydrate_pairs(pairs, features,
+                          est_prefilter=cfg.scoring.est_prefilter,
+                          prebuilt=prebuilt),
+            cfg.scoring,
             batch_size=cfg.exec.score_batch_size,
             concurrency=pool_size(cfg.exec.score_concurrency))
     else:
-        scored_stage = lambda: hydrate_pairs(pairs, features).map_batches(  # noqa: E731
+        scored_stage = lambda: hydrate_pairs(  # noqa: E731
+            pairs, features,
+            est_prefilter=cfg.scoring.est_prefilter,
+            prebuilt=prebuilt).map_batches(
             partial(_scorer_task, scoring=cfg.scoring),
             batch_format="pyarrow")
     scored = ckpt.run_stage("scored", fp_sc, scored_stage,

@@ -67,7 +67,16 @@ class SignatureStage:
 
 
 def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
-    """Explode features into ``(band_id, band_hash, url, sig)`` rows."""
+    """Explode features into ``(band_id, band_hash, url, bands)`` rows.
+
+    ``bands`` is the doc's FULL band-hash vector (num_bands x uint64 as
+    binary, 128B at defaults) — 4x narrower than shipping the MinHash
+    signature (512B), but enough for the pair stage's shuffle-free
+    min-band dedup: a pair is emitted only by the first band where the
+    two docs' band hashes agree, so no second pair-key exchange is
+    needed.  The full signature (for the Jaccard estimate) never
+    travels with band rows; it is attached during pair hydration from
+    the broadcast feature table."""
     hasher = MinHasher(cfg.num_bands, cfg.rows_per_band, cfg.minhash_seed)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -76,18 +85,28 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
             return pa.table({"band_id": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64()),
                              "url": pa.array([], pa.string()),
-                             "sig": pa.array([], pa.binary())})
+                             "bands": pa.array([], pa.binary(
+                                 cfg.num_bands * 8))})
         sig_list = batch.column("sig")
         sigs = np.frombuffer(b"".join(sig_list.to_pylist()),
                              dtype=np.uint64).reshape(n, -1)
         band_id, band_hash = hasher.band_keys(sigs)
+        key_mat = band_hash.reshape(n, cfg.num_bands)
         urls = batch.column("url")
         idx = np.repeat(np.arange(n), cfg.num_bands)
+        # bands as ONE fixed-size-binary buffer (numpy repeat, zero
+        # Python objects) — a 2M-row explode otherwise builds 2M bytes
+        # objects per pass
+        width = cfg.num_bands * 8
+        bands_buf = np.repeat(key_mat, cfg.num_bands, axis=0).tobytes()
+        bands_arr = pa.Array.from_buffers(
+            pa.binary(width), n * cfg.num_bands,
+            [None, pa.py_buffer(bands_buf)])
         return pa.table({
             "band_id": pa.array(band_id, pa.int32()),
             "band_hash": pa.array(band_hash, pa.int64()),
             "url": urls.take(pa.array(idx)),
-            "sig": sig_list.take(pa.array(idx)),
+            "bands": bands_arr,
         })
 
     return features_ds.select_columns(["url", "sig"]).map_batches(

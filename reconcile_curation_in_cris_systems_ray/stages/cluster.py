@@ -132,7 +132,9 @@ def _driver_finish(edges_ds):
     codes, uniques = pd.factorize(np.concatenate([u, v]), sort=True)
     n = len(uniques)
     cu, cv = codes[:len(u)], codes[len(u):]
-    parent = np.arange(n, dtype=np.int64)
+    # plain Python list: scalar indexing on a list is ~4x faster than
+    # on a numpy array inside this (inherently sequential) loop
+    parent = list(range(n))
 
     def find(x: int) -> int:
         root = x

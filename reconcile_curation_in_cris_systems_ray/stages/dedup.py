@@ -92,9 +92,11 @@ def near_dup_pairs(ds, id_col: str, text_col: str,
         lambda t: pa.table({"url": t.column("url"),
                             "title_norm": pa.nulls(len(t), pa.string()),
                             "text_head": pa.nulls(len(t), pa.string()),
-                            "shingles": t.column("shingles")}),
+                            "shingles": t.column("shingles"),
+                            "sig": t.column("sig")}),
         batch_format="pyarrow")
-    hydrated = hydrate_pairs(pairs, feats_join)
+    hydrated = hydrate_pairs(pairs, feats_join,
+                             est_prefilter=scoring.est_prefilter)
 
     thresh = scoring.jaccard_threshold
 

@@ -5,9 +5,9 @@ blocking key (``repository.py:297-314``); here it is
 ``groupby(block_key) -> within-group pairing`` with explicit skew
 control, per the north rule:
 
-- **hot-key detection**: a narrow ``groupby(band_id, band_hash).count()``
-  pre-pass; keys whose group exceeds ``hot_key_cap`` are collected to
-  the driver (few by construction) and broadcast via ``ray.put``.
+- **hot-key detection**: a narrow per-batch ``value_counts`` pre-pass
+  (locally-unique keys dropped before the driver merge); keys whose
+  group exceeds ``hot_key_cap`` are broadcast via ``ray.put``.
 - **salting**: members of a hot key get ``salt = hash(url) % s`` and are
   replicated into the s "triangle" groups ``(min(salt,t), max(salt,t))``
   so every cross-salt pair is generated exactly once while the work is
@@ -17,11 +17,15 @@ control, per the north rule:
   (an identical-boilerplate band bucket) switches to star+chain pairing
   (connect to min member + sorted-adjacent window) — bounded O(m*w)
   instead of O(m^2); connectivity for true duplicate cliques is
-  preserved, and the guard is logged in the stage metrics.
+  preserved.
 
-Pairs are emitted canonically (``url_a < url_b``) with the MinHash
-estimated Jaccard, prefiltered at ``est_prefilter``, then deduped
-across bands with a bucketed ``drop_duplicates``.
+Shuffle discipline: band rows carry ``(band_id, band_hash, url,
+bands)`` where ``bands`` is the doc's full band-hash vector (128B at
+defaults) — 4x narrower than the MinHash signature, and sufficient for
+shuffle-free global pair dedup: each pair is emitted only by the first
+band where the two vectors agree (min-band emission), so no pair-key
+exchange is needed.  The MinHash Jaccard estimate is attached later,
+during pair hydration, from the broadcast feature table.
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ from ..config import BlockingConfig, ScoringConfig
 from ..functions.similarity import stable_hash_strings
 from .shuffle import bucketed_map_groups
 
-_PAIR_COLS = ["url_a", "url_b", "est_jaccard"]
+_PAIR_COLS = ["url_a", "url_b"]
 MAX_SIDE = 2000          # degenerate-clique guard
 CHAIN_WINDOW = 3
 
@@ -46,7 +50,7 @@ def find_hot_keys(band_ds, cfg: BlockingConfig,
                   n_rows_hint: int | None = None) -> dict[tuple[int, int], int]:
     """Narrow count pre-pass; returns {(band_id, band_hash): count}.
 
-    Two physical plans for the same exact counts:
+    Two physical plans for the same counts:
 
     - small inputs (< ``DRIVER_MERGE_MAX_ROWS`` band rows): per-batch
       partial ``value_counts`` merged on the driver — one narrow map,
@@ -132,34 +136,37 @@ def expand_salts(band_ds, hot_keys: dict[tuple[int, int], int],
     return band_ds.map_batches(expand, batch_format="pandas")
 
 
-def _decode_sigs(col: pd.Series) -> np.ndarray:
-    """binary sig column (num_perm uint64 LE bytes per row) -> (n, num_perm)."""
+def _decode_bands(col: pd.Series) -> np.ndarray:
+    """binary bands column (num_bands int64 LE per row) -> (n, num_bands)."""
     return np.frombuffer(b"".join(col.tolist()),
-                         dtype=np.uint64).reshape(len(col), -1)
+                         dtype=np.int64).reshape(len(col), -1)
 
 
-def _min_band_keep(eq: np.ndarray, band_id: int,
-                   rows_per_band: int) -> np.ndarray:
-    """Global pair dedup WITHOUT a shuffle: both docs' full signatures
-    are in the group, so each pair is emitted only by the FIRST band
-    whose signature rows all agree — every other band (where the pair
-    would also collide) sees first_band != band_id and stays silent.
-    Replaces the post-hoc ``groupby(url_a, url_b)`` dedup exchange."""
-    n_pairs = eq.shape[0]
-    if n_pairs == 0:
-        return np.zeros(0, dtype=bool)
-    band_match = eq.reshape(n_pairs, -1, rows_per_band).all(axis=2)
-    return band_match.argmax(axis=1) == band_id
+def _emit(urls_i: np.ndarray, urls_j: np.ndarray,
+          bands_i: np.ndarray, bands_j: np.ndarray, band_id,
+          out_a: list, out_b: list) -> None:
+    """Min-band dedup + canonicalize (a < b) + drop self-pairs.
+
+    Min-band: both docs' full band-hash vectors are at hand, so each
+    pair is emitted only by the FIRST band where the vectors agree —
+    every other band that would also collide sees argmax != band_id and
+    stays silent.  Globally-unique pairs with no pair-key exchange."""
+    eq = bands_i == bands_j
+    keep = (eq.argmax(axis=1) == band_id) & (urls_i != urls_j)
+    a, b = urls_i[keep], urls_j[keep]
+    swap = a > b
+    out_a.append(np.where(swap, b, a))
+    out_b.append(np.where(swap, a, b))
 
 
-def _pairs_within(urls: np.ndarray, sigs: np.ndarray, est_prefilter: float,
-                  band_id: int, rows_per_band: int) -> list[tuple[str, str, float]]:
+def _pairs_within(urls: np.ndarray, bands: np.ndarray, band_id: int,
+                  out_a: list, out_b: list) -> None:
     m = len(urls)
     if m < 2:
-        return []
+        return
     if m > MAX_SIDE:  # degenerate clique: star + chain
         order = np.argsort(urls)
-        urls, sigs = urls[order], sigs[order]
+        urls, bands = urls[order], bands[order]
         ii: list[int] = []
         jj: list[int] = []
         for w in range(1, CHAIN_WINDOW + 1):
@@ -170,16 +177,15 @@ def _pairs_within(urls: np.ndarray, sigs: np.ndarray, est_prefilter: float,
         i_idx, j_idx = np.array(ii), np.array(jj)
     else:
         i_idx, j_idx = np.triu_indices(m, k=1)
-    eq = sigs[i_idx] == sigs[j_idx]
-    est = eq.mean(axis=1)
-    keep = (est >= est_prefilter) & _min_band_keep(eq, band_id, rows_per_band)
-    return _canonical(urls[i_idx[keep]], urls[j_idx[keep]], est[keep])
+    _emit(urls[i_idx], urls[j_idx], bands[i_idx], bands[j_idx], band_id,
+          out_a, out_b)
 
 
-def _pairs_cross(urls_a, sigs_a, urls_b, sigs_b, est_prefilter,
-                 band_id: int, rows_per_band: int):
+def _pairs_cross(urls_a: np.ndarray, bands_a: np.ndarray,
+                 urls_b: np.ndarray, bands_b: np.ndarray, band_id: int,
+                 out_a: list, out_b: list) -> None:
     if len(urls_a) == 0 or len(urls_b) == 0:
-        return []
+        return
     if len(urls_a) > MAX_SIDE or len(urls_b) > MAX_SIDE:
         # degenerate: pair each A member with first CHAIN_WINDOW B members
         k = min(len(urls_b), CHAIN_WINDOW)
@@ -187,48 +193,51 @@ def _pairs_cross(urls_a, sigs_a, urls_b, sigs_b, est_prefilter,
         i_idx = np.repeat(np.arange(len(urls_a)), k)
         j_idx = np.tile(order_b, len(urls_a))
     else:
-        est_m = (sigs_a[:, None, :] == sigs_b[None, :, :]).mean(axis=2)
-        i_idx, j_idx = np.nonzero(est_m >= est_prefilter)
-    eq = sigs_a[i_idx] == sigs_b[j_idx]
-    est = eq.mean(axis=1)
-    keep = (est >= est_prefilter) & _min_band_keep(eq, band_id, rows_per_band)
-    return _canonical(urls_a[i_idx[keep]], urls_b[j_idx[keep]], est[keep])
-
-
-def _canonical(a: np.ndarray, b: np.ndarray, est: np.ndarray):
-    swap = a > b
-    lo = np.where(swap, b, a)
-    hi = np.where(swap, a, b)
-    return list(zip(lo.tolist(), hi.tolist(), est.tolist()))
+        i_idx = np.repeat(np.arange(len(urls_a)), len(urls_b))
+        j_idx = np.tile(np.arange(len(urls_b)), len(urls_a))
+    _emit(urls_a[i_idx], urls_b[j_idx], bands_a[i_idx], bands_b[j_idx],
+          band_id, out_a, out_b)
 
 
 def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
-                             scoring: ScoringConfig,
-                             n_rows_hint: int | None = None):
-    """Salted groupby-pairing: band rows -> deduped candidate pairs."""
+                             scoring: ScoringConfig | None = None,
+                             n_rows_hint: int | None = None,
+                             dedup_pairs: bool = False,
+                             num_blocks_hint: int | None = None):
+    """Salted groupby-pairing: band rows -> globally-unique candidate
+    pairs ``(url_a, url_b)`` with ``url_a < url_b``.
+
+    Pairs are already unique thanks to min-band emission (see
+    :func:`_emit`); ``dedup_pairs=True`` adds a belt-and-braces
+    pair-key exchange (an extra all-to-all — only for callers that
+    must be robust to band-hash collisions)."""
+    if n_rows_hint is not None and n_rows_hint <= DRIVER_MERGE_MAX_ROWS:
+        # small inputs: materialize the band explode once so the
+        # hot-key scan and the pairing shuffle don't each recompute it;
+        # at web scale (hint above the cap) recomputing the narrow
+        # explode is cheaper than persisting an exploded copy
+        band_ds = band_ds.materialize()
     hot = find_hot_keys(band_ds, blocking, n_rows_hint)
     salted = expand_salts(band_ds, hot, blocking)
-    pre = scoring.est_prefilter
-
-    rpb = blocking.rows_per_band
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Vectorized across groups: a bucket holds ~1e5 tiny band
         groups, so a per-group Python loop is the bottleneck, not the
         pair math.  Groups are boundary-detected on a lexsort, then all
         groups of equal size m generate their triangle pairs in ONE
-        batched numpy expression (chunked to bound the eq-matrix)."""
-        rows: list[tuple[str, str, float]] = []
+        batched numpy expression."""
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
 
         cross_mask = (df["salt_i"].to_numpy() != df["salt_j"].to_numpy())
         if cross_mask.any():
-            for (bid, _, si, sj), g in df[cross_mask].groupby(
+            for (bid, _, si, _), g in df[cross_mask].groupby(
                     ["band_id", "band_hash", "salt_i", "salt_j"], sort=False):
                 urls = g["url"].to_numpy(dtype=object)
-                sigs = _decode_sigs(g["sig"])
+                bands = _decode_bands(g["bands"])
                 ma = g["member_salt"].to_numpy() == si
-                rows.extend(_pairs_cross(urls[ma], sigs[ma],
-                                         urls[~ma], sigs[~ma], pre, bid, rpb))
+                _pairs_cross(urls[ma], bands[ma], urls[~ma], bands[~ma],
+                             int(bid), out_a, out_b)
             df = df[~cross_mask]
 
         if len(df) >= 2:
@@ -244,7 +253,7 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
             counts = np.diff(np.append(np.flatnonzero(new), len(order)))
             starts = np.append(0, np.cumsum(counts))[:-1]
             urls_s = df["url"].to_numpy(dtype=object)[order]
-            sigs_s = _decode_sigs(df["sig"])[order]
+            bands_s = _decode_bands(df["bands"])[order]
             for m in np.unique(counts):
                 if m < 2:
                     continue
@@ -252,9 +261,8 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                 if m > MAX_SIDE:
                     for g in g_idx:
                         s = starts[g]
-                        rows.extend(_pairs_within(
-                            urls_s[s:s + m], sigs_s[s:s + m], pre,
-                            int(b2[s]), rpb))
+                        _pairs_within(urls_s[s:s + m], bands_s[s:s + m],
+                                      int(b2[s]), out_a, out_b)
                     continue
                 pairs_per_group = int(m) * (int(m) - 1) // 2
                 tri_i, tri_j = np.triu_indices(int(m), k=1)
@@ -263,22 +271,37 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                     base = starts[g_idx[c0:c0 + step]]
                     gi = (base[:, None] + tri_i[None, :]).ravel()
                     gj = (base[:, None] + tri_j[None, :]).ravel()
-                    eq = sigs_s[gi] == sigs_s[gj]
-                    est = eq.mean(axis=1)
-                    band_match = eq.reshape(len(gi), -1, rpb).all(axis=2)
-                    keep = ((est >= pre)
-                            & (band_match.argmax(axis=1) == b2[gi]))
-                    rows.extend(_canonical(urls_s[gi[keep]],
-                                           urls_s[gj[keep]], est[keep]))
+                    eq = bands_s[gi] == bands_s[gj]
+                    keep = ((eq.argmax(axis=1) == b2[gi])
+                            & (urls_s[gi] != urls_s[gj]))
+                    a, b = urls_s[gi[keep]], urls_s[gj[keep]]
+                    swap = a > b
+                    out_a.append(np.where(swap, b, a))
+                    out_b.append(np.where(swap, a, b))
 
-        if not rows:
-            return pd.DataFrame({c: pd.Series([], dtype=object if c != "est_jaccard" else float)
+        if not out_a:
+            return pd.DataFrame({c: pd.Series([], dtype=object)
                                  for c in _PAIR_COLS})
-        # min-band emission already makes pairs globally unique; the
-        # in-bucket drop is a cheap no-op safety net
-        out = pd.DataFrame(rows, columns=_PAIR_COLS)
-        return out.drop_duplicates(["url_a", "url_b"])
+        out = pd.DataFrame({
+            "url_a": np.concatenate(out_a),
+            "url_b": np.concatenate(out_b),
+        })
+        # in-bucket dedup removes same-band/same-bucket repeats cheaply;
+        # cross-band repeats are removed by the pair-key shuffle below
+        return out.drop_duplicates(_PAIR_COLS)
 
-    return bucketed_map_groups(
+    pairs = bucketed_map_groups(
         salted, ["band_id", "band_hash", "salt_i", "salt_j"],
-        bucket_pairs, num_buckets=blocking.num_buckets)
+        bucket_pairs, num_buckets=blocking.num_buckets,
+        num_blocks_hint=num_blocks_hint)
+
+    if not dedup_pairs:
+        return pairs
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(_PAIR_COLS)
+
+    # global dedup of cross-band duplicates: a second shuffle, but over
+    # pair rows (~2 orders of magnitude fewer than band rows)
+    return bucketed_map_groups(pairs, _PAIR_COLS, dedup,
+                               num_buckets=blocking.num_buckets)

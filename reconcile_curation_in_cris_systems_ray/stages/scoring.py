@@ -29,8 +29,44 @@ from ..functions.similarity import jaccard_from_sets
 BROADCAST_FEATURE_ROWS = 2_000_000
 
 
+def _build_lookup_task(cols, *blocks):
+    """Remote body: concat feature blocks, sort by url hash, return
+    (sorted hash array, row-aligned table)."""
+    from ..functions.similarity import stable_hash_strings
+
+    tbl = pa.concat_tables([b.select(cols) for b in blocks])
+    key_hash = stable_hash_strings(
+        tbl.column("url").to_pandas().to_numpy(dtype=object))
+    order = np.argsort(key_hash, kind="mergesort")
+    return np.ascontiguousarray(key_hash[order]), tbl.take(pa.array(order))
+
+
+def build_feature_lookup(features_ds,
+                         broadcast_threshold: int = BROADCAST_FEATURE_ROWS):
+    """Start building the broadcast (sorted-hash, row-aligned table)
+    lookup for pair hydration; returns ``(h_ref, t_ref)`` object refs
+    or None when the feature table is too large to broadcast.
+
+    NON-BLOCKING: the build runs as one remote task (block refs are
+    resolved zero-copy on the worker), so the driver can launch it
+    before the candidate-pair stage and the build overlaps that
+    stage's execution; consumers block on the refs naturally.
+    """
+    import ray
+
+    cols = ["url", "title_norm", "text_head", "shingles", "sig"]
+    feats = features_ds.materialize()
+    if feats.count() > broadcast_threshold:
+        return None
+    fn = ray.remote(num_returns=2)(_build_lookup_task)
+    h_ref, t_ref = fn.remote(cols, *feats.to_arrow_refs())
+    return h_ref, t_ref
+
+
 def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
-                  broadcast_threshold: int = BROADCAST_FEATURE_ROWS):
+                  broadcast_threshold: int = BROADCAST_FEATURE_ROWS,
+                  est_prefilter: float | None = None,
+                  prebuilt=None):
     """Join (url_a, url_b, est_jaccard) with per-side features.
 
     Adaptive join strategy (the Spark auto-broadcast idea): when the
@@ -44,52 +80,62 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
     """
     import ray
 
-    cols = ["url", "title_norm", "text_head", "shingles"]
-    feats = features_ds.materialize()
+    from ..functions.similarity import stable_hash_strings
 
-    n_feats = feats.count()
-    if n_feats <= broadcast_threshold:
-        from ..functions.similarity import stable_hash_strings
+    cols = ["url", "title_norm", "text_head", "shingles", "sig"]
 
-        # read the materialized blocks directly (zero-copy ray.get) and
-        # project driver-side with metadata-only .select() — launching
-        # a distributed projection here would re-execute a 700-task
-        # scan (measured ~1.6s) for what is a column slice
-        feats_tbl = pa.concat_tables(
-            [ray.get(r).select(cols) for r in feats.to_arrow_refs()])
-        key_hash = stable_hash_strings(
-            feats_tbl.column("url").to_pandas().to_numpy(dtype=object))
-        order = np.argsort(key_hash, kind="mergesort")
+    lookup = prebuilt
+    if lookup is None:
+        lookup = build_feature_lookup(features_ds, broadcast_threshold)
+    if lookup is not None:
         # two plasma objects, both zero-copy on every ray.get: a sorted
         # uint64 key array (searchsorted lookup) and the row-aligned
         # Arrow feature table.  Keeping `merge` a plain function lets
-        # Ray fuse it into the PairScorer actor pool (no extra hop).
-        h_ref = ray.put(np.ascontiguousarray(key_hash[order]))
-        t_ref = ray.put(feats_tbl.take(pa.array(order)))
+        # Ray fuse it into the scorer stage (no extra hop).
+        h_ref, t_ref = lookup
 
         def merge(batch: pa.Table, _h=h_ref, _t=t_ref) -> pa.Table:
             h = ray.get(_h)
             tbl = ray.get(_t)
             out = batch
-            if len(h) == 0:
-                return out.slice(0, 0)
+            if len(h) == 0 or len(out) == 0:
+                out = out.slice(0, 0)
+            # resolve both sides against the sorted-hash lookup first,
+            # then filter once (rows whose url is missing are dropped)
+            idxs = {}
+            ok = np.ones(len(out), dtype=bool)
             for side in ("a", "b"):
                 urls = out.column(f"url_{side}").to_pandas().to_numpy(
                     dtype=object)
                 uh = stable_hash_strings(urls)
-                idx = np.searchsorted(h, uh)
-                idx = np.clip(idx, 0, len(h) - 1)
-                found = h[idx] == uh
-                if not found.all():
-                    out = out.filter(pa.array(found))
-                    idx = idx[found]
-                rows = tbl.take(pa.array(idx))
+                idx = (np.clip(np.searchsorted(h, uh), 0, len(h) - 1)
+                       if len(h) else np.zeros(len(urls), dtype=np.int64))
+                idxs[side] = idx
+                ok &= (h[idx] == uh) if len(h) else False
+            if not ok.all():
+                out = out.filter(pa.array(ok))
+            sigs = {}
+            for side in ("a", "b"):
+                rows = tbl.take(pa.array(idxs[side][ok]))
+                sig_bytes = rows.column("sig").to_pylist()
+                sigs[side] = (
+                    np.frombuffer(b"".join(sig_bytes), dtype=np.uint64)
+                    .reshape(len(sig_bytes), -1) if sig_bytes
+                    else np.empty((0, 1), dtype=np.uint64))
                 out = (out.append_column(f"title_{side}",
                                          rows.column("title_norm"))
                           .append_column(f"head_{side}",
                                          rows.column("text_head"))
                           .append_column(f"shingles_{side}",
                                          rows.column("shingles")))
+            # MinHash Jaccard estimate, attached here rather than
+            # shuffled with the band explode (bytes discipline)
+            est = ((sigs["a"] == sigs["b"]).mean(axis=1)
+                   if len(out) else np.empty(0, dtype=np.float64))
+            out = out.append_column("est_jaccard",
+                                    pa.array(est, pa.float64()))
+            if est_prefilter is not None and len(out):
+                out = out.filter(pa.array(est >= est_prefilter))
             return out
 
         return pairs_ds.map_batches(merge, batch_format="pyarrow")
@@ -97,16 +143,35 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 2)
-    feats = feats.select_columns(cols)
+    feats = features_ds.materialize().select_columns(cols)
     a = pairs_ds.join(feats, join_type="inner",
                       num_partitions=num_partitions,
                       on=("url_a",), right_on=("url",))
     a = a.rename_columns({"title_norm": "title_a", "text_head": "head_a",
-                          "shingles": "shingles_a"})
+                          "shingles": "shingles_a", "sig": "sig_a"})
     b = a.join(feats, join_type="inner", num_partitions=num_partitions,
                on=("url_b",), right_on=("url",))
-    return b.rename_columns({"title_norm": "title_b", "text_head": "head_b",
-                             "shingles": "shingles_b"})
+    b = b.rename_columns({"title_norm": "title_b", "text_head": "head_b",
+                          "shingles": "shingles_b", "sig": "sig_b"})
+
+    def add_est(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            est = np.empty(0, dtype=np.float64)
+        else:
+            sa = np.frombuffer(b"".join(batch.column("sig_a").to_pylist()),
+                               dtype=np.uint64).reshape(n, -1)
+            sb = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()),
+                               dtype=np.uint64).reshape(n, -1)
+            est = (sa == sb).mean(axis=1)
+        out = batch.drop_columns(["sig_a", "sig_b"]).append_column(
+            "est_jaccard", pa.array(est, pa.float64()))
+        if est_prefilter is not None and len(out):
+            out = out.filter(pa.compute.greater_equal(
+                out.column("est_jaccard"), pa.scalar(est_prefilter)))
+        return out
+
+    return b.map_batches(add_est, batch_format="pyarrow")
 
 
 class PairScorer:

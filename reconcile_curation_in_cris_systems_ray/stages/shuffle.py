@@ -33,13 +33,15 @@ BUCKET_COL = "__bucket"
 
 
 def effective_buckets(requested: int) -> int:
-    """Cap bucket count at 2x cluster CPUs: more buckets than that only
-    adds per-group scheduling overhead on a given cluster, while the
-    configured ceiling still bounds per-task group size at scale."""
+    """Cap bucket count at the cluster CPU count: more buckets than
+    that only adds per-partition exchange overhead on a given cluster
+    (measured: 64 buckets on 32 cpus ran the pair sort SLOWER than 32
+    buckets on 16 cpus), while the configured ceiling still bounds
+    per-task group size at scale."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    return max(8, min(requested, 2 * cpus))
+    return max(8, min(requested, cpus))
 
 
 def add_bucket_column(ds, key_cols: list[str], num_buckets: int):
@@ -63,12 +65,16 @@ def add_bucket_column(ds, key_cols: list[str], num_buckets: int):
 
 
 def bucketed_map_groups(ds, key_cols: list[str], bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
-                        num_buckets: int = 256):
+                        num_buckets: int = 256,
+                        num_blocks_hint: int | None = None):
     """Co-locate complete key-groups and apply a *vectorized* function.
 
     ``bucket_fn`` receives a pandas DataFrame holding every row of every
     key whose hash lands in one bucket (the ``__bucket`` column already
     dropped) and returns a DataFrame.
+
+    ``num_blocks_hint``: upstream block count when the caller knows it;
+    used to skip the pre-coalesce exchange when blocks are already few.
     """
     nb = effective_buckets(num_buckets)
     # coalesce to ~bucket-count blocks first: the sort-based groupby
@@ -77,8 +83,11 @@ def bucketed_map_groups(ds, key_cols: list[str], bucket_fn: Callable[[pd.DataFra
     # stage: 228 small blocks -> 15-27s, 64 blocks -> ~6s @32 cpus;
     # hash-shuffle keyed repartition was tried and measured 4x SLOWER
     # than coalesce+sort-groupby on this workload — aggregator-actor
-    # overhead dominates at single-node scale)
-    with_bucket = add_bucket_column(ds, key_cols, nb).repartition(nb)
+    # overhead dominates at single-node scale).  Skipped when the
+    # caller can prove the input is already coarse enough.
+    with_bucket = add_bucket_column(ds, key_cols, nb)
+    if num_blocks_hint is None or num_blocks_hint > 2 * nb:
+        with_bucket = with_bucket.repartition(nb)
 
     def run(df: pd.DataFrame) -> pd.DataFrame:
         out = bucket_fn(df.drop(columns=[BUCKET_COL]))

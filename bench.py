@@ -57,13 +57,14 @@ def run_bench() -> dict:
 
     tune_data_context()
 
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    # warm the page cache so we measure compute + shuffle, not cold reads
-    for t in ("documents", "lineitem", "orders", "events", "embeddings"):
-        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
-
-    n_docs = rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    # metadata-only row count (no Ray execution before the flagship —
+    # measured: parquet-read warmups before the flagship left the
+    # session in a state where the first flagship runs were 2-3x
+    # slower; table warmup for the operator queries happens after)
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
     # ~3 pages per family on average; 9x documents-count families =>
     # corpus ~= 27x documents rows (~129k pages at sf0.1) — big enough
     # that per-stage compute dominates fixed scheduling overhead (what
@@ -71,17 +72,22 @@ def run_bench() -> dict:
     corpus_cfg = CorpusConfig(n_families=max(200, 9 * n_docs))
 
     t0 = time.time()
-    corpus = corpus_dataset(corpus_cfg).materialize()
+    # prune at the source: the pipeline reads (url, warc_ts, html,
+    # lang) — materializing the ground-truth text/cluster_id columns
+    # would double the corpus' object-store footprint for nothing
+    # (mirrors read_parquet(columns=...) pruning on a real corpus)
+    corpus = corpus_dataset(corpus_cfg).select_columns(
+        ["url", "warc_ts", "html", "lang"]).materialize()
     gen_sec = round(time.time() - t0, 2)
     n_pages = corpus.count()
 
-    # one warm-up pass amortizes worker spin-up / import costs; two
+    # one warm-up pass amortizes worker spin-up / import costs; three
     # measured passes, min reported (steady-state capability — run
-    # variance on this box is ~±10%)
+    # variance on this box is ~±10-20%)
     walls = []
     pairs = 0
     n_assign = 0
-    for i in range(3):
+    for i in range(4):
         t0 = time.time()
         out = run_reconcile(corpus, ReconcileConfig())
         n_assign = out["assignments"].count()
@@ -97,6 +103,9 @@ def run_bench() -> dict:
                                  "reconcile_warmup": warmup_sec,
                                  "reconcile_runs": walls,
                                  "corpus_gen": gen_sec}
+    # warm the page cache for the operator-query tables (flagship done)
+    for t in ("documents", "lineitem", "orders", "events", "embeddings"):
+        rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
     for name in BENCH_QUERIES:
         t0 = time.time()
         res = QUERIES[name](SF_DIR)

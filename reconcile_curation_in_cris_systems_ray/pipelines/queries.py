@@ -788,6 +788,55 @@ FROM events GROUP BY event_type
 """
 
 
+def q_csv_roundtrip(sf_dir: str):
+    """S5/S7: CSV source + CSV sink roundtrip — events dumped to CSV
+    shards once (cached), read back with ``ray.data.read_csv``
+    (chunking native via blocks), aggregated, written to a CSV sink
+    and re-read; matches the events oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    root = f"/tmp/graft_csv_{tag}"
+    done = os.path.join(root, "_DONE")
+    if not os.path.exists(done):
+        os.makedirs(root, exist_ok=True)
+        tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "value"])
+        n = tbl.num_rows
+        for s in range(4):
+            lo, hi = s * n // 4, (s + 1) * n // 4
+            pacsv.write_csv(tbl.slice(lo, hi - lo),
+                            os.path.join(root, f"part-{s}.csv"))
+        with open(done, "w") as f:
+            f.write("ok")
+
+    ds = rd.read_csv([f"{root}/part-{s}.csv" for s in range(4)])
+    agg = ds.groupby("user_id").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    sink = tempfile.mkdtemp(prefix="graft_csv_sink_")
+    agg.write_csv(sink)
+    out = rd.read_csv(sink)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_CSV_ROUNDTRIP = """
+SELECT user_id, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
 def q_audit_stats(sf_dir: str):
     """A5 (verify_db.py:74-119 analogue): one-row integrity audit —
     row count, distinct cardinalities, null/empty rates — computed as
@@ -870,6 +919,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "jsonl_ingest": q_jsonl_ingest,
     "audit_stats": q_audit_stats,
+    "csv_roundtrip": q_csv_roundtrip,
     # rows-only
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
@@ -912,4 +962,5 @@ ORACLES = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "jsonl_ingest": SQL_JSONL_INGEST,
     "audit_stats": SQL_AUDIT_STATS,
+    "csv_roundtrip": SQL_CSV_ROUNDTRIP,
 }

@@ -108,3 +108,30 @@ def test_salting_preserves_pair_set(ray_session, corpus):
     no_salt = pair_set(BlockingConfig(hot_key_cap=10**9))
     aggressive = pair_set(BlockingConfig(hot_key_cap=4, max_salts=5))
     assert no_salt == aggressive
+
+
+def test_min_band_emission_yields_unique_pairs(ray_session, corpus):
+    """Without any pair-key dedup exchange, min-band emission must
+    already produce globally-unique canonical pairs."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.blocking import (
+        SignatureStage, emit_band_keys,
+    )
+    from reconcile_curation_in_cris_systems_ray.stages.pairs import (
+        generate_candidate_pairs,
+    )
+
+    cfg = ReconcileConfig()
+    feats = rd.from_arrow(corpus).map_batches(
+        SignatureStage,
+        fn_constructor_kwargs={"blocking": cfg.blocking,
+                               "scoring": cfg.scoring,
+                               "text_col": "text"},
+        batch_format="pyarrow", concurrency=(1, 2)).materialize()
+    pairs = generate_candidate_pairs(
+        emit_band_keys(feats, cfg.blocking), cfg.blocking, cfg.scoring,
+        dedup_pairs=False).take_all()
+    keys = [(r["url_a"], r["url_b"]) for r in pairs]
+    assert len(keys) == len(set(keys)), "duplicate pairs emitted"
+    assert all(a < b for a, b in keys), "pairs not canonical"

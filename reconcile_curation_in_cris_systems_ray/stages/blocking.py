@@ -67,16 +67,27 @@ class SignatureStage:
 
 
 def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
-    """Explode features into ``(band_id, band_hash, url, bands)`` rows.
+    """Explode features into ``(band_id, band_hash, uh, bands)`` rows.
 
-    ``bands`` is the doc's FULL band-hash vector (num_bands x uint64 as
-    binary, 128B at defaults) — 4x narrower than shipping the MinHash
-    signature (512B), but enough for the pair stage's shuffle-free
-    min-band dedup: a pair is emitted only by the first band where the
-    two docs' band hashes agree, so no second pair-key exchange is
-    needed.  The full signature (for the Jaccard estimate) never
-    travels with band rows; it is attached during pair hydration from
-    the broadcast feature table."""
+    Shuffle-bytes discipline (what makes this viable at 10^12 rows —
+    the explode multiplies row count by ``num_bands``):
+
+    - ``uh`` is the doc's 64-bit url hash (``stable_hash_strings``,
+      the same hash the pair-hydration broadcast lookup is keyed by) —
+      8B instead of a ~60B url string; urls are restored at hydration.
+      Collision risk is the birthday bound on 64 bits (~3% chance of a
+      single colliding PAIR existing at 10^12 docs, and a collision
+      costs one wrong candidate pair that scoring then rejects).
+    - ``bands`` is the doc's FULL band-hash vector (num_bands x uint64
+      fixed-size binary, 128B at defaults) — 4x narrower than the
+      MinHash signature but enough for the pair stage's shuffle-free
+      min-band dedup: a pair is emitted only by the first band where
+      the two docs' band hashes agree, so no pair-key exchange is
+      needed.  The signature itself (for the Jaccard estimate) never
+      travels with band rows; it is attached during pair hydration
+      from the broadcast feature table."""
+    from ..functions.similarity import stable_hash_strings
+
     hasher = MinHasher(cfg.num_bands, cfg.rows_per_band, cfg.minhash_seed)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -84,7 +95,7 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
         if n == 0:
             return pa.table({"band_id": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64()),
-                             "url": pa.array([], pa.string()),
+                             "uh": pa.array([], pa.uint64()),
                              "bands": pa.array([], pa.binary(
                                  cfg.num_bands * 8))})
         sig_list = batch.column("sig")
@@ -92,7 +103,8 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
                              dtype=np.uint64).reshape(n, -1)
         band_id, band_hash = hasher.band_keys(sigs)
         key_mat = band_hash.reshape(n, cfg.num_bands)
-        urls = batch.column("url")
+        uh = stable_hash_strings(
+            batch.column("url").to_pandas().to_numpy(dtype=object))
         idx = np.repeat(np.arange(n), cfg.num_bands)
         # bands as ONE fixed-size-binary buffer (numpy repeat, zero
         # Python objects) — a 2M-row explode otherwise builds 2M bytes
@@ -105,7 +117,7 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
         return pa.table({
             "band_id": pa.array(band_id, pa.int32()),
             "band_hash": pa.array(band_hash, pa.int64()),
-            "url": urls.take(pa.array(idx)),
+            "uh": pa.array(uh[idx], pa.uint64()),
             "bands": bands_arr,
         })
 

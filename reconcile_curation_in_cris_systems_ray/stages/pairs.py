@@ -38,7 +38,7 @@ from ..config import BlockingConfig, ScoringConfig
 from ..functions.similarity import stable_hash_strings
 from .shuffle import bucketed_map_groups
 
-_PAIR_COLS = ["url_a", "url_b"]
+_PAIR_COLS = ["uh_a", "uh_b"]
 MAX_SIDE = 2000          # degenerate-clique guard
 CHAIN_WINDOW = 3
 
@@ -119,9 +119,8 @@ def expand_salts(band_ds, hot_keys: dict[tuple[int, int], int],
         hot_df = df[is_hot]
         s = np.minimum(np.maximum((counts[is_hot] + cap - 1) // cap, 2),
                        max_salts)
-        member_salt = (stable_hash_strings(
-            hot_df["url"].to_numpy(dtype=object)) % s.astype(np.uint64)
-        ).astype(np.int64)
+        member_salt = (hot_df["uh"].to_numpy().astype(np.uint64)
+                       % s.astype(np.uint64)).astype(np.int64)
         # replicate each hot row s times; "other" salt enumerates 0..s-1
         rep = np.repeat(np.arange(len(hot_df)), s)
         csum = np.cumsum(s) - s
@@ -207,10 +206,12 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
     """Salted groupby-pairing: band rows -> globally-unique candidate
     pairs ``(url_a, url_b)`` with ``url_a < url_b``.
 
-    Pairs are already unique thanks to min-band emission (see
-    :func:`_emit`); ``dedup_pairs=True`` adds a belt-and-braces
-    pair-key exchange (an extra all-to-all — only for callers that
-    must be robust to band-hash collisions)."""
+    Returns ``(uh_a, uh_b)`` uint64 url-hash pairs, ``uh_a < uh_b``;
+    pair hydration maps hashes back to urls and features.  Pairs are
+    already unique thanks to min-band emission (see :func:`_emit`);
+    ``dedup_pairs=True`` adds a belt-and-braces pair-key exchange (an
+    extra all-to-all — only for callers that must be robust to
+    band-hash collisions)."""
     if n_rows_hint is not None and n_rows_hint <= DRIVER_MERGE_MAX_ROWS:
         # small inputs: materialize the band explode once so the
         # hot-key scan and the pairing shuffle don't each recompute it;
@@ -233,7 +234,7 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         if cross_mask.any():
             for (bid, _, si, _), g in df[cross_mask].groupby(
                     ["band_id", "band_hash", "salt_i", "salt_j"], sort=False):
-                urls = g["url"].to_numpy(dtype=object)
+                urls = g["uh"].to_numpy().astype(np.uint64)
                 bands = _decode_bands(g["bands"])
                 ma = g["member_salt"].to_numpy() == si
                 _pairs_cross(urls[ma], bands[ma], urls[~ma], bands[~ma],
@@ -252,7 +253,7 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                        | (s2[1:] != s2[:-1]))
             counts = np.diff(np.append(np.flatnonzero(new), len(order)))
             starts = np.append(0, np.cumsum(counts))[:-1]
-            urls_s = df["url"].to_numpy(dtype=object)[order]
+            urls_s = df["uh"].to_numpy().astype(np.uint64)[order]
             bands_s = _decode_bands(df["bands"])[order]
             for m in np.unique(counts):
                 if m < 2:
@@ -280,11 +281,11 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                     out_b.append(np.where(swap, a, b))
 
         if not out_a:
-            return pd.DataFrame({c: pd.Series([], dtype=object)
+            return pd.DataFrame({c: pd.Series([], dtype="uint64")
                                  for c in _PAIR_COLS})
         out = pd.DataFrame({
-            "url_a": np.concatenate(out_a),
-            "url_b": np.concatenate(out_b),
+            "uh_a": np.concatenate(out_a).astype(np.uint64),
+            "uh_b": np.concatenate(out_b).astype(np.uint64),
         })
         # in-bucket dedup removes same-band/same-bucket repeats cheaply;
         # cross-band repeats are removed by the pair-key shuffle below

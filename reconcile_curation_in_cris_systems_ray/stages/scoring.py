@@ -97,26 +97,39 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
         def merge(batch: pa.Table, _h=h_ref, _t=t_ref) -> pa.Table:
             h = ray.get(_h)
             tbl = ray.get(_t)
-            out = batch
-            if len(h) == 0 or len(out) == 0:
-                out = out.slice(0, 0)
-            # resolve both sides against the sorted-hash lookup first,
-            # then filter once (rows whose url is missing are dropped)
-            idxs = {}
-            ok = np.ones(len(out), dtype=bool)
+            n = len(batch) if len(h) else 0
+            # resolve both hash sides against the sorted lookup, keep
+            # rows where both hashes are present
+            idx = {}
+            ok = np.ones(n, dtype=bool)
             for side in ("a", "b"):
-                urls = out.column(f"url_{side}").to_pandas().to_numpy(
-                    dtype=object)
-                uh = stable_hash_strings(urls)
-                idx = (np.clip(np.searchsorted(h, uh), 0, len(h) - 1)
-                       if len(h) else np.zeros(len(urls), dtype=np.int64))
-                idxs[side] = idx
-                ok &= (h[idx] == uh) if len(h) else False
-            if not ok.all():
-                out = out.filter(pa.array(ok))
+                uh = (batch.column(f"uh_{side}").to_numpy(
+                    zero_copy_only=False).astype(np.uint64)[:n]
+                    if n else np.empty(0, dtype=np.uint64))
+                i = (np.clip(np.searchsorted(h, uh), 0, len(h) - 1)
+                     if len(h) else np.zeros(0, dtype=np.int64))
+                idx[side] = i
+                if n:
+                    ok &= h[i] == uh
+            ia, ib = idx["a"][ok], idx["b"][ok]
+            # restore urls and re-canonicalize lexicographically (the
+            # pair stage canonicalized by hash value)
+            url_a = tbl.column("url").take(pa.array(ia)).to_pandas() \
+                .to_numpy(dtype=object)
+            url_b = tbl.column("url").take(pa.array(ib)).to_pandas() \
+                .to_numpy(dtype=object)
+            swap = url_a > url_b
+            ia2 = np.where(swap, ib, ia)
+            ib2 = np.where(swap, ia, ib)
+            out = pa.table({
+                "url_a": pa.array(np.where(swap, url_b, url_a),
+                                  pa.string()),
+                "url_b": pa.array(np.where(swap, url_a, url_b),
+                                  pa.string()),
+            })
             sigs = {}
-            for side in ("a", "b"):
-                rows = tbl.take(pa.array(idxs[side][ok]))
+            for side, rows_idx in (("a", ia2), ("b", ib2)):
+                rows = tbl.take(pa.array(rows_idx))
                 sig_bytes = rows.column("sig").to_pylist()
                 sigs[side] = (
                     np.frombuffer(b"".join(sig_bytes), dtype=np.uint64)
@@ -143,16 +156,25 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 2)
-    feats = features_ds.materialize().select_columns(cols)
+
+    def add_uh(t: pa.Table) -> pa.Table:
+        uh = stable_hash_strings(
+            t.column("url").to_pandas().to_numpy(dtype=object))
+        return t.append_column("uh", pa.array(uh, pa.uint64()))
+
+    feats = features_ds.materialize().select_columns(cols).map_batches(
+        add_uh, batch_format="pyarrow")
     a = pairs_ds.join(feats, join_type="inner",
                       num_partitions=num_partitions,
-                      on=("url_a",), right_on=("url",))
+                      on=("uh_a",), right_on=("uh",))
     a = a.rename_columns({"title_norm": "title_a", "text_head": "head_a",
-                          "shingles": "shingles_a", "sig": "sig_a"})
+                          "shingles": "shingles_a", "sig": "sig_a",
+                          "url": "url_a"})
     b = a.join(feats, join_type="inner", num_partitions=num_partitions,
-               on=("url_b",), right_on=("url",))
+               on=("uh_b",), right_on=("uh",))
     b = b.rename_columns({"title_norm": "title_b", "text_head": "head_b",
-                          "shingles": "shingles_b", "sig": "sig_b"})
+                          "shingles": "shingles_b", "sig": "sig_b",
+                          "url": "url_b"})
 
     def add_est(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -164,7 +186,9 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
             sb = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()),
                                dtype=np.uint64).reshape(n, -1)
             est = (sa == sb).mean(axis=1)
-        out = batch.drop_columns(["sig_a", "sig_b"]).append_column(
+        drop = [c for c in ("sig_a", "sig_b", "uh_a", "uh_b")
+                if c in batch.schema.names]
+        out = batch.drop_columns(drop).append_column(
             "est_jaccard", pa.array(est, pa.float64()))
         if est_prefilter is not None and len(out):
             out = out.filter(pa.compute.greater_equal(

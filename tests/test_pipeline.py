@@ -103,7 +103,7 @@ def test_salting_preserves_pair_set(ray_session, corpus):
     def pair_set(blocking_cfg):
         bands = emit_band_keys(feats, blocking_cfg)
         pairs = generate_candidate_pairs(bands, blocking_cfg, cfg.scoring)
-        return {(r["url_a"], r["url_b"]) for r in pairs.take_all()}
+        return {(r["uh_a"], r["uh_b"]) for r in pairs.take_all()}
 
     no_salt = pair_set(BlockingConfig(hot_key_cap=10**9))
     aggressive = pair_set(BlockingConfig(hot_key_cap=4, max_salts=5))
@@ -132,6 +132,6 @@ def test_min_band_emission_yields_unique_pairs(ray_session, corpus):
     pairs = generate_candidate_pairs(
         emit_band_keys(feats, cfg.blocking), cfg.blocking, cfg.scoring,
         dedup_pairs=False).take_all()
-    keys = [(r["url_a"], r["url_b"]) for r in pairs]
+    keys = [(r["uh_a"], r["uh_b"]) for r in pairs]
     assert len(keys) == len(set(keys)), "duplicate pairs emitted"
     assert all(a < b for a, b in keys), "pairs not canonical"

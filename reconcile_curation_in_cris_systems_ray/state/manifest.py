@@ -82,11 +82,30 @@ class CheckpointManager:
             ds = build()
             tmp_dir = stage_dir + ".tmp"
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            os.makedirs(os.path.join(tmp_dir, "data"), exist_ok=True)
-            ds.write_parquet(os.path.join(tmp_dir, "data"))
-            out = rd.read_parquet(os.path.join(tmp_dir, "data"))
+            data_dir = os.path.join(tmp_dir, "data")
+            os.makedirs(data_dir, exist_ok=True)
+            ds.write_parquet(data_dir)
+            out = rd.read_parquet(data_dir)
+            # per-partition lineage: one entry per written part file
+            # (rows + bytes), so an auditor can attribute output to
+            # partitions and a resumed run can verify integrity
+            import pyarrow.parquet as pq
+            partitions = []
+            for f in sorted(os.listdir(data_dir)):
+                fpath = os.path.join(data_dir, f)
+                if not f.endswith(".parquet"):
+                    continue
+                partitions.append({
+                    "file": f,
+                    "rows": pq.read_metadata(fpath).num_rows,
+                    "bytes": os.path.getsize(fpath),
+                })
             man = {
-                "stage": name, "fingerprint": fp, "rows": out.count(),
+                "stage": name, "fingerprint": fp,
+                "rows": sum(p["rows"] for p in partitions),
+                "bytes": sum(p["bytes"] for p in partitions),
+                "num_partitions": len(partitions),
+                "partitions": partitions,
                 "wall_sec": round(time.time() - t0, 3), "resumed": False,
             }
             with open(os.path.join(tmp_dir, MANIFEST_NAME), "w") as f:

@@ -1,0 +1,148 @@
+"""Stage-level tests: relational ops vs pandas oracles, dedup recall
+properties, ANN exactness, fingerprint determinism (SURVEY §5.1)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def events_df(ray_session):
+    rng = np.random.default_rng(7)
+    n = 2000
+    return pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 150, n),
+        "value": rng.uniform(0, 100, n).round(4),
+        "kind": rng.choice(["a", "b", "c"], n),
+    })
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def test_topk_per_group_matches_pandas(ray_session, events_df):
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        topk_per_group,
+    )
+
+    got = topk_per_group(_ds(events_df), ["user_id"], "value", k=3,
+                         descending=True).to_pandas()
+    got = got.sort_values(["user_id", "value", "event_id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    want = (events_df.sort_values(["value", "event_id"],
+                                  ascending=[False, True])
+            .groupby("user_id", sort=False).head(3)
+            .sort_values(["user_id", "value", "event_id"],
+                         ascending=[True, False, True])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_priority_dedup_matches_pandas(ray_session, events_df):
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        priority_dedup,
+    )
+
+    got = priority_dedup(_ds(events_df), keys=["user_id"],
+                         order_by=["value", "event_id"]).to_pandas()
+    got = got.sort_values("user_id").reset_index(drop=True)
+    want = (events_df.sort_values(["value", "event_id"])
+            .drop_duplicates(["user_id"], keep="first")
+            .sort_values("user_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_exact_dedup_keeps_min_id(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [5, 3, 9, 1, 7, 2],
+        "text": ["x", "y", "x", "y", "z", "x"],
+    })
+    got = exact_dedup(_ds(df), text_col="text", id_col="doc_id").to_pandas()
+    got = got.sort_values("text").reset_index(drop=True)
+    assert got[got["text"] == "x"]["doc_id"].iloc[0] == 2
+    assert got[got["text"] == "y"]["doc_id"].iloc[0] == 1
+    assert got[got["text"] == "z"]["doc_id"].iloc[0] == 7
+    assert len(got) == 3
+
+
+def test_simhash_finds_small_edits(ray_session):
+    """Recall property: documents differing by one word land within the
+    guaranteed Hamming radius and are reported as pairs."""
+    from reconcile_curation_in_cris_systems_ray.stages.dedup import (
+        simhash_dup_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "with considerable enthusiasm every single morning ") * 3
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [base, base.replace("lazy", "hazy", 1),
+                 "completely different content about astronomy and stars "
+                 "planets galaxies nebulae telescopes " * 5],
+    })
+    pairs = simhash_dup_pairs(_ds(docs), "doc_id", "text",
+                              max_hamming=8).to_pandas()
+    keys = set(zip(pairs["id_a"].astype(str), pairs["id_b"].astype(str)))
+    assert ("0", "1") in keys
+    assert ("0", "2") not in keys and ("1", "2") not in keys
+
+
+def test_embedding_dups_finds_near_identical_vectors(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.dedup import (
+        embedding_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(32)
+    vecs = [base, base + rng.standard_normal(32) * 0.01,
+            rng.standard_normal(32), rng.standard_normal(32)]
+    df = pd.DataFrame({"vec_id": [0, 1, 2, 3],
+                       "embedding": [v.tolist() for v in vecs]})
+    pairs = embedding_dup_pairs(_ds(df), "vec_id", "embedding",
+                                cosine_threshold=0.95).to_pandas()
+    keys = set(zip(pairs["id_a"].astype(str), pairs["id_b"].astype(str)))
+    assert ("0", "1") in keys
+    assert all(k == ("0", "1") for k in keys)
+
+
+def test_brute_force_topk_matches_numpy(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.ann import (
+        brute_force_topk,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((300, 16))
+    df = pd.DataFrame({"vec_id": np.arange(300),
+                       "embedding": [v.tolist() for v in vecs]})
+    queries = vecs[:2]
+    got = brute_force_topk(_ds(df), queries, k=5).to_pandas()
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qunit = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = unit @ qunit.T
+    for qi in range(2):
+        want = set(np.argsort(-sims[:, qi], kind="stable")[:5].tolist())
+        have = set(got[got["query_id"] == qi]["vec_id"].tolist())
+        assert have == want
+
+
+def test_winnowing_deterministic_and_contiguity_robust(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.textstats import (
+        winnowing_fingerprints,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 20
+    f1 = winnowing_fingerprints(text)
+    f2 = winnowing_fingerprints(text)
+    assert f1 == f2 and len(f1) > 0
+    # a local edit changes only a bounded number of fingerprints
+    edited = text.replace("gamma", "gXmma", 1)
+    f3 = winnowing_fingerprints(edited)
+    common = len(set(f1) & set(f3))
+    assert common / max(len(set(f1)), 1) > 0.5

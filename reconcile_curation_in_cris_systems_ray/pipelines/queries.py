@@ -875,6 +875,46 @@ FROM documents
 """
 
 
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end training-data curation slice, fully oracled:
+    quality filter (alpha ratio + token count) -> exact dedup (min
+    doc_id per distinct text).  Composes the text-analysis and dedup
+    stages the way a real data-curation pipeline chains them."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    scored = ts.token_count_stage(
+        ts.quality_stats_stage(ds, "text"), "text")
+
+    def flt(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(t["alpha_ratio"], 0.82),
+            pc.greater_equal(t["n_tokens"], 10))
+        return t.filter(mask).select(["doc_id", "text"])
+
+    kept = scored.map_batches(flt, batch_format="pyarrow")
+    return exact_dedup(kept, text_col="text", id_col="doc_id")
+
+
+SQL_CURATION_PIPELINE = r"""
+SELECT min(doc_id) AS doc_id, text FROM documents
+WHERE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        / greatest(length(text), 1) >= 0.82
+  AND (CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 10
+GROUP BY text
+"""
+
+
+def q_near_dup_keep(sf_dir: str):
+    """Near-dup dedup DECISION pipeline (rows-only): MinHash-LSH pairs
+    -> transitive clusters -> keep min id per component; returns
+    (id, cluster_id, keep)."""
+    from ..stages.dedup import dedup_keep_list
+
+    return dedup_keep_list(_padded_docs(sf_dir), "doc_id", "text",
+                           blocking=BlockingConfig(),
+                           scoring=ScoringConfig())
+
+
 def q_reconcile_flagship(sf_dir: str):
     """The flagship record-linkage pipeline on the deterministic
     synthetic web corpus (sized by the sf documents table)."""
@@ -920,7 +960,9 @@ QUERIES = {
     "jsonl_ingest": q_jsonl_ingest,
     "audit_stats": q_audit_stats,
     "csv_roundtrip": q_csv_roundtrip,
+    "curation_pipeline": q_curation_pipeline,
     # rows-only
+    "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
     "winnow_fingerprint": q_winnow_fingerprint,
@@ -963,4 +1005,5 @@ ORACLES = {
     "jsonl_ingest": SQL_JSONL_INGEST,
     "audit_stats": SQL_AUDIT_STATS,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
+    "curation_pipeline": SQL_CURATION_PIPELINE,
 }

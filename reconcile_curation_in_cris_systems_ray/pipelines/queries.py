@@ -62,26 +62,25 @@ WHERE l_shipdate < TIMESTAMP '1996-01-01' AND l_quantity > 25
 
 
 def q_groupby_agg(sf_dir: str):
-    """A1/A4 slot: grouped aggregate (TPC-H Q1 shape)."""
-    from ray.data.aggregate import Count, Mean, Sum
-
+    """A1/A4 slot: grouped aggregate (TPC-H Q1 shape).  Group count is
+    tiny (returnflag x linestatus = 4), so this runs as per-batch
+    partials + a driver combine — no shuffle (see
+    ``relational.partial_groupby_agg``)."""
     ds = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity",
               "l_extendedprice", "l_discount"])
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="n"),
-    )
-
-    def rounder(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_qty"] = df["sum_qty"].round(2)
-        df["sum_base_price"] = df["sum_base_price"].round(2)
-        df["avg_disc"] = df["avg_disc"].round(6)
-        return df
-
-    return out.map_batches(rounder, batch_format="pandas")
+    df = rel.partial_groupby_agg(
+        ds, ["l_returnflag", "l_linestatus"], {
+            "sum_qty": ("l_quantity", "sum"),
+            "sum_base_price": ("l_extendedprice", "sum"),
+            "sum_disc": ("l_discount", "sum"),
+            "n": (None, "count"),
+        })
+    df["avg_disc"] = (df["sum_disc"] / df["n"]).round(6)
+    df = df.drop(columns=["sum_disc"])
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_base_price"] = df["sum_base_price"].round(2)
+    return df
 
 
 SQL_GROUPBY_AGG = """
@@ -120,8 +119,6 @@ SQL_DISTINCT = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
 def q_broadcast_join(sf_dir: str):
     """J2: small-side broadcast join (customer+nation shipped once via
     ray.put), then grouped aggregate."""
-    from ray.data.aggregate import Count, Sum
-
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
@@ -130,15 +127,12 @@ def q_broadcast_join(sf_dir: str):
     joined = rel.broadcast_join(
         orders, small.rename(columns={"c_custkey": "o_custkey"}),
         on=["o_custkey"], how="inner")
-    out = joined.groupby("n_name").aggregate(
-        Count(alias_name="n_orders"),
-        Sum("o_totalprice", alias_name="total_price"))
-
-    def rounder(df: pd.DataFrame) -> pd.DataFrame:
-        df["total_price"] = df["total_price"].round(2)
-        return df
-
-    return out.map_batches(rounder, batch_format="pandas")
+    df = rel.partial_groupby_agg(joined, ["n_name"], {
+        "n_orders": (None, "count"),
+        "total_price": ("o_totalprice", "sum"),
+    })
+    df["total_price"] = df["total_price"].round(2)
+    return df
 
 
 SQL_BROADCAST_JOIN = """
@@ -153,21 +147,16 @@ GROUP BY n_name
 
 def q_hash_join(sf_dir: str):
     """J1/J8: large-large hash-partitioned equi-join + aggregate."""
-    from ray.data.aggregate import Count, Sum
-
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = rel.hash_join(li, orders, on=["l_orderkey"],
                            right_on=["o_orderkey"])
-    out = joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_lineitems"),
-        Sum("l_quantity", alias_name="sum_qty"))
-
-    def rounder(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_qty"] = df["sum_qty"].round(2)
-        return df
-
-    return out.map_batches(rounder, batch_format="pandas")
+    df = rel.partial_groupby_agg(joined, ["o_orderpriority"], {
+        "n_lineitems": (None, "count"),
+        "sum_qty": ("l_quantity", "sum"),
+    })
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
 
 
 SQL_HASH_JOIN = """
@@ -308,9 +297,9 @@ SELECT doc_id, lower(trim(coalesce(source, ''))) AS block_key FROM documents
 
 
 def q_window_hourly(sf_dir: str):
-    """Windowed aggregate (tumbling 1h, processing on event ts)."""
-    from ray.data.aggregate import Count, Sum
-
+    """Windowed aggregate (tumbling 1h on the event timestamp).
+    Window count is bounded (types x hours), so partial-aggregate +
+    driver combine — no shuffle."""
     ds = _rp(sf_dir, "events", ["event_type", "ts", "value"])
 
     def trunc(df: pd.DataFrame) -> pd.DataFrame:
@@ -318,16 +307,13 @@ def q_window_hourly(sf_dir: str):
         df["hour"] = df["ts"].dt.floor("h")
         return df.drop(columns=["ts"])
 
-    out = ds.map_batches(trunc, batch_format="pandas").groupby(
-        ["event_type", "hour"]).aggregate(
-        Count(alias_name="n"),
-        Sum("value", alias_name="sum_value"))
-
-    def rounder(df: pd.DataFrame) -> pd.DataFrame:
-        df["sum_value"] = df["sum_value"].round(4)
-        return df
-
-    return out.map_batches(rounder, batch_format="pandas")
+    truncated = ds.map_batches(trunc, batch_format="pandas")
+    df = rel.partial_groupby_agg(truncated, ["event_type", "hour"], {
+        "n": (None, "count"),
+        "sum_value": ("value", "sum"),
+    })
+    df["sum_value"] = df["sum_value"].round(4)
+    return df
 
 
 SQL_WINDOW_HOURLY = """

@@ -63,6 +63,37 @@ def hash_join(left, right, on: Sequence[str], how: str = "inner",
                      right_on=tuple(right_on) if right_on else None)
 
 
+def partial_groupby_agg(ds, keys: Sequence[str],
+                        spec: dict[str, tuple[str | None, str]]) -> pd.DataFrame:
+    """Low-cardinality grouped aggregate via the COMBINER pattern:
+    per-batch pandas partials (one narrow map, NO shuffle) merged with
+    one tiny driver-side combine — the right physical plan whenever the
+    group count is small relative to the data (reference A3/A4 counter
+    merges; at 10^12 rows a 4-group TPC-H-Q1-style aggregate must never
+    pay an all-to-all).
+
+    ``spec``: ``{out_col: (src_col, fn)}`` with fn in
+    {'count', 'sum', 'min', 'max'} (mean = caller-side sum/count).
+    Returns a pandas DataFrame (the result is small by assumption).
+    """
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, sort=False)
+        out = pd.DataFrame(index=g.size().index)
+        for col, (src, fn) in spec.items():
+            out[col] = g.size() if fn == "count" else getattr(g[src], fn)()
+        return out.reset_index()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby(keys, sort=False)
+    final = pd.DataFrame(index=g.size().index)
+    for col, (_, fn) in spec.items():
+        comb = "sum" if fn == "count" else fn
+        final[col] = getattr(g[col], comb)()
+    return final.reset_index()
+
+
 def broadcast_anti_join(ds, keys: set | frozenset, on: str):
     """Keep rows whose ``on`` value is NOT in the broadcast key set
     (reference J4/J5 exclusion anti-joins)."""

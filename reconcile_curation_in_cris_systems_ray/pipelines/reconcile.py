@@ -123,10 +123,15 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
     # execution; the scorer's merge blocks on the refs naturally
     prebuilt = build_feature_lookup(features)
 
+    # narrow band rows (20B) + pair-key dedup exchange: measured 3x
+    # faster than shipping per-row band vectors with min-band emission
+    # once band rows reach ~10M (pair rows are ~10x fewer than band
+    # rows, so deduping pairs costs less than widening the big shuffle)
     pairs = ckpt.run_stage("pairs", fp_pr, lambda: generate_candidate_pairs(
-        emit_band_keys(features, cfg.blocking), cfg.blocking, cfg.scoring,
+        emit_band_keys(features, cfg.blocking, include_bands=False),
+        cfg.blocking, cfg.scoring,
         n_rows_hint=features.count() * cfg.blocking.num_bands,
-        num_blocks_hint=feat_blocks))
+        dedup_pairs=True, num_blocks_hint=feat_blocks))
 
     fp_sc = fingerprint(fp_pr, "scored")
     # scored streams straight into edge extraction + clustering when not

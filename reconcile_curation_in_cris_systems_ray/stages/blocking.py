@@ -66,8 +66,13 @@ class SignatureStage:
         })
 
 
-def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
-    """Explode features into ``(band_id, band_hash, uh, bands)`` rows.
+def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig(),
+                   include_bands: bool = True):
+    """Explode features into ``(band_id, band_hash, uh[, bands])`` rows.
+
+    ``include_bands=False`` emits NARROW rows (20B): the pair stage
+    then needs a pair-key dedup exchange instead of min-band emission —
+    cheaper when band rows vastly outnumber pairs (large corpora).
 
     Shuffle-bytes discipline (what makes this viable at 10^12 rows —
     the explode multiplies row count by ``num_bands``):
@@ -93,33 +98,35 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig()):
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return pa.table({"band_id": pa.array([], pa.int32()),
-                             "band_hash": pa.array([], pa.int64()),
-                             "uh": pa.array([], pa.uint64()),
-                             "bands": pa.array([], pa.binary(
-                                 cfg.num_bands * 8))})
+            cols = {"band_id": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "uh": pa.array([], pa.uint64())}
+            if include_bands:
+                cols["bands"] = pa.array([], pa.binary(cfg.num_bands * 8))
+            return pa.table(cols)
         sig_list = batch.column("sig")
         sigs = np.frombuffer(b"".join(sig_list.to_pylist()),
                              dtype=np.uint64).reshape(n, -1)
         band_id, band_hash = hasher.band_keys(sigs)
-        key_mat = band_hash.reshape(n, cfg.num_bands)
         uh = stable_hash_strings(
             batch.column("url").to_pandas().to_numpy(dtype=object))
         idx = np.repeat(np.arange(n), cfg.num_bands)
-        # bands as ONE fixed-size-binary buffer (numpy repeat, zero
-        # Python objects) — a 2M-row explode otherwise builds 2M bytes
-        # objects per pass
-        width = cfg.num_bands * 8
-        bands_buf = np.repeat(key_mat, cfg.num_bands, axis=0).tobytes()
-        bands_arr = pa.Array.from_buffers(
-            pa.binary(width), n * cfg.num_bands,
-            [None, pa.py_buffer(bands_buf)])
-        return pa.table({
+        cols = {
             "band_id": pa.array(band_id, pa.int32()),
             "band_hash": pa.array(band_hash, pa.int64()),
             "uh": pa.array(uh[idx], pa.uint64()),
-            "bands": bands_arr,
-        })
+        }
+        if include_bands:
+            # bands as ONE fixed-size-binary buffer (numpy repeat, zero
+            # Python objects) — a 2M-row explode otherwise builds 2M
+            # bytes objects per pass
+            key_mat = band_hash.reshape(n, cfg.num_bands)
+            width = cfg.num_bands * 8
+            bands_buf = np.repeat(key_mat, cfg.num_bands, axis=0).tobytes()
+            cols["bands"] = pa.Array.from_buffers(
+                pa.binary(width), n * cfg.num_bands,
+                [None, pa.py_buffer(bands_buf)])
+        return pa.table(cols)
 
     return features_ds.select_columns(["url", "sig"]).map_batches(
         explode, batch_format="pyarrow")

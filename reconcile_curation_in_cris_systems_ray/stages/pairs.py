@@ -142,30 +142,37 @@ def _decode_bands(col: pd.Series) -> np.ndarray:
 
 
 def _emit(urls_i: np.ndarray, urls_j: np.ndarray,
-          bands_i: np.ndarray, bands_j: np.ndarray, band_id,
+          bands_i, bands_j, band_id,
           out_a: list, out_b: list) -> None:
     """Min-band dedup + canonicalize (a < b) + drop self-pairs.
 
-    Min-band: both docs' full band-hash vectors are at hand, so each
-    pair is emitted only by the FIRST band where the vectors agree —
-    every other band that would also collide sees argmax != band_id and
-    stays silent.  Globally-unique pairs with no pair-key exchange."""
-    eq = bands_i == bands_j
-    keep = (eq.argmax(axis=1) == band_id) & (urls_i != urls_j)
+    Min-band (when band vectors travel with the rows): both docs' full
+    band-hash vectors are at hand, so each pair is emitted only by the
+    FIRST band where the vectors agree — every other band that would
+    also collide sees argmax != band_id and stays silent.  Globally-
+    unique pairs with no pair-key exchange.  Without band vectors
+    (narrow emit), duplicates across bands are kept and removed by the
+    pair-key dedup exchange instead."""
+    if bands_i is None:
+        keep = urls_i != urls_j
+    else:
+        eq = bands_i == bands_j
+        keep = (eq.argmax(axis=1) == band_id) & (urls_i != urls_j)
     a, b = urls_i[keep], urls_j[keep]
     swap = a > b
     out_a.append(np.where(swap, b, a))
     out_b.append(np.where(swap, a, b))
 
 
-def _pairs_within(urls: np.ndarray, bands: np.ndarray, band_id: int,
+def _pairs_within(urls: np.ndarray, bands, band_id: int,
                   out_a: list, out_b: list) -> None:
     m = len(urls)
     if m < 2:
         return
     if m > MAX_SIDE:  # degenerate clique: star + chain
         order = np.argsort(urls)
-        urls, bands = urls[order], bands[order]
+        urls = urls[order]
+        bands = bands[order] if bands is not None else None
         ii: list[int] = []
         jj: list[int] = []
         for w in range(1, CHAIN_WINDOW + 1):
@@ -176,12 +183,14 @@ def _pairs_within(urls: np.ndarray, bands: np.ndarray, band_id: int,
         i_idx, j_idx = np.array(ii), np.array(jj)
     else:
         i_idx, j_idx = np.triu_indices(m, k=1)
-    _emit(urls[i_idx], urls[j_idx], bands[i_idx], bands[j_idx], band_id,
-          out_a, out_b)
+    _emit(urls[i_idx], urls[j_idx],
+          bands[i_idx] if bands is not None else None,
+          bands[j_idx] if bands is not None else None,
+          band_id, out_a, out_b)
 
 
-def _pairs_cross(urls_a: np.ndarray, bands_a: np.ndarray,
-                 urls_b: np.ndarray, bands_b: np.ndarray, band_id: int,
+def _pairs_cross(urls_a: np.ndarray, bands_a,
+                 urls_b: np.ndarray, bands_b, band_id: int,
                  out_a: list, out_b: list) -> None:
     if len(urls_a) == 0 or len(urls_b) == 0:
         return
@@ -194,7 +203,9 @@ def _pairs_cross(urls_a: np.ndarray, bands_a: np.ndarray,
     else:
         i_idx = np.repeat(np.arange(len(urls_a)), len(urls_b))
         j_idx = np.tile(np.arange(len(urls_b)), len(urls_a))
-    _emit(urls_a[i_idx], urls_b[j_idx], bands_a[i_idx], bands_b[j_idx],
+    _emit(urls_a[i_idx], urls_b[j_idx],
+          bands_a[i_idx] if bands_a is not None else None,
+          bands_b[j_idx] if bands_b is not None else None,
           band_id, out_a, out_b)
 
 
@@ -230,14 +241,18 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
 
+        has_bands = "bands" in df.columns
         cross_mask = (df["salt_i"].to_numpy() != df["salt_j"].to_numpy())
         if cross_mask.any():
             for (bid, _, si, _), g in df[cross_mask].groupby(
                     ["band_id", "band_hash", "salt_i", "salt_j"], sort=False):
                 urls = g["uh"].to_numpy().astype(np.uint64)
-                bands = _decode_bands(g["bands"])
+                bands = _decode_bands(g["bands"]) if has_bands else None
                 ma = g["member_salt"].to_numpy() == si
-                _pairs_cross(urls[ma], bands[ma], urls[~ma], bands[~ma],
+                _pairs_cross(urls[ma],
+                             bands[ma] if has_bands else None,
+                             urls[~ma],
+                             bands[~ma] if has_bands else None,
                              int(bid), out_a, out_b)
             df = df[~cross_mask]
 
@@ -254,7 +269,7 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
             counts = np.diff(np.append(np.flatnonzero(new), len(order)))
             starts = np.append(0, np.cumsum(counts))[:-1]
             urls_s = df["uh"].to_numpy().astype(np.uint64)[order]
-            bands_s = _decode_bands(df["bands"])[order]
+            bands_s = _decode_bands(df["bands"])[order] if has_bands else None
             for m in np.unique(counts):
                 if m < 2:
                     continue
@@ -262,8 +277,10 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                 if m > MAX_SIDE:
                     for g in g_idx:
                         s = starts[g]
-                        _pairs_within(urls_s[s:s + m], bands_s[s:s + m],
-                                      int(b2[s]), out_a, out_b)
+                        _pairs_within(
+                            urls_s[s:s + m],
+                            bands_s[s:s + m] if has_bands else None,
+                            int(b2[s]), out_a, out_b)
                     continue
                 pairs_per_group = int(m) * (int(m) - 1) // 2
                 tri_i, tri_j = np.triu_indices(int(m), k=1)
@@ -272,9 +289,12 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                     base = starts[g_idx[c0:c0 + step]]
                     gi = (base[:, None] + tri_i[None, :]).ravel()
                     gj = (base[:, None] + tri_j[None, :]).ravel()
-                    eq = bands_s[gi] == bands_s[gj]
-                    keep = ((eq.argmax(axis=1) == b2[gi])
-                            & (urls_s[gi] != urls_s[gj]))
+                    if has_bands:
+                        eq = bands_s[gi] == bands_s[gj]
+                        keep = ((eq.argmax(axis=1) == b2[gi])
+                                & (urls_s[gi] != urls_s[gj]))
+                    else:
+                        keep = urls_s[gi] != urls_s[gj]
                     a, b = urls_s[gi[keep]], urls_s[gj[keep]]
                     swap = a > b
                     out_a.append(np.where(swap, b, a))

@@ -146,3 +146,25 @@ def test_winnowing_deterministic_and_contiguity_robust(ray_session):
     f3 = winnowing_fingerprints(edited)
     common = len(set(f1) & set(f3))
     assert common / max(len(set(f1)), 1) > 0.5
+
+
+def test_ivf_topk_recall_vs_bruteforce(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.ann import (
+        brute_force_topk, ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((500, 16))
+    df = pd.DataFrame({"vec_id": np.arange(500),
+                       "embedding": [v.tolist() for v in vecs]})
+    queries = vecs[:3]
+    exact = brute_force_topk(_ds(df), queries, k=10).to_pandas()
+    approx = ivf_topk(_ds(df), queries, k=10).to_pandas()
+    recalls = []
+    for qi in range(3):
+        want = set(exact[exact["query_id"] == qi]["vec_id"])
+        have = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(want & have) / len(want))
+    # probing a subset of partitions trades recall for work; the
+    # seeded config must stay comfortably useful
+    assert np.mean(recalls) >= 0.6, recalls

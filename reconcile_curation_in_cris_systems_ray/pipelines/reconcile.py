@@ -123,15 +123,18 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
     # execution; the scorer's merge blocks on the refs naturally
     prebuilt = build_feature_lookup(features)
 
-    # narrow band rows (20B) + pair-key dedup exchange: measured 3x
-    # faster than shipping per-row band vectors with min-band emission
-    # once band rows reach ~10M (pair rows are ~10x fewer than band
-    # rows, so deduping pairs costs less than widening the big shuffle)
+    # scale-adaptive dedup mode (measured crossover): below ~4M band
+    # rows ship the per-row band vector and dedup via min-band emission
+    # (no second exchange); above it, narrow 20B rows + a pair-key
+    # dedup exchange win 3x (pair rows are ~10x fewer than band rows,
+    # so deduping pairs costs less than widening the big shuffle)
+    band_rows_hint = features.count() * cfg.blocking.num_bands
+    narrow = band_rows_hint >= 4_000_000
     pairs = ckpt.run_stage("pairs", fp_pr, lambda: generate_candidate_pairs(
-        emit_band_keys(features, cfg.blocking, include_bands=False),
+        emit_band_keys(features, cfg.blocking, include_bands=not narrow),
         cfg.blocking, cfg.scoring,
-        n_rows_hint=features.count() * cfg.blocking.num_bands,
-        dedup_pairs=True, num_blocks_hint=feat_blocks))
+        n_rows_hint=band_rows_hint,
+        dedup_pairs=narrow, num_blocks_hint=feat_blocks))
 
     fp_sc = fingerprint(fp_pr, "scored")
     # scored streams straight into edge extraction + clustering when not

@@ -92,6 +92,40 @@ class ReconcileConfig:
     cluster: ClusterConfig = field(default_factory=ClusterConfig)
     exec: ExecConfig = field(default_factory=ExecConfig)
 
+    @classmethod
+    def from_dict(cls, d: dict) -> "ReconcileConfig":
+        """Build a config from a nested dict (the reference's YAML
+        config surface, ``query_db/config_sample.yaml:9-76`` /
+        ``workflows.py:33-54``).  Unknown keys raise — config typos
+        must not silently fall back to defaults."""
+        sections = {"blocking": BlockingConfig, "scoring": ScoringConfig,
+                    "cluster": ClusterConfig, "exec": ExecConfig}
+        unknown = set(d) - set(sections)
+        if unknown:
+            raise ValueError(f"unknown config sections: {sorted(unknown)}")
+        kwargs = {}
+        for name, section_cls in sections.items():
+            sub = d.get(name, {})
+            valid = {f.name for f in
+                     section_cls.__dataclass_fields__.values()}
+            bad = set(sub) - valid
+            if bad:
+                raise ValueError(
+                    f"unknown keys in [{name}]: {sorted(bad)}")
+            # YAML lists -> tuples (concurrency ranges)
+            sub = {k: tuple(v) if isinstance(v, list) else v
+                   for k, v in sub.items()}
+            kwargs[name] = section_cls(**sub)
+        return cls(**kwargs)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ReconcileConfig":
+        """Load from a YAML file (PyYAML ships with Ray)."""
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
 
 def tune_data_context(quiet: bool = True) -> None:
     """Apply engine-wide Ray Data execution settings."""

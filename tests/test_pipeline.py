@@ -135,3 +135,26 @@ def test_min_band_emission_yields_unique_pairs(ray_session, corpus):
     keys = [(r["uh_a"], r["uh_b"]) for r in pairs]
     assert len(keys) == len(set(keys)), "duplicate pairs emitted"
     assert all(a < b for a, b in keys), "pairs not canonical"
+
+
+def test_config_from_yaml(tmp_path):
+    from reconcile_curation_in_cris_systems_ray.config import ReconcileConfig
+
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "blocking:\n  num_bands: 8\n  rows_per_band: 8\n"
+        "scoring:\n  jaccard_threshold: 0.7\n"
+        "exec:\n  use_actor_pools: true\n"
+        "  extract_concurrency: [2, 4]\n")
+    cfg = ReconcileConfig.from_yaml(str(p))
+    assert cfg.blocking.num_bands == 8
+    assert cfg.scoring.jaccard_threshold == 0.7
+    assert cfg.exec.use_actor_pools is True
+    assert cfg.exec.extract_concurrency == (2, 4)
+    assert cfg.cluster.max_rounds == 30  # untouched section: defaults
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ReconcileConfig.from_dict({"blocking": {"num_bandz": 3}})
+    with _pytest.raises(ValueError):
+        ReconcileConfig.from_dict({"blocked": {}})

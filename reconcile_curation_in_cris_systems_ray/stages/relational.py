@@ -101,9 +101,18 @@ def broadcast_anti_join(ds, keys: set | frozenset, on: str):
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:
         excl = ray.get(ref)
-        return df[~df[on].isin(excl)]
+        return _typed_empty(df[~df[on].isin(excl)])
 
     return ds.map_batches(flt, batch_format="pandas")
+
+
+def _typed_empty(df: pd.DataFrame) -> pd.DataFrame:
+    """Empty object columns break Ray's block-size estimator; pin them
+    to pandas 'string' when a filter drains a block."""
+    if len(df) == 0:
+        return df.astype({c: "string" for c in df.columns
+                          if df[c].dtype == object})
+    return df
 
 
 def broadcast_semi_join(ds, keys: set | frozenset, on: str):
@@ -111,7 +120,7 @@ def broadcast_semi_join(ds, keys: set | frozenset, on: str):
     ref = ray.put(frozenset(keys))
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:
-        return df[df[on].isin(ray.get(ref))]
+        return _typed_empty(df[df[on].isin(ray.get(ref))])
 
     return ds.map_batches(flt, batch_format="pandas")
 

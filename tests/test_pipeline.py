@@ -158,3 +158,22 @@ def test_config_from_yaml(tmp_path):
         ReconcileConfig.from_dict({"blocking": {"num_bandz": 3}})
     with _pytest.raises(ValueError):
         ReconcileConfig.from_dict({"blocked": {}})
+
+
+def test_actor_pool_mode_matches_task_mode(ray_session, corpus):
+    """ExecConfig.use_actor_pools=True must produce identical clusters
+    to the default fused-task mode."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.config import ExecConfig
+
+    out_t = run_reconcile(rd.from_arrow(corpus))
+    out_a = run_reconcile(
+        rd.from_arrow(corpus),
+        ReconcileConfig(exec=ExecConfig(use_actor_pools=True,
+                                        extract_concurrency=(1, 2),
+                                        signature_concurrency=(1, 2),
+                                        score_concurrency=(1, 2))))
+    a_t = {r["url"]: r["cluster_id"] for r in out_t["assignments"].take_all()}
+    a_a = {r["url"]: r["cluster_id"] for r in out_a["assignments"].take_all()}
+    assert a_t == a_a

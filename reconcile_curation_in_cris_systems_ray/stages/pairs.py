@@ -323,6 +323,8 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         return df.drop_duplicates(_PAIR_COLS)
 
     # global dedup of cross-band duplicates: a second shuffle, but over
-    # pair rows (~2 orders of magnitude fewer than band rows)
+    # pair rows (~2 orders of magnitude fewer than band rows); the
+    # input already has ~bucket-count blocks, so skip the pre-coalesce
     return bucketed_map_groups(pairs, _PAIR_COLS, dedup,
-                               num_buckets=blocking.num_buckets)
+                               num_buckets=blocking.num_buckets,
+                               num_blocks_hint=blocking.num_buckets)

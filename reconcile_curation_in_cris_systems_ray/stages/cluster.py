@@ -216,12 +216,13 @@ def assign_clusters(urls_ds, star_edges_ds, num_buckets: int = 256,
         # aggregate dict-decode on a 700-block url stream); lookup is a
         # vectorized searchsorted + equality verify
         tbl = pa.concat_tables(
-            [ray.get(r) for r in star_edges_ds.to_arrow_refs()])
+            [ray.get(r) for r in star_edges_ds.to_arrow_refs()]) \
+            .combine_chunks()
         uh = stable_hash_strings(
             tbl.column("u").to_pandas().to_numpy(dtype=object))
         order = np.argsort(uh, kind="mergesort")
         h_ref = ray.put(np.ascontiguousarray(uh[order]))
-        t_ref = ray.put(tbl.take(pa.array(order)))
+        t_ref = ray.put(tbl.take(pa.array(order)).combine_chunks())
 
         def apply_map(batch: pa.Table, _h=h_ref, _t=t_ref) -> pa.Table:
             h = ray.get(_h)

@@ -34,11 +34,16 @@ def _build_lookup_task(cols, *blocks):
     (sorted hash array, row-aligned table)."""
     from ..functions.similarity import stable_hash_strings
 
-    tbl = pa.concat_tables([b.select(cols) for b in blocks])
+    # combine_chunks: a 300-chunk concat makes every downstream .take
+    # a per-index chunk walk (measured ~10x slower merges); one
+    # contiguous chunk turns them into vectorized gathers
+    tbl = pa.concat_tables(
+        [b.select(cols) for b in blocks]).combine_chunks()
     key_hash = stable_hash_strings(
         tbl.column("url").to_pandas().to_numpy(dtype=object))
     order = np.argsort(key_hash, kind="mergesort")
-    return np.ascontiguousarray(key_hash[order]), tbl.take(pa.array(order))
+    return (np.ascontiguousarray(key_hash[order]),
+            tbl.take(pa.array(order)).combine_chunks())
 
 
 def build_feature_lookup(features_ds,
@@ -212,6 +217,11 @@ class PairScorer:
 
         self.cfg = cfg
         self.con = duckdb.connect()
+        # one DuckDB thread per scorer worker: each Ray task owns one
+        # CPU, and letting every task's DuckDB spawn a full thread pool
+        # oversubscribes the node ~32x at the scoring stage (the
+        # reference pins the same pragma, query_db/db.py:13)
+        self.con.execute("PRAGMA threads=1")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -296,6 +306,7 @@ class BroadcastFuzzyJoin:
         import ray
 
         self.con = duckdb.connect()
+        self.con.execute("PRAGMA threads=1")
         self.col = col
         self.threshold = float(threshold)
         names = ray.get(names_ref)

@@ -177,3 +177,25 @@ def test_actor_pool_mode_matches_task_mode(ray_session, corpus):
     a_t = {r["url"]: r["cluster_id"] for r in out_t["assignments"].take_all()}
     a_a = {r["url"]: r["cluster_id"] for r in out_a["assignments"].take_all()}
     assert a_t == a_a
+
+
+def test_cli_reconcile_from_parquet(ray_session, corpus, tmp_path):
+    """CLI path: corpus Parquet in -> (url, cluster_id) Parquet out,
+    identical clusters to the in-memory pipeline."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.cli import main
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    pq.write_table(corpus.drop_columns(["text", "cluster_id"]),
+                   src / "part-0.parquet")
+    dst = tmp_path / "assignments"
+    rc = main(["reconcile", "--input", str(src), "--output", str(dst)])
+    assert rc == 0
+    back = rd.read_parquet(str(dst))
+    a_cli = {r["url"]: r["cluster_id"] for r in back.take_all()}
+    out = run_reconcile(rd.from_arrow(corpus))
+    a_mem = {r["url"]: r["cluster_id"] for r in out["assignments"].take_all()}
+    assert a_cli == a_mem

@@ -250,15 +250,30 @@ SELECT user_id, event_id, event_type FROM (
 
 
 def q_count_distinct(sf_dir: str):
-    """A3/A6: per-group COUNT(DISTINCT ...) as dedup-then-count."""
-    from ray.data.aggregate import Count
+    """A3/A6: per-group COUNT + COUNT(DISTINCT user_id) in ONE bucketed
+    shuffle keyed on (event_type, user_id): every row of a given
+    (type, user) combination lands in exactly one bucket, so per-bucket
+    ``nunique`` partials sum exactly; a tiny driver-side combine
+    finishes.  No join of two grouped aggregates (the round-1 version
+    hash-joined two groupbys and died on empty zero-column blocks in
+    Ray's join finalize at high partition counts) and one shuffle
+    instead of three.  Ref A3: ``repository.py:516-525``."""
+    from ..stages.shuffle import bucketed_map_groups
 
     ds = _rp(sf_dir, "events", ["event_type", "user_id"])
-    n_events = ds.groupby("event_type").aggregate(
-        Count(alias_name="n_events"))
-    users = rel.distinct(ds, ["event_type", "user_id"]).groupby(
-        "event_type").aggregate(Count(alias_name="n_users"))
-    return rel.hash_join(n_events, users, on=["event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)
+        out = pd.DataFrame({"n_events": g.size(),
+                            "n_users": g["user_id"].nunique()})
+        return out.reset_index()
+
+    partials = bucketed_map_groups(ds, ["event_type", "user_id"], partial,
+                                   num_buckets=64)
+    return rel.partial_groupby_agg(partials, ["event_type"], {
+        "n_events": ("n_events", "sum"),
+        "n_users": ("n_users", "sum"),
+    })
 
 
 SQL_COUNT_DISTINCT = """

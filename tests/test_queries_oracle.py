@@ -1,0 +1,64 @@
+"""Oracle-parity pytest pinning for driver queries.
+
+The driver's correctness gate runs every ``queries()`` entry against
+its ``oracle_sql()`` twin at sf0.01; this keeps the regression-prone /
+newly-added ones green in CI at sf0.001 (fast).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+# extend as queries are added / fixed
+PINNED = [
+    "count_distinct",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True)
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()
+
+
+@pytest.mark.parametrize("name", PINNED)
+def test_query_matches_oracle(ray_session, oracle_con, name):
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import (
+        ORACLES, QUERIES,
+    )
+
+    ray_df = _to_pandas(QUERIES[name](SF))
+    sql_df = oracle_con.execute(ORACLES[name]).df()
+    assert sorted(ray_df.columns) == sorted(sql_df.columns)
+    assert len(ray_df) == len(sql_df)
+    pd.testing.assert_frame_equal(_canon(ray_df), _canon(sql_df))

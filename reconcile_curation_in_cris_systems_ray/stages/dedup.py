@@ -26,7 +26,7 @@ import pyarrow as pa
 from ..config import BlockingConfig, ScoringConfig
 from ..functions.similarity import (
     MinHasher, batch_shingle_sets, hamming64, jaccard_from_sets,
-    simhash64, stable_hash_strings,
+    jaccard_pairs_from_binary, simhash64, stable_hash_strings,
 )
 from ..functions.textnorm import normalize_text_series
 from .shuffle import bucketed_map_groups
@@ -102,13 +102,8 @@ def near_dup_pairs(ds, id_col: str, text_col: str,
     thresh = scoring.jaccard_threshold
 
     def verify(batch: pa.Table) -> pa.Table:
-        sh_a = batch.column("shingles_a").to_pylist()
-        sh_b = batch.column("shingles_b").to_pylist()
-        jac = np.fromiter(
-            (jaccard_from_sets(np.frombuffer(a or b"", dtype=np.uint64),
-                               np.frombuffer(b or b"", dtype=np.uint64))
-             for a, b in zip(sh_a, sh_b)),
-            dtype=np.float64, count=len(batch))
+        jac = jaccard_pairs_from_binary(batch.column("shingles_a"),
+                                        batch.column("shingles_b"))
         out = pa.table({
             "id_a": batch.column("url_a"),
             "id_b": batch.column("url_b"),

@@ -23,7 +23,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import ScoringConfig
-from ..functions.similarity import jaccard_from_sets
+from ..functions.similarity import jaccard_pairs_from_binary
 
 
 BROADCAST_FEATURE_ROWS = 2_000_000
@@ -183,6 +183,29 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
 
     def add_est(batch: pa.Table) -> pa.Table:
         n = len(batch)
+        if n:
+            # re-canonicalize lexicographically by url: the pair stage
+            # ordered by uh hash value, and the broadcast path swaps to
+            # url_a < url_b — both join strategies must produce the
+            # identical pair orientation (determinism across the
+            # broadcast/distributed crossover)
+            import pyarrow.compute as pc
+
+            swap = pc.greater(batch.column("url_a"), batch.column("url_b"))
+            if pc.any(swap).as_py():
+                cols = {}
+                for name in batch.schema.names:
+                    if name.endswith("_a"):
+                        other = name[:-2] + "_b"
+                        cols[name] = pc.if_else(swap, batch.column(other),
+                                                batch.column(name))
+                    elif name.endswith("_b"):
+                        other = name[:-2] + "_a"
+                        cols[name] = pc.if_else(swap, batch.column(other),
+                                                batch.column(name))
+                    else:
+                        cols[name] = batch.column(name)
+                batch = pa.table(cols)
         if n == 0:
             est = np.empty(0, dtype=np.float64)
         else:
@@ -227,13 +250,8 @@ class PairScorer:
         n = len(batch)
         if n == 0:
             return _empty_scored()
-        sh_a = batch.column("shingles_a").to_pylist()
-        sh_b = batch.column("shingles_b").to_pylist()
-        jac = np.fromiter(
-            (jaccard_from_sets(np.frombuffer(a or b"", dtype=np.uint64),
-                               np.frombuffer(b or b"", dtype=np.uint64))
-             for a, b in zip(sh_a, sh_b)),
-            dtype=np.float64, count=n)
+        jac = jaccard_pairs_from_binary(batch.column("shingles_a"),
+                                        batch.column("shingles_b"))
 
         view = batch.select(["url_a", "url_b", "title_a", "title_b",
                              "head_a", "head_b"])

@@ -87,3 +87,60 @@ def test_simhash_and_hamming():
     d_ac = hamming64(s[:1], s[2:3])[0]
     assert d_ab < d_ac
     assert hamming64(s[:1], s[:1])[0] == 0
+
+
+def test_pairwise_jaccard_packed_matches_scalar():
+    """Vectorized packed-pairs kernel == per-pair jaccard_from_sets."""
+    import pyarrow as pa
+
+    from reconcile_curation_in_cris_systems_ray.functions.similarity import (
+        jaccard_from_sets, jaccard_pairs_from_binary,
+    )
+
+    rng = np.random.default_rng(42)
+    sets_a, sets_b = [], []
+    for _ in range(200):
+        na, nb = rng.integers(0, 50, 2)
+        base = np.unique(rng.integers(0, 80, 40).astype(np.uint64))
+        a = np.unique(np.concatenate(
+            [base[: rng.integers(0, base.size + 1)],
+             rng.integers(100, 10**9, na).astype(np.uint64)]))
+        b = np.unique(np.concatenate(
+            [base[: rng.integers(0, base.size + 1)],
+             rng.integers(100, 10**9, nb).astype(np.uint64)]))
+        sets_a.append(a)
+        sets_b.append(b)
+    # include empty-set edge cases
+    sets_a[0] = np.empty(0, dtype=np.uint64)
+    sets_b[1] = np.empty(0, dtype=np.uint64)
+    sets_a[2] = np.empty(0, dtype=np.uint64)
+    sets_b[2] = np.empty(0, dtype=np.uint64)
+
+    col_a = pa.array([s.tobytes() for s in sets_a], pa.binary())
+    col_b = pa.array([s.tobytes() for s in sets_b], pa.binary())
+    got = jaccard_pairs_from_binary(col_a, col_b)
+    want = np.array([jaccard_from_sets(a, b)
+                     for a, b in zip(sets_a, sets_b)])
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+    # sliced column (non-zero offset) and large_binary must also work
+    got_sliced = jaccard_pairs_from_binary(col_a.slice(3, 50),
+                                           col_b.slice(3, 50))
+    np.testing.assert_allclose(got_sliced, want[3:53], rtol=0, atol=0)
+    got_large = jaccard_pairs_from_binary(col_a.cast(pa.large_binary()),
+                                          col_b.cast(pa.large_binary()))
+    np.testing.assert_allclose(got_large, want, rtol=0, atol=0)
+
+
+def test_pairwise_jaccard_packed_nulls():
+    import pyarrow as pa
+
+    from reconcile_curation_in_cris_systems_ray.functions.similarity import (
+        jaccard_pairs_from_binary,
+    )
+
+    s = np.array([1, 2, 3], dtype=np.uint64)
+    col_a = pa.array([s.tobytes(), None], pa.binary())
+    col_b = pa.array([s.tobytes(), s.tobytes()], pa.binary())
+    got = jaccard_pairs_from_binary(col_a, col_b)
+    np.testing.assert_allclose(got, [1.0, 0.0])

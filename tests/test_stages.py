@@ -168,3 +168,53 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
     # probing a subset of partitions trades recall for work; the
     # seeded config must stay comfortably useful
     assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_hydrate_pairs_broadcast_and_distributed_agree(ray_session):
+    """The broadcast and distributed-join hydration strategies must
+    produce identical pair orientation (url_a < url_b) and features —
+    the crossover at the broadcast threshold cannot change results."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.functions.similarity import (
+        stable_hash_strings,
+    )
+    from reconcile_curation_in_cris_systems_ray.stages.scoring import (
+        hydrate_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    urls = [f"https://ex{i:02d}.com/p" for i in range(30)]
+    sigs = [rng.integers(0, 2**60, 8).astype(np.uint64) for _ in urls]
+    feats = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "title_norm": pa.array([f"title {i}" for i in range(30)]),
+        "text_head": pa.array([f"head {i}" for i in range(30)]),
+        "shingles": pa.array(
+            [np.unique(rng.integers(0, 99, 20).astype(np.uint64)).tobytes()
+             for _ in urls], pa.binary()),
+        "sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+    })
+    uh = stable_hash_strings(np.array(urls, dtype=object))
+    ii = rng.integers(0, 30, 40)
+    jj = rng.integers(0, 30, 40)
+    keep = ii != jj
+    ii, jj = ii[keep], jj[keep]
+    pairs = pa.table({
+        "uh_a": pa.array(np.minimum(uh[ii], uh[jj]), pa.uint64()),
+        "uh_b": pa.array(np.maximum(uh[ii], uh[jj]), pa.uint64()),
+    })
+
+    def run(threshold):
+        out = hydrate_pairs(rd.from_arrow(pairs), rd.from_arrow(feats),
+                            broadcast_threshold=threshold).to_pandas()
+        cols = ["url_a", "url_b", "title_a", "title_b", "head_a",
+                "head_b", "est_jaccard"]
+        return (out[cols].sort_values(["url_a", "url_b"])
+                .drop_duplicates().reset_index(drop=True))
+
+    bcast = run(10**6)
+    dist = run(0)
+    assert (bcast["url_a"] < bcast["url_b"]).all()
+    assert (dist["url_a"] < dist["url_b"]).all()
+    pd.testing.assert_frame_equal(bcast, dist)

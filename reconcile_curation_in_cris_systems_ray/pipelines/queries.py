@@ -406,17 +406,23 @@ SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
 """
 
 
+def _query_vectors(sf_dir: str, n: int = 3) -> np.ndarray:
+    """Fetch the n query vectors via a parquet predicate-pushdown read
+    (row-group pruning at the source) — never a full-table row scan."""
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n)
+    order = np.argsort(tbl.column("vec_id").to_numpy())
+    return np.stack([np.asarray(v, dtype=np.float64)
+                     for v in tbl.column("embedding").to_pylist()])[order]
+
+
 def q_knn_bruteforce(sf_dir: str):
     """Similarity search baseline: exact cosine top-10 for 3 queries."""
-    import ray.data as rd
-
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = sorted(
-        (r for r in ds.filter(lambda r: r["vec_id"] < 3).take_all()),
-        key=lambda r: r["vec_id"])
-    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                        for r in qrows])
-    out = brute_force_topk(ds, queries, k=10)
+    out = brute_force_topk(ds, _query_vectors(sf_dir), k=10)
     return out.select_columns(["query_id", "vec_id"])
 
 
@@ -623,11 +629,7 @@ def q_lang_id(sf_dir: str):
 def q_ann_ivf(sf_dir: str):
     """IVF-partitioned approximate top-k."""
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = sorted(ds.filter(lambda r: r["vec_id"] < 3).take_all(),
-                   key=lambda r: r["vec_id"])
-    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64)
-                        for r in qrows])
-    return ivf_topk(ds, queries, k=10)
+    return ivf_topk(ds, _query_vectors(sf_dir), k=10)
 
 
 def _media_ds(sf_dir: str):

@@ -78,7 +78,28 @@ def _parse_shard(payload: bytes, path: str, schema: pa.Schema) -> pa.Table:
     out_schema = _schema_with_error(schema)
     if not rows:
         return out_schema.empty_table()
-    return pa.Table.from_pylist(rows, schema=out_schema)
+    try:
+        return pa.Table.from_pylist(rows, schema=out_schema)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+        pass
+    # slow-slow path: a syntactically-valid JSON line carried a value
+    # that violates the declared schema (e.g. {"id": "abc"} for an
+    # int64 field).  Coerce row-by-row so the offending rows land in
+    # quarantine instead of crashing the whole shard task (reference
+    # S6/S8 semantics: skip-and-count, never abort the load).
+    coerced: list[dict] = []
+    for rowno, row in enumerate(rows):
+        if row.get(ERROR_COL) is not None:
+            coerced.append(row)
+            continue
+        try:
+            pa.Table.from_pylist([row], schema=out_schema)
+            coerced.append(row)
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError) as exc:
+            bad = _null_row(schema)
+            bad[ERROR_COL] = f"{path}:row{rowno}: schema mismatch: {exc}"
+            coerced.append(bad)
+    return pa.Table.from_pylist(coerced, schema=out_schema)
 
 
 def read_jsonl_gz(paths, schema: pa.Schema):

@@ -85,28 +85,27 @@ class LangIdStage:
         self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Vectorized: one explode + one ``isin`` pass per language
+        table, no Python loop over rows (round-1 version looped)."""
         texts = df[self.text_col].astype("string").fillna("")
-        preds, scores = [], []
-        for t in texts:
-            if _CJK_RE.search(t):
-                preds.append("zh")
-                scores.append(1.0)
-                continue
-            toks = t.lower().split()
-            if not toks:
-                preds.append("und")
-                scores.append(0.0)
-                continue
-            best_lang, best = "und", 0.0
-            for lang, stops in self.tables.items():
-                r = sum(w in stops for w in toks) / len(toks)
-                if r > best:
-                    best_lang, best = lang, r
-            preds.append(best_lang if best > 0.02 else "und")
-            scores.append(round(best, 4))
+        texts = texts.reset_index(drop=True)
+        toks = texts.str.lower().str.split()
+        ntok = toks.str.len().fillna(0).astype("int64")
+        ex = toks.explode()
+        ratios = pd.DataFrame(index=texts.index)
+        for lang, stops in self.tables.items():
+            hits = ex.isin(stops).groupby(level=0).sum()
+            ratios[lang] = (hits.reindex(texts.index).fillna(0)
+                            / ntok.clip(lower=1))
+        # first-max tie-break == the scalar loop's strict-greater update
+        best = ratios.max(axis=1)
+        best_lang = ratios.idxmax(axis=1).where(best > 0.02, "und")
+        is_cjk = texts.str.contains(_CJK_RE, regex=True)
         out = df.copy()
-        out["lang_pred"] = preds
-        out["lang_score"] = scores
+        out["lang_pred"] = np.where(is_cjk, "zh",
+                                    best_lang.where(ntok > 0, "und"))
+        out["lang_score"] = np.where(
+            is_cjk, 1.0, best.round(4).where(ntok > 0, 0.0))
         return out
 
 

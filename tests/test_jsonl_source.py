@@ -63,3 +63,26 @@ def test_partitioned_sink_roundtrip(ray_session, shard_dir, tmp_path):
     assert back.count() == 51
     kinds = {r["kind"] for r in back.select_columns(["kind"]).take_all()}
     assert kinds == {"a", "b"}
+
+
+def test_schema_type_mismatch_quarantined(ray_session, tmp_path):
+    """A syntactically-valid JSON line whose value violates the declared
+    schema (string in an int64 field) must land in quarantine, not crash
+    the shard task (reference S6 error-tolerant-load semantics)."""
+    lines = [
+        json.dumps({"id": 1, "kind": "a", "value": 1.0}),
+        json.dumps({"id": "abc", "kind": "b", "value": 2.0}),  # bad type
+        json.dumps({"id": 3, "kind": "c", "value": 3.0}),
+        "{not json",                                           # bad syntax
+    ]
+    p = tmp_path / "typed.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines) + "\n")
+
+    valid, errors = split_quarantine(read_jsonl_gz([str(p)], SCHEMA))
+    good = valid.to_pandas().sort_values("id").reset_index(drop=True)
+    bad = errors.to_pandas()
+    assert list(good["id"]) == [1, 3]
+    assert len(bad) == 2
+    assert bad["_error"].str.contains("schema mismatch|Expected|invalid",
+                                      regex=True).any()

@@ -218,3 +218,45 @@ def test_hydrate_pairs_broadcast_and_distributed_agree(ray_session):
     assert (bcast["url_a"] < bcast["url_b"]).all()
     assert (dist["url_a"] < dist["url_b"]).all()
     pd.testing.assert_frame_equal(bcast, dist)
+
+
+def test_lang_id_stage_vectorized(ray_session):
+    """LangIdStage predictions on known samples + parity with the
+    scalar definition (stopword-ratio argmax, CJK override)."""
+    from reconcile_curation_in_cris_systems_ray.stages.textstats import (
+        _STOPWORDS, LangIdStage,
+    )
+
+    df = pd.DataFrame({"doc_id": range(7), "text": [
+        "the cat sat on the mat and the dog is in the house",
+        "der Hund ist mit der Katze und das Haus",
+        "le chat est dans la maison et les chiens",
+        "el gato es de la casa y los perros",
+        "这是一个中文句子",
+        "",
+        "zzz qqq xxx",  # no stopword hits -> und
+    ]})
+    out = LangIdStage()(df)
+    assert list(out["lang_pred"]) == ["en", "de", "fr", "es", "zh",
+                                      "und", "und"]
+    assert out.loc[4, "lang_score"] == 1.0
+    assert out.loc[5, "lang_score"] == 0.0
+
+    # parity with the straightforward scalar definition
+    def scalar(t):
+        toks = t.lower().split()
+        if not toks:
+            return ("und", 0.0)
+        best_lang, best = "und", 0.0
+        for lang, stops in _STOPWORDS.items():
+            r = sum(w in stops for w in toks) / len(toks)
+            if r > best:
+                best_lang, best = lang, r
+        return (best_lang if best > 0.02 else "und", round(best, 4))
+
+    for i, t in enumerate(df["text"]):
+        if out.loc[i, "lang_pred"] == "zh":
+            continue
+        lang, score = scalar(t)
+        assert out.loc[i, "lang_pred"] == lang
+        assert out.loc[i, "lang_score"] == score

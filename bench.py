@@ -34,10 +34,24 @@ BENCH_QUERIES = [
 ]
 
 
+def _box_hygiene() -> None:
+    """Best-effort memory compaction before measuring: this sandbox's
+    walls drift 25-40% slower as physical memory fragments over hours
+    (khugepaged/THP pressure, see BASELINE.md); one compaction pass
+    recovers most of it.  No-op without privileges."""
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+    except OSError:
+        pass
+
+
 def run_bench() -> dict:
     import logging
 
     import ray
+
+    _box_hygiene()
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
@@ -68,8 +82,11 @@ def run_bench() -> dict:
     # ~3 pages per family on average; 9x documents-count families =>
     # corpus ~= 27x documents rows (~129k pages at sf0.1) — big enough
     # that per-stage compute dominates fixed scheduling overhead (what
-    # the scaling criterion actually measures at cluster scale)
-    corpus_cfg = CorpusConfig(n_families=max(200, 9 * n_docs))
+    # the scaling criterion actually measures at cluster scale).
+    # GRAFT_FAMILY_MULT overrides the multiplier (a 27x run was
+    # measured for the data-scale datapoint in BASELINE.md).
+    fam_mult = int(os.environ.get("GRAFT_FAMILY_MULT", "9"))
+    corpus_cfg = CorpusConfig(n_families=max(200, fam_mult * n_docs))
 
     t0 = time.time()
     # prune at the source: the pipeline reads (url, warc_ts, html,
@@ -109,6 +126,10 @@ def run_bench() -> dict:
                                  "reconcile_warmup": warmup_sec,
                                  "reconcile_runs": walls,
                                  "corpus_gen": gen_sec}
+    if os.environ.get("GRAFT_SKIP_OPS"):
+        # scaling children time only the flagship; the operator-query
+        # sweep would just add box noise between the two levels
+        return _result(headline_sec, timings, n_pages, n_assign, pairs)
     # warm the page cache for the operator-query tables (flagship done)
     for t in ("documents", "lineitem", "orders", "events", "embeddings"):
         rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
@@ -122,6 +143,10 @@ def run_bench() -> dict:
             len(res)
         timings[name] = round(time.time() - t0, 2)
 
+    return _result(headline_sec, timings, n_pages, n_assign, pairs)
+
+
+def _result(headline_sec, timings, n_pages, n_assign, pairs) -> dict:
     return {
         "metric": "reconcile_pipeline_sec",
         "value": headline_sec,
@@ -139,7 +164,8 @@ def run_bench() -> dict:
 
 def run_scaling():
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SKIP_OPS="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -126,15 +126,16 @@ def batch_shingle_sets(texts, k_tokens: int = 3,
     return out
 
 
-def packed_u64_column(col) -> tuple[np.ndarray, np.ndarray]:
+def packed_u64_column(col, dtype=np.uint64) -> tuple[np.ndarray, np.ndarray]:
     """Zero-copy ``(values, lengths)`` view of an Arrow binary column
-    holding packed uint64 sets (one ``np.uint64.tobytes()`` blob per
-    row).  Avoids ``to_pylist`` + per-row ``np.frombuffer`` in hot
-    scoring stages: the concatenated payload is viewed in place from
-    the Arrow data buffer."""
+    holding packed unsigned-int sets (one ``arr.tobytes()`` blob per
+    row, ``dtype`` elements).  Avoids ``to_pylist`` + per-row
+    ``np.frombuffer`` in hot scoring stages: the concatenated payload
+    is viewed in place from the Arrow data buffer."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
+    dtype = np.dtype(dtype)
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if col.null_count:
@@ -142,13 +143,13 @@ def packed_u64_column(col) -> tuple[np.ndarray, np.ndarray]:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
     if len(col) == 0:
-        return (np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64))
+        return (np.empty(0, dtype=dtype), np.empty(0, dtype=np.int64))
     off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
     offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
         col.offset: col.offset + len(col) + 1].astype(np.int64)
     data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-    vals = np.ascontiguousarray(data[offs[0]:offs[-1]]).view(np.uint64)
-    lens = (np.diff(offs) // 8).astype(np.int64)
+    vals = np.ascontiguousarray(data[offs[0]:offs[-1]]).view(dtype)
+    lens = (np.diff(offs) // dtype.itemsize).astype(np.int64)
     return vals, lens
 
 
@@ -191,12 +192,12 @@ def pairwise_jaccard_packed(vals_a: np.ndarray, lens_a: np.ndarray,
     return out
 
 
-def jaccard_pairs_from_binary(col_a, col_b) -> np.ndarray:
+def jaccard_pairs_from_binary(col_a, col_b, dtype=np.uint64) -> np.ndarray:
     """Exact Jaccard per row for two Arrow binary columns of packed
-    uint64 shingle sets (the hot path of pair scoring / near-dup
+    shingle-token sets (the hot path of pair scoring / near-dup
     verify)."""
-    va, la = packed_u64_column(col_a)
-    vb, lb = packed_u64_column(col_b)
+    va, la = packed_u64_column(col_a, dtype)
+    vb, lb = packed_u64_column(col_b, dtype)
     return pairwise_jaccard_packed(va, la, vb, lb)
 
 

@@ -28,11 +28,20 @@ class SignatureStage:
 
     Output columns: ``url``, ``title_norm`` (normalized first line),
     ``text_head`` (first ``text_head_chars`` of normalized text),
-    ``n_shingles``, ``shingles`` (binary: sorted unique uint64 hashes),
-    ``sig`` (binary: num_perm uint64 MinHash values, little-endian —
-    binary rather than list<uint64> so the column stays a plain object
-    dtype through pandas block conversions instead of Ray's tensor
-    extension, whose metadata breaks ``Table.to_pandas`` in workers).
+    ``n_shingles``, ``shingles`` (binary: sorted unique uint32 hash
+    tokens), ``sig`` (binary: num_perm uint32 MinHash tokens,
+    little-endian — binary rather than list<...> so the column stays a
+    plain object dtype through pandas block conversions instead of
+    Ray's tensor extension, whose metadata breaks ``Table.to_pandas``
+    in workers).
+
+    Storage dtype: hashing/MinHash run in uint64, but the STORED
+    shingle and signature values are truncated to uint32 equality
+    tokens — Jaccard/estimate only ever compare tokens for equality,
+    a false equality costs 2^-32 per comparison (negligible at any
+    batch size), and halving the widest columns halves the broadcast
+    feature table and the scorer's memory traffic (the measured
+    bottleneck at high per-node concurrency).
     """
 
     def __init__(self, blocking: BlockingConfig = BlockingConfig(),
@@ -52,17 +61,19 @@ class SignatureStage:
             texts.str.split("\n").str[0]).fillna("")
         shingle_sets = batch_shingle_sets(norm.tolist(), self.cfg.shingle_k)
         sigs = self.hasher.signatures(shingle_sets)
-        n_sh = np.array([s.size for s in shingle_sets], dtype=np.int64)
+        sets32 = [np.unique(s.astype(np.uint32)) for s in shingle_sets]
+        sig32 = sigs.astype(np.uint32)
+        n_sh = np.array([s.size for s in sets32], dtype=np.int64)
         return pa.table({
             "url": batch.column("url"),
             "title_norm": pa.array(titles, pa.string()),
             "text_head": pa.array(norm.str[: self.head_chars], pa.string()),
             "n_shingles": pa.array(n_sh),
-            # binary (uint64 little-endian bytes) — not list<uint64> — so the
+            # binary (uint32 little-endian bytes) — not list<...> — so the
             # column survives Arrow acero hash joins as a payload field
-            "shingles": pa.array([s.tobytes() for s in shingle_sets],
+            "shingles": pa.array([s.tobytes() for s in sets32],
                                  pa.binary()),
-            "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
+            "sig": pa.array([row.tobytes() for row in sig32], pa.binary()),
         })
 
 
@@ -105,8 +116,11 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig(),
                 cols["bands"] = pa.array([], pa.binary(cfg.num_bands * 8))
             return pa.table(cols)
         sig_list = batch.column("sig")
+        # stored sigs are uint32 equality tokens; band-key mixing runs
+        # in uint64 arithmetic
         sigs = np.frombuffer(b"".join(sig_list.to_pylist()),
-                             dtype=np.uint64).reshape(n, -1)
+                             dtype=np.uint32).reshape(n, -1) \
+            .astype(np.uint64)
         band_id, band_hash = hasher.band_keys(sigs)
         uh = stable_hash_strings(
             batch.column("url").to_pandas().to_numpy(dtype=object))

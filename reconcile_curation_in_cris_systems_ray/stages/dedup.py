@@ -46,7 +46,10 @@ def exact_dedup(ds, text_col: str, id_col: str, num_buckets: int = 64):
 
 def _doc_features(ds, id_col: str, text_col: str, blocking: BlockingConfig,
                   normalize: bool = True):
-    """(id, shingles binary, sig binary) features for near-dup search."""
+    """(id, shingles binary, sig binary) features for near-dup search.
+
+    Stored shingle/sig values are uint32 equality tokens (same storage
+    contract as the flagship ``SignatureStage`` — see its docstring)."""
     hasher = MinHasher(blocking.num_bands, blocking.rows_per_band,
                        blocking.minhash_seed)
     k = blocking.shingle_k
@@ -58,10 +61,11 @@ def _doc_features(ds, id_col: str, text_col: str, blocking: BlockingConfig,
         else:
             texts = texts.fillna("")
         sets = batch_shingle_sets(texts.tolist(), k)
-        sigs = hasher.signatures(sets)
+        sigs = hasher.signatures(sets).astype(np.uint32)
+        sets32 = [np.unique(s.astype(np.uint32)) for s in sets]
         return pa.table({
             "url": batch.column(id_col).cast(pa.string()),
-            "shingles": pa.array([s.tobytes() for s in sets], pa.binary()),
+            "shingles": pa.array([s.tobytes() for s in sets32], pa.binary()),
             "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
         })
 
@@ -103,7 +107,8 @@ def near_dup_pairs(ds, id_col: str, text_col: str,
 
     def verify(batch: pa.Table) -> pa.Table:
         jac = jaccard_pairs_from_binary(batch.column("shingles_a"),
-                                        batch.column("shingles_b"))
+                                        batch.column("shingles_b"),
+                                        dtype=np.uint32)
         out = pa.table({
             "id_a": batch.column("url_a"),
             "id_b": batch.column("url_b"),

@@ -227,8 +227,17 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         # small inputs: materialize the band explode once so the
         # hot-key scan and the pairing shuffle don't each recompute it;
         # at web scale (hint above the cap) recomputing the narrow
-        # explode is cheaper than persisting an exploded copy
-        band_ds = band_ds.materialize()
+        # explode is cheaper than persisting an exploded copy.
+        # Materialize ALREADY coalesced to the bucket count: the
+        # hot-key scan then runs over a few fat blocks (vs one tiny
+        # task per upstream block — measured 2.9s -> 0.9s at 6.4M band
+        # rows) and the pairing shuffle skips its own pre-coalesce
+        # exchange (num_blocks_hint below).
+        from .shuffle import effective_buckets
+
+        nb = effective_buckets(blocking.num_buckets)
+        band_ds = band_ds.repartition(nb).materialize()
+        num_blocks_hint = nb
     hot = find_hot_keys(band_ds, blocking, n_rows_hint)
     salted = expand_salts(band_ds, hot, blocking)
 

@@ -137,9 +137,9 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
                 rows = tbl.take(pa.array(rows_idx))
                 sig_bytes = rows.column("sig").to_pylist()
                 sigs[side] = (
-                    np.frombuffer(b"".join(sig_bytes), dtype=np.uint64)
+                    np.frombuffer(b"".join(sig_bytes), dtype=np.uint32)
                     .reshape(len(sig_bytes), -1) if sig_bytes
-                    else np.empty((0, 1), dtype=np.uint64))
+                    else np.empty((0, 1), dtype=np.uint32))
                 out = (out.append_column(f"title_{side}",
                                          rows.column("title_norm"))
                           .append_column(f"head_{side}",
@@ -210,9 +210,9 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
             est = np.empty(0, dtype=np.float64)
         else:
             sa = np.frombuffer(b"".join(batch.column("sig_a").to_pylist()),
-                               dtype=np.uint64).reshape(n, -1)
+                               dtype=np.uint32).reshape(n, -1)
             sb = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()),
-                               dtype=np.uint64).reshape(n, -1)
+                               dtype=np.uint32).reshape(n, -1)
             est = (sa == sb).mean(axis=1)
         drop = [c for c in ("sig_a", "sig_b", "uh_a", "uh_b")
                 if c in batch.schema.names]
@@ -251,7 +251,8 @@ class PairScorer:
         if n == 0:
             return _empty_scored()
         jac = jaccard_pairs_from_binary(batch.column("shingles_a"),
-                                        batch.column("shingles_b"))
+                                        batch.column("shingles_b"),
+                                        dtype=np.uint32)
 
         view = batch.select(["url_a", "url_b", "title_a", "title_b",
                              "head_a", "head_b"])

@@ -201,6 +201,56 @@ def jaccard_pairs_from_binary(col_a, col_b, dtype=np.uint64) -> np.ndarray:
     return pairwise_jaccard_packed(va, la, vb, lb)
 
 
+def partial_lev_distance(pattern: str, text: str) -> int:
+    """Minimum Levenshtein distance between ``pattern`` and ANY
+    contiguous substring of ``text`` (semi-global / Sellers-1980
+    alignment: deletions at both ends of the text are free).
+
+    Reference analogue: rapidfuzz ``fuzz.partial_ratio``
+    (``query_db/udf.py:43-59``) — the "best local match" scorer used
+    for entity validation against long affiliation strings
+    (``repository.py:569-581``).  Documented divergence: rapidfuzz
+    scores Indel similarity over alignments of the shorter string;
+    this uses full Levenshtein over all substrings — same role, exact
+    SQL-expressible semantics (min over substrings of
+    ``levenshtein()``), pinned by a brute-force unit oracle and the
+    driver's ``partial_ratio`` query.
+
+    Vectorized DP: one numpy pass over the text axis per pattern char;
+    the in-row dependency ``D[j] = min(D[j], D[j-1]+1)`` is a min-plus
+    prefix scan, computed as ``cummin(D - j) + j``.
+    """
+    m, n = len(pattern), len(text)
+    if m == 0:
+        return 0
+    if n == 0:
+        return m
+    t = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    steps = np.arange(n + 1, dtype=np.int64)
+    prev = np.zeros(n + 1, dtype=np.int64)  # D[0][j] = 0: free start
+    full = np.empty(n + 1, dtype=np.int64)
+    for i, ch in enumerate(pattern, 1):
+        code = np.uint32(ord(ch))
+        full[0] = i  # D[i][0]: pattern prefix vs empty substring
+        np.minimum(prev[:-1] + (t != code), prev[1:] + 1, out=full[1:])
+        prev = np.minimum.accumulate(full - steps) + steps
+        full = np.empty(n + 1, dtype=np.int64)
+    return int(prev.min())
+
+
+def partial_ratio(s1: str, s2: str) -> float:
+    """Best-local-match similarity in [0, 1]:
+    ``1 - partial_lev_distance(shorter, longer) / len(shorter)``.
+    Empty-vs-empty is 1.0, empty-vs-nonempty 0.0 (the reference wraps
+    the UDF with the same null/blank -> 0.0 guard, udf.py:50-53)."""
+    if not s1 and not s2:
+        return 1.0
+    if not s1 or not s2:
+        return 0.0
+    short, long_ = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+    return 1.0 - partial_lev_distance(short, long_) / len(short)
+
+
 def jaccard_from_sets(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two sorted-unique uint64 shingle sets."""
     if a.size == 0 or b.size == 0:

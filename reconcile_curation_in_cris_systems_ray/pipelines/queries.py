@@ -503,6 +503,173 @@ FROM events
 """
 
 
+# deterministic gazetteer of "org-like" surface forms present in the
+# synthetic documents text (ST1 stand-in vocabulary)
+_GAZETTEER = ["spark join", "vector table", "customer stream", "slow query"]
+
+
+def q_entity_extract(sf_dir: str):
+    """ST1: entity extraction as an actor-pool stage (gazetteer
+    backend; a model backend slots in behind the same schema — ref
+    ``query_db/analysis/entity_extraction.py:5-69``).  Emits one row
+    per (doc, matched entity) with the 1-based first-occurrence
+    position and the non-overlapping hit count."""
+    from ..stages.entities import extract_entities
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return extract_entities(docs, _GAZETTEER)
+
+
+SQL_ENTITY_EXTRACT = """
+SELECT doc_id, e.entity,
+       position(e.entity IN text) AS pos,
+       (length(text) - length(replace(text, e.entity, '')))
+         // length(e.entity) AS n_hits
+FROM documents,
+     (VALUES ('spark join'), ('vector table'), ('customer stream'),
+             ('slow query')) e(entity)
+WHERE text LIKE '%' || e.entity || '%'
+"""
+
+
+def q_discovery_pipeline(sf_dir: str):
+    """P2 multi-channel discovery composition the reference way
+    (``workflows.py:56-100``): input prescan (A6 distinct-ID set) ->
+    affiliation channel (J3 equi-join on the blocking key) -> entity
+    channel (ST1 gazetteer extraction over the input + J6 containment
+    join) -> input-ID exclusion anti-join (J4) -> channel UNION ALL +
+    priority dedup (D1: affiliation_exact beats entity_extracted,
+    ``repository.py:456-509``)."""
+    from ..stages.blocking import exact_blocking_keys
+    from ..stages.entities import extract_entities
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source", "text"])
+    input_docs = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 12)),
+        batch_format="pyarrow")
+
+    # A6 prescan: the input side is small by contract (the reference
+    # reads it in 100k-row chunks); collect ids + blocking keys once
+    inp = input_docs.to_pandas()
+    input_ids = set(inp["doc_id"])
+    keys = pd.DataFrame({"block_key": sorted(set(
+        inp["source"].astype("string").fillna("").str.strip().str.lower()))})
+
+    # channel 1 (J3): equi-join on the affiliation blocking key
+    keyed = exact_blocking_keys(docs.select_columns(["doc_id", "source"]),
+                                "source", "block_key")
+    chan_a = rel.broadcast_join(keyed, keys, on=["block_key"]).map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "match_type": pa.array(["affiliation_exact"] * len(t),
+                                   pa.string())}),
+        batch_format="pyarrow")
+
+    # channel 2 (ST1 + J6): entities extracted from the input docs,
+    # then containment-joined against every document's text
+    ents = extract_entities(input_docs, _GAZETTEER).to_pandas()
+    entities = sorted(set(ents["entity"]))
+    hits = rel.containment_join(docs.select_columns(["doc_id", "text"]),
+                                "text", entities)
+    chan_b = rel.distinct(hits.select_columns(["doc_id"]), ["doc_id"]) \
+        .map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "match_type": pa.array(["entity_extracted"] * len(t),
+                                       pa.string())}),
+            batch_format="pyarrow")
+
+    # J4 exclusion + D1 priority dedup
+    excluded = rel.broadcast_anti_join(chan_a.union(chan_b), input_ids,
+                                       on="doc_id")
+
+    def add_prio(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["prio"] = np.where(df["match_type"] == "affiliation_exact", 1, 2)
+        return df
+
+    out = rel.priority_dedup(
+        excluded.map_batches(add_prio, batch_format="pandas"),
+        keys=["doc_id"], order_by=["prio"])
+    return out.select_columns(["doc_id", "match_type"])
+
+
+SQL_DISCOVERY_PIPELINE = """
+WITH input_docs AS (SELECT * FROM documents WHERE doc_id < 12),
+keys AS (SELECT DISTINCT lower(trim(coalesce(source, ''))) AS k
+         FROM input_docs),
+gaz(entity) AS (VALUES ('spark join'), ('vector table'),
+                       ('customer stream'), ('slow query')),
+ents AS (SELECT DISTINCT g.entity FROM input_docs d
+         JOIN gaz g ON d.text LIKE '%' || g.entity || '%'),
+chan_a AS (SELECT d.doc_id, 'affiliation_exact' AS match_type
+           FROM documents d
+           JOIN keys k ON lower(trim(coalesce(d.source, ''))) = k.k),
+chan_b AS (SELECT DISTINCT d.doc_id, 'entity_extracted' AS match_type
+           FROM documents d
+           JOIN ents e ON d.text LIKE '%' || e.entity || '%'),
+unioned AS (SELECT * FROM chan_a UNION ALL SELECT * FROM chan_b),
+excl AS (SELECT * FROM unioned
+         WHERE doc_id NOT IN (SELECT doc_id FROM input_docs))
+SELECT doc_id, match_type FROM (
+  SELECT doc_id, match_type,
+         row_number() OVER (
+           PARTITION BY doc_id
+           ORDER BY CASE match_type
+             WHEN 'affiliation_exact' THEN 1 ELSE 2 END) AS rn
+  FROM excl) WHERE rn = 1
+"""
+
+
+_PR_ENTITIES = ["ring", "widgit", "gizmmo"]
+
+
+def q_partial_ratio(sf_dir: str):
+    """F2: partial_ratio — best-local-match fuzzy score as the minimum
+    Levenshtein distance between each entity and ANY substring of the
+    part name (Sellers semi-global DP, ``partial_lev_distance``).
+    Integer distances so the oracle hash-matches exactly.  Ref
+    ``query_db/udf.py:43-59`` (divergence documented on the
+    function)."""
+    from ..functions.similarity import partial_lev_distance
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(pc.less_equal(t["p_partkey"], 100)),
+        batch_format="pyarrow")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for ent in _PR_ENTITIES:
+            parts.append(pd.DataFrame({
+                "p_partkey": df["p_partkey"],
+                "entity": ent,
+                "min_lev": [partial_lev_distance(ent, nm)
+                            for nm in df["p_name"].astype("string")
+                            .fillna("")],
+            }))
+        return pd.concat(parts, ignore_index=True)
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+# min over all substrings == min over substrings of length <= 2m:
+# longer substrings have lev >= len - m > m while some length-1
+# substring already costs <= m (proof in partial_lev_distance tests)
+SQL_PARTIAL_RATIO = """
+SELECT p_partkey, e.entity,
+       min(levenshtein(e.entity,
+                       substr(p_name, CAST(i AS INT), CAST(l AS INT))))
+         AS min_lev
+FROM part,
+     (VALUES ('ring'), ('widgit'), ('gizmmo')) e(entity),
+     generate_series(1, 64) t(i), generate_series(1, 12) u(l)
+WHERE p_partkey <= 100
+  AND i <= length(p_name)
+  AND l <= least(length(p_name) - i + 1, 2 * length(e.entity))
+GROUP BY p_partkey, e.entity
+"""
+
+
 def q_fuzzy_name_pairs(sf_dir: str):
     """F1/F2/J7: fuzzy self-join on customer names — broadcast small
     side + per-actor DuckDB Jaro-Winkler kernel (same kernel as the
@@ -964,6 +1131,9 @@ QUERIES = {
     "audit_stats": q_audit_stats,
     "csv_roundtrip": q_csv_roundtrip,
     "curation_pipeline": q_curation_pipeline,
+    "entity_extract": q_entity_extract,
+    "discovery_pipeline": q_discovery_pipeline,
+    "partial_ratio": q_partial_ratio,
     # rows-only
     "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,
@@ -1009,4 +1179,7 @@ ORACLES = {
     "audit_stats": SQL_AUDIT_STATS,
     "csv_roundtrip": SQL_CSV_ROUNDTRIP,
     "curation_pipeline": SQL_CURATION_PIPELINE,
+    "entity_extract": SQL_ENTITY_EXTRACT,
+    "discovery_pipeline": SQL_DISCOVERY_PIPELINE,
+    "partial_ratio": SQL_PARTIAL_RATIO,
 }

@@ -1,0 +1,108 @@
+"""Entity extraction (ST1) + partial_ratio (F2) unit coverage."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from reconcile_curation_in_cris_systems_ray.functions.similarity import (
+    partial_lev_distance, partial_ratio,
+)
+from reconcile_curation_in_cris_systems_ray.stages.entities import (
+    EntityExtractor, validate_entities,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            cur = min(prev + (ca != cb), dp[j] + 1, dp[j - 1] + 1)
+            prev, dp[j] = dp[j], cur
+    return dp[-1]
+
+
+def _brute_partial(p: str, t: str) -> int:
+    """min Levenshtein over ALL substrings of t (incl. the empty one)."""
+    if not p:
+        return 0
+    best = len(p)
+    for i in range(len(t)):
+        for j in range(i + 1, len(t) + 1):
+            best = min(best, _lev(p, t[i:j]))
+    return best
+
+
+def test_partial_lev_distance_matches_bruteforce():
+    import random
+
+    random.seed(7)
+    for _ in range(250):
+        p = "".join(random.choice("abcde") for _ in range(random.randint(0, 6)))
+        t = "".join(random.choice("abcde") for _ in range(random.randint(0, 12)))
+        assert partial_lev_distance(p, t) == _brute_partial(p, t), (p, t)
+
+
+def test_partial_ratio_known_values():
+    # exact-substring alignments score 1.0 (rapidfuzz gives 100 here too)
+    assert partial_ratio("bork", "bork is great") == 1.0
+    assert partial_ratio("this is a test", "this is a test!") == 1.0
+    assert partial_ratio("", "") == 1.0
+    assert partial_ratio("", "abc") == 0.0
+    assert partial_ratio("abc", "") == 0.0
+    # one char off inside the best window
+    assert partial_ratio("ring", "red rong widget") == pytest.approx(0.75)
+    # symmetric in its arguments
+    assert partial_ratio("abcd", "xxabcdxx") == partial_ratio("xxabcdxx", "abcd")
+
+
+def test_entity_extractor_gazetteer():
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["acme corp sells acme corp widgets",
+                 "no entities here",
+                 "globex at the start",
+                 ""],
+    })
+    ex = EntityExtractor(entities=["acme corp", "globex"])
+    out = ex(pa.Table.from_pandas(df)).to_pandas() \
+        .sort_values(["doc_id", "entity"]).reset_index(drop=True)
+    assert list(out["doc_id"]) == [1, 3]
+    assert list(out["entity"]) == ["acme corp", "globex"]
+    assert list(out["pos"]) == [1, 1]
+    assert list(out["n_hits"]) == [2, 1]
+
+
+def test_entity_extractor_model_backend_is_documented_stub():
+    with pytest.raises(NotImplementedError):
+        EntityExtractor(entities=["x"], backend="model")
+
+
+def test_validate_entities_threshold():
+    # 'acme corporation' contains 'acme corp' -> partial_ratio 1.0;
+    # 'initech' matches nothing configured
+    out = validate_entities(["acme corp", "initech"],
+                            ["acme corporation", "globex inc"],
+                            threshold=0.85)
+    assert list(out["entity"]) == ["acme corp"]
+    assert out.loc[0, "best_org"] == "acme corporation"
+    assert out.loc[0, "best_score"] == 1.0
+
+
+def test_extract_entities_actor_pool(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.entities import (
+        extract_entities,
+    )
+
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(100), pa.int64()),
+        "text": pa.array([f"row {i} mentions acme corp" if i % 3 == 0
+                          else f"row {i} plain" for i in range(100)]),
+    })
+    out = extract_entities(rd.from_arrow(tbl), ["acme corp"]).to_pandas()
+    assert len(out) == 34
+    assert (out["entity"] == "acme corp").all()
+    assert (out["n_hits"] == 1).all()

@@ -18,6 +18,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # extend as queries are added / fixed
 PINNED = [
     "count_distinct",
+    "entity_extract",
+    "discovery_pipeline",
+    "partial_ratio",
 ]
 
 

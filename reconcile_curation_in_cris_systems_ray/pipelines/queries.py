@@ -503,6 +503,54 @@ FROM events
 """
 
 
+def q_field_extract_nested(sf_dir: str):
+    """M1 deep coverage: trie extraction over NESTED JSON — an object
+    path (``u.id``), an array-of-objects path (``tags.t`` -> concrete
+    ``tags[i].t`` subfield paths), and a dynamic-key wildcard
+    (``props.*`` — the reference's ``relation.*`` / abstract-index
+    case, crossref ``main.rs:598-606``).  The JSON documents are built
+    deterministically from events columns with the same concatenation
+    the oracle uses, so DuckDB's json functions extract from the
+    identical strings."""
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def build(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_pylist()
+        et = t.column("event_type").to_pylist()
+        docs = [
+            f'{{"u":{{"id":{u}}},"tags":[{{"t":"{e}"}},{{"t":"evt"}}],'
+            f'"props":{{"kind":"{e}","n":{u}}}}}'
+            for u, e in zip(uid, et)
+        ]
+        return pa.table({"event_id": t.column("event_id"),
+                         "doc": pa.array(docs, pa.string())})
+
+    built = ds.map_batches(build, batch_format="pyarrow")
+    out = extract_fields(built, field_spec="u.id,tags.t,props.*",
+                         json_col="doc", id_cols=("event_id",))
+    return out.select_columns(["event_id", "field_name", "subfield_path",
+                               "value"])
+
+
+SQL_FIELD_EXTRACT_NESTED = """
+WITH j AS (SELECT event_id,
+  '{"u":{"id":' || user_id || '},"tags":[{"t":"' || event_type ||
+  '"},{"t":"evt"}],"props":{"kind":"' || event_type || '","n":' ||
+  user_id || '}}' AS doc
+  FROM events)
+SELECT event_id, 'u.id' AS field_name, 'u.id' AS subfield_path,
+       json_extract_string(doc, '$.u.id') AS value FROM j
+UNION ALL
+SELECT event_id, 'tags.t', 'tags[' || (g.i - 1) || '].t',
+       json_extract_string(doc, '$.tags[' || (g.i - 1) || '].t')
+FROM j, generate_series(1, 2) g(i)
+UNION ALL
+SELECT event_id, 'props.*', 'props.' || k,
+       json_extract_string(doc, '$.props."' || k || '"')
+FROM (SELECT event_id, doc, unnest(json_keys(doc, '$.props')) AS k FROM j)
+"""
+
+
 # deterministic gazetteer of "org-like" surface forms present in the
 # synthetic documents text (ST1 stand-in vocabulary)
 _GAZETTEER = ["spark join", "vector table", "customer stream", "slow query"]
@@ -779,9 +827,33 @@ def q_simhash_pairs(sf_dir: str):
 
 
 def q_embedding_dups(sf_dir: str):
-    """Embedding-cosine near-dup pairs via hyperplane LSH."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH.
+
+    The embeddings table is i.i.d. random (max natural pairwise cosine
+    ~0.51 at sf0.01), so a threshold-0.95 search over it alone proves
+    nothing.  Near-identical probes are therefore PLANTED
+    deterministically — every 25th vector re-emitted as vec_id +
+    1_000_000 with a tiny deterministic perturbation (cosine vs the
+    original > 0.999) — and the query must recover exactly the planted
+    pairs (recovery pinned by ``tests/test_stages.py``)."""
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_dup_pairs(ds, "vec_id", "embedding",
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        vecs = np.asarray(t.column("embedding").to_pylist(),
+                          dtype=np.float64)
+        mask = ids % 25 == 0
+        dup = vecs[mask] * (1.0 + 0.005 * np.sin(
+            np.arange(vecs.shape[1])[None, :] + ids[mask][:, None]))
+        all_ids = np.concatenate([ids, ids[mask] + 1_000_000])
+        all_vecs = np.concatenate([vecs, dup])
+        return pa.table({
+            "vec_id": pa.array(all_ids, pa.int64()),
+            "embedding": pa.array(list(all_vecs)),
+        })
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return embedding_dup_pairs(planted, "vec_id", "embedding",
                                cosine_threshold=0.95)
 
 
@@ -1134,6 +1206,7 @@ QUERIES = {
     "entity_extract": q_entity_extract,
     "discovery_pipeline": q_discovery_pipeline,
     "partial_ratio": q_partial_ratio,
+    "field_extract_nested": q_field_extract_nested,
     # rows-only
     "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,
@@ -1182,4 +1255,5 @@ ORACLES = {
     "entity_extract": SQL_ENTITY_EXTRACT,
     "discovery_pipeline": SQL_DISCOVERY_PIPELINE,
     "partial_ratio": SQL_PARTIAL_RATIO,
+    "field_extract_nested": SQL_FIELD_EXTRACT_NESTED,
 }

@@ -275,20 +275,32 @@ def embedding_dup_pairs(ds, id_col: str, vec_col: str,
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,
                         n: int = 1, threshold: float = 0.5,
-                        num_buckets: int = 64):
+                        num_buckets: int = 64, rows_hint: int | None = None):
     """Token n-gram Jaccard near-dup pairs within an exact blocking key.
 
-    Partitioning assumption: blocks (``block_col`` groups) are small
-    enough that the within-block pair set fits one task — the same
-    assumption the reference's equi-key candidate join makes
-    (``find_additional_works_from_input_csv/query_db/repository.py:
-    297-314``); for web-scale keys, pre-salt upstream.
+    Routed through the SALTED candidate-pair generator
+    (``stages/pairs.py``): a skewed ``block_col`` key above the hot-key
+    cap is split into salt triangle groups (pair set identical to the
+    plain groupby — pinned by tests), and degenerate groups above
+    ``MAX_SIDE`` fall back to star+chain pairing (bounded, documented
+    recall cap).  The round-1 version ran an unsalted O(m^2) Python
+    loop per block — a scale-killer on skewed keys.
+
+    Verification hydrates the (id, token-set) features from a
+    broadcast sorted-hash lookup (``ray.put`` once, zero-copy per
+    task) and computes exact Jaccard with the vectorized packed-pair
+    kernel; at web scale swap the broadcast for the distributed
+    two-join path (``scoring.hydrate_pairs``).
 
     Returns (id_a, id_b, jac) for within-block pairs with token
-    n-gram-set Jaccard >= ``threshold``; ids compared as ints when the
-    id column is numeric (pair order = ascending id).
+    n-gram-set Jaccard >= ``threshold``; pair order = ascending id.
+    Reference analogue: equi-key candidate join
+    ``query_db/repository.py:297-314`` + fuzzy post-filter.
     """
+    import ray
+
     from ..functions.similarity import _rolling_combine
+    from .pairs import generate_candidate_pairs
 
     def feats(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -300,34 +312,69 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,
                 continue
             h = np.unique(_rolling_combine(stable_hash_strings(toks), n))
             sets.append(h.tobytes())
+        ids = batch.column(id_col)
+        uh = stable_hash_strings(
+            np.array([str(v) for v in ids.to_pylist()], dtype=object))
+        bh = stable_hash_strings(
+            batch.column(block_col).cast(pa.string()).to_pandas()
+            .fillna("").to_numpy(dtype=object)).view(np.int64)
+        nrows = len(batch)
         return pa.table({
-            "id": batch.column(id_col),
-            "block": batch.column(block_col).cast(pa.string()),
+            "id": ids,
+            "uh": pa.array(uh, pa.uint64()),
+            "band_id": pa.array(np.zeros(nrows, np.int32)),
+            "band_hash": pa.array(bh, pa.int64()),
             "toks": pa.array(sets, pa.binary()),
         })
 
     prepped = ds.select_columns([id_col, text_col, block_col]).map_batches(
-        feats, batch_format="pyarrow")
+        feats, batch_format="pyarrow").materialize()
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids_a, ids_b, jacs = [], [], []
-        for _, g in df.groupby("block", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values("id", kind="mergesort")
-            ids = g["id"].to_numpy()
-            sets = [np.frombuffer(b, dtype=np.uint64) for b in g["toks"]]
-            m = len(g)
-            for i in range(m - 1):
-                si = sets[i]
-                for j in range(i + 1, m):
-                    jac = jaccard_from_sets(si, sets[j])
-                    if jac >= threshold:
-                        ids_a.append(ids[i])
-                        ids_b.append(ids[j])
-                        jacs.append(round(jac, 6))
-        return pd.DataFrame({"id_a": pd.Series(ids_a),
-                             "id_b": pd.Series(ids_b),
-                             "jac": pd.Series(jacs, dtype="float64")})
+    blocking = BlockingConfig(num_buckets=num_buckets)
+    bands = prepped.select_columns(["band_id", "band_hash", "uh"])
+    pairs = generate_candidate_pairs(
+        bands, blocking,
+        n_rows_hint=rows_hint if rows_hint is not None else prepped.count(),
+        dedup_pairs=False)
 
-    return bucketed_map_groups(prepped, ["block"], bucket_pairs, num_buckets)
+    # broadcast hydration lookup: sorted uh + row-aligned (id, toks)
+    tbl = pa.concat_tables(
+        [ray.get(r) for r in prepped.to_arrow_refs()]).combine_chunks()
+    uh_all = tbl.column("uh").to_numpy(zero_copy_only=False) \
+        .astype(np.uint64)
+    order = np.argsort(uh_all, kind="mergesort")
+    h_ref = ray.put(np.ascontiguousarray(uh_all[order]))
+    t_ref = ray.put(
+        tbl.select(["id", "toks"]).take(pa.array(order)).combine_chunks())
+
+    def verify(batch: pa.Table, _h=h_ref, _t=t_ref) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "jac": pa.array([], pa.float64())})
+        if len(batch) == 0:
+            return empty
+        h = ray.get(_h)
+        look = ray.get(_t)
+        idx = {}
+        for side in ("a", "b"):
+            q = batch.column(f"uh_{side}").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            i = np.clip(np.searchsorted(h, q), 0, len(h) - 1)
+            idx[side] = pa.array(i)
+        toks_a = look.column("toks").take(idx["a"])
+        toks_b = look.column("toks").take(idx["b"])
+        jac = jaccard_pairs_from_binary(toks_a, toks_b)
+        ids_a = look.column("id").take(idx["a"]).to_numpy(
+            zero_copy_only=False)
+        ids_b = look.column("id").take(idx["b"]).to_numpy(
+            zero_copy_only=False)
+        keep = jac >= threshold
+        a, b, j = ids_a[keep], ids_b[keep], jac[keep]
+        swap = a > b
+        return pa.table({
+            "id_a": pa.array(np.where(swap, b, a)),
+            "id_b": pa.array(np.where(swap, a, b)),
+            "jac": pa.array(np.round(j, 6), pa.float64()),
+        })
+
+    return pairs.map_batches(verify, batch_format="pyarrow")

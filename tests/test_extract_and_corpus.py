@@ -58,3 +58,48 @@ def test_corpus_has_skew_and_nonlatin():
     assert cids.count(0) >= 40  # giant family
     assert "zh" in set(tbl.column("lang").to_pylist())
     assert len(true_pairs(tbl)) > 100
+
+
+def test_field_trie_nested_arrays_and_wildcards():
+    """M1 hard cases: array-index subfield paths (a[0].b[1].c),
+    dynamic-key wildcard objects, terminal-with-children fallthrough.
+    Ref: openalex main.rs:444-499, crossref main.rs:598-606."""
+    from reconcile_curation_in_cris_systems_ray.stages.fields import (
+        PatternTrie, extract_fields_from_doc, parse_field_specifications,
+    )
+
+    doc = {
+        "a": [
+            {"b": [{"c": 1}, {"c": 2}]},
+            {"b": [{"c": 3}]},
+        ],
+        "rel": {"cites": [{"id": "x"}], "funds": [{"id": "y"}]},
+        "top": {"mid": "leaf", "deep": {"k": True}},
+    }
+    trie = PatternTrie.build(parse_field_specifications(
+        "a.b.c, rel.*.id, top.mid, top.deep"))
+    rows = sorted(extract_fields_from_doc(doc, trie))
+    assert rows == sorted([
+        ("a.b.c", "a[0].b[0].c", "1"),
+        ("a.b.c", "a[0].b[1].c", "2"),
+        ("a.b.c", "a[1].b[0].c", "3"),
+        ("rel.*.id", "rel.cites[0].id", "x"),
+        ("rel.*.id", "rel.funds[0].id", "y"),
+        ("top.mid", "top.mid", "leaf"),
+        # nested leftover JSON-serialized, bools lowercased (ref
+        # main.rs:453-462 stringly-typed rows)
+        ("top.deep", "top.deep", '{"k":true}'),
+    ])
+
+
+def test_field_trie_array_of_scalars_and_missing_keys():
+    from reconcile_curation_in_cris_systems_ray.stages.fields import (
+        PatternTrie, extract_fields_from_doc, parse_field_specifications,
+    )
+
+    trie = PatternTrie.build(parse_field_specifications("ids, nope.x"))
+    rows = extract_fields_from_doc({"ids": [10, 20], "other": 1}, trie)
+    assert sorted(rows) == [("ids", "ids[0]", "10"), ("ids", "ids[1]", "20")]
+    # top-level array documents traverse transparently too
+    rows2 = extract_fields_from_doc([{"ids": [7]}], trie)
+    assert rows2 == [("ids", "[0].ids[0]", "7")]

@@ -260,3 +260,29 @@ def test_lang_id_stage_vectorized(ray_session):
         lang, score = scalar(t)
         assert out.loc[i, "lang_pred"] == lang
         assert out.loc[i, "lang_score"] == score
+
+
+def test_embedding_dups_query_recovers_planted_pairs(ray_session):
+    """The driver's embedding_dups query plants near-identical probes
+    (vec_id + 1_000_000); LSH + exact-cosine verify must recover every
+    planted pair and nothing from the i.i.d. background."""
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import (
+        q_embedding_dups,
+    )
+
+    out = q_embedding_dups("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    a = out["id_a"].astype("int64")
+    b = out["id_b"].astype("int64")
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    # every emitted pair is (v, v + 1_000_000) for a planted v
+    assert (hi - lo == 1_000_000).all()
+    assert (lo % 25 == 0).all()
+    # full recall of the planted set
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                        columns=["vec_id"]).column("vec_id").to_numpy()
+    assert set(lo) == {int(v) for v in ids if v % 25 == 0}
+    assert (out["cosine"] > 0.999).all()

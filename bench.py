@@ -116,6 +116,9 @@ def run_bench() -> dict:
         else:
             warmup_sec = wall
         pairs = out["metrics"].get("scored_pairs") or 0
+        stage_walls = {s["stage"]: s["wall_sec"]
+                       for s in out["metrics"]["stages"]
+                       if s.get("wall_sec") is not None}
         # drop every ref to this run's materialized datasets before the
         # next run starts: keeping them pins object-store memory and
         # measured +40-90% wall on later same-session runs
@@ -125,6 +128,7 @@ def run_bench() -> dict:
     timings: dict[str, float] = {"reconcile_flagship": headline_sec,
                                  "reconcile_warmup": warmup_sec,
                                  "reconcile_runs": walls,
+                                 "stage_walls_last_run": stage_walls,
                                  "corpus_gen": gen_sec}
     if os.environ.get("GRAFT_SKIP_OPS"):
         # scaling children time only the flagship; the operator-query
@@ -173,20 +177,39 @@ def run_scaling():
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo, r_hi = one(lo), one(hi)
-    pages = r_hi["corpus_pages"]
-    thr_lo = pages / r_lo["value"]
-    thr_hi = pages / r_hi["value"]
+    # INTERLEAVED passes (lo,hi,lo,hi) with per-level best-of: this
+    # sandbox's absolute walls drift 2-3x over minutes of sustained
+    # load (kernel memory-management churn, see BASELINE.md), so a
+    # single lo-then-hi sequence penalizes whichever level runs in the
+    # slower phase.  Per-level best across interleaved passes estimates
+    # each level's capability under comparable machine state; every
+    # child itself reports the median of 3 warm runs, and all raw
+    # values are printed for scrutiny.
+    passes = int(os.environ.get("GRAFT_SCALE_PASSES", "2"))
+    walls_lo, walls_hi = [], []
+    pairs_lo = pairs_hi = 0
+    pages = 0
+    for _ in range(passes):
+        r_lo, r_hi = one(lo), one(hi)
+        walls_lo.append(r_lo["value"])
+        walls_hi.append(r_hi["value"])
+        pairs_lo = max(pairs_lo, r_lo["pairs_per_sec"])
+        pairs_hi = max(pairs_hi, r_hi["pairs_per_sec"])
+        pages = r_hi["corpus_pages"]
+    sec_lo, sec_hi = min(walls_lo), min(walls_hi)
+    thr_lo = pages / sec_lo
+    thr_hi = pages / sec_hi
     eff = (thr_hi / thr_lo) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency",
         "cpus_lo": lo, "cpus_hi": hi,
-        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "sec_lo": sec_lo, "sec_hi": sec_hi,
+        "walls_lo": walls_lo, "walls_hi": walls_hi,
         "pages": pages,
         "pages_per_sec_lo": round(thr_lo, 1),
         "pages_per_sec_hi": round(thr_hi, 1),
-        "pairs_per_sec_lo": r_lo["pairs_per_sec"],
-        "pairs_per_sec_hi": r_hi["pairs_per_sec"],
+        "pairs_per_sec_lo": pairs_lo,
+        "pairs_per_sec_hi": pairs_hi,
         "scaling_efficiency": round(eff, 3),
     }))
 

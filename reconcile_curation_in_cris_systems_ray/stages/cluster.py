@@ -116,7 +116,7 @@ def _driver_finish(edges_ds):
     import ray
     import ray.data as rd
 
-    blocks = [ray.get(r) for r in edges_ds.materialize().to_arrow_refs()]
+    blocks = ray.get(list(edges_ds.materialize().to_arrow_refs()))
     blocks = [b.select(["u", "v"]) for b in blocks if b.num_rows]
     if not blocks:
         return rd.from_arrow(pa.table({"u": pa.array([], pa.string()),
@@ -127,9 +127,11 @@ def _driver_finish(edges_ds):
     if len(u) == 0:
         return rd.from_arrow(pa.table({"u": pa.array([], pa.string()),
                                        "v": pa.array([], pa.string())}))
-    # integer-coded union-find: factorize urls once, run UF on int
-    # arrays (~5x faster than dict-based UF on strings)
-    codes, uniques = pd.factorize(np.concatenate([u, v]), sort=True)
+    # integer-coded union-find: factorize urls once (UNSORTED hash
+    # factorize — a sorted factorize pays an O(n log n) string sort;
+    # the component-min label is recovered vectorized below), run UF
+    # on int arrays (~5x faster than dict-based UF on strings)
+    codes, uniques = pd.factorize(np.concatenate([u, v]), sort=False)
     n = len(uniques)
     cu, cv = codes[:len(u)], codes[len(u):]
     # plain Python list: scalar indexing on a list is ~4x faster than
@@ -147,16 +149,19 @@ def _driver_finish(edges_ds):
     for a, b in zip(cu.tolist(), cv.tolist()):
         ra, rb = find(a), find(b)
         if ra != rb:
-            # uniques are sorted, so min int code == min url
             if ra < rb:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
     roots = np.array([find(i) for i in range(n)], dtype=np.int64)
-    nonself = np.flatnonzero(roots != np.arange(n))
+    # deterministic label = lexicographic MIN url per component,
+    # recovered vectorized: one groupby-min over (root, url)
+    labels = pd.Series(uniques).groupby(roots).min()
+    root_label = labels.reindex(roots).to_numpy(dtype=object)
+    nonself = np.flatnonzero(root_label != uniques)
     return rd.from_arrow(pa.table({
         "u": pa.array(uniques[nonself], pa.string()),
-        "v": pa.array(uniques[roots[nonself]], pa.string()),
+        "v": pa.array(root_label[nonself], pa.string()),
     }))
 
 

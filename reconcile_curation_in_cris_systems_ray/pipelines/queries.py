@@ -370,6 +370,76 @@ FROM documents
 """
 
 
+def q_bpe_token_count(sf_dir: str):
+    """Text analysis: sub-word-ish token counting via the BPE-style
+    regex (word runs | digit runs | single non-space symbol)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_bpe": ts.bpe_token_count(df["text"]).astype("int64").to_numpy(),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_BPE_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|\d+|[^\sA-Za-z\d]'))
+         AS n_bpe
+FROM documents
+"""
+
+
+_EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for",
+                 "with", "as")
+
+
+def q_stopword_ratio(sf_dir: str):
+    """Text analysis: English stopword-hit ratio per document (the
+    vectorized explode+isin kernel the language-ID stage uses, here
+    pinned to a SQL oracle)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    stops = frozenset(_EN_STOPWORDS)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("").reset_index(drop=True)
+        toks = texts.str.lower().str.split()
+        ntok = toks.str.len().fillna(0).astype("int64")
+        ex = toks.explode()
+        hits = ex.isin(stops).groupby(level=0).sum() \
+            .reindex(texts.index).fillna(0).astype("int64")
+        ratio = (hits / ntok.clip(lower=1)).round(6)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_tokens": ntok.to_numpy(),
+            "n_stop": hits.to_numpy(),
+            "stop_ratio": ratio.to_numpy(),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_STOPWORD_RATIO = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(coalesce(text, '')) = ''
+              THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END
+           AS toks
+  FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+       len(list_filter(toks, x -> x IN ('the','and','of','to','in','is',
+                                        'that','for','with','as')))
+         AS n_stop,
+       round(CAST(len(list_filter(toks, x -> x IN ('the','and','of','to',
+                     'in','is','that','for','with','as'))) AS DOUBLE)
+             / greatest(len(toks), 1), 6) AS stop_ratio
+FROM t
+"""
+
+
 def q_quality_stats(sf_dir: str):
     """Text analysis: quality-signal counts and ratios."""
     ds = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -1207,6 +1277,8 @@ QUERIES = {
     "discovery_pipeline": q_discovery_pipeline,
     "partial_ratio": q_partial_ratio,
     "field_extract_nested": q_field_extract_nested,
+    "bpe_token_count": q_bpe_token_count,
+    "stopword_ratio": q_stopword_ratio,
     # rows-only
     "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,
@@ -1256,4 +1328,6 @@ ORACLES = {
     "discovery_pipeline": SQL_DISCOVERY_PIPELINE,
     "partial_ratio": SQL_PARTIAL_RATIO,
     "field_extract_nested": SQL_FIELD_EXTRACT_NESTED,
+    "bpe_token_count": SQL_BPE_TOKEN_COUNT,
+    "stopword_ratio": SQL_STOPWORD_RATIO,
 }

@@ -21,6 +21,10 @@ PINNED = [
     "entity_extract",
     "discovery_pipeline",
     "partial_ratio",
+    "field_extract_nested",
+    "bpe_token_count",
+    "stopword_ratio",
+    "ngram_jaccard",
 ]
 
 

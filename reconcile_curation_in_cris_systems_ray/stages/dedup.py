@@ -275,7 +275,8 @@ def embedding_dup_pairs(ds, id_col: str, vec_col: str,
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,
                         n: int = 1, threshold: float = 0.5,
-                        num_buckets: int = 64, rows_hint: int | None = None):
+                        num_buckets: int = 64, rows_hint: int | None = None,
+                        broadcast_threshold: int = 2_000_000):
     """Token n-gram Jaccard near-dup pairs within an exact blocking key.
 
     Routed through the SALTED candidate-pair generator
@@ -286,11 +287,13 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,
     recall cap).  The round-1 version ran an unsalted O(m^2) Python
     loop per block — a scale-killer on skewed keys.
 
-    Verification hydrates the (id, token-set) features from a
-    broadcast sorted-hash lookup (``ray.put`` once, zero-copy per
-    task) and computes exact Jaccard with the vectorized packed-pair
-    kernel; at web scale swap the broadcast for the distributed
-    two-join path (``scoring.hydrate_pairs``).
+    Verification hydrates the (id, token-set) features adaptively —
+    below ``broadcast_threshold`` docs from a broadcast sorted-hash
+    lookup (``ray.put`` once, zero-copy per task), above it via two
+    hash-partitioned ``Dataset.join``s (the same crossover the
+    flagship's ``scoring.hydrate_pairs`` makes) — and computes exact
+    Jaccard with the vectorized packed-pair kernel.  Both strategies
+    produce identical pairs (pinned by tests).
 
     Returns (id_a, id_b, jac) for within-block pairs with token
     n-gram-set Jaccard >= ``threshold``; pair order = ascending id.
@@ -337,37 +340,9 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,
         n_rows_hint=rows_hint if rows_hint is not None else prepped.count(),
         dedup_pairs=False)
 
-    # broadcast hydration lookup: sorted uh + row-aligned (id, toks)
-    tbl = pa.concat_tables(
-        [ray.get(r) for r in prepped.to_arrow_refs()]).combine_chunks()
-    uh_all = tbl.column("uh").to_numpy(zero_copy_only=False) \
-        .astype(np.uint64)
-    order = np.argsort(uh_all, kind="mergesort")
-    h_ref = ray.put(np.ascontiguousarray(uh_all[order]))
-    t_ref = ray.put(
-        tbl.select(["id", "toks"]).take(pa.array(order)).combine_chunks())
-
-    def verify(batch: pa.Table, _h=h_ref, _t=t_ref) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], pa.int64()),
-                          "id_b": pa.array([], pa.int64()),
-                          "jac": pa.array([], pa.float64())})
-        if len(batch) == 0:
-            return empty
-        h = ray.get(_h)
-        look = ray.get(_t)
-        idx = {}
-        for side in ("a", "b"):
-            q = batch.column(f"uh_{side}").to_numpy(
-                zero_copy_only=False).astype(np.uint64)
-            i = np.clip(np.searchsorted(h, q), 0, len(h) - 1)
-            idx[side] = pa.array(i)
-        toks_a = look.column("toks").take(idx["a"])
-        toks_b = look.column("toks").take(idx["b"])
+    def _finish(ids_a: np.ndarray, ids_b: np.ndarray,
+                toks_a, toks_b) -> pa.Table:
         jac = jaccard_pairs_from_binary(toks_a, toks_b)
-        ids_a = look.column("id").take(idx["a"]).to_numpy(
-            zero_copy_only=False)
-        ids_b = look.column("id").take(idx["b"]).to_numpy(
-            zero_copy_only=False)
         keep = jac >= threshold
         a, b, j = ids_a[keep], ids_b[keep], jac[keep]
         swap = a > b
@@ -377,4 +352,61 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,
             "jac": pa.array(np.round(j, 6), pa.float64()),
         })
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    _EMPTY = pa.table({"id_a": pa.array([], pa.int64()),
+                       "id_b": pa.array([], pa.int64()),
+                       "jac": pa.array([], pa.float64())})
+
+    if prepped.count() <= broadcast_threshold:
+        # broadcast hydration: sorted uh + row-aligned (id, toks)
+        tbl = pa.concat_tables(
+            ray.get(list(prepped.to_arrow_refs()))).combine_chunks()
+        uh_all = tbl.column("uh").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        order = np.argsort(uh_all, kind="mergesort")
+        h_ref = ray.put(np.ascontiguousarray(uh_all[order]))
+        t_ref = ray.put(
+            tbl.select(["id", "toks"]).take(pa.array(order))
+            .combine_chunks())
+
+        def verify(batch: pa.Table, _h=h_ref, _t=t_ref) -> pa.Table:
+            if len(batch) == 0:
+                return _EMPTY
+            h = ray.get(_h)
+            look = ray.get(_t)
+            idx = {}
+            for side in ("a", "b"):
+                q = batch.column(f"uh_{side}").to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+                i = np.clip(np.searchsorted(h, q), 0, len(h) - 1)
+                idx[side] = pa.array(i)
+            return _finish(
+                look.column("id").take(idx["a"]).to_numpy(
+                    zero_copy_only=False),
+                look.column("id").take(idx["b"]).to_numpy(
+                    zero_copy_only=False),
+                look.column("toks").take(idx["a"]),
+                look.column("toks").take(idx["b"]))
+
+        return pairs.map_batches(verify, batch_format="pyarrow")
+
+    # distributed crossover: two hash-partitioned joins hydrate the
+    # (id, toks) features per side — no whole-table driver collect
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, cpus // 2)
+    feats = prepped.select_columns(["id", "uh", "toks"])
+    a = pairs.join(feats, join_type="inner", num_partitions=nparts,
+                   on=("uh_a",), right_on=("uh",))
+    a = a.rename_columns({"id": "id_a", "toks": "toks_a"})
+    b = a.join(feats, join_type="inner", num_partitions=nparts,
+               on=("uh_b",), right_on=("uh",))
+    b = b.rename_columns({"id": "id_b", "toks": "toks_b"})
+
+    def verify_joined(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return _EMPTY
+        return _finish(
+            batch.column("id_a").to_numpy(zero_copy_only=False),
+            batch.column("id_b").to_numpy(zero_copy_only=False),
+            batch.column("toks_a"), batch.column("toks_b"))
+
+    return b.map_batches(verify_joined, batch_format="pyarrow")

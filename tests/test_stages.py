@@ -286,3 +286,43 @@ def test_embedding_dups_query_recovers_planted_pairs(ray_session):
                         columns=["vec_id"]).column("vec_id").to_numpy()
     assert set(lo) == {int(v) for v in ids if v % 25 == 0}
     assert (out["cosine"] > 0.999).all()
+
+
+def test_ngram_pairs_broadcast_and_distributed_agree(ray_session):
+    """ngram_jaccard_pairs must produce the identical pair set through
+    its broadcast and distributed-join hydration strategies."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        base = list(rng.choice(vocab, 12))
+        rows.append((i, " ".join(base), f"blk{i % 4}"))
+        if i % 3 == 0:  # planted near-dup in the same block
+            dup = base.copy()
+            dup[0] = "changed"
+            rows.append((i + 1000, " ".join(dup), f"blk{i % 4}"))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows]),
+        "source": pa.array([r[2] for r in rows]),
+    })
+
+    def run(threshold):
+        out = ngram_jaccard_pairs(
+            rd.from_arrow(tbl), "doc_id", "text", "source",
+            n=1, threshold=0.5,
+            broadcast_threshold=threshold).to_pandas()
+        return (out.sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+
+    bcast = run(10**6)
+    dist = run(0)
+    assert len(bcast) >= 40  # all planted dups found
+    assert ((bcast["id_b"] - bcast["id_a"]) % 1000 == 0).any()
+    pd.testing.assert_frame_equal(bcast, dist)

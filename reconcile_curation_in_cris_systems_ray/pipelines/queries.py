@@ -621,6 +621,50 @@ FROM (SELECT event_id, doc, unnest(json_keys(doc, '$.props')) AS k FROM j)
 """
 
 
+def q_extract_pivot(sf_dir: str):
+    """Reference lifecycle §3.2 composition (extract -> normalize
+    pivot): nested JSON docs are exploded into field rows by the trie
+    extractor (M1), then pivoted back to one row per document with the
+    author list assembled in array order (A1 group-pivot,
+    ``parse_join.../src/main.rs:397-531``) via one bucketed shuffle.
+    The array position comes from the concrete ``authors[i].name``
+    subfield path, as the reference recovers it (M7 slot)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ds = _rp(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def build(t: pa.Table) -> pa.Table:
+        uid = t.column("user_id").to_pylist()
+        et = t.column("event_type").to_pylist()
+        docs = [f'{{"authors":[{{"name":"{e}"}},{{"name":"u{u}"}}]}}'
+                for u, e in zip(uid, et)]
+        return pa.table({"event_id": t.column("event_id"),
+                         "doc": pa.array(docs, pa.string())})
+
+    rows = extract_fields(ds.map_batches(build, batch_format="pyarrow"),
+                          field_spec="authors.name", json_col="doc",
+                          id_cols=("event_id",))
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_id", "subfield_path"],
+                            kind="mergesort")
+        g = df.groupby("event_id", sort=False)
+        out = pd.DataFrame({
+            "authors_joined": g["value"].agg("|".join),
+            "n_authors": g.size().astype("int64"),
+        })
+        return out.reset_index()
+
+    return bucketed_map_groups(rows, ["event_id"], pivot, num_buckets=64)
+
+
+SQL_EXTRACT_PIVOT = """
+SELECT event_id, event_type || '|u' || user_id AS authors_joined,
+       CAST(2 AS BIGINT) AS n_authors
+FROM events
+"""
+
+
 # deterministic gazetteer of "org-like" surface forms present in the
 # synthetic documents text (ST1 stand-in vocabulary)
 _GAZETTEER = ["spark join", "vector table", "customer stream", "slow query"]
@@ -1279,6 +1323,7 @@ QUERIES = {
     "field_extract_nested": q_field_extract_nested,
     "bpe_token_count": q_bpe_token_count,
     "stopword_ratio": q_stopword_ratio,
+    "extract_pivot": q_extract_pivot,
     # rows-only
     "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,
@@ -1330,4 +1375,5 @@ ORACLES = {
     "field_extract_nested": SQL_FIELD_EXTRACT_NESTED,
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "stopword_ratio": SQL_STOPWORD_RATIO,
+    "extract_pivot": SQL_EXTRACT_PIVOT,
 }

@@ -25,6 +25,7 @@ PINNED = [
     "bpe_token_count",
     "stopword_ratio",
     "ngram_jaccard",
+    "extract_pivot",
 ]
 
 

@@ -1286,6 +1286,176 @@ def q_reconcile_flagship(sf_dir: str):
     return out["assignments"]
 
 
+# --------------------------------------------------------------------------
+# Temporal / ordered-window operators (stages/temporal.py) — as-of join,
+# interval join, sessionization, rolling windows, exact group quantiles.
+# Ray Data has no native primitive for these; each is one hash shuffle
+# on the entity key + vectorized pandas over co-located groups.
+# --------------------------------------------------------------------------
+
+def q_asof_join(sf_dir: str):
+    """As-of join: for each event, the latest order (by o_orderdate) at
+    or before the event's ts for the same customer.  The right side is
+    pre-deduped to one row per (customer, date) — max price — so the
+    as-of pick is tie-free and deterministic on both engines."""
+    from ..stages.temporal import asof_join
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    orders = _rp(sf_dir, "orders",
+                 ["o_custkey", "o_orderdate", "o_totalprice"])
+    best = rel.priority_dedup(orders, ["o_custkey", "o_orderdate"],
+                              ["o_totalprice"], ascending=[False])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"o_custkey": "user_id",
+                                "o_totalprice": "best_price"})
+        df["matched_date"] = df["o_orderdate"]
+        return df
+
+    right = best.map_batches(prep, batch_format="pandas")
+    out = asof_join(events, right, on="user_id", left_ts="ts",
+                    right_ts="o_orderdate")
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["best_price"] = df["best_price"].round(2)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+SQL_ASOF_JOIN = """
+WITH r AS (
+  SELECT o_custkey AS user_id, o_orderdate,
+         max(o_totalprice) AS best_price
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.ts, e.user_id,
+       round(r.best_price, 2) AS best_price,
+       r.o_orderdate AS matched_date
+FROM events e ASOF JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+"""
+
+
+def q_range_join(sf_dir: str):
+    """Interval (range) join: each purchase event opens a 1-hour
+    window; match every event of the same user inside [ts, ts+1h).
+    Time-binned at the window width, so co-location is per (key, bin)
+    — never one key's whole history in one task."""
+    from ..stages.temporal import interval_join
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    windows = _rp(sf_dir, "events",
+                  ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        df = df.rename(columns={"event_id": "w_event_id",
+                                "ts": "w_start"})
+        df = df.drop(columns=["event_type"]).copy()
+        df["w_end"] = df["w_start"] + pd.Timedelta(hours=1)
+        return df
+
+    right = windows.map_batches(prep, batch_format="pandas")
+    out = interval_join(events, right, on="user_id", left_ts="ts",
+                        start_col="w_start", end_col="w_end",
+                        bin_width=pd.Timedelta(hours=1))
+    return out.select_columns(["event_id", "user_id", "w_event_id"])
+
+
+SQL_RANGE_JOIN = """
+SELECT e.event_id, e.user_id, w.event_id AS w_event_id
+FROM events e JOIN
+     (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') w
+  ON e.user_id = w.user_id
+ AND e.ts >= w.ts AND e.ts < w.ts + INTERVAL 1 HOUR
+"""
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-minute gap) per user: emits each
+    event's 1-based per-user session ordinal."""
+    from ..stages.temporal import sessionize
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = sessionize(events, key="user_id", ts_col="ts",
+                     gap=pd.Timedelta(minutes=30), tiebreak=["event_id"])
+    return out.select_columns(["event_id", "user_id", "session_id"])
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_id
+FROM o
+"""
+
+
+def q_rolling_avg(sf_dir: str):
+    """Per-user rolling mean of the last 3 event values ordered by
+    (ts, event_id) — SQL ROWS BETWEEN 2 PRECEDING AND CURRENT ROW."""
+    from ..stages.temporal import rolling_agg
+
+    events = _rp(sf_dir, "events",
+                 ["event_id", "ts", "user_id", "value"])
+    out = rolling_agg(events, key="user_id", order_cols=["ts", "event_id"],
+                      value_col="value", window=3, agg="mean",
+                      out_col="rolling_avg")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_id", "user_id", "rolling_avg"]].copy()
+        df["rolling_avg"] = df["rolling_avg"].round(4)
+        return df
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
+SQL_ROLLING_AVG = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             4) AS rolling_avg
+FROM events
+"""
+
+
+def q_quantile_agg(sf_dir: str):
+    """Exact per-group quantiles (median + p90, linear interpolation =
+    DuckDB quantile_cont)."""
+    from ..stages.temporal import quantile_agg
+
+    events = _rp(sf_dir, "events", ["event_type", "value"])
+    out = quantile_agg(events, ["event_type"], "value",
+                       {"p50": 0.5, "p90": 0.9})
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["p50"] = df["p50"].round(4)
+        df["p90"] = df["p90"].round(4)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+SQL_QUANTILE_AGG = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -1324,6 +1494,11 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "stopword_ratio": q_stopword_ratio,
     "extract_pivot": q_extract_pivot,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "sessionize": q_sessionize,
+    "rolling_avg": q_rolling_avg,
+    "quantile_agg": q_quantile_agg,
     # rows-only
     "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,
@@ -1376,4 +1551,9 @@ ORACLES = {
     "bpe_token_count": SQL_BPE_TOKEN_COUNT,
     "stopword_ratio": SQL_STOPWORD_RATIO,
     "extract_pivot": SQL_EXTRACT_PIVOT,
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "sessionize": SQL_SESSIONIZE,
+    "rolling_avg": SQL_ROLLING_AVG,
+    "quantile_agg": SQL_QUANTILE_AGG,
 }

@@ -26,6 +26,11 @@ PINNED = [
     "stopword_ratio",
     "ngram_jaccard",
     "extract_pivot",
+    "asof_join",
+    "range_join",
+    "sessionize",
+    "rolling_avg",
+    "quantile_agg",
 ]
 
 

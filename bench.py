@@ -114,7 +114,8 @@ def run_bench() -> dict:
     walls = []
     pairs = 0
     n_assign = 0
-    for i in range(4):
+    n_runs = 1 + int(os.environ.get("GRAFT_RUNS", "3"))  # warmup + N
+    for i in range(n_runs):
         t0 = time.time()
         out = run_reconcile(corpus, ReconcileConfig())
         n_assign = out["assignments"].count()

@@ -1456,6 +1456,33 @@ FROM events GROUP BY event_type
 """
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic md5-prefix sampling (~10.2% of keys): stable under
+    repartition/retry, no RNG coordination, exactly reproducible by the
+    oracle."""
+    from ..stages.sketch import hash_sample
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    return hash_sample(ds, "doc_id", "1a")
+
+
+SQL_HASH_SAMPLE = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+"""
+
+
+def q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT DISTINCT (combiner pattern: one
+    16 KiB sketch per batch, no shuffle).  Rows-only check — the
+    estimate is pinned within 2% of exact by tests/test_sketch.py."""
+    from ..stages.sketch import hll_count_distinct
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey"])
+    est = hll_count_distinct(ds, "l_orderkey")
+    return pd.DataFrame({"approx_n_orders": [est]})
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -1499,7 +1526,9 @@ QUERIES = {
     "sessionize": q_sessionize,
     "rolling_avg": q_rolling_avg,
     "quantile_agg": q_quantile_agg,
+    "hash_sample": q_hash_sample,
     # rows-only
+    "approx_distinct": q_approx_distinct,
     "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,
@@ -1556,4 +1585,5 @@ ORACLES = {
     "sessionize": SQL_SESSIONIZE,
     "rolling_avg": SQL_ROLLING_AVG,
     "quantile_agg": SQL_QUANTILE_AGG,
+    "hash_sample": SQL_HASH_SAMPLE,
 }

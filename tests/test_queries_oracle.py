@@ -31,6 +31,7 @@ PINNED = [
     "sessionize",
     "rolling_avg",
     "quantile_agg",
+    "hash_sample",
 ]
 
 

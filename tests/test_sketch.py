@@ -1,0 +1,65 @@
+"""Sketch/sampling semantics: HLL accuracy + merge associativity,
+md5-prefix sampling determinism."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_hll_partial_merge_equals_single_pass():
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import _hll_partial
+
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 2**64, size=20000, dtype=np.uint64)
+    whole = _hll_partial(h)
+    merged = np.maximum(_hll_partial(h[:7000]),
+                        np.maximum(_hll_partial(h[7000:15000]),
+                                   _hll_partial(h[15000:])))
+    assert np.array_equal(whole, merged)
+
+
+def test_hll_accuracy_vs_exact():
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        _hll_estimate, _hll_partial,
+    )
+    from reconcile_curation_in_cris_systems_ray.functions.similarity import (
+        stable_hash_strings,
+    )
+
+    for n in (500, 5000, 80000):
+        vals = np.array([f"key-{i}" for i in range(n)], dtype=object)
+        est = _hll_estimate(_hll_partial(stable_hash_strings(vals)))
+        assert abs(est - n) / n < 0.02, (n, est)
+
+
+def test_hll_count_distinct_dataset(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        hll_count_distinct,
+    )
+
+    n, dup = 30000, 3
+    df = pd.DataFrame({"k": [f"id-{i % n}" for i in range(n * dup)]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    est = hll_count_distinct(ds, "k")
+    assert abs(est - n) / n < 0.02
+
+
+def test_hash_sample_fraction_and_determinism(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import hash_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(20000), "x": 1})
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    a = hash_sample(ds, "doc_id", "1a").to_pandas()
+    b = hash_sample(ds.repartition(7), "doc_id", "1a").to_pandas()
+    # identical keep-set regardless of partitioning
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # expected fraction 26/256 ~= 10.16%; binomial 5-sigma band
+    frac = len(a) / len(df)
+    assert abs(frac - 26 / 256) < 5 * np.sqrt(0.1 * 0.9 / len(df))

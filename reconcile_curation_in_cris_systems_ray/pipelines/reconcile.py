@@ -162,7 +162,18 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
         return pa.table({"u": m.column("url_a"), "v": m.column("url_b")})
 
     edges = scored.map_batches(to_edges, batch_format="pyarrow")
-    star = connected_components(edges, cfg.cluster)
+    # the scored dataset streams (no barrier), so the CC edge
+    # materialization below pulls the whole hydrate+score execution
+    # through — time it explicitly so the segment is visible in stage
+    # metrics (it was the untimed 40-55% of the wall in round-2 bench)
+    t_cc = time.time()
+    cc_metrics: dict = {}
+    star = connected_components(edges, cfg.cluster, metrics_out=cc_metrics)
+    ckpt.lineage.append({
+        "stage": "score+components", "fingerprint": fp_sc, "rows": None,
+        "wall_sec": round(time.time() - t_cc, 3), "resumed": False,
+        **cc_metrics,
+    })
 
     fp_as = fingerprint(fp_sc, "assignments")
     assignments = ckpt.run_stage("assignments", fp_as, lambda: assign_clusters(

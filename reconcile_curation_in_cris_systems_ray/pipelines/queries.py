@@ -1456,6 +1456,69 @@ FROM events GROUP BY event_type
 """
 
 
+def q_lag_lead(sf_dir: str):
+    """Per-user lag/lead of event value ordered by (ts, event_id) —
+    SQL lag()/lead() window functions; edge nulls coalesced to -1.0 so
+    both engines hash identically."""
+    from ..stages.temporal import lag_lead
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = lag_lead(events, key="user_id", order_cols=["ts", "event_id"],
+                   value_col="value", lag_out="prev_value",
+                   lead_out="next_value", fill=-1.0)
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_id", "user_id", "prev_value", "next_value"]].copy()
+        df["prev_value"] = df["prev_value"].round(4)
+        df["next_value"] = df["next_value"].round(4)
+        return df
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
+SQL_LAG_LEAD = """
+SELECT event_id, user_id,
+       round(coalesce(lag(value) OVER w, -1.0), 4) AS prev_value,
+       round(coalesce(lead(value) OVER w, -1.0), 4) AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_bloom_anti_join(sf_dir: str):
+    """J4/J5 scale path: exact anti-join with a Bloom-filter prefilter
+    (``stages/bloom.py``).  Definite non-members stream through without
+    touching the key set; only the possibly-member sliver is verified.
+    Result aggregated so the oracle compare stays compact."""
+    from ..stages.bloom import bloom_anti_join
+
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_returnflag", "l_quantity"])
+    urgent = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"],
+                                    "1-URGENT")).select(["o_orderkey"]),
+        batch_format="pyarrow")
+    kept = bloom_anti_join(li, urgent, on="l_orderkey",
+                           key_col="o_orderkey")
+    df = rel.partial_groupby_agg(kept, ["l_returnflag"], {
+        "n_rows": (None, "count"),
+        "sum_qty": ("l_quantity", "sum"),
+    })
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
+
+
+SQL_BLOOM_ANTI_JOIN = """
+SELECT l_returnflag, count(*) AS n_rows,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey NOT IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic md5-prefix sampling (~10.2% of keys): stable under
     repartition/retry, no RNG coordination, exactly reproducible by the
@@ -1527,6 +1590,8 @@ QUERIES = {
     "rolling_avg": q_rolling_avg,
     "quantile_agg": q_quantile_agg,
     "hash_sample": q_hash_sample,
+    "lag_lead": q_lag_lead,
+    "bloom_anti_join": q_bloom_anti_join,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "near_dup_keep": q_near_dup_keep,
@@ -1586,4 +1651,6 @@ ORACLES = {
     "rolling_avg": SQL_ROLLING_AVG,
     "quantile_agg": SQL_QUANTILE_AGG,
     "hash_sample": SQL_HASH_SAMPLE,
+    "lag_lead": SQL_LAG_LEAD,
+    "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
 }

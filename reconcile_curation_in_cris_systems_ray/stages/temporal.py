@@ -229,6 +229,38 @@ def rolling_agg(ds, key: str, order_cols: Sequence[str], value_col: str,
     return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
 
 
+def lag_lead(ds, key: str, order_cols: Sequence[str], value_col: str,
+             lag_out: str = "prev", lead_out: str = "next",
+             fill=None, num_buckets: int = 64):
+    """Per-key lag/lead (SQL ``lag(value) OVER (PARTITION BY key ORDER
+    BY ...)`` and ``lead(...)``): each row gains the previous and next
+    value within its key's order.  Same partitioning contract as the
+    other window ops — ONE hash shuffle on the key, then a vectorized
+    ``groupby(...).shift`` per bucket; group edges never cross buckets
+    so shift nulls are exact.  ``fill`` (optional) coalesces the edge
+    nulls to a sentinel, matching a SQL ``COALESCE``.
+    """
+    order_cols = list(order_cols)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[lag_out] = pd.Series([], dtype="float64")
+            out[lead_out] = pd.Series([], dtype="float64")
+            return out
+        df = df.sort_values([key, *order_cols], kind="mergesort")
+        g = df.groupby(key, sort=False)[value_col]
+        out = df.copy()
+        out[lag_out] = g.shift(1)
+        out[lead_out] = g.shift(-1)
+        if fill is not None:
+            out[lag_out] = out[lag_out].fillna(fill)
+            out[lead_out] = out[lead_out].fillna(fill)
+        return out
+
+    return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
+
+
 def quantile_agg(ds, keys: Sequence[str], value_col: str,
                  qs: dict[str, float], num_buckets: int = 64):
     """Exact per-group quantiles (linear interpolation — DuckDB

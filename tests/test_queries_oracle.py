@@ -32,6 +32,8 @@ PINNED = [
     "rolling_avg",
     "quantile_agg",
     "hash_sample",
+    "lag_lead",
+    "bloom_anti_join",
 ]
 
 

@@ -126,3 +126,21 @@ def test_quantile_matches_numpy_linear(temporal):
         row = out[out["g"] == g].iloc[0]
         assert row["p50"] == pytest.approx(np.quantile(sub, 0.5))
         assert row["p90"] == pytest.approx(np.quantile(sub, 0.9))
+
+
+def test_lag_lead_group_edges_and_fill(temporal):
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-03",
+                              "2020-01-01", "2020-01-02"]),
+        "eid": [1, 2, 3, 4, 5],
+        "v": [10.0, 20.0, 30.0, 40.0, 50.0],
+    })
+    out = temporal.lag_lead(_ds(df), key="k", order_cols=["ts", "eid"],
+                            value_col="v", lag_out="p", lead_out="n",
+                            fill=-1.0).to_pandas()
+    got = {r.eid: (r.p, r.n) for r in out.itertuples()}
+    # group edges take the fill, interior rows see their neighbors,
+    # and key 2's rows never see key 1's values
+    assert got == {1: (-1.0, 20.0), 2: (10.0, 30.0), 3: (20.0, -1.0),
+                   4: (-1.0, 50.0), 5: (40.0, -1.0)}

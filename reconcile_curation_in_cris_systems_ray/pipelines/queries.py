@@ -1456,6 +1456,39 @@ FROM events GROUP BY event_type
 """
 
 
+def q_top_tfidf(sf_dir: str):
+    """Inverted-index / term-weighting composition: per-document top
+    term (by integer tf, lexicographic tie-break) with its TF-IDF
+    weight.  DF is one bucketed shuffle with in-batch combining; the
+    winner is picked by ints so ranking is engine-reproducible."""
+    return ts.top_tfidf_terms(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_TOP_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df_n FROM toks GROUP BY term
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+  WHERE trim(coalesce(text, '')) <> ''
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df_n,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, tf.term) AS rn
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term AS top_term, tf, df_n,
+       round(tf * ln((SELECT CAST(n_docs AS DOUBLE) FROM n) / df_n), 6)
+         AS tfidf
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_lag_lead(sf_dir: str):
     """Per-user lag/lead of event value ordered by (ts, event_id) —
     SQL lag()/lead() window functions; edge nulls coalesced to -1.0 so
@@ -1592,6 +1625,7 @@ QUERIES = {
     "hash_sample": q_hash_sample,
     "lag_lead": q_lag_lead,
     "bloom_anti_join": q_bloom_anti_join,
+    "top_tfidf": q_top_tfidf,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "near_dup_keep": q_near_dup_keep,
@@ -1653,4 +1687,5 @@ ORACLES = {
     "hash_sample": SQL_HASH_SAMPLE,
     "lag_lead": SQL_LAG_LEAD,
     "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
+    "top_tfidf": SQL_TOP_TFIDF,
 }

@@ -150,3 +150,115 @@ def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
         if m != out[-1]:
             out.append(m)
     return out
+
+
+def _ws_tokens(texts: pd.Series) -> pd.Series:
+    """Lowercased whitespace tokens (list per row); empty text -> empty
+    list.  Matches DuckDB ``regexp_split_to_array(trim(lower(text)),
+    '\\s+')`` on non-empty text."""
+    t = texts.astype("string").fillna("").str.strip().str.lower()
+    toks = t.str.split(_WS_SPLIT_RE)
+    return toks.where(t != "", other=None).map(
+        lambda x: x if isinstance(x, list) else [])
+
+
+def top_tfidf_terms(ds, id_col: str = "doc_id", text_col: str = "text",
+                    num_buckets: int = 64):
+    """Per-document top term by (term frequency, lexicographic) with
+    its TF-IDF weight — the inverted-index / term-weighting composition
+    a curation pipeline needs (query expansion, keyword features).
+
+    Two passes over the corpus, both streaming:
+
+    1. document frequency: per-batch distinct (doc, term) -> partial
+       term counts (combiner: vocabulary rows collapse ~100x within a
+       batch), then ONE bucketed shuffle on term sums exactly;
+    2. scoring: per-doc term frequencies are computed entirely within
+       the row's own batch (a document never spans rows), the DF table
+       is shipped once as a broadcast map, and the per-doc winner is
+       picked by integer tf with a lexicographic tie-break — float
+       TF-IDF is reported but never used for ordering, so ranking is
+       reproducible across engines and runs.
+
+    The DF map is assembled in a remote task and broadcast; above a
+    few-million-term vocabulary swap the broadcast for a hash join of
+    the exploded (doc, term, tf) table against the DF table — the DF
+    build itself already scales (partial + one shuffle).
+    """
+    import ray
+
+    from .shuffle import bucketed_map_groups
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df[text_col]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "df_n": pd.Series([], dtype="int64")})
+        pairs = pd.DataFrame({"d": ex.index.to_numpy(),
+                              "term": ex.to_numpy()}).drop_duplicates()
+        counts = pairs.groupby("term", sort=False).size()
+        return pd.DataFrame({"term": counts.index.astype("string"),
+                             "df_n": counts.to_numpy()})
+
+    def df_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False)["df_n"].sum()
+        return pd.DataFrame({"term": g.index.astype("string"),
+                             "df_n": g.to_numpy()})
+
+    docs = ds.select_columns([id_col, text_col])
+    df_ds = bucketed_map_groups(
+        docs.map_batches(df_partial, batch_format="pandas"),
+        ["term"], df_sum, num_buckets).materialize()
+
+    def n_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype("string").fillna("").str.strip()
+        return pd.DataFrame({"n": [int((t != "").sum())]})
+
+    n_docs = int(docs.map_batches(
+        n_partial, batch_format="pandas").sum("n"))
+
+    df_map_ref = ray.remote(_df_blocks_to_series).remote(
+        *df_ds.to_arrow_refs())
+
+    def score(df: pd.DataFrame, _ref=df_map_ref, _n=n_docs) -> pd.DataFrame:
+        dfm = ray.get(_ref)
+        toks = _ws_tokens(df[text_col]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        empty = pd.DataFrame({
+            id_col: df[id_col].iloc[:0],
+            "top_term": pd.Series([], dtype="string"),
+            "tf": pd.Series([], dtype="int64"),
+            "df_n": pd.Series([], dtype="int64"),
+            "tfidf": pd.Series([], dtype="float64"),
+        })
+        if len(ex) == 0:
+            return empty
+        tf = (pd.DataFrame({"row": ex.index.to_numpy(),
+                            "term": ex.to_numpy()})
+              .groupby(["row", "term"], sort=False).size()
+              .reset_index(name="tf"))
+        tf = tf.sort_values(["row", "tf", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = tf.drop_duplicates("row", keep="first")
+        dfv = top["term"].map(dfm).astype("int64")
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[top["row"].to_numpy()],
+            "top_term": top["term"].astype("string").to_numpy(),
+            "tf": top["tf"].astype("int64").to_numpy(),
+            "df_n": dfv.to_numpy(),
+            "tfidf": (top["tf"].to_numpy()
+                      * np.log(float(_n) / dfv.to_numpy())).round(6),
+        })
+        return out
+
+    return docs.map_batches(score, batch_format="pandas")
+
+
+def _df_blocks_to_series(*blocks) -> pd.Series:
+    frames = [b.to_pandas() for b in blocks if "term" in b.schema.names]
+    if not frames:
+        return pd.Series(dtype="int64")
+    allf = pd.concat(frames, ignore_index=True)
+    return pd.Series(allf["df_n"].to_numpy(),
+                     index=allf["term"].to_numpy())

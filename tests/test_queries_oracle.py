@@ -34,6 +34,7 @@ PINNED = [
     "hash_sample",
     "lag_lead",
     "bloom_anti_join",
+    "top_tfidf",
 ]
 
 

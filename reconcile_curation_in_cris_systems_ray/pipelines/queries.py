@@ -1568,6 +1568,55 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
 """
 
 
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: 5 customers per market
+    segment, picked by smallest md5(custkey) — reproducible on any
+    engine, stable under repartition/retry."""
+    from ..stages.sketch import stratified_sample
+
+    ds = _rp(sf_dir, "customer", ["c_mktsegment", "c_custkey", "c_name"])
+    return stratified_sample(ds, ["c_mktsegment"], "c_custkey", 5)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT c_mktsegment, c_custkey, c_name FROM (
+  SELECT c_mktsegment, c_custkey, c_name,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY md5(CAST(c_custkey AS VARCHAR)),
+                                     c_custkey) AS rn
+  FROM customer) WHERE rn <= 5
+"""
+
+
+def q_unpivot(sf_dir: str):
+    """Wide -> long reshape (SQL UNPIVOT): lineitem measures melted to
+    one row per (line, measure)."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_quantity",
+              "l_extendedprice", "l_discount"])
+    out = rel.unpivot(ds, ["l_orderkey", "l_linenumber"],
+                      ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value"] = df["value"].round(2)
+        return df
+
+    return out.map_batches(rounded, batch_format="pandas")
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       round(CAST(l_quantity AS DOUBLE), 2) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+       round(CAST(l_extendedprice AS DOUBLE), 2) FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount',
+       round(CAST(l_discount AS DOUBLE), 2) FROM lineitem
+"""
+
+
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate COUNT DISTINCT (combiner pattern: one
     16 KiB sketch per batch, no shuffle).  Rows-only check — the
@@ -1626,6 +1675,8 @@ QUERIES = {
     "lag_lead": q_lag_lead,
     "bloom_anti_join": q_bloom_anti_join,
     "top_tfidf": q_top_tfidf,
+    "stratified_sample": q_stratified_sample,
+    "unpivot": q_unpivot,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "near_dup_keep": q_near_dup_keep,
@@ -1688,4 +1739,6 @@ ORACLES = {
     "lag_lead": SQL_LAG_LEAD,
     "bloom_anti_join": SQL_BLOOM_ANTI_JOIN,
     "top_tfidf": SQL_TOP_TFIDF,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "unpivot": SQL_UNPIVOT,
 }

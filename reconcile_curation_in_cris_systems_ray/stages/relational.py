@@ -232,3 +232,23 @@ def group_pivot(ds, key: str, agg_spec: dict[str, tuple[str, str]],
         return out.reset_index()
 
     return bucketed_map_groups(ds, [key], pivot, num_buckets)
+
+
+def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
+            var_name: str = "measure", value_name: str = "value"):
+    """Wide -> long (SQL UNPIVOT / pandas melt): one output row per
+    (input row, value column), carrying the id columns, the source
+    column's name and its value.  Purely row-local — a stateless
+    vectorized ``map_batches``, no shuffle; value columns must share a
+    castable type (floats here).
+    """
+    id_cols, value_cols = list(id_cols), list(value_cols)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.melt(id_vars=id_cols, value_vars=value_cols,
+                      var_name=var_name, value_name=value_name)
+        out[value_name] = out[value_name].astype("float64")
+        return out
+
+    return ds.select_columns([*id_cols, *value_cols]).map_batches(
+        melt, batch_format="pandas")

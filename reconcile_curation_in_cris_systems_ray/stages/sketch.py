@@ -105,3 +105,33 @@ def hll_count_distinct(ds, col: str, p: int = _HLL_P) -> int:
     for b in parts["regs"]:
         np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
     return int(round(_hll_estimate(merged)))
+
+
+def stratified_sample(ds, group_cols, key_col: str, n_per_group: int,
+                      num_buckets: int = 64):
+    """Deterministic stratified sample: the ``n_per_group`` rows of each
+    group whose ``md5(key)`` digests sort smallest (key as final
+    tie-break).  Like :func:`hash_sample` this needs no RNG
+    coordination, survives repartition/retry unchanged, and an oracle
+    reproduces it exactly (``row_number() OVER (PARTITION BY group
+    ORDER BY md5(key), key) <= n``).  One shuffle on the group key;
+    within a bucket the pick is a vectorized sort + ``groupby.head``.
+    """
+    from .shuffle import bucketed_map_groups
+
+    group_cols = list(group_cols)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        keys = df[key_col].astype(str)
+        dig = np.fromiter(
+            (hashlib.md5(k.encode("utf-8")).hexdigest() for k in keys),
+            dtype=object, count=len(df))
+        tmp = df.assign(__dig=dig)
+        tmp = tmp.sort_values([*group_cols, "__dig", key_col],
+                              kind="mergesort")
+        out = tmp.groupby(group_cols, sort=False).head(n_per_group)
+        return out.drop(columns="__dig")
+
+    return bucketed_map_groups(ds, group_cols, bucket_fn, num_buckets)

@@ -35,6 +35,8 @@ PINNED = [
     "lag_lead",
     "bloom_anti_join",
     "top_tfidf",
+    "stratified_sample",
+    "unpivot",
 ]
 
 

@@ -28,6 +28,7 @@ import logging
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import ClusterConfig
 from ..functions.similarity import stable_hash_strings
@@ -126,17 +127,19 @@ def _uf_star_task(*blocks) -> pa.Table:
     if not blocks:
         return empty
     tbl = pa.concat_tables(blocks, promote_options="default").combine_chunks()
-    u = tbl.column("u").to_pandas().to_numpy(dtype=object)
-    v = tbl.column("v").to_pandas().to_numpy(dtype=object)
-    if len(u) == 0:
+    n_edges = tbl.num_rows
+    if n_edges == 0:
         return empty
-    # integer-coded union-find: factorize urls once (UNSORTED hash
-    # factorize — a sorted factorize pays an O(n log n) string sort;
-    # the component-min label is recovered vectorized below), run UF
-    # on int arrays (~5x faster than dict-based UF on strings)
-    codes, uniques = pd.factorize(np.concatenate([u, v]), sort=False)
-    n = len(uniques)
-    cu, cv = codes[:len(u)], codes[len(u):]
+    # integer-coded union-find: dictionary-encode urls once in Arrow
+    # (C++ hash factorize, ~2x pandas factorize on object strings and
+    # no object-array materialization), run UF on int arrays
+    both = pa.chunked_array([tbl.column("u").combine_chunks(),
+                             tbl.column("v").combine_chunks()])
+    d = pc.dictionary_encode(both).combine_chunks()
+    codes = d.indices.to_numpy()
+    uniq_arr = d.dictionary
+    n = len(uniq_arr)
+    cu, cv = codes[:n_edges], codes[n_edges:]
     # plain Python list: scalar indexing on a list is ~4x faster than
     # on a numpy array inside this (inherently sequential) loop
     parent = list(range(n))
@@ -158,13 +161,20 @@ def _uf_star_task(*blocks) -> pa.Table:
                 parent[ra] = rb
     roots = np.array([find(i) for i in range(n)], dtype=np.int64)
     # deterministic label = lexicographic MIN url per component,
-    # recovered vectorized: one groupby-min over (root, url)
-    labels = pd.Series(uniques).groupby(roots).min()
-    root_label = labels.reindex(roots).to_numpy(dtype=object)
-    nonself = np.flatnonzero(root_label != uniques)
+    # recovered without a string groupby: rank urls once (Arrow string
+    # sort), take the min RANK per root (integer scatter-min), map
+    # back.  Group-count-independent and ~4x the pandas groupby-min.
+    order = pc.sort_indices(uniq_arr).to_numpy().astype(np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    min_rank = np.full(n, n, dtype=np.int64)
+    np.minimum.at(min_rank, roots, rank)
+    label_idx = order[min_rank[roots]]
+    # uniques are distinct, so label_idx != i  <=>  label url != node url
+    nonself = np.flatnonzero(label_idx != np.arange(n))
     return pa.table({
-        "u": pa.array(uniques[nonself], pa.string()),
-        "v": pa.array(root_label[nonself], pa.string()),
+        "u": uniq_arr.take(pa.array(nonself)),
+        "v": uniq_arr.take(pa.array(label_idx[nonself])),
     })
 
 

@@ -150,7 +150,8 @@ def q_hash_join(sf_dir: str):
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = rel.hash_join(li, orders, on=["l_orderkey"],
-                           right_on=["o_orderkey"])
+                           right_on=["o_orderkey"],
+                           rows_hint=li.count() + orders.count())
     df = rel.partial_groupby_agg(joined, ["o_orderpriority"], {
         "n_lineitems": (None, "count"),
         "sum_qty": ("l_quantity", "sum"),

@@ -63,3 +63,42 @@ def test_hash_sample_fraction_and_determinism(ray_session):
     # expected fraction 26/256 ~= 10.16%; binomial 5-sigma band
     frac = len(a) / len(df)
     assert abs(frac - 26 / 256) < 5 * np.sqrt(0.1 * 0.9 / len(df))
+
+
+def test_stratified_sample_deterministic_and_capped(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        stratified_sample,
+    )
+
+    df = pd.DataFrame({
+        "g": np.repeat(["a", "b", "c"], 100),
+        "k": np.arange(300),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    a = stratified_sample(ds, ["g"], "k", 7).to_pandas()
+    b = stratified_sample(ds.repartition(11), ["g"], "k", 7).to_pandas()
+    # exactly n per group, identical pick under any partitioning
+    assert a.groupby("g").size().tolist() == [7, 7, 7]
+    assert sorted(a["k"]) == sorted(b["k"])
+    # matches the oracle semantics: smallest md5(key) per group
+    import hashlib
+    for g, sub in df.groupby("g"):
+        want = sorted(sub["k"], key=lambda k: (
+            hashlib.md5(str(k).encode()).hexdigest(), k))[:7]
+        got = sorted(a.loc[a["g"] == g, "k"])
+        assert got == sorted(want)
+
+
+def test_stratified_sample_small_groups_kept_whole(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        stratified_sample,
+    )
+
+    df = pd.DataFrame({"g": ["a", "a", "b"], "k": [1, 2, 3]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    out = stratified_sample(ds, ["g"], "k", 5).to_pandas()
+    assert len(out) == 3

@@ -326,3 +326,18 @@ def test_ngram_pairs_broadcast_and_distributed_agree(ray_session):
     assert len(bcast) >= 40  # all planted dups found
     assert ((bcast["id_b"] - bcast["id_a"]) % 1000 == 0).any()
     pd.testing.assert_frame_equal(bcast, dist)
+
+
+def test_unpivot_melts_and_keeps_ids(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import unpivot
+
+    df = pd.DataFrame({"id": [1, 2], "x": [1.5, 2.5], "y": [10.0, 20.0],
+                       "junk": ["a", "b"]})
+    out = unpivot(rd.from_pandas(df), ["id"], ["x", "y"]).to_pandas()
+    assert len(out) == 4
+    assert set(out.columns) == {"id", "measure", "value"}
+    got = {(r.id, r.measure): r.value for r in out.itertuples()}
+    assert got == {(1, "x"): 1.5, (2, "x"): 2.5,
+                   (1, "y"): 10.0, (2, "y"): 20.0}

@@ -123,13 +123,15 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
     # execution; the scorer's merge blocks on the refs naturally
     prebuilt = build_feature_lookup(features)
 
-    # scale-adaptive dedup mode (measured crossover): below ~4M band
-    # rows ship the per-row band vector and dedup via min-band emission
-    # (no second exchange); above it, narrow 20B rows + a pair-key
-    # dedup exchange win 3x (pair rows are ~10x fewer than band rows,
-    # so deduping pairs costs less than widening the big shuffle)
+    # scale-adaptive dedup mode (measured crossover, re-measured on a
+    # clean box round 2): below ~500k band rows ship the per-row band
+    # vector and dedup via min-band emission (no second exchange);
+    # above it, narrow 20B rows + a pair-key dedup exchange win 2.5-3x
+    # (2.1M band rows: 4.5-4.9s wide vs 1.8-1.9s narrow at 32 CPUs —
+    # pair rows are ~10x fewer than band rows, so deduping pairs costs
+    # less than shipping a 128B band vector through the big shuffle)
     band_rows_hint = features.count() * cfg.blocking.num_bands
-    narrow = band_rows_hint >= 4_000_000
+    narrow = band_rows_hint >= 500_000
     pairs = ckpt.run_stage("pairs", fp_pr, lambda: generate_candidate_pairs(
         emit_band_keys(features, cfg.blocking, include_bands=not narrow),
         cfg.blocking, cfg.scoring,

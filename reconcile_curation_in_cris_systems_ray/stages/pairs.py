@@ -239,7 +239,15 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         band_ds = band_ds.repartition(nb).materialize()
         num_blocks_hint = nb
     hot = find_hot_keys(band_ds, blocking, n_rows_hint)
-    salted = expand_salts(band_ds, hot, blocking)
+    if hot:
+        salted = expand_salts(band_ds, hot, blocking)
+        group_cols = ["band_id", "band_hash", "salt_i", "salt_j"]
+    else:
+        # no hot keys (the common case on non-skewed corpora): skip the
+        # salting map entirely — one fewer full pass/copy over the band
+        # rows; bucket_pairs treats absent salt columns as all-zero
+        salted = band_ds
+        group_cols = ["band_id", "band_hash"]
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Vectorized across groups: a bucket holds ~1e5 tiny band
@@ -251,7 +259,10 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         out_b: list[np.ndarray] = []
 
         has_bands = "bands" in df.columns
-        cross_mask = (df["salt_i"].to_numpy() != df["salt_j"].to_numpy())
+        has_salt = "salt_i" in df.columns
+        cross_mask = (
+            (df["salt_i"].to_numpy() != df["salt_j"].to_numpy())
+            if has_salt else np.zeros(len(df), dtype=bool))
         if cross_mask.any():
             for (bid, _, si, _), g in df[cross_mask].groupby(
                     ["band_id", "band_hash", "salt_i", "salt_j"], sort=False):
@@ -268,7 +279,8 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         if len(df) >= 2:
             bid = df["band_id"].to_numpy().astype(np.int64)
             bh = df["band_hash"].to_numpy().astype(np.int64)
-            si = df["salt_i"].to_numpy().astype(np.int64)
+            si = (df["salt_i"].to_numpy().astype(np.int64)
+                  if has_salt else np.zeros(len(df), dtype=np.int64))
             order = np.lexsort((si, bh, bid))
             b2, h2, s2 = bid[order], bh[order], si[order]
             new = np.empty(len(order), dtype=bool)
@@ -321,7 +333,7 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         return out.drop_duplicates(_PAIR_COLS)
 
     pairs = bucketed_map_groups(
-        salted, ["band_id", "band_hash", "salt_i", "salt_j"],
+        salted, group_cols,
         bucket_pairs, num_buckets=blocking.num_buckets,
         num_blocks_hint=num_blocks_hint)
 

@@ -59,7 +59,7 @@ class SignatureStage:
             texts.str.replace("\n", " ", regex=False)).fillna("")
         titles = normalize_text_series(
             texts.str.split("\n").str[0]).fillna("")
-        shingle_sets = batch_shingle_sets(norm.tolist(), self.cfg.shingle_k)
+        shingle_sets = batch_shingle_sets(norm, self.cfg.shingle_k)
         sigs = self.hasher.signatures(shingle_sets)
         sets32 = [np.unique(s.astype(np.uint32)) for s in shingle_sets]
         sig32 = sigs.astype(np.uint32)

@@ -199,13 +199,18 @@ def simhash_dup_pairs(ds, id_col: str, text_col: str,
                              "id_b": pd.Series(rows_b, dtype=object),
                              "hamming": pd.Series(hams, dtype="int64")})
 
+    _empty = pd.DataFrame({"id_a": pd.Series([], dtype="string"),
+                           "id_b": pd.Series([], dtype="string"),
+                           "hamming": pd.Series([], dtype="int64")})
     pairs = bucketed_map_groups(bands, ["band_id", "band_hash"],
-                                bucket_pairs, num_buckets)
+                                bucket_pairs, num_buckets,
+                                empty_like=_empty)
 
     def dd(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"])
 
-    return bucketed_map_groups(pairs, ["id_a", "id_b"], dd, num_buckets)
+    return bucketed_map_groups(pairs, ["id_a", "id_b"], dd, num_buckets,
+                               empty_like=_empty)
 
 
 def embedding_dup_pairs(ds, id_col: str, vec_col: str,
@@ -264,13 +269,18 @@ def embedding_dup_pairs(ds, id_col: str, vec_col: str,
                              "id_b": pd.Series(rows_b, dtype=object),
                              "cosine": pd.Series(sims_out, dtype="float64")})
 
+    _empty = pd.DataFrame({"id_a": pd.Series([], dtype="string"),
+                           "id_b": pd.Series([], dtype="string"),
+                           "cosine": pd.Series([], dtype="float64")})
     pairs = bucketed_map_groups(bands, ["band_id", "band_hash"],
-                                bucket_pairs, num_buckets)
+                                bucket_pairs, num_buckets,
+                                empty_like=_empty)
 
     def dd(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"])
 
-    return bucketed_map_groups(pairs, ["id_a", "id_b"], dd, num_buckets)
+    return bucketed_map_groups(pairs, ["id_a", "id_b"], dd, num_buckets,
+                               empty_like=_empty)
 
 
 def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,

@@ -332,10 +332,12 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         # cross-band repeats are removed by the pair-key shuffle below
         return out.drop_duplicates(_PAIR_COLS)
 
+    _empty_pairs = pd.DataFrame({c: pd.Series([], dtype="uint64")
+                                 for c in _PAIR_COLS})
     pairs = bucketed_map_groups(
         salted, group_cols,
         bucket_pairs, num_buckets=blocking.num_buckets,
-        num_blocks_hint=num_blocks_hint)
+        num_blocks_hint=num_blocks_hint, empty_like=_empty_pairs)
 
     if not dedup_pairs:
         return pairs
@@ -348,4 +350,5 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
     # input already has ~bucket-count blocks, so skip the pre-coalesce
     return bucketed_map_groups(pairs, _PAIR_COLS, dedup,
                                num_buckets=blocking.num_buckets,
-                               num_blocks_hint=blocking.num_buckets)
+                               num_blocks_hint=blocking.num_buckets,
+                               empty_like=_empty_pairs)

@@ -79,16 +79,21 @@ def test_simhash_finds_small_edits(ray_session):
         simhash_dup_pairs,
     )
 
-    base = ("the quick brown fox jumps over the lazy dog again and again "
-            "with considerable enthusiasm every single morning ") * 3
+    # one word changed in a 200-distinct-word doc: 3 of ~198 shingles
+    # flip (J ~= 0.97), placing the pair inside the 4x16-band pigeonhole
+    # guarantee radius (hamming <= 3) rather than relying on hash luck
+    words = [f"word{i}" for i in range(200)]
+    base = " ".join(words)
+    edited = " ".join(["changed" if i == 100 else w
+                       for i, w in enumerate(words)])
     docs = pd.DataFrame({
         "doc_id": [0, 1, 2],
-        "text": [base, base.replace("lazy", "hazy", 1),
+        "text": [base, edited,
                  "completely different content about astronomy and stars "
                  "planets galaxies nebulae telescopes " * 5],
     })
     pairs = simhash_dup_pairs(_ds(docs), "doc_id", "text",
-                              max_hamming=8).to_pandas()
+                              max_hamming=3).to_pandas()
     keys = set(zip(pairs["id_a"].astype(str), pairs["id_b"].astype(str)))
     assert ("0", "1") in keys
     assert ("0", "2") not in keys and ("1", "2") not in keys

@@ -103,3 +103,66 @@ def test_field_trie_array_of_scalars_and_missing_keys():
     # top-level array documents traverse transparently too
     rows2 = extract_fields_from_doc([{"ids": [7]}], trie)
     assert rows2 == [("ids", "[0].ids[0]", "7")]
+
+
+def test_fast_extractor_matches_stdlib_on_corpus():
+    from reconcile_curation_in_cris_systems_ray.stages.extract import (
+        extract_html_text_fast,
+    )
+
+    tbl = corpus_table(CorpusConfig(n_families=40))
+    for h in tbl.column("html").to_pylist():
+        assert extract_html_text_fast(h) == extract_html_text(h)
+
+
+def test_fast_extractor_matches_stdlib_on_malformed():
+    from reconcile_curation_in_cris_systems_ray.stages.extract import (
+        extract_html_text_fast,
+    )
+
+    cases = [
+        "", "plain", "<P>Upper</P>", "<p>a<b>c</b>d</p>",
+        "<script>var a = '<p>x</p>';</script><p>yes</p>",
+        "<script src='x'/><p>ok</p>",
+        "<p>a &amp; b &#65; &#x42; &unknown; &lt</p>",
+        "<!-- <p>c</p> --><p>real</p>", "<!DOCTYPE html><p>x</p>",
+        "<?php echo '<p>no</p>' ?><p>si</p>",
+        "<p class=\"a>b\" id='c>d'>quoted</p>",
+        "<p>unclosed keep", "<p>a < b</p>", "<p>a<3 b</p>",
+        "<p/>text<p>real</p>", "<p >spacey</p >", "</ p>odd</p>",
+        "<p>text</p", "<p>text<", "<p>a<b",
+        "<SCRIPT>x</SCRIPT><p>y</p>", "<script>no close<p>q</p>",
+        "<script>a</script  ><p>b</p>", "<script>a</ script><p>b</p>",
+        "<p>nested <p>double</p> tail</p>",
+        "<header><h1>skip</h1></header><h2>keep</h2>",
+        "<p =weird>odd</p>", "<p disabled>boolattr</p>",
+    ]
+    for h in cases:
+        assert extract_html_text_fast(h) == extract_html_text(h), h
+
+
+def test_fast_extractor_fuzz_differential():
+    """Hypothesis fuzz: random tag soup from the relevant alphabet must
+    extract byte-identically under both implementations."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from reconcile_curation_in_cris_systems_ray.stages.extract import (
+        extract_html_text_fast,
+    )
+
+    frag = st.sampled_from([
+        "<p>", "</p>", "<h1>", "</h1>", "<nav>", "</nav>", "<script>",
+        "</script>", "<style>", "</style>", "<p/>", "<p >", "</ p>",
+        "<!--", "-->", "<!x>", "<?y>", "<", ">", "&amp;", "&#65;", "&x",
+        "text ", "a<b ", "5>4 ", "x='q>r'", '"', "'", " ", "\n",
+        "<p class='z'>", "<div>", "</div>", "<span>", "</span>",
+    ])
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(frag, min_size=0, max_size=25))
+    def run(parts):
+        h = "".join(parts)
+        assert extract_html_text_fast(h) == extract_html_text(h), repr(h)
+
+    run()

@@ -1629,6 +1629,175 @@ def q_approx_distinct(sf_dir: str):
     return pd.DataFrame({"approx_n_orders": [est]})
 
 
+def q_left_join(sf_dir: str):
+    """J3 variant: LEFT OUTER hash join (customers keep their row even
+    with zero orders) + per-customer non-null count.  Exercises Ray's
+    native left_outer shuffle join; the count is a bucketed groupby
+    (customer keys are high-cardinality — no driver combine)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = rel.hash_join(cust, orders, on=["c_custkey"],
+                           right_on=["o_custkey"], how="left_outer",
+                           rows_hint=cust.count() + orders.count())
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["c_custkey", "c_name"], sort=False)["o_orderkey"]
+        return g.count().rename("n_orders").reset_index()
+
+    return bucketed_map_groups(joined, ["c_custkey"], agg, num_buckets=32)
+
+
+SQL_LEFT_JOIN = """
+SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def q_semi_join(sf_dir: str):
+    """J5 variant: LEFT SEMI join — suppliers with at least one
+    high-quantity lineitem, emitted once regardless of match count.
+    Exercises Ray's native left_semi shuffle join."""
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    hot = _rp(sf_dir, "lineitem", ["l_suppkey", "l_quantity"]).map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 49.0))
+                   .select(["l_suppkey"]),
+        batch_format="pyarrow")
+    return rel.hash_join(supp, hot, on=["s_suppkey"],
+                         right_on=["l_suppkey"], how="left_semi",
+                         rows_hint=supp.count())
+
+
+SQL_SEMI_JOIN = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_quantity > 49)
+"""
+
+
+def q_group_concat(sf_dir: str):
+    """A1 variant: per-group ordered string aggregation (SQL
+    string_agg with ORDER BY) — nation names per region."""
+    from ..stages.relational import group_concat
+
+    nation = _rp(sf_dir, "nation", ["n_regionkey", "n_name"])
+    return group_concat(nation, ["n_regionkey"], "n_name", sep=",",
+                        out_col="nations", num_buckets=8)
+
+
+SQL_GROUP_CONCAT = """
+SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_cume_sum(sf_dir: str):
+    """Window running total per user ordered by (ts, event_id) — SQL
+    SUM OVER UNBOUNDED PRECEDING.  The per-group accumulation order
+    matches the SQL window's, so float sums are bit-identical."""
+    from ..stages.temporal import cumulative_agg
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = cumulative_agg(events, key="user_id", order_cols=["ts", "event_id"],
+                         value_col="value", agg="sum", out_col="running")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["event_id", "user_id", "running"]].copy()
+        df["running"] = df["running"].round(4)
+        return df
+
+    return out.map_batches(proj, batch_format="pandas")
+
+
+SQL_CUME_SUM = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 4) AS running
+FROM events
+"""
+
+
+def q_rank_window(sf_dir: str):
+    """Window row_number per user ordered by (ts, event_id): every
+    event gains its 1-based rank within its user's timeline."""
+    from ..stages.temporal import row_number
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = row_number(events, key="user_id", order_cols=["ts", "event_id"],
+                     out_col="rn")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "rn"]],
+        batch_format="pandas")
+
+
+SQL_RANK_WINDOW = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+"""
+
+
+def q_regex_extract(sf_dir: str):
+    """M3 variant: vectorized regex capture over document text (first
+    integer token; '' when absent, matching SQL regexp_extract)."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def ext(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "first_num": df["text"].str.extract(r"([0-9]+)", expand=False)
+                                   .fillna(""),
+        })
+
+    return docs.map_batches(ext, batch_format="pandas")
+
+
+SQL_REGEX_EXTRACT = """
+SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num FROM documents
+"""
+
+
+def q_star_join(sf_dir: str):
+    """Multiway star join: fact (lineitem) hash-joined to orders, then
+    the customer->nation->region dimension chain collapsed driver-side
+    and broadcast (the dimensions are small; at 100 TB the fact-fact
+    join stays a shuffle while dimensions stay broadcast).  Integer
+    quantity sums keep the float-order question out of the hash."""
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = rel.hash_join(li, orders, on=["l_orderkey"],
+                           right_on=["o_orderkey"],
+                           rows_hint=li.count() + orders.count())
+    cust = _rp(sf_dir, "customer",
+               ["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _rp(sf_dir, "nation",
+                 ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    dim = (cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+               .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+           )[["c_custkey", "r_name"]].rename(columns={"c_custkey":
+                                                      "o_custkey"})
+    wide = rel.broadcast_join(joined, dim, on=["o_custkey"], how="inner")
+    df = rel.partial_groupby_agg(wide, ["r_name"], {
+        "n_items": (None, "count"),
+        "sum_qty": ("l_quantity", "sum"),
+    })
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
+
+
+SQL_STAR_JOIN = """
+SELECT r_name, count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -1678,6 +1847,13 @@ QUERIES = {
     "top_tfidf": q_top_tfidf,
     "stratified_sample": q_stratified_sample,
     "unpivot": q_unpivot,
+    "left_join": q_left_join,
+    "semi_join": q_semi_join,
+    "group_concat": q_group_concat,
+    "cume_sum": q_cume_sum,
+    "rank_window": q_rank_window,
+    "regex_extract": q_regex_extract,
+    "star_join": q_star_join,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "near_dup_keep": q_near_dup_keep,
@@ -1742,4 +1918,11 @@ ORACLES = {
     "top_tfidf": SQL_TOP_TFIDF,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "unpivot": SQL_UNPIVOT,
+    "left_join": SQL_LEFT_JOIN,
+    "semi_join": SQL_SEMI_JOIN,
+    "group_concat": SQL_GROUP_CONCAT,
+    "cume_sum": SQL_CUME_SUM,
+    "rank_window": SQL_RANK_WINDOW,
+    "regex_extract": SQL_REGEX_EXTRACT,
+    "star_join": SQL_STAR_JOIN,
 }

@@ -246,6 +246,30 @@ def group_pivot(ds, key: str, agg_spec: dict[str, tuple[str, str]],
     return bucketed_map_groups(ds, [key], pivot, num_buckets)
 
 
+def group_concat(ds, keys: Sequence[str], value_col: str, sep: str = ",",
+                 out_col: str = "concat", num_buckets: int = 64):
+    """Per-group ordered string aggregation (SQL ``string_agg(value,
+    sep ORDER BY value)``): values sort lexicographically within each
+    group so the output is deterministic under any partitioning.  ONE
+    hash shuffle on the keys, then a vectorized sort + join per bucket.
+    The 100 TB caveat matches every string_agg engine's: one group's
+    concatenation must fit in a task's memory — cap group size upstream
+    for unbounded keys."""
+    keys = list(keys)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df[keys].copy()
+            out[out_col] = pd.Series([], dtype=object)
+            return out
+        df = df.sort_values([*keys, value_col], kind="mergesort")
+        g = df.groupby(keys, sort=False)[value_col]
+        return g.agg(sep.join).rename(out_col).reset_index()
+
+    return bucketed_map_groups(ds.select_columns([*keys, value_col]),
+                               keys, bucket_fn, num_buckets)
+
+
 def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
             var_name: str = "measure", value_name: str = "value"):
     """Wide -> long (SQL UNPIVOT / pandas melt): one output row per

@@ -261,6 +261,55 @@ def lag_lead(ds, key: str, order_cols: Sequence[str], value_col: str,
     return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
 
 
+def cumulative_agg(ds, key: str, order_cols: Sequence[str], value_col: str,
+                   agg: str = "sum", out_col: str = "running",
+                   num_buckets: int = 64):
+    """Per-key running aggregate over the full preceding window (SQL
+    ``agg(value) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``).  Same partitioning contract as the other window
+    ops: ONE hash shuffle on the key co-locates each group, then a
+    vectorized ``groupby().cumsum/cummax/...`` per bucket.  The
+    accumulation visits rows in the same order as the SQL window, so
+    float results are bit-identical to a sequential engine's."""
+    order_cols = list(order_cols)
+    cum_fn = {"sum": "cumsum", "min": "cummin", "max": "cummax",
+              "count": "cumcount"}[agg]
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[out_col] = pd.Series([], dtype="float64")
+            return out
+        df = df.sort_values([key, *order_cols], kind="mergesort")
+        g = df.groupby(key, sort=False)[value_col]
+        out = df.copy()
+        out[out_col] = getattr(g, cum_fn)()
+        return out
+
+    return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
+
+
+def row_number(ds, key: str, order_cols: Sequence[str],
+               out_col: str = "rn", num_buckets: int = 64):
+    """Per-key row numbering (SQL ``row_number() OVER (PARTITION BY
+    key ORDER BY ...)``): deterministic when ``order_cols`` is a total
+    order within each key.  ONE hash shuffle + vectorized
+    ``groupby().cumcount`` per bucket."""
+    order_cols = list(order_cols)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values([key, *order_cols], kind="mergesort")
+        out = df.copy()
+        out[out_col] = df.groupby(key, sort=False).cumcount() + 1
+        return out
+
+    return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
+
+
 def quantile_agg(ds, keys: Sequence[str], value_col: str,
                  qs: dict[str, float], num_buckets: int = 64):
     """Exact per-group quantiles (linear interpolation — DuckDB

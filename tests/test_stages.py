@@ -346,3 +346,23 @@ def test_unpivot_melts_and_keeps_ids(ray_session):
     got = {(r.id, r.measure): r.value for r in out.itertuples()}
     assert got == {(1, "x"): 1.5, (2, "x"): 2.5,
                    (1, "y"): 10.0, (2, "y"): 20.0}
+
+
+def test_group_concat_ordered(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        group_concat,
+    )
+
+    df = pd.DataFrame({"g": [1, 1, 1, 2, 2],
+                       "v": ["b", "a", "c", "z", "y"]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = group_concat(ds, ["g"], "v", sep=",",
+                       out_col="vals", num_buckets=4).to_pandas()
+    got = dict(zip(out["g"], out["vals"]))
+    # values sort lexicographically inside each group regardless of
+    # input order, so output is partitioning-invariant
+    assert got == {1: "a,b,c", 2: "y,z"}

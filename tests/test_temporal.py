@@ -144,3 +144,46 @@ def test_lag_lead_group_edges_and_fill(temporal):
     # and key 2's rows never see key 1's values
     assert got == {1: (-1.0, 20.0), 2: (10.0, 30.0), 3: (20.0, -1.0),
                    4: (-1.0, 50.0), 5: (40.0, -1.0)}
+
+
+def test_cumulative_sum_per_key_order(temporal):
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(["2020-01-03", "2020-01-01", "2020-01-02",
+                              "2020-01-01", "2020-01-02"]),
+        "eid": [3, 1, 2, 4, 5],
+        "v": [5.0, 1.0, 2.0, 10.0, 20.0],
+    })
+    out = temporal.cumulative_agg(_ds(df), key="k",
+                                  order_cols=["ts", "eid"], value_col="v",
+                                  agg="sum", out_col="run").to_pandas()
+    got = dict(zip(out["eid"], out["run"]))
+    # accumulation follows (ts, eid) order within each key, never
+    # crossing keys
+    assert got == {1: 1.0, 2: 3.0, 3: 8.0, 4: 10.0, 5: 30.0}
+
+
+def test_cumulative_max(temporal):
+    df = pd.DataFrame({
+        "k": [1, 1, 1],
+        "ts": pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-03"]),
+        "eid": [1, 2, 3],
+        "v": [5.0, 3.0, 9.0],
+    })
+    out = temporal.cumulative_agg(_ds(df), key="k",
+                                  order_cols=["ts", "eid"], value_col="v",
+                                  agg="max", out_col="run").to_pandas()
+    assert dict(zip(out["eid"], out["run"])) == {1: 5.0, 2: 5.0, 3: 9.0}
+
+
+def test_row_number_dense_per_key(temporal):
+    df = pd.DataFrame({
+        "k": [1, 1, 2, 2, 2],
+        "ts": pd.to_datetime(["2020-01-02", "2020-01-01", "2020-01-01",
+                              "2020-01-03", "2020-01-02"]),
+        "eid": [2, 1, 3, 5, 4],
+    })
+    out = temporal.row_number(_ds(df), key="k", order_cols=["ts", "eid"],
+                              out_col="rn").to_pandas()
+    got = dict(zip(out["eid"], out["rn"]))
+    assert got == {1: 1, 2: 2, 3: 1, 4: 2, 5: 3}

@@ -38,15 +38,25 @@ def _box_hygiene() -> None:
     """Best-effort memory compaction before measuring: this sandbox's
     walls drift 25-40% slower as physical memory fragments over hours
     (khugepaged/THP pressure, see BASELINE.md); one compaction pass
-    recovers most of it.  No-op without privileges."""
-    try:
-        # drop page cache first so compaction has free pages to work
-        # with (measured on 2026-08-17: compact alone left a degraded
-        # phase at 30.6 s flagship; drop+compact recovered 12.8 s)
-        with open("/proc/sys/vm/drop_caches", "w") as f:
-            f.write("3")
-    except OSError:
-        pass
+    recovers most of it.  No-op without privileges.
+
+    ``GRAFT_NO_HYGIENE=1`` skips both knobs.  ``GRAFT_DROP_CACHES=1``
+    additionally drops the page cache first — A/B-measured (round 2,
+    2x interleaved): dropping caches cost ~70 s of warmup and ~20 s
+    of corpus gen per invocation (everything re-faults through disk)
+    while the MEASURED run medians were statistically identical
+    (18.1/16.1 s with vs 18.2/24.2 s without in the same phase), so
+    it is no longer the default; one earlier deep-degraded phase
+    (30.6 s medians) did recover to 12.8 s only after a drop+compact,
+    hence the opt-in remains."""
+    if os.environ.get("GRAFT_NO_HYGIENE"):
+        return
+    if os.environ.get("GRAFT_DROP_CACHES"):
+        try:
+            with open("/proc/sys/vm/drop_caches", "w") as f:
+                f.write("3")
+        except OSError:
+            pass
     try:
         with open("/proc/sys/vm/compact_memory", "w") as f:
             f.write("1")

@@ -980,6 +980,61 @@ def q_lang_id(sf_dir: str):
     return out.select_columns(["doc_id", "lang_pred", "lang_score"])
 
 
+def _sql_lang_id() -> str:
+    """Build the lang-id oracle from the same stopword tables the
+    stage uses (single source of truth; dict order = tie-break
+    order, matching pandas idxmax first-max)."""
+    from ..stages.textstats import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+    ratio_cols = ",\n    ".join(
+        "len(list_filter(t, x -> list_contains([{words}], x)))"
+        " / CAST(greatest(ntok, 1) AS DOUBLE) AS r_{lang}".format(
+            words=", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])),
+            lang=lang)
+        for lang in langs)
+    best = "greatest({})".format(", ".join(f"r_{l}" for l in langs))
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"r_{lang} >= r_{other}"
+                             for other in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case_lang = ("CASE " + " ".join(cases) +
+                 f" ELSE '{langs[-1]}' END")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(lower(coalesce(text, ''))),
+                               '\\s+') AS t,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(
+                     trim(lower(coalesce(text, ''))), '\\s+')) END AS ntok
+  FROM documents
+), r AS (
+  SELECT doc_id, text, ntok,
+    {ratio_cols}
+  FROM base
+), pick AS (
+  SELECT doc_id, text, ntok, {best} AS best,
+         {case_lang} AS best_lang
+  FROM r
+)
+SELECT doc_id,
+  CASE WHEN regexp_matches(coalesce(text, ''), '[一-鿿]')
+         THEN 'zh'
+       WHEN ntok = 0 OR best <= 0.02 THEN 'und'
+       ELSE best_lang END AS lang_pred,
+  CASE WHEN regexp_matches(coalesce(text, ''), '[一-鿿]')
+         THEN 1.0
+       WHEN ntok = 0 THEN 0.0
+       ELSE round_even(best, 4) END AS lang_score
+FROM pick
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
 def q_ann_ivf(sf_dir: str):
     """IVF-partitioned approximate top-k."""
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1028,40 +1083,148 @@ def q_frame_sample(sf_dir: str):
 
 def q_winnow_fingerprint(sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. 2003):
-    (doc_id, n_fingerprints, min_fp) per document."""
-    from ..stages.textstats import winnowing_fingerprints
+    (doc_id, n_fingerprints, min_fp) per non-empty document.  Gram
+    hash = DuckDB hash(), so the full algorithm (k-gram hash ->
+    sliding window min -> consecutive dedup) is oracled in SQL."""
+    from ..stages.textstats import winnow_stats_stage
 
-    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return winnow_stats_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
-        fps = [winnowing_fingerprints(t or "") for t in df["text"]]
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].to_numpy(),
-            "n_fingerprints": [len(f) for f in fps],
-            "min_fp": pd.array([min(f) if f else None for f in fps],
-                               dtype="UInt64"),
-        })
 
-    return ds.map_batches(fn, batch_format="pandas")
+SQL_WINNOW_FINGERPRINT = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), pos AS (
+  SELECT doc_id, t, greatest(len(t) - 4, 1) AS n_grams,
+         unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, i, n_grams,
+         hash(array_to_string(t[i:i+4], ' ')) AS h
+  FROM pos
+), w AS (
+  SELECT doc_id, i, n_grams,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+  FROM grams
+), wm AS (
+  SELECT doc_id, i, m,
+         lag(m) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM w WHERE i <= greatest(n_grams - 3, 1)
+)
+SELECT doc_id,
+       count(*) FILTER (WHERE prev IS NULL OR m <> prev)
+         AS n_fingerprints,
+       CAST(min(m) AS VARCHAR) AS min_fp
+FROM wm GROUP BY doc_id
+"""
+
+
+def _messy_urls(df: pd.DataFrame) -> pd.Series:
+    """Deterministic messy URLs from (doc_id, source) covering the
+    canonicalizer's feature space: mixed-case scheme/host, default and
+    non-default ports, empty/bare/deep paths, tracking params mixed
+    with keepers, fragments.  The SQL oracle constructs the identical
+    strings (same CASE arms keyed on doc_id % k)."""
+    d = df["doc_id"].astype("int64")
+    src = df["source"].astype("string").fillna("")
+    base = np.select(
+        [d % 3 == 0, d % 3 == 1],
+        ["HTTP://WWW." + src + ".COM:80",
+         "https://Api." + src + ".Org:443"],
+        default="https://cdn." + src + ".net:8443")
+    path = np.select(
+        [d % 5 == 0, d % 5 == 1],
+        ["", "/"],
+        default="/Docs/" + d.astype(str))
+    tail = np.select(
+        [d % 4 == 0, d % 4 == 1, d % 4 == 2],
+        ["?utm_source=feed&ref=" + d.astype(str) + "&id=" + d.astype(str)
+         + "#sec",
+         "?id=" + d.astype(str) + "&UTM_Medium=z",
+         "#frag"],
+        default="")
+    return pd.Series(base + path + tail, index=df.index, dtype="string")
 
 
 def q_url_canonical(sf_dir: str):
-    """M8 slot: identifier/URL canonicalization over the synthetic
-    corpus urls (scheme/host case-fold, default port, tracking-param
-    and fragment strip, trailing-slash normalization)."""
+    """M8 slot: identifier/URL canonicalization (scheme/host
+    case-fold, default-port drop, tracking-param and fragment strip,
+    trailing-slash normalization) over deterministic messy URLs built
+    from the documents table — fully oracled in SQL string ops."""
     from ..functions.ids import canonicalize_url
-    from ..sources.corpus import CorpusConfig, corpus_dataset
 
-    n_docs = _rp(sf_dir, "documents", ["doc_id"]).count()
-    corpus = corpus_dataset(CorpusConfig(n_families=max(50, n_docs // 4)))
+    docs = _rp(sf_dir, "documents", ["doc_id", "source"])
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
+        urls = _messy_urls(df)
         return pd.DataFrame({
-            "url": df["url"],
-            "canonical_url": [canonicalize_url(u) for u in df["url"]],
+            "doc_id": df["doc_id"],
+            "url": urls,
+            "canonical_url": [canonicalize_url(u) for u in urls],
         })
 
-    return corpus.map_batches(canon, batch_format="pandas")
+    return docs.map_batches(canon, batch_format="pandas")
+
+
+SQL_URL_CANONICAL = """
+WITH u AS (
+  SELECT doc_id,
+    (CASE doc_id % 3
+       WHEN 0 THEN 'HTTP://WWW.' || source || '.COM:80'
+       WHEN 1 THEN 'https://Api.' || source || '.Org:443'
+       ELSE 'https://cdn.' || source || '.net:8443' END)
+    || (CASE doc_id % 5
+          WHEN 0 THEN '' WHEN 1 THEN '/'
+          ELSE '/Docs/' || CAST(doc_id AS VARCHAR) END)
+    || (CASE doc_id % 4
+          WHEN 0 THEN '?utm_source=feed&ref=' || CAST(doc_id AS VARCHAR)
+                      || '&id=' || CAST(doc_id AS VARCHAR) || '#sec'
+          WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR) || '&UTM_Medium=z'
+          WHEN 2 THEN '#frag' ELSE '' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         split_part(split_part(regexp_replace(url, '^[A-Za-z]+://', ''),
+                               '#', 1), '?', 1) AS hostpath,
+         CASE WHEN contains(split_part(regexp_replace(
+                     url, '^[A-Za-z]+://', ''), '#', 1), '?')
+              THEN split_part(split_part(regexp_replace(
+                     url, '^[A-Za-z]+://', ''), '#', 1), '?', 2)
+              ELSE '' END AS query
+  FROM u
+), hp AS (
+  SELECT doc_id, url, scheme, query,
+         lower(CASE WHEN contains(hostpath, '/')
+                    THEN split_part(hostpath, '/', 1)
+                    ELSE hostpath END) AS host0,
+         CASE WHEN position('/' IN hostpath) > 0
+              THEN substr(hostpath, position('/' IN hostpath))
+              ELSE '' END AS path0
+  FROM parts
+), norm AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http' AND ends_with(host0, ':80')
+                THEN left(host0, len(host0) - 3)
+              WHEN scheme = 'https' AND ends_with(host0, ':443')
+                THEN left(host0, len(host0) - 4)
+              ELSE host0 END AS host,
+         CASE WHEN path0 IN ('', '/') THEN '/' ELSE path0 END AS path,
+         array_to_string(
+           list_filter(string_split(query, '&'),
+             kv -> kv <> '' AND NOT list_contains(
+               ['utm_source', 'utm_medium', 'utm_campaign', 'utm_term',
+                'utm_content', 'gclid', 'fbclid', 'ref', 'sessionid'],
+               lower(string_split(kv, '=')[1]))), '&') AS q
+  FROM hp
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path
+         || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+FROM norm
+"""
 
 
 def _jsonl_shard_dir(sf_dir: str) -> str:
@@ -1918,6 +2081,9 @@ ORACLES = {
     "top_tfidf": SQL_TOP_TFIDF,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "unpivot": SQL_UNPIVOT,
+    "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
+    "lang_id": SQL_LANG_ID,
+    "url_canonical": SQL_URL_CANONICAL,
     "left_join": SQL_LEFT_JOIN,
     "semi_join": SQL_SEMI_JOIN,
     "group_concat": SQL_GROUP_CONCAT,

@@ -128,8 +128,11 @@ def md5_fingerprint_stage(ds, text_col: str = "text",
 def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Winnowing document fingerprint (public algorithm: Schleimer,
     Wilkerson, Aiken 2003): min hash per sliding window over k-gram
-    rolling hashes; deterministic."""
-    from ..functions.similarity import stable_hash_strings
+    hashes; deterministic.  Gram hash = DuckDB ``hash()`` of the
+    space-joined gram string, so the whole transform is reproducible
+    in SQL (see SQL_WINNOW_FINGERPRINT) — the oracle for the batch
+    stage below, which this scalar form pins in tests."""
+    from ..functions.similarity import hash_strings_fast
 
     toks = text.split()
     if len(toks) < k:
@@ -138,7 +141,7 @@ def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
         grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
     if not grams:
         return []
-    h = stable_hash_strings(grams).astype(np.uint64)
+    h = hash_strings_fast(grams).astype(np.uint64)
     if h.size <= window:
         return [int(h.min())]
     mins = []
@@ -150,6 +153,72 @@ def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
         if m != out[-1]:
             out.append(m)
     return out
+
+
+def winnow_stats_stage(ds, id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 5, window: int = 4):
+    """Per-document winnowing fingerprint stats (n_fingerprints,
+    min_fp) as a batch transform: gram strings are collected across
+    the whole batch and hashed in ONE DuckDB ``hash()`` call (the
+    dominant cost), window minima + consecutive-dedup run as numpy
+    sliding windows over the flat gram-hash buffer with per-doc
+    boundary masks — no per-doc hash calls.  Empty-token documents
+    are dropped (mirroring the SQL oracle's WHERE clause).  Output
+    matches :func:`winnowing_fingerprints` per doc (pinned by tests)
+    and DuckDB's window-SQL reformulation exactly."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from ..functions.similarity import hash_strings_fast
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype("string").fillna("")
+        ids, grams, counts = [], [], []
+        for doc_id, t in zip(df[id_col].to_numpy(), texts):
+            toks = t.split()
+            if not toks:
+                continue
+            if len(toks) < k:
+                g = [" ".join(toks)]
+            else:
+                g = [" ".join(toks[i:i + k])
+                     for i in range(len(toks) - k + 1)]
+            ids.append(doc_id)
+            counts.append(len(g))
+            grams.extend(g)
+        if not ids:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n_fingerprints": pd.Series([],
+                                                             dtype="int64"),
+                                 "min_fp": pd.Series([], dtype=object)})
+        h = hash_strings_fast(grams).astype(np.uint64)
+        counts = np.asarray(counts, dtype=np.int64)
+        offs = np.zeros(counts.size + 1, dtype=np.int64)
+        np.cumsum(counts, out=offs[1:])
+        # global min per doc == min over window minima (every gram is
+        # covered by at least one window)
+        min_fp = np.minimum.reduceat(h, offs[:-1])
+        # flat sliding-window minima; window w is valid iff it does not
+        # cross a doc boundary
+        n_fp = np.empty(counts.size, dtype=np.int64)
+        if h.size >= window:
+            wmin = sliding_window_view(h, window).min(axis=1)
+        else:
+            wmin = np.empty(0, dtype=np.uint64)
+        for j in range(counts.size):
+            lo, n = offs[j], counts[j]
+            if n <= window:
+                n_fp[j] = 1
+                continue
+            m = wmin[lo:lo + n - window + 1]
+            n_fp[j] = 1 + int(np.count_nonzero(m[1:] != m[:-1]))
+        return pd.DataFrame({
+            id_col: np.asarray(ids),
+            "n_fingerprints": n_fp,
+            # string-typed so engines hash the uint64 identically
+            "min_fp": min_fp.astype(str),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
 
 
 def _ws_tokens(texts: pd.Series) -> pd.Series:

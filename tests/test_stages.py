@@ -366,3 +366,30 @@ def test_group_concat_ordered(ray_session):
     # values sort lexicographically inside each group regardless of
     # input order, so output is partitioning-invariant
     assert got == {1: "a,b,c", 2: "y,z"}
+
+
+def test_winnow_stats_stage_matches_scalar(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.textstats import (
+        winnow_stats_stage, winnowing_fingerprints,
+    )
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["one two", "a b c d e f g h i j", "", "   x   ",
+                 "w w w w w w w w w w w w"],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = winnow_stats_stage(ds).to_pandas().set_index("doc_id")
+    expect = {}
+    for did, t in zip(df["doc_id"], df["text"]):
+        fps = winnowing_fingerprints(t)
+        if fps:
+            expect[did] = (len(fps), str(min(fps)))
+    assert set(out.index) == set(expect)
+    for did, (n, mn) in expect.items():
+        assert out.loc[did, "n_fingerprints"] == n
+        assert out.loc[did, "min_fp"] == mn

@@ -1961,6 +1961,90 @@ GROUP BY r_name
 """
 
 
+def q_keyword_search(sf_dir: str):
+    """P3-search slot: term-frequency ranked keyword search — top 20
+    documents by exact-token hits for 'filter' (vectorized explode +
+    equality, no per-row loop; tie-break by doc_id)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("").reset_index(drop=True)
+        toks = texts.str.lower().str.split()
+        ex = toks.explode()
+        hits = (ex == "filter").groupby(level=0).sum() \
+            .reindex(texts.index).fillna(0).astype("int64")
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "hits": hits.to_numpy()})
+        return out[out["hits"] > 0]
+
+    return ds.map_batches(fn, batch_format="pandas").sort(
+        ["hits", "doc_id"], descending=[True, False]).limit(20)
+
+
+SQL_KEYWORD_SEARCH = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+)
+SELECT doc_id, len(list_filter(toks, x -> x = 'filter')) AS hits
+FROM t
+WHERE len(list_filter(toks, x -> x = 'filter')) > 0
+ORDER BY hits DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_ngram_top(sf_dir: str):
+    """Corpus-wide top-20 bigrams: per-batch partial counts (combiner
+    — bigrams repeat heavily within a batch), ONE bucketed shuffle on
+    the bigram key, global sort + limit.  The 100 TB plan for n-gram
+    language-model statistics."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ds = _rp(sf_dir, "documents", ["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("").reset_index(drop=True)
+        toks = texts.str.lower().str.split()
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"bigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        doc_idx = ex.index.to_numpy()
+        vals = ex.to_numpy(dtype=object)
+        same_doc = doc_idx[:-1] == doc_idx[1:]
+        big = np.char.add(np.char.add(vals[:-1].astype(str), " "),
+                          vals[1:].astype(str))[same_doc]
+        c = pd.Series(big).value_counts(sort=False)
+        return pd.DataFrame({"bigram": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy()})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("bigram", sort=False)["n"].sum()
+        return g.reset_index()
+
+    sums = bucketed_map_groups(partials, ["bigram"], total, num_buckets=32)
+    return sums.sort(["n", "bigram"], descending=[True, False]).limit(20)
+
+
+SQL_NGRAM_TOP = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), pos AS (
+  SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+)
+SELECT toks[i] || ' ' || toks[i+1] AS bigram, count(*) AS n
+FROM pos GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -2017,6 +2101,8 @@ QUERIES = {
     "rank_window": q_rank_window,
     "regex_extract": q_regex_extract,
     "star_join": q_star_join,
+    "keyword_search": q_keyword_search,
+    "ngram_top": q_ngram_top,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "near_dup_keep": q_near_dup_keep,
@@ -2091,4 +2177,6 @@ ORACLES = {
     "rank_window": SQL_RANK_WINDOW,
     "regex_extract": SQL_REGEX_EXTRACT,
     "star_join": SQL_STAR_JOIN,
+    "keyword_search": SQL_KEYWORD_SEARCH,
+    "ngram_top": SQL_NGRAM_TOP,
 }

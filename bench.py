@@ -51,6 +51,21 @@ def _box_hygiene() -> None:
     hence the opt-in remains."""
     if os.environ.get("GRAFT_NO_HYGIENE"):
         return
+    # Transparent huge pages for anon + shmem (the plasma object
+    # store lives in /dev/shm).  Root-caused 2026-08-17: this
+    # Firecracker guest's first-touch page faults cost up to ~90us
+    # per 4 KiB page in degraded host phases (4 GiB of fresh numpy
+    # buffer took 88 s to fault in while steady-state DRAM streamed
+    # at 17 GB/s) — THP=always amortizes the fault path 512:1;
+    # measured first-touch 193 -> 1485 MB/s in the same phase, and
+    # corpus gen 43 s -> 9.5 s.  Idempotent, best-effort.
+    for knob, val in (("enabled", "always"), ("shmem_enabled", "always")):
+        try:
+            with open(f"/sys/kernel/mm/transparent_hugepage/{knob}",
+                      "w") as f:
+                f.write(val)
+        except OSError:
+            pass
     if os.environ.get("GRAFT_DROP_CACHES"):
         try:
             with open("/proc/sys/vm/drop_caches", "w") as f:

@@ -184,6 +184,19 @@ def run_bench() -> dict:
     return _result(headline_sec, timings, n_pages, n_assign, pairs)
 
 
+def _phase_probe_mbs() -> float:
+    """First-touch fault speed over a fresh 64 MiB anon buffer — the
+    host-phase signal (see BASELINE.md "Box-state drift ROOT CAUSE").
+    > ~800 MB/s = healthy; < ~100 = deep degradation.  Every bench
+    JSON carries it so recorded walls are interpretable."""
+    import numpy as np
+
+    sz = 64 * 1024 * 1024
+    t0 = time.time()
+    np.ones(sz // 8, dtype=np.float64)
+    return round(sz / (time.time() - t0) / 1e6, 1)
+
+
 def _result(headline_sec, timings, n_pages, n_assign, pairs) -> dict:
     return {
         "metric": "reconcile_pipeline_sec",
@@ -197,6 +210,7 @@ def _result(headline_sec, timings, n_pages, n_assign, pairs) -> dict:
         "candidate_pairs": pairs,
         "pages_per_sec": round(n_pages / headline_sec, 1),
         "pairs_per_sec": round(pairs / headline_sec, 1) if pairs else 0.0,
+        "phase_first_touch_mbs": _phase_probe_mbs(),
     }
 
 

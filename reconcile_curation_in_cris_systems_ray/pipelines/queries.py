@@ -2045,6 +2045,19 @@ LIMIT 20
 """
 
 
+def q_quantile_sketch(sf_dir: str):
+    """Mergeable t-digest approximate global quantiles over event
+    values (combiner pattern: per-batch centroid digests, no shuffle).
+    Rows-only check — accuracy within 1% of exact p50/p90/p99 is
+    pinned by tests/test_sketch.py; the exact-quantile oracle lives in
+    the `quantile_agg` query."""
+    from ..stages.sketch import tdigest_quantiles
+
+    ds = _rp(sf_dir, "events", ["value"])
+    return tdigest_quantiles(ds, "value",
+                             {"p50": 0.5, "p90": 0.9, "p99": 0.99})
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -2103,6 +2116,7 @@ QUERIES = {
     "star_join": q_star_join,
     "keyword_search": q_keyword_search,
     "ngram_top": q_ngram_top,
+    "quantile_sketch": q_quantile_sketch,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "near_dup_keep": q_near_dup_keep,

@@ -135,3 +135,110 @@ def stratified_sample(ds, group_cols, key_col: str, n_per_group: int,
         return out.drop(columns="__dig")
 
     return bucketed_map_groups(ds, group_cols, bucket_fn, num_buckets)
+
+
+# ----------------------------------------------------------------------
+# Mergeable approximate quantiles (t-digest; Dunning & Ertl, public
+# algorithm) — the scale path quantile_agg's docstring reserves for
+# groups too large to co-locate: per-batch partial digests (one narrow
+# map, NO shuffle), centroid-merge on the driver, O(delta) bytes moved
+# per batch independent of row count.
+# ----------------------------------------------------------------------
+
+def _tdigest_compress(values: np.ndarray, weights: np.ndarray,
+                      delta: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress weighted points into <= ~2*delta centroids using the
+    k1 scale function's size bound (stronger accuracy near the tails).
+    Inputs must be sorted by value; deterministic."""
+    total = weights.sum()
+    if total == 0:
+        return values[:0], weights[:0]
+    # cumulative quantile at the LEFT edge of each point
+    q_left = (np.cumsum(weights) - weights) / total
+    # greedy: start a new centroid whenever adding the point would
+    # push the centroid's width past the k1 size limit 4*q*(1-q)/delta
+    out_v, out_w = [], []
+    acc_w = 0.0
+    acc_vw = 0.0
+    start_q = 0.0
+    for v, w, ql in zip(values, weights, q_left):
+        q_right = ql + w / total
+        mid = (start_q + q_right) / 2.0
+        limit = 4.0 * total * mid * (1.0 - mid) / delta
+        if acc_w > 0 and acc_w + w > limit:
+            out_v.append(acc_vw / acc_w)
+            out_w.append(acc_w)
+            acc_w, acc_vw = 0.0, 0.0
+            start_q = ql
+        acc_w += w
+        acc_vw += v * w
+    if acc_w > 0:
+        out_v.append(acc_vw / acc_w)
+        out_w.append(acc_w)
+    return (np.asarray(out_v, dtype=np.float64),
+            np.asarray(out_w, dtype=np.float64))
+
+
+def _tdigest_quantile(cv: np.ndarray, cw: np.ndarray, q: float,
+                      vmin: float, vmax: float) -> float:
+    """Linear interpolation between centroid means (standard t-digest
+    estimate), clamped to the true min/max."""
+    total = cw.sum()
+    if total == 0:
+        return float("nan")
+    if len(cv) == 1:
+        return float(cv[0])
+    # centroid midpoints in cumulative-weight space
+    mids = np.cumsum(cw) - cw / 2.0
+    target = q * total
+    if target <= mids[0]:
+        lo_w = cw[0] / 2.0
+        t = target / lo_w if lo_w > 0 else 0.0
+        return float(vmin + t * (cv[0] - vmin))
+    if target >= mids[-1]:
+        hi_w = cw[-1] / 2.0
+        t = (target - mids[-1]) / hi_w if hi_w > 0 else 0.0
+        return float(cv[-1] + t * (vmax - cv[-1]))
+    i = int(np.searchsorted(mids, target) - 1)
+    span = mids[i + 1] - mids[i]
+    t = (target - mids[i]) / span if span > 0 else 0.0
+    return float(cv[i] + t * (cv[i + 1] - cv[i]))
+
+
+def tdigest_quantiles(ds, col: str, qs: dict[str, float],
+                      delta: int = 200) -> pd.DataFrame:
+    """Approximate global quantiles via mergeable t-digests.
+
+    Physical plan mirrors ``hll_count_distinct``: each batch sorts its
+    values and compresses to <= ~2*delta (value, weight) centroids —
+    one narrow ``map_batches``, NO shuffle; the driver concatenates
+    the per-batch centroids (a few KiB each), re-sorts and compresses
+    once more, then interpolates.  Accuracy is pinned within 1% of
+    exact p50/p90 by tests/test_sketch.py; tails are tighter (k1
+    scale function).  At 10^12 rows the bytes reaching the driver are
+    O(batches * delta), independent of row count — and the same
+    centroid merge nests hierarchically (tree-reduce) if even that
+    overflows."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[col], errors="coerce").dropna().to_numpy(
+            dtype=np.float64)
+        if v.size == 0:
+            return pd.DataFrame({"v": [], "w": [], "lo": [], "hi": []})
+        v.sort()
+        cv, cw = _tdigest_compress(v, np.ones_like(v), delta)
+        return pd.DataFrame({"v": cv, "w": cw,
+                             "lo": np.full(cv.size, v[0]),
+                             "hi": np.full(cv.size, v[-1])})
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({name: [float("nan")] for name in qs})
+    order = np.argsort(parts["v"].to_numpy(), kind="mergesort")
+    cv, cw = _tdigest_compress(parts["v"].to_numpy()[order],
+                               parts["w"].to_numpy()[order], delta)
+    vmin = float(parts["lo"].min())
+    vmax = float(parts["hi"].max())
+    return pd.DataFrame({name: [_tdigest_quantile(cv, cw, q, vmin, vmax)]
+                         for name, q in qs.items()})

@@ -102,3 +102,53 @@ def test_stratified_sample_small_groups_kept_whole(ray_session):
     ds = rd.from_arrow(pa.Table.from_pandas(df))
     out = stratified_sample(ds, ["g"], "k", 5).to_pandas()
     assert len(out) == 3
+
+
+def test_tdigest_merge_accuracy_vs_exact():
+    """Partial digests merged across batches stay within 1% of exact
+    quantiles (0.1% at the tails — k1 scale function)."""
+    import numpy as np
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        _tdigest_compress, _tdigest_quantile,
+    )
+
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(1.0, 1.2, 120_000)
+    # simulate 12 batch partials then one driver merge
+    cvs, cws = [], []
+    for chunk in np.array_split(data, 12):
+        c = np.sort(chunk)
+        cv, cw = _tdigest_compress(c, np.ones_like(c), 200)
+        cvs.append(cv)
+        cws.append(cw)
+    v = np.concatenate(cvs)
+    w = np.concatenate(cws)
+    order = np.argsort(v, kind="mergesort")
+    cv, cw = _tdigest_compress(v[order], w[order], 200)
+    assert len(cv) < 2500  # bytes on the driver stay bounded
+    for q in (0.01, 0.5, 0.9, 0.99):
+        est = _tdigest_quantile(cv, cw, q, data.min(), data.max())
+        exact = np.quantile(data, q)
+        assert abs(est - exact) / exact < 0.01, (q, est, exact)
+
+
+def test_tdigest_dataset_path(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        tdigest_quantiles,
+    )
+
+    rng = np.random.default_rng(3)
+    vals = rng.normal(100, 15, 50_000)
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"value": vals}), preserve_index=False))
+    out = tdigest_quantiles(ds, "value", {"p50": 0.5, "p90": 0.9})
+    exact50 = np.quantile(vals, 0.5)
+    exact90 = np.quantile(vals, 0.9)
+    assert abs(out["p50"][0] - exact50) / exact50 < 0.01
+    assert abs(out["p90"][0] - exact90) / exact90 < 0.01

@@ -2058,6 +2058,29 @@ def q_quantile_sketch(sf_dir: str):
                              {"p50": 0.5, "p90": 0.9, "p99": 0.99})
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus top-20 terms WITHOUT shuffling the token stream:
+    Misra-Gries candidate sweep (bounded summaries to the driver) +
+    broadcast exact verification pass, with a provable-exactness check
+    and a bucketed-shuffle fallback.  The genuinely 10^12-row plan for
+    "top terms" — contrast ngram_top, which shuffles term partials."""
+    from ..stages.sketch import heavy_hitters_topk
+
+    return heavy_hitters_topk(_rp(sf_dir, "documents", ["text"]), "text",
+                              k=20)
+
+
+SQL_HEAVY_HITTERS = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+)
+SELECT u.term AS term, count(*) AS n
+FROM t, unnest(t.toks) AS u(term)
+GROUP BY term ORDER BY n DESC, term LIMIT 20
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -2116,6 +2139,7 @@ QUERIES = {
     "star_join": q_star_join,
     "keyword_search": q_keyword_search,
     "ngram_top": q_ngram_top,
+    "heavy_hitters": q_heavy_hitters,
     "quantile_sketch": q_quantile_sketch,
     # rows-only
     "approx_distinct": q_approx_distinct,
@@ -2193,4 +2217,5 @@ ORACLES = {
     "star_join": SQL_STAR_JOIN,
     "keyword_search": SQL_KEYWORD_SEARCH,
     "ngram_top": SQL_NGRAM_TOP,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
 }

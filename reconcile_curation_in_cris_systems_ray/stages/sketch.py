@@ -242,3 +242,149 @@ def tdigest_quantiles(ds, col: str, qs: dict[str, float],
     vmax = float(parts["hi"].max())
     return pd.DataFrame({name: [_tdigest_quantile(cv, cw, q, vmin, vmax)]
                          for name, q in qs.items()})
+
+
+# ----------------------------------------------------------------------
+# Exact heavy hitters (top-k terms) WITHOUT an all-to-all shuffle:
+# Misra-Gries candidate sweep + exact verification pass.  The naive
+# plan for "top 20 terms in the corpus" shuffles the ENTIRE exploded
+# token stream by term (ngram_top's plan — fine when bigram partials
+# collapse well, catastrophic for a 10^12-row corpus whose vocabulary
+# doesn't).  This plan moves only O(batches * capacity) summary rows
+# plus candidate counts, and PROVES its answer exact.
+# ----------------------------------------------------------------------
+
+def _mg_reduce(counts: pd.Series, capacity: int) -> tuple[pd.Series, int]:
+    """One Misra-Gries decrement step over exact batch counts: if more
+    than ``capacity`` distinct terms, subtract the (capacity+1)-th
+    largest count from all and drop non-positives.  Every kept estimate
+    is a LOWER bound underestimating by at most the returned decrement;
+    every dropped term's batch count is at most the decrement."""
+    if len(counts) <= capacity:
+        return counts, 0
+    arr = np.sort(counts.to_numpy())[::-1]
+    dec = int(arr[capacity])
+    kept = counts[counts > dec] - dec
+    return kept, dec
+
+
+def heavy_hitters_topk(ds, text_col: str = "text", k: int = 20,
+                       capacity: int = 4096) -> pd.DataFrame:
+    """Exact global top-``k`` whitespace tokens by count, tie-broken
+    lexicographically — two streaming passes, NO token-stream shuffle.
+
+    Pass 1 (candidate sweep): each batch counts its tokens exactly,
+    then compresses to <= ``capacity`` (term, est) rows via one
+    Misra-Gries decrement (:func:`_mg_reduce`).  Summaries merge by
+    summing ests; per-batch decrements sum to a global error bound
+    ``e`` with the invariants  est(t) <= true(t) <= est(t) + e  and
+    true(t) <= e for any term absent from the merged summary.
+
+    Pass 2 (exact verify): candidates = summary terms with
+    ``est >= T_k - e`` (``T_k`` = k-th largest est; any true-top-k term
+    satisfies this, since true >= n_k >= T_k and est >= true - e).  The
+    candidate set is broadcast once via ``ray.put`` and each batch
+    counts ONLY candidate occurrences — exact counts arrive without
+    shuffling the token stream.  If the exact k-th count ``n_k > e``
+    the result is PROVABLY exact (absent terms have true <= e < n_k;
+    excluded summary terms have true <= est + e < T_k <= n_k); when the
+    guarantee fails (capacity too small for the skew) the operator
+    falls back to the full bucketed shuffle, so the answer is exact
+    either way.
+
+    Driver-side merges are bounded at O(batches * capacity) and
+    O(candidates) rows; at 10^12-row scale both nest hierarchically
+    (tree-reduce) like the t-digest/HLL merges above.
+    """
+    import ray
+
+    from .textstats import _ws_tokens
+
+    docs = ds.select_columns([text_col])
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _ws_tokens(df[text_col]).explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "est": pd.Series([], dtype="int64")})
+        counts = ex.value_counts(sort=False)
+        kept, dec = _mg_reduce(counts, capacity)
+        terms = kept.index.to_numpy(dtype=object)
+        ests = kept.to_numpy(dtype=np.int64)
+        if dec:
+            # marker row: null term carries this batch's decrement
+            terms = np.append(terms, None)
+            ests = np.append(ests, dec)
+        return pd.DataFrame({"term": pd.Series(terms, dtype="string"),
+                             "est": ests})
+
+    summary = docs.map_batches(sweep, batch_format="pandas").to_pandas()
+    if summary.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                             "n": pd.Series([], dtype="int64")})
+    null_mask = summary["term"].isna()
+    err = int(summary.loc[null_mask, "est"].sum())
+    est = (summary[~null_mask].groupby("term", sort=False)["est"].sum()
+           .sort_values(ascending=False, kind="mergesort"))
+    t_k = int(est.iloc[min(k, len(est)) - 1])
+    cand = est[est >= t_k - err]
+
+    # candidate blow-up means the bound is useless — go straight to the
+    # exact-shuffle fallback rather than broadcasting a huge set
+    if err and len(cand) > max(64 * k, 4096):
+        return _heavy_hitters_shuffle(docs, text_col, k)
+
+    cand_ref = ray.put(frozenset(cand.index))
+
+    def verify(df: pd.DataFrame, _ref=cand_ref) -> pd.DataFrame:
+        cands = ray.get(_ref)
+        ex = _ws_tokens(df[text_col]).explode().dropna()
+        hits = ex[ex.isin(cands)]
+        if hits.empty:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "n": pd.Series([], dtype="int64")})
+        c = hits.value_counts(sort=False)
+        return pd.DataFrame({"term": pd.Series(c.index.to_numpy(dtype=object),
+                                               dtype="string"),
+                             "n": c.to_numpy().astype(np.int64)})
+
+    exact = (docs.map_batches(verify, batch_format="pandas").to_pandas()
+             .groupby("term", sort=False)["n"].sum().reset_index())
+    exact = exact.sort_values(["n", "term"], ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+    top = exact.head(k)
+    n_k = int(top["n"].iloc[-1]) if len(top) else 0
+    if err and n_k <= err:
+        return _heavy_hitters_shuffle(docs, text_col, k)
+    return pd.DataFrame({"term": top["term"].astype("string").to_numpy(),
+                         "n": top["n"].astype("int64").to_numpy()})
+
+
+def _heavy_hitters_shuffle(docs, text_col: str, k: int) -> pd.DataFrame:
+    """Exact fallback: per-batch partial counts, ONE bucketed shuffle
+    on the term key (ngram_top's plan) — always correct, used only when
+    the sweep's proof fails."""
+    from .shuffle import bucketed_map_groups
+    from .textstats import _ws_tokens
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _ws_tokens(df[text_col]).explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "n": pd.Series([], dtype="int64")})
+        c = ex.value_counts(sort=False)
+        return pd.DataFrame({"term": pd.Series(c.index.to_numpy(dtype=object),
+                                               dtype="string"),
+                             "n": c.to_numpy().astype(np.int64)})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False)["n"].sum()
+        return g.reset_index()
+
+    sums = bucketed_map_groups(
+        docs.map_batches(partial, batch_format="pandas"),
+        ["term"], total, num_buckets=32)
+    out = (sums.sort(["n", "term"], descending=[True, False])
+           .limit(k).to_pandas())
+    return pd.DataFrame({"term": out["term"].astype("string").to_numpy(),
+                         "n": out["n"].astype("int64").to_numpy()})

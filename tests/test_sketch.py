@@ -152,3 +152,80 @@ def test_tdigest_dataset_path(ray_session):
     exact90 = np.quantile(vals, 0.9)
     assert abs(out["p50"][0] - exact50) / exact50 < 0.01
     assert abs(out["p90"][0] - exact90) / exact90 < 0.01
+
+
+def _brute_topk(texts: list[str], k: int) -> pd.DataFrame:
+    toks: list[str] = []
+    for t in texts:
+        toks.extend(t.strip().lower().split())
+    c = pd.Series(toks).value_counts()
+    df = c.reset_index()
+    df.columns = ["term", "n"]
+    df = df.sort_values(["n", "term"], ascending=[False, True],
+                        kind="mergesort").head(k)
+    return df.reset_index(drop=True)
+
+
+def _zipf_texts() -> list[str]:
+    # deterministic skewed corpus: term-i appears ~600/(i+1) times,
+    # spread across docs so batches see overlapping vocabularies
+    words = []
+    for i in range(400):
+        words.extend([f"w{i:03d}"] * (600 // (i + 1) + 1))
+    # fixed interleave (no RNG): stride permutation mixes terms per doc
+    n = len(words)
+    order = [(j * 7919) % n for j in range(n)]
+    mixed = [words[j] for j in order]
+    return [" ".join(mixed[s:s + 50]) for s in range(0, n, 50)]
+
+
+def test_heavy_hitters_exact_vs_brute(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        heavy_hitters_topk,
+    )
+
+    texts = _zipf_texts()
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"text": texts}))).repartition(8)
+    got = heavy_hitters_topk(ds, "text", k=15, capacity=4096)
+    want = _brute_topk(texts, 15)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"term": str, "n": "int64"}),
+        want.astype({"term": str, "n": "int64"}))
+
+
+def test_heavy_hitters_tiny_capacity_still_exact(ray_session):
+    """capacity far below vocabulary forces MG decrements; the result
+    must STILL be exact — either the proof holds or the operator falls
+    back to the full shuffle."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        heavy_hitters_topk,
+    )
+
+    texts = _zipf_texts()
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"text": texts}))).repartition(8)
+    got = heavy_hitters_topk(ds, "text", k=10, capacity=16)
+    want = _brute_topk(texts, 10)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"term": str, "n": "int64"}),
+        want.astype({"term": str, "n": "int64"}))
+
+
+def test_mg_reduce_bounds():
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import _mg_reduce
+
+    counts = pd.Series({f"t{i}": 100 - i for i in range(50)})
+    kept, dec = _mg_reduce(counts, 10)
+    assert len(kept) <= 10
+    assert dec == counts.sort_values(ascending=False).iloc[10]
+    # every kept estimate is a lower bound within dec of truth
+    for term, est in kept.items():
+        assert counts[term] - dec == est
+    # no-op below capacity
+    kept2, dec2 = _mg_reduce(counts, 100)
+    assert dec2 == 0 and kept2.equals(counts)

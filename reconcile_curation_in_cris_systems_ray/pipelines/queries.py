@@ -510,6 +510,26 @@ SELECT query_id, vec_id FROM (
 """
 
 
+def q_cosine_pairs(sf_dir: str):
+    """Exact cosine-similarity threshold self-join over the embeddings
+    table (brute-force baseline; LSH bucketing is the scale path — see
+    embedding_dups).  Threshold 0.46 sits in a wide gap of the
+    pairwise-cosine distribution (nearest value >1e-2 away at sf0.01),
+    so float32-vs-float64 kernel differences cannot flip membership."""
+    from ..stages.ann import cosine_threshold_pairs
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return cosine_threshold_pairs(ds, 0.46)
+
+
+SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.46
+ORDER BY id_a, id_b
+"""
+
+
 def q_group_pivot(sf_dir: str):
     """A1 slot: per-group record assembly."""
     ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type",
@@ -2101,6 +2121,7 @@ QUERIES = {
     "quality_stats": q_quality_stats,
     "dedup_exact": q_dedup_exact,
     "knn_bruteforce": q_knn_bruteforce,
+    "cosine_pairs": q_cosine_pairs,
     "group_pivot": q_group_pivot,
     "containment_join": q_containment_join,
     "md5_fingerprint": q_md5_fingerprint,
@@ -2176,6 +2197,7 @@ ORACLES = {
     "quality_stats": SQL_QUALITY_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,
+    "cosine_pairs": SQL_COSINE_PAIRS,
     "group_pivot": SQL_GROUP_PIVOT,
     "containment_join": SQL_CONTAINMENT_JOIN,
     "md5_fingerprint": SQL_MD5_FINGERPRINT,

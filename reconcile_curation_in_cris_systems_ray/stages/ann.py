@@ -61,6 +61,50 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                           descending=True, num_buckets=16)
 
 
+def _blocks_to_matrix(id_col: str, vec_col: str, *blocks):
+    """Assemble (ids, L2-normalized matrix) from dataset block refs —
+    runs as a remote task so the driver never holds the vectors."""
+    ids = np.concatenate([
+        b.column(id_col).to_numpy(zero_copy_only=False) for b in blocks])
+    mat = np.concatenate([_as_matrix(b.column(vec_col)) for b in blocks])
+    return ids, _normalize(mat)
+
+
+def cosine_threshold_pairs(ds, threshold: float, id_col: str = "vec_id",
+                           vec_col: str = "embedding"):
+    """Exact all-pairs cosine similarity join: every (id_a < id_b) pair
+    with cosine >= ``threshold``.  The brute-force BASELINE for
+    embedding near-dup detection: the full normalized matrix is staged
+    once in the object store (remote assembly + ``ray.put`` semantics
+    via a task ref — never shipped per batch), and each batch computes
+    one matmul of its rows against it, keeping only upper-triangle hits.
+
+    Compute is O(n^2 d / batches) per task and broadcast memory is
+    O(n d) per node — exact and fine to a few million vectors.  Above
+    that, the scale path is hyperplane-LSH bucketing
+    (``stages/dedup.py::embedding_dup_pairs``), which bounds candidate
+    pairs instead of scoring all of them.
+    """
+    src = ds.select_columns([id_col, vec_col])
+    mat_ref = ray.remote(_blocks_to_matrix).remote(
+        id_col, vec_col, *src.to_arrow_refs())
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, m = ray.get(mat_ref)
+        vecs = _normalize(_as_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims = vecs @ m.T                                   # (nb, n)
+        hit = (sims >= threshold) & (ids[:, None] < all_ids[None, :])
+        bi, oj = np.nonzero(hit)
+        return pa.table({
+            "id_a": pa.array(ids[bi], pa.int64()),
+            "id_b": pa.array(all_ids[oj], pa.int64()),
+        })
+
+    out = src.map_batches(pairs, batch_format="pyarrow")
+    return out.sort(["id_a", "id_b"])
+
+
 def build_ivf_centroids(ds, n_centroids: int = 16,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> np.ndarray:

@@ -37,6 +37,8 @@ PINNED = [
     "top_tfidf",
     "stratified_sample",
     "unpivot",
+    "heavy_hitters",
+    "cosine_pairs",
 ]
 
 

@@ -1470,6 +1470,29 @@ def q_reconcile_flagship(sf_dir: str):
     return out["assignments"]
 
 
+def q_incremental_link(sf_dir: str):
+    """Delta reconciliation: an 80/20 url-hash split of the flagship
+    corpus; base run on 80%, the 20% delta linked incrementally against
+    the base state (touched-bands-only pair generation, cluster-
+    contracted CC).  Rows-only check; full-run cluster equivalence is
+    pinned by tests/test_pipeline.py::test_incremental_equals_full_run."""
+    import ray.data as rd
+
+    from ..functions.similarity import stable_hash_strings
+    from ..sources.corpus import CorpusConfig, corpus_table
+    from .incremental import run_incremental
+    from .reconcile import run_reconcile
+
+    n_docs = _rp(sf_dir, "documents", ["doc_id"]).count()
+    tbl = corpus_table(CorpusConfig(n_families=max(50, n_docs // 4)))
+    urls = np.asarray(tbl.column("url").to_pylist(), dtype=object)
+    is_delta = stable_hash_strings(urls) % np.uint64(5) == 0
+    base = run_reconcile(rd.from_arrow(tbl.filter(~is_delta)))
+    inc = run_incremental(base["features"], base["assignments"],
+                          rd.from_arrow(tbl.filter(is_delta)))
+    return inc["assignments"]
+
+
 # --------------------------------------------------------------------------
 # Temporal / ordered-window operators (stages/temporal.py) — as-of join,
 # interval join, sessionization, rolling windows, exact group quantiles.
@@ -2175,6 +2198,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "ann_ivf": q_ann_ivf,
     "reconcile_flagship": q_reconcile_flagship,
+    "incremental_link": q_incremental_link,
 }
 
 ORACLES = {

@@ -199,3 +199,39 @@ def test_cli_reconcile_from_parquet(ray_session, corpus, tmp_path):
     out = run_reconcile(rd.from_arrow(corpus))
     a_mem = {r["url"]: r["cluster_id"] for r in out["assignments"].take_all()}
     assert a_cli == a_mem
+
+
+def test_incremental_equals_full_run(ray_session, corpus):
+    """Delta linkage against a base run must produce the SAME clustering
+    as a from-scratch run over base+delta (url->cluster identical)."""
+    import numpy as np
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.functions.similarity import (
+        stable_hash_strings,
+    )
+    from reconcile_curation_in_cris_systems_ray.pipelines.incremental import (
+        run_incremental,
+    )
+
+    urls = np.asarray(corpus.column("url").to_pylist(), dtype=object)
+    # deterministic ~20% delta, split orthogonal to families so many
+    # delta pages must join existing base clusters
+    is_delta = stable_hash_strings(urls) % np.uint64(5) == 0
+    base_tbl = corpus.filter(~is_delta)
+    delta_tbl = corpus.filter(is_delta)
+    assert 0 < delta_tbl.num_rows < corpus.num_rows
+
+    base = run_reconcile(rd.from_arrow(base_tbl))
+    inc = run_incremental(base["features"], base["assignments"],
+                          rd.from_arrow(delta_tbl))
+    got = {r["url"]: r["cluster_id"]
+           for r in inc["assignments"].take_all()}
+
+    full = run_reconcile(rd.from_arrow(corpus))
+    want = {r["url"]: r["cluster_id"]
+            for r in full["assignments"].take_all()}
+    assert len(got) == corpus.num_rows
+    assert got == want
+    # the delta actually linked into base clusters (non-vacuous)
+    assert inc["metrics"]["delta_edges"] > 0

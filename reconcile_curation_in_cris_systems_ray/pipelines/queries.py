@@ -371,6 +371,28 @@ FROM documents
 """
 
 
+def q_percentile_filter(sf_dir: str):
+    """Curation gate composition: keep documents whose token count
+    exceeds the corpus-wide exact p75 — the threshold comes from a
+    shuffle-free histogram combiner (exact quantile_disc parity), then
+    a broadcast-scalar vectorized filter."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    stats = ts.token_count_stage(ds, "text").select_columns(
+        ["doc_id", "n_tokens"])
+    return ts.quantile_threshold_filter(stats, "n_tokens", 0.75)
+
+
+SQL_PERCENTILE_FILTER = """
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), thr AS (SELECT quantile_disc(n_tokens, 0.75) AS t FROM s)
+SELECT doc_id, n_tokens FROM s, thr WHERE n_tokens > thr.t
+"""
+
+
 def q_bpe_token_count(sf_dir: str):
     """Text analysis: sub-word-ish token counting via the BPE-style
     regex (word runs | digit runs | single non-space symbol)."""
@@ -2141,6 +2163,7 @@ QUERIES = {
     "window_hourly": q_window_hourly,
     "topk_per_group": q_topk_per_group,
     "token_count": q_token_count,
+    "percentile_filter": q_percentile_filter,
     "quality_stats": q_quality_stats,
     "dedup_exact": q_dedup_exact,
     "knn_bruteforce": q_knn_bruteforce,
@@ -2218,6 +2241,7 @@ ORACLES = {
     "window_hourly": SQL_WINDOW_HOURLY,
     "topk_per_group": SQL_TOPK_PER_GROUP,
     "token_count": SQL_TOKEN_COUNT,
+    "percentile_filter": SQL_PERCENTILE_FILTER,
     "quality_stats": SQL_QUALITY_STATS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "knn_bruteforce": SQL_KNN_BRUTEFORCE,

@@ -13,6 +13,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 _WS_SPLIT_RE = re.compile(r"\s+")
 # BPE-ish word/number/punct pieces (public GPT-2-style pattern, simplified)
@@ -219,6 +220,49 @@ def winnow_stats_stage(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def exact_int_quantile(ds, col: str, q: float) -> int:
+    """EXACT ``quantile_disc`` over an integer-valued column without a
+    shuffle or a sort: per-batch value-count histograms (the combiner
+    pattern — one narrow map), merged on the driver, then a cumulative
+    scan picks the smallest value whose cumulative count reaches
+    ``ceil(q * N)`` (DuckDB ``quantile_disc`` parity, pinned by tests
+    incl. the ties/exact-multiple edge cases).
+
+    Bytes reaching the driver are O(distinct values) — bounded for
+    count-like document stats (token counts, lengths) regardless of
+    row count; for unbounded/float domains use the t-digest
+    (:func:`..stages.sketch.tdigest_quantiles`) instead."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df[col].value_counts(sort=False)
+        return pd.DataFrame({"v": c.index.to_numpy(dtype=np.int64),
+                             "n": c.to_numpy().astype(np.int64)})
+
+    hist = (ds.select_columns([col])
+            .map_batches(partial, batch_format="pandas").to_pandas()
+            .groupby("v", sort=True)["n"].sum())
+    total = int(hist.sum())
+    if total == 0:
+        raise ValueError(f"exact_int_quantile: no rows in column {col!r}")
+    rank = max(1, int(np.ceil(q * total)))
+    cum = hist.cumsum()
+    return int(cum.index[np.searchsorted(cum.to_numpy(), rank)])
+
+
+def quantile_threshold_filter(ds, col: str, q: float):
+    """Curation gate: keep rows whose integer ``col`` exceeds the
+    corpus-wide exact ``quantile_disc(col, q)``.  Two streaming passes
+    — histogram combiner for the threshold (no shuffle), then a
+    broadcast-scalar vectorized filter."""
+    thr = exact_int_quantile(ds, col, q)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater(batch.column(col), thr))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
 
 
 def _ws_tokens(texts: pd.Series) -> pd.Series:

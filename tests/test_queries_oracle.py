@@ -39,6 +39,7 @@ PINNED = [
     "unpivot",
     "heavy_hitters",
     "cosine_pairs",
+    "percentile_filter",
 ]
 
 

@@ -229,3 +229,29 @@ def test_mg_reduce_bounds():
     # no-op below capacity
     kept2, dec2 = _mg_reduce(counts, 100)
     assert dec2 == 0 and kept2.equals(counts)
+
+
+def test_exact_int_quantile_duckdb_parity(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.textstats import (
+        exact_int_quantile,
+    )
+
+    con = duckdb.connect()
+    cases = [
+        np.arange(10), np.array([1, 2, 3, 4]), np.array([5] * 10),
+        np.repeat(np.arange(5), 2),
+        np.random.default_rng(7).integers(0, 50, size=997),
+    ]
+    for vals in cases:
+        ds = rd.from_arrow(pa.Table.from_pandas(
+            pd.DataFrame({"v": vals.astype("int64")}))).repartition(4)
+        con.execute("DROP VIEW IF EXISTS t")
+        con.register("t", pd.DataFrame({"v": vals}))
+        for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+            want = con.execute(
+                f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            got = exact_int_quantile(ds, "v", q)
+            assert got == want, (vals[:5], q, got, want)

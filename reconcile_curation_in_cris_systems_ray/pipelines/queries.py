@@ -552,6 +552,59 @@ ORDER BY id_a, id_b
 """
 
 
+def q_outer_join(sf_dir: str):
+    """Full-outer shuffle join (completes the join family): active
+    click users vs heavy order customers — orphans survive on BOTH
+    sides; keys and counts are coalesced so the output is null-free
+    int64 (engine-stable hashing)."""
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+    ev = ev.filter(expr="event_type == 'click'")
+
+    def count_by(df, key, out):
+        g = df.groupby(key, sort=False).size()
+        return pd.DataFrame({key: g.index.to_numpy(), out: g.to_numpy()})
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    e_agg = bucketed_map_groups(
+        ev.select_columns(["user_id"]),
+        ["user_id"], lambda df: count_by(df, "user_id", "n_ev"), 32)
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    orders = orders.filter(expr="o_orderstatus == 'F'")
+    o_agg = bucketed_map_groups(
+        orders.select_columns(["o_custkey"]),
+        ["o_custkey"], lambda df: count_by(df, "o_custkey", "n_ord"), 32)
+    joined = rel.hash_join(e_agg, o_agg, on=["user_id"],
+                           right_on=["o_custkey"], how="full_outer",
+                           rows_hint=3000)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's full_outer join coalesces left/right keys into the
+        # left key column; only the value columns carry nulls.
+        return pd.DataFrame({
+            "ukey": df["user_id"].astype("int64"),
+            "n_ev": df["n_ev"].fillna(0).astype("int64"),
+            "n_ord": df["n_ord"].fillna(0).astype("int64"),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_OUTER_JOIN = """
+WITH e AS (
+  SELECT user_id, count(*) AS n_ev FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), o AS (
+  SELECT o_custkey, count(*) AS n_ord FROM orders
+  WHERE o_orderstatus = 'F' GROUP BY o_custkey
+)
+SELECT coalesce(e.user_id, o.o_custkey) AS ukey,
+       coalesce(e.n_ev, 0) AS n_ev,
+       coalesce(o.n_ord, 0) AS n_ord
+FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
+"""
+
+
 def q_group_pivot(sf_dir: str):
     """A1 slot: per-group record assembly."""
     ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type",
@@ -2199,6 +2252,7 @@ QUERIES = {
     "unpivot": q_unpivot,
     "left_join": q_left_join,
     "semi_join": q_semi_join,
+    "outer_join": q_outer_join,
     "group_concat": q_group_concat,
     "cume_sum": q_cume_sum,
     "rank_window": q_rank_window,
@@ -2280,6 +2334,7 @@ ORACLES = {
     "url_canonical": SQL_URL_CANONICAL,
     "left_join": SQL_LEFT_JOIN,
     "semi_join": SQL_SEMI_JOIN,
+    "outer_join": SQL_OUTER_JOIN,
     "group_concat": SQL_GROUP_CONCAT,
     "cume_sum": SQL_CUME_SUM,
     "rank_window": SQL_RANK_WINDOW,

@@ -40,6 +40,7 @@ PINNED = [
     "heavy_hitters",
     "cosine_pairs",
     "percentile_filter",
+    "outer_join",
 ]
 
 

@@ -605,6 +605,71 @@ FROM e FULL OUTER JOIN o ON e.user_id = o.o_custkey
 """
 
 
+def q_intersect(sf_dir: str):
+    """Set op INTERSECT (distinct): users who both clicked and
+    purchased — one bucketed co-location shuffle, no join."""
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    buys = ev.filter(expr="event_type == 'purchase'")
+    return rel.set_op(clicks.select_columns(["user_id"]),
+                      buys.select_columns(["user_id"]),
+                      ["user_id"], op="intersect")
+
+
+SQL_INTERSECT = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_except(sf_dir: str):
+    """Set op EXCEPT (distinct): customers with finished orders who
+    never appear as clicking users (cross-table key difference)."""
+    orders = _rp(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+    fin = (orders.filter(expr="o_orderstatus == 'F'")
+                 .select_columns(["o_custkey"])
+                 .rename_columns({"o_custkey": "ukey"}))
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+    clicks = (ev.filter(expr="event_type == 'click'")
+                .select_columns(["user_id"])
+                .rename_columns({"user_id": "ukey"}))
+    return rel.set_op(fin, clicks, ["ukey"], op="except")
+
+
+SQL_EXCEPT = """
+SELECT o_custkey AS ukey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT user_id AS ukey FROM events WHERE event_type = 'click'
+"""
+
+
+def q_rollup_agg(sf_dir: str):
+    """GROUP BY ROLLUP: subtotals per (returnflag, linestatus), per
+    returnflag, and grand total — aggregated ONCE at the finest level
+    (combiner, no shuffle), coarser levels derived from the tiny
+    finest frame.  Rolled-up keys carry 'ALL' (source keys non-null),
+    so the output hashes identically across engines."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity"])
+    df = rel.rollup_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "n": (None, "count"),
+    })
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
+
+
+SQL_ROLLUP_AGG = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
 def q_group_pivot(sf_dir: str):
     """A1 slot: per-group record assembly."""
     ds = _rp(sf_dir, "events", ["user_id", "event_id", "ts", "event_type",
@@ -2253,6 +2318,9 @@ QUERIES = {
     "left_join": q_left_join,
     "semi_join": q_semi_join,
     "outer_join": q_outer_join,
+    "intersect": q_intersect,
+    "except_distinct": q_except,
+    "rollup_agg": q_rollup_agg,
     "group_concat": q_group_concat,
     "cume_sum": q_cume_sum,
     "rank_window": q_rank_window,
@@ -2335,6 +2403,9 @@ ORACLES = {
     "left_join": SQL_LEFT_JOIN,
     "semi_join": SQL_SEMI_JOIN,
     "outer_join": SQL_OUTER_JOIN,
+    "intersect": SQL_INTERSECT,
+    "except_distinct": SQL_EXCEPT,
+    "rollup_agg": SQL_ROLLUP_AGG,
     "group_concat": SQL_GROUP_CONCAT,
     "cume_sum": SQL_CUME_SUM,
     "rank_window": SQL_RANK_WINDOW,

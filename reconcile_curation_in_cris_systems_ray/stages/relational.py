@@ -270,6 +270,79 @@ def group_concat(ds, keys: Sequence[str], value_col: str, sep: str = ",",
                                keys, bucket_fn, num_buckets)
 
 
+def set_op(left, right, cols: Sequence[str], op: str = "intersect",
+           num_buckets: int = 64):
+    """SQL ``INTERSECT`` / ``EXCEPT`` (distinct set semantics) in ONE
+    bucketed co-location shuffle: both sides are projected to the
+    compare columns, tagged with a side bit, unioned, and every
+    complete key-group lands in one bucket where a vectorized
+    membership test keeps keys present on both sides (``intersect``)
+    or only the left (``except``).  No join, no second exchange —
+    the same plan a distributed SQL engine picks for set ops.
+    """
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unsupported set op: {op}")
+    cols = list(cols)
+    side_col = "__side"
+
+    def tag(val):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out[side_col] = np.int8(val)
+            return out
+        return fn
+
+    tagged = (left.select_columns(cols)
+                  .map_batches(tag(0), batch_format="pandas")
+                  .union(right.select_columns(cols)
+                               .map_batches(tag(1), batch_format="pandas")))
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(cols, sort=False)[side_col]
+        lo, hi = g.min(), g.max()
+        keep = (lo == 0) & (hi == 1) if op == "intersect" else (hi == 0)
+        out = lo.index[keep]
+        return pd.DataFrame(
+            {c: out.get_level_values(i) for i, c in enumerate(cols)}
+            if len(cols) > 1 else {cols[0]: out.to_numpy()})
+
+    return bucketed_map_groups(tagged, cols, pick, num_buckets)
+
+
+def rollup_agg(ds, keys: Sequence[str],
+               spec: dict[str, tuple[str | None, str]],
+               total_label: str = "ALL") -> pd.DataFrame:
+    """GROUP BY ROLLUP(keys): subtotals at every key prefix plus the
+    grand total.  The physical plan is the classic rollup
+    optimization — aggregate ONCE at the finest level (the combiner
+    pattern of :func:`partial_groupby_agg`, so there is no shuffle at
+    all for re-aggregable fns), then derive every coarser level from
+    that small finest-level frame on the driver.  Rolled-up key
+    columns carry ``total_label`` instead of SQL NULL so the output
+    hashes engine-independently (source keys are non-null by
+    contract).  ``spec`` fns: count / sum / min / max (re-aggregable).
+    """
+    keys = list(keys)
+    finest = partial_groupby_agg(ds, keys, spec)
+    levels = [finest.copy()]
+    cur = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        gb_keys = keys[:depth]
+        comb = {col: ("sum" if fn == "count" else fn)
+                for col, (_, fn) in spec.items()}
+        if gb_keys:
+            rolled = cur.groupby(gb_keys, sort=False).agg(comb).reset_index()
+        else:
+            rolled = pd.DataFrame(
+                {col: [getattr(cur[col], how)()]
+                 for col, how in comb.items()})
+        for k in keys[depth:]:
+            rolled[k] = total_label
+        levels.append(rolled[finest.columns])
+        cur = rolled
+    return pd.concat(levels, ignore_index=True)
+
+
 def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
             var_name: str = "measure", value_name: str = "value"):
     """Wide -> long (SQL UNPIVOT / pandas melt): one output row per

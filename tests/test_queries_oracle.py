@@ -41,6 +41,9 @@ PINNED = [
     "cosine_pairs",
     "percentile_filter",
     "outer_join",
+    "intersect",
+    "except_distinct",
+    "rollup_agg",
 ]
 
 

@@ -644,6 +644,26 @@ SELECT user_id AS ukey FROM events WHERE event_type = 'click'
 """
 
 
+def q_pivot_wide(sf_dir: str):
+    """Long -> wide PIVOT (unpivot's inverse): per-user counts of
+    click/view/purchase as static columns — one shuffle on user_id,
+    vectorized crosstab per bucket."""
+    ev = _rp(sf_dir, "events", ["user_id", "event_type"])
+    return rel.pivot_wide(ev, "user_id", "event_type",
+                          ["click", "view", "purchase"])
+
+
+SQL_PIVOT_WIDE = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'view')     AS n_view,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+GROUP BY user_id
+"""
+
+
 def q_rollup_agg(sf_dir: str):
     """GROUP BY ROLLUP: subtotals per (returnflag, linestatus), per
     returnflag, and grand total — aggregated ONCE at the finest level
@@ -2321,6 +2341,7 @@ QUERIES = {
     "intersect": q_intersect,
     "except_distinct": q_except,
     "rollup_agg": q_rollup_agg,
+    "pivot_wide": q_pivot_wide,
     "group_concat": q_group_concat,
     "cume_sum": q_cume_sum,
     "rank_window": q_rank_window,
@@ -2406,6 +2427,7 @@ ORACLES = {
     "intersect": SQL_INTERSECT,
     "except_distinct": SQL_EXCEPT,
     "rollup_agg": SQL_ROLLUP_AGG,
+    "pivot_wide": SQL_PIVOT_WIDE,
     "group_concat": SQL_GROUP_CONCAT,
     "cume_sum": SQL_CUME_SUM,
     "rank_window": SQL_RANK_WINDOW,

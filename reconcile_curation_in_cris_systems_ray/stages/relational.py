@@ -343,6 +343,37 @@ def rollup_agg(ds, keys: Sequence[str],
     return pd.concat(levels, ignore_index=True)
 
 
+def pivot_wide(ds, key: str, pivot_col: str, categories: Sequence[str],
+               prefix: str = "n_", num_buckets: int = 64):
+    """Long -> wide PIVOT (count per category): one output row per
+    ``key`` with a ``prefix+category`` count column for each listed
+    category — the inverse of :func:`unpivot`.  Categories are an
+    explicit broadcast list (as in SQL ``PIVOT ... IN (...)``), so the
+    output schema is static and the plan is ONE hash shuffle on the
+    key followed by a vectorized crosstab per bucket; rows with other
+    category values are dropped upstream, never shuffled.
+    """
+    categories = list(categories)
+    out_cols = [prefix + c for c in categories]
+
+    def ct(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 **{c: pd.Series([], dtype="int64")
+                                    for c in out_cols}})
+        tab = pd.crosstab(df[key], df[pivot_col])
+        for cat in categories:
+            if cat not in tab.columns:
+                tab[cat] = 0
+        tab = tab[categories].astype("int64")
+        tab.columns = out_cols
+        return tab.reset_index()
+
+    flt = ds.select_columns([key, pivot_col]).filter(
+        expr=f"{pivot_col} in {categories!r}")
+    return bucketed_map_groups(flt, [key], ct, num_buckets)
+
+
 def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
             var_name: str = "measure", value_name: str = "value"):
     """Wide -> long (SQL UNPIVOT / pandas melt): one output row per

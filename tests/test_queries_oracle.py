@@ -44,6 +44,7 @@ PINNED = [
     "intersect",
     "except_distinct",
     "rollup_agg",
+    "pivot_wide",
 ]
 
 

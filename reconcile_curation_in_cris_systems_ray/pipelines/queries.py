@@ -644,6 +644,30 @@ SELECT user_id AS ukey FROM events WHERE event_type = 'click'
 """
 
 
+def q_cube_agg(sf_dir: str):
+    """GROUP BY CUBE: every subset of (returnflag, linestatus) —
+    finest level aggregated once (shuffle-free combiner), all other
+    subsets derived from it."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity"])
+    df = rel.cube_agg(ds, ["l_returnflag", "l_linestatus"], {
+        "sum_qty": ("l_quantity", "sum"),
+        "n": (None, "count"),
+    })
+    df["sum_qty"] = df["sum_qty"].round(2)
+    return df
+
+
+SQL_CUBE_AGG = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
 def q_pivot_wide(sf_dir: str):
     """Long -> wide PIVOT (unpivot's inverse): per-user counts of
     click/view/purchase as static columns — one shuffle on user_id,
@@ -2342,6 +2366,7 @@ QUERIES = {
     "except_distinct": q_except,
     "rollup_agg": q_rollup_agg,
     "pivot_wide": q_pivot_wide,
+    "cube_agg": q_cube_agg,
     "group_concat": q_group_concat,
     "cume_sum": q_cume_sum,
     "rank_window": q_rank_window,
@@ -2428,6 +2453,7 @@ ORACLES = {
     "except_distinct": SQL_EXCEPT,
     "rollup_agg": SQL_ROLLUP_AGG,
     "pivot_wide": SQL_PIVOT_WIDE,
+    "cube_agg": SQL_CUBE_AGG,
     "group_concat": SQL_GROUP_CONCAT,
     "cume_sum": SQL_CUME_SUM,
     "rank_window": SQL_RANK_WINDOW,

@@ -343,6 +343,39 @@ def rollup_agg(ds, keys: Sequence[str],
     return pd.concat(levels, ignore_index=True)
 
 
+def cube_agg(ds, keys: Sequence[str],
+             spec: dict[str, tuple[str | None, str]],
+             total_label: str = "ALL") -> pd.DataFrame:
+    """GROUP BY CUBE(keys): aggregates at EVERY key subset.  Same
+    physical plan as :func:`rollup_agg` — ONE shuffle-free finest-level
+    combiner aggregate, every other subset derived from that small
+    frame on the driver (valid because spec fns are re-aggregable).
+    Rolled-up key columns carry ``total_label`` (source keys non-null
+    by contract).
+    """
+    from itertools import combinations
+
+    keys = list(keys)
+    finest = partial_groupby_agg(ds, keys, spec)
+    comb = {col: ("sum" if fn == "count" else fn)
+            for col, (_, fn) in spec.items()}
+    levels = [finest.copy()]
+    for depth in range(len(keys) - 1, -1, -1):
+        for subset in combinations(keys, depth):
+            if subset:
+                rolled = (finest.groupby(list(subset), sort=False)
+                                .agg(comb).reset_index())
+            else:
+                rolled = pd.DataFrame(
+                    {col: [getattr(finest[col], how)()]
+                     for col, how in comb.items()})
+            for k in keys:
+                if k not in subset:
+                    rolled[k] = total_label
+            levels.append(rolled[finest.columns])
+    return pd.concat(levels, ignore_index=True)
+
+
 def pivot_wide(ds, key: str, pivot_col: str, categories: Sequence[str],
                prefix: str = "n_", num_buckets: int = 64):
     """Long -> wide PIVOT (count per category): one output row per

@@ -45,6 +45,7 @@ PINNED = [
     "except_distinct",
     "rollup_agg",
     "pivot_wide",
+    "cube_agg",
 ]
 
 

@@ -393,3 +393,53 @@ def test_winnow_stats_stage_matches_scalar(ray_session):
     for did, (n, mn) in expect.items():
         assert out.loc[did, "n_fingerprints"] == n
         assert out.loc[did, "min_fp"] == mn
+
+
+def test_set_op_multi_column_and_empty(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import set_op
+
+    left = pd.DataFrame({"a": [1, 1, 2, 3, 3, 3], "b": list("xxyzzz")})
+    right = pd.DataFrame({"a": [1, 3, 4], "b": list("xzw")})
+    l_ds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    r_ds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+
+    inter = (set_op(l_ds, r_ds, ["a", "b"], op="intersect")
+             .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert inter.to_dict("list") == {"a": [1, 3], "b": ["x", "z"]}
+
+    exc = (set_op(l_ds, r_ds, ["a", "b"], op="except")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert exc.to_dict("list") == {"a": [2], "b": ["y"]}
+
+    # empty result keeps distinct semantics and produces zero rows
+    empty = set_op(l_ds, l_ds, ["a", "b"], op="except").to_pandas()
+    assert len(empty) == 0
+
+
+def test_rollup_and_cube_levels(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        cube_agg, rollup_agg,
+    )
+
+    df = pd.DataFrame({"k1": list("aabb"), "k2": list("xyxy"),
+                       "v": [1.0, 2.0, 3.0, 4.0]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    spec = {"s": ("v", "sum"), "n": (None, "count")}
+
+    roll = rollup_agg(ds, ["k1", "k2"], spec)
+    # 4 finest + 2 per-k1 + 1 grand total
+    assert len(roll) == 7
+    total = roll[(roll["k1"] == "ALL") & (roll["k2"] == "ALL")]
+    assert total["s"].iloc[0] == 10.0 and total["n"].iloc[0] == 4
+    a_sub = roll[(roll["k1"] == "a") & (roll["k2"] == "ALL")]
+    assert a_sub["s"].iloc[0] == 3.0
+
+    cube = cube_agg(ds, ["k1", "k2"], spec)
+    # rollup levels + 2 per-k2 subtotals
+    assert len(cube) == 9
+    x_sub = cube[(cube["k1"] == "ALL") & (cube["k2"] == "x")]
+    assert x_sub["s"].iloc[0] == 4.0 and x_sub["n"].iloc[0] == 2

@@ -644,6 +644,55 @@ SELECT user_id AS ukey FROM events WHERE event_type = 'click'
 """
 
 
+def q_corr_agg(sf_dir: str):
+    """Per-group Pearson correlation (quantity vs extendedprice per
+    returnflag) from re-aggregable moments: derived product columns in
+    one vectorized map, then the shuffle-free combiner sums
+    (n, Σx, Σy, Σxy, Σx², Σy²) and the driver applies the closed
+    form — the statistical-aggregate shape of the A4 counter merge,
+    exact at any scale with zero exchanges."""
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t.column("l_quantity")
+        y = t.column("l_extendedprice")
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "x": x, "y": y,
+            "xy": pc.multiply(x, y),
+            "xx": pc.multiply(x, x),
+            "yy": pc.multiply(y, y),
+        })
+
+    sums = rel.partial_groupby_agg(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        ["l_returnflag"], {
+            "sx": ("x", "sum"), "sy": ("y", "sum"),
+            "sxy": ("xy", "sum"), "sxx": ("xx", "sum"),
+            "syy": ("yy", "sum"), "n": (None, "count"),
+        })
+    n = sums["n"]
+    cov = sums["sxy"] - sums["sx"] * sums["sy"] / n
+    vx = sums["sxx"] - sums["sx"] ** 2 / n
+    vy = sums["syy"] - sums["sy"] ** 2 / n
+    out = pd.DataFrame({
+        "l_returnflag": sums["l_returnflag"],
+        "corr_qty_price": (cov / np.sqrt(vx * vy)).round(6),
+        "n": n,
+    })
+    return out
+
+
+SQL_CORR_AGG = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 def q_cube_agg(sf_dir: str):
     """GROUP BY CUBE: every subset of (returnflag, linestatus) —
     finest level aggregated once (shuffle-free combiner), all other
@@ -2367,6 +2416,7 @@ QUERIES = {
     "rollup_agg": q_rollup_agg,
     "pivot_wide": q_pivot_wide,
     "cube_agg": q_cube_agg,
+    "corr_agg": q_corr_agg,
     "group_concat": q_group_concat,
     "cume_sum": q_cume_sum,
     "rank_window": q_rank_window,
@@ -2454,6 +2504,7 @@ ORACLES = {
     "rollup_agg": SQL_ROLLUP_AGG,
     "pivot_wide": SQL_PIVOT_WIDE,
     "cube_agg": SQL_CUBE_AGG,
+    "corr_agg": SQL_CORR_AGG,
     "group_concat": SQL_GROUP_CONCAT,
     "cume_sum": SQL_CUME_SUM,
     "rank_window": SQL_RANK_WINDOW,

@@ -46,6 +46,7 @@ PINNED = [
     "rollup_agg",
     "pivot_wide",
     "cube_agg",
+    "corr_agg",
 ]
 
 

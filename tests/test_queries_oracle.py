@@ -47,6 +47,15 @@ PINNED = [
     "pivot_wide",
     "cube_agg",
     "corr_agg",
+    "left_join",
+    "semi_join",
+    "star_join",
+    "cume_sum",
+    "rank_window",
+    "regex_extract",
+    "keyword_search",
+    "ngram_top",
+    "group_concat",
 ]
 
 
@@ -78,6 +87,46 @@ def _to_pandas(result) -> pd.DataFrame:
     if isinstance(result, pa.Table):
         return result.to_pandas()
     return result.to_pandas()
+
+
+def test_quantile_sketch_query_accuracy(ray_session, oracle_con):
+    """quantile_sketch has no SQL oracle (approximate by design); pin the
+    registered query against DuckDB exact quantiles within 1% relative."""
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import QUERIES
+
+    got = _to_pandas(QUERIES["quantile_sketch"](SF))
+    exact = oracle_con.execute(
+        "SELECT quantile_cont(value, 0.5) AS p50, "
+        "quantile_cont(value, 0.9) AS p90, "
+        "quantile_cont(value, 0.99) AS p99 FROM events").df()
+    assert len(got) == 1
+    for q in ("p50", "p90", "p99"):
+        e = float(exact[q].iloc[0])
+        g = float(got[q].iloc[0])
+        assert abs(g - e) <= 0.01 * max(abs(e), 1.0), (q, g, e)
+
+
+def test_every_oracle_has_recorded_evidence():
+    """Lockstep gate: every ORACLES key must have a driver CORRECTNESS row
+    or a pytest pin, so late-round queries never ship unverified again
+    (round-2 verdict item #10)."""
+    import glob
+    import json
+    import os
+
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import ORACLES
+
+    checked: set = set(PINNED)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        try:
+            checked |= set(json.load(open(path)))
+        except Exception:
+            pass
+    missing = sorted(set(ORACLES) - checked)
+    assert not missing, (
+        f"oracled queries with no driver row and no pytest pin: {missing}; "
+        f"add them to PINNED in this file")
 
 
 @pytest.mark.parametrize("name", PINNED)

@@ -579,10 +579,14 @@ def q_outer_join(sf_dir: str):
                            rows_hint=3000)
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        # Ray's full_outer join coalesces left/right keys into the
-        # left key column; only the value columns carry nulls.
+        # Ray 2.49's full_outer join coalesces left/right keys into the
+        # left key column; coalesce defensively anyway so a join-impl
+        # change that leaves right-only keys in o_custkey still works.
+        key = df["user_id"]
+        if "o_custkey" in df.columns:
+            key = key.fillna(df["o_custkey"])
         return pd.DataFrame({
-            "ukey": df["user_id"].astype("int64"),
+            "ukey": key.astype("int64"),
             "n_ev": df["n_ev"].fillna(0).astype("int64"),
             "n_ord": df["n_ord"].fillna(0).astype("int64"),
         })
@@ -654,9 +658,20 @@ def q_corr_agg(sf_dir: str):
     ds = _rp(sf_dir, "lineitem",
              ["l_returnflag", "l_quantity", "l_extendedprice"])
 
+    # Pearson r is shift-invariant, so compute the moments on values
+    # centered by a sampled global mean: raw Σxy − ΣxΣy/n cancels
+    # catastrophically once n·mean² dwarfs the covariance (billions of
+    # rows, values ~1e5); shifting keeps the subtracted terms the same
+    # magnitude as the result.  The shift is a constant broadcast into
+    # the map — the combiner stays shuffle-free and re-aggregable.
+    samp = ds.limit(4096).to_pandas()
+    cx = float(samp["l_quantity"].mean()) if len(samp) else 0.0
+    cy = float(samp["l_extendedprice"].mean()) if len(samp) else 0.0
+
     def moments(t: pa.Table) -> pa.Table:
-        x = t.column("l_quantity")
-        y = t.column("l_extendedprice")
+        x = pc.subtract(pc.cast(t.column("l_quantity"), pa.float64()), cx)
+        y = pc.subtract(pc.cast(t.column("l_extendedprice"), pa.float64()),
+                        cy)
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "x": x, "y": y,

@@ -298,7 +298,11 @@ def set_op(left, right, cols: Sequence[str], op: str = "intersect",
                                .map_batches(tag(1), batch_format="pandas")))
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(cols, sort=False)[side_col]
+        # dropna=False: SQL INTERSECT/EXCEPT treat NULL keys as equal and
+        # can emit them — a dropping groupby would silently lose those
+        # rows.  Null keys co-locate: string nulls hash stably via
+        # pd.util.hash_array, numeric NaN casts to one bucket value.
+        g = df.groupby(cols, sort=False, dropna=False)[side_col]
         lo, hi = g.min(), g.max()
         keep = (lo == 0) & (hi == 1) if op == "intersect" else (hi == 0)
         out = lo.index[keep]

@@ -269,7 +269,8 @@ def _mg_reduce(counts: pd.Series, capacity: int) -> tuple[pd.Series, int]:
 
 
 def heavy_hitters_topk(ds, text_col: str = "text", k: int = 20,
-                       capacity: int = 4096) -> pd.DataFrame:
+                       capacity: int = 4096,
+                       tree_fanin: int = 32) -> pd.DataFrame:
     """Exact global top-``k`` whitespace tokens by count, tie-broken
     lexicographically — two streaming passes, NO token-stream shuffle.
 
@@ -292,15 +293,22 @@ def heavy_hitters_topk(ds, text_col: str = "text", k: int = 20,
     falls back to the full bucketed shuffle, so the answer is exact
     either way.
 
-    Driver-side merges are bounded at O(batches * capacity) and
-    O(candidates) rows; at 10^12-row scale both nest hierarchically
-    (tree-reduce) like the t-digest/HLL merges above.
+    Driver-side merges are bounded: when either pass emits more than
+    ``tree_fanin`` blocks, its per-batch partials are pre-summed by one
+    bucketed combine level (a shuffle over the BOUNDED summaries, not
+    the token stream) so the driver collects O(distinct candidate
+    terms) rows instead of O(batches * capacity).
     """
     import ray
 
+    from .shuffle import bucketed_map_groups
     from .textstats import _ws_tokens
 
     docs = ds.select_columns([text_col])
+
+    # "" is a safe marker: _ws_tokens strips before splitting on \s+,
+    # so a real token can never be the empty string.
+    _MARKER = ""
 
     def sweep(df: pd.DataFrame) -> pd.DataFrame:
         ex = _ws_tokens(df[text_col]).explode().dropna()
@@ -312,20 +320,36 @@ def heavy_hitters_topk(ds, text_col: str = "text", k: int = 20,
         terms = kept.index.to_numpy(dtype=object)
         ests = kept.to_numpy(dtype=np.int64)
         if dec:
-            # marker row: null term carries this batch's decrement
-            terms = np.append(terms, None)
+            # marker row: empty term carries this batch's decrement
+            terms = np.append(terms, _MARKER)
             ests = np.append(ests, dec)
         return pd.DataFrame({"term": pd.Series(terms, dtype="string"),
                              "est": ests})
 
-    summary = docs.map_batches(sweep, batch_format="pandas").to_pandas()
+    def _sum_terms(col: str):
+        def comb(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("term", sort=False)[col].sum().reset_index()
+        return comb
+
+    summary_ds = docs.map_batches(sweep, batch_format="pandas").materialize()
+    if summary_ds.num_blocks() > tree_fanin:
+        # hierarchical merge level over the bounded summaries
+        summary_ds = bucketed_map_groups(summary_ds, ["term"],
+                                         _sum_terms("est"),
+                                         num_buckets=tree_fanin)
+    summary = summary_ds.to_pandas()
     if summary.empty:
         return pd.DataFrame({"term": pd.Series([], dtype="string"),
                              "n": pd.Series([], dtype="int64")})
-    null_mask = summary["term"].isna()
-    err = int(summary.loc[null_mask, "est"].sum())
-    est = (summary[~null_mask].groupby("term", sort=False)["est"].sum()
+    marker_mask = summary["term"].isna() | (summary["term"] == _MARKER)
+    err = int(summary.loc[marker_mask, "est"].sum())
+    est = (summary[~marker_mask].groupby("term", sort=False)["est"].sum()
            .sort_values(ascending=False, kind="mergesort"))
+    if est.empty:
+        # every batch's Misra-Gries step dropped all terms (capacity far
+        # below per-batch distinct count with tied counts) — no candidate
+        # set to verify; fall back to the exact shuffle
+        return _heavy_hitters_shuffle(docs, text_col, k)
     t_k = int(est.iloc[min(k, len(est)) - 1])
     cand = est[est >= t_k - err]
 
@@ -348,7 +372,13 @@ def heavy_hitters_topk(ds, text_col: str = "text", k: int = 20,
                                                dtype="string"),
                              "n": c.to_numpy().astype(np.int64)})
 
-    exact = (docs.map_batches(verify, batch_format="pandas").to_pandas()
+    verify_ds = docs.map_batches(verify, batch_format="pandas").materialize()
+    if verify_ds.num_blocks() > tree_fanin:
+        verify_ds = bucketed_map_groups(
+            verify_ds, ["term"], _sum_terms("n"), num_buckets=tree_fanin,
+            empty_like=pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                     "n": pd.Series([], dtype="int64")}))
+    exact = (verify_ds.to_pandas()
              .groupby("term", sort=False)["n"].sum().reset_index())
     exact = exact.sort_values(["n", "term"], ascending=[False, True],
                               kind="mergesort").reset_index(drop=True)

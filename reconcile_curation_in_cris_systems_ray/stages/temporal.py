@@ -283,7 +283,12 @@ def cumulative_agg(ds, key: str, order_cols: Sequence[str], value_col: str,
         df = df.sort_values([key, *order_cols], kind="mergesort")
         g = df.groupby(key, sort=False)[value_col]
         out = df.copy()
-        out[out_col] = getattr(g, cum_fn)()
+        if agg == "count":
+            # pandas cumcount is 0-based; SQL count() OVER (... ROWS
+            # UNBOUNDED PRECEDING) includes the current row
+            out[out_col] = g.cumcount() + 1
+        else:
+            out[out_col] = getattr(g, cum_fn)()
         return out
 
     return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)

@@ -255,3 +255,45 @@ def test_exact_int_quantile_duckdb_parity(ray_session):
                 f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
             got = exact_int_quantile(ds, "v", q)
             assert got == want, (vals[:5], q, got, want)
+
+
+def test_heavy_hitters_tree_reduce_branch(ray_session):
+    """tree_fanin below the block count forces the hierarchical
+    (bucketed) merge of the sweep and verify partials — result must be
+    identical to the flat path."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        heavy_hitters_topk,
+    )
+
+    texts = _zipf_texts()
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"text": texts}))).repartition(8)
+    got = heavy_hitters_topk(ds, "text", k=12, capacity=64, tree_fanin=4)
+    want = _brute_topk(texts, 12)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"term": str, "n": "int64"}),
+        want.astype({"term": str, "n": "int64"}))
+
+
+def test_heavy_hitters_all_terms_decremented(ray_session):
+    """capacity below the per-batch distinct count with ALL counts tied
+    makes every Misra-Gries step drop every term (summary = marker rows
+    only); the operator must fall back to the exact shuffle, not crash."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        heavy_hitters_topk,
+    )
+
+    # 40 distinct terms per batch, every count == 1 -> dec drops all
+    texts = [" ".join(f"t{i:03d}" for i in range(b * 40, b * 40 + 40))
+             for b in range(6)]
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        pd.DataFrame({"text": texts}))).repartition(6)
+    got = heavy_hitters_topk(ds, "text", k=5, capacity=8)
+    want = _brute_topk(texts, 5)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"term": str, "n": "int64"}),
+        want.astype({"term": str, "n": "int64"}))

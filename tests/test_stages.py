@@ -443,3 +443,23 @@ def test_rollup_and_cube_levels(ray_session):
     assert len(cube) == 9
     x_sub = cube[(cube["k1"] == "ALL") & (cube["k2"] == "x")]
     assert x_sub["s"].iloc[0] == 4.0 and x_sub["n"].iloc[0] == 2
+
+
+def test_set_op_null_keys_survive(ray_session):
+    """SQL INTERSECT/EXCEPT treat NULL keys as equal and can emit them;
+    the groupby must not silently drop null-key rows."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import set_op
+
+    left = pd.DataFrame({"a": pd.array([1, None, 2], dtype="Int64")})
+    right = pd.DataFrame({"a": pd.array([None, 2, 3], dtype="Int64")})
+    l_ds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False))
+    r_ds = rd.from_arrow(pa.Table.from_pandas(right, preserve_index=False))
+
+    inter = set_op(l_ds, r_ds, ["a"], op="intersect").to_pandas()
+    vals = {"NULL" if pd.isna(v) else str(int(v)) for v in inter["a"]}
+    assert vals == {"2", "NULL"}
+
+    exc = set_op(l_ds, r_ds, ["a"], op="except").to_pandas()
+    assert [int(v) for v in exc["a"]] == [1]

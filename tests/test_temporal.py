@@ -187,3 +187,19 @@ def test_row_number_dense_per_key(temporal):
                               out_col="rn").to_pandas()
     got = dict(zip(out["eid"], out["rn"]))
     assert got == {1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+
+
+def test_cumulative_count_is_one_based(temporal):
+    """SQL count(v) OVER (... ROWS UNBOUNDED PRECEDING) includes the
+    current row — first row of each key counts 1, not 0."""
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2],
+        "ts": pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-03",
+                              "2020-01-01"]),
+        "eid": [1, 2, 3, 4],
+        "v": [5.0, 3.0, 9.0, 1.0],
+    })
+    out = temporal.cumulative_agg(_ds(df), key="k",
+                                  order_cols=["ts", "eid"], value_col="v",
+                                  agg="count", out_col="run").to_pandas()
+    assert dict(zip(out["eid"], out["run"])) == {1: 1, 2: 2, 3: 3, 4: 1}

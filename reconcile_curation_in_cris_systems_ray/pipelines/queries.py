@@ -2214,25 +2214,30 @@ SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num FROM documents
 
 def q_star_join(sf_dir: str):
     """Multiway star join: fact (lineitem) hash-joined to orders, then
-    the customer->nation->region dimension chain collapsed driver-side
-    and broadcast (the dimensions are small; at 100 TB the fact-fact
-    join stays a shuffle while dimensions stay broadcast).  Integer
-    quantity sums keep the float-order question out of the hash."""
+    to customer — both SCALING tables stay distributed shuffle joins
+    (customer is 150M rows at sf1000; it must never be collapsed
+    driver-side).  Only nation JOIN region — 25 and 5 rows by schema,
+    genuinely constant at any scale factor — is pre-merged and
+    broadcast.  Integer quantity sums keep the float-order question
+    out of the hash."""
     li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
     orders = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_li = li.count()
     joined = rel.hash_join(li, orders, on=["l_orderkey"],
                            right_on=["o_orderkey"],
-                           rows_hint=li.count() + orders.count())
-    cust = _rp(sf_dir, "customer",
-               ["c_custkey", "c_nationkey"]).to_pandas()
+                           rows_hint=n_li + orders.count())
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = rel.hash_join(joined, cust, on=["o_custkey"],
+                           right_on=["c_custkey"],
+                           rows_hint=n_li + cust.count())
     nation = _rp(sf_dir, "nation",
                  ["n_nationkey", "n_regionkey"]).to_pandas()
     region = _rp(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    dim = (cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey")
-               .merge(region, left_on="n_regionkey", right_on="r_regionkey")
-           )[["c_custkey", "r_name"]].rename(columns={"c_custkey":
-                                                      "o_custkey"})
-    wide = rel.broadcast_join(joined, dim, on=["o_custkey"], how="inner")
+    dim = (nation.merge(region, left_on="n_regionkey",
+                        right_on="r_regionkey")
+           )[["n_nationkey", "r_name"]].rename(
+        columns={"n_nationkey": "c_nationkey"})
+    wide = rel.broadcast_join(joined, dim, on=["c_nationkey"], how="inner")
     df = rel.partial_groupby_agg(wide, ["r_name"], {
         "n_items": (None, "count"),
         "sum_qty": ("l_quantity", "sum"),

@@ -276,7 +276,8 @@ def _ws_tokens(texts: pd.Series) -> pd.Series:
 
 
 def top_tfidf_terms(ds, id_col: str = "doc_id", text_col: str = "text",
-                    num_buckets: int = 64):
+                    num_buckets: int = 64,
+                    broadcast_max_terms: int | None = None):
     """Per-document top term by (term frequency, lexicographic) with
     its TF-IDF weight — the inverted-index / term-weighting composition
     a curation pipeline needs (query expansion, keyword features).
@@ -287,19 +288,23 @@ def top_tfidf_terms(ds, id_col: str = "doc_id", text_col: str = "text",
        term counts (combiner: vocabulary rows collapse ~100x within a
        batch), then ONE bucketed shuffle on term sums exactly;
     2. scoring: per-doc term frequencies are computed entirely within
-       the row's own batch (a document never spans rows), the DF table
-       is shipped once as a broadcast map, and the per-doc winner is
-       picked by integer tf with a lexicographic tie-break — float
-       TF-IDF is reported but never used for ordering, so ranking is
+       the row's own batch (a document never spans rows) and the
+       per-doc winner is picked by integer tf with a lexicographic
+       tie-break — the winner never depends on DF, so float TF-IDF is
+       reported but never used for ordering and ranking is
        reproducible across engines and runs.
 
-    The DF map is assembled in a remote task and broadcast; above a
-    few-million-term vocabulary swap the broadcast for a hash join of
-    the exploded (doc, term, tf) table against the DF table — the DF
-    build itself already scales (partial + one shuffle).
+    The winner rows (ONE per document) are then hydrated with their
+    term's df_n: below ``broadcast_max_terms`` the DF table ships once
+    as a broadcast map (cheapest at config-scale vocabularies); above
+    it — a web-scale vocabulary is billions of terms and must never
+    become one driver/object-store Series — the hydration is a
+    distributed hash join on term, the same bounded-crossover pattern
+    as the feature-lookup hydration in the flagship pipeline.
     """
     import ray
 
+    from .relational import hash_join
     from .shuffle import bucketed_map_groups
 
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -330,23 +335,17 @@ def top_tfidf_terms(ds, id_col: str = "doc_id", text_col: str = "text",
 
     n_docs = int(docs.map_batches(
         n_partial, batch_format="pandas").sum("n"))
+    n_terms = df_ds.count()
 
-    df_map_ref = ray.remote(_df_blocks_to_series).remote(
-        *df_ds.to_arrow_refs())
-
-    def score(df: pd.DataFrame, _ref=df_map_ref, _n=n_docs) -> pd.DataFrame:
-        dfm = ray.get(_ref)
+    def pick_top(df: pd.DataFrame) -> pd.DataFrame:
         toks = _ws_tokens(df[text_col]).reset_index(drop=True)
         ex = toks.explode().dropna()
-        empty = pd.DataFrame({
-            id_col: df[id_col].iloc[:0],
-            "top_term": pd.Series([], dtype="string"),
-            "tf": pd.Series([], dtype="int64"),
-            "df_n": pd.Series([], dtype="int64"),
-            "tfidf": pd.Series([], dtype="float64"),
-        })
         if len(ex) == 0:
-            return empty
+            return pd.DataFrame({
+                id_col: df[id_col].iloc[:0],
+                "top_term": pd.Series([], dtype="string"),
+                "tf": pd.Series([], dtype="int64"),
+            })
         tf = (pd.DataFrame({"row": ex.index.to_numpy(),
                             "term": ex.to_numpy()})
               .groupby(["row", "term"], sort=False).size()
@@ -354,18 +353,55 @@ def top_tfidf_terms(ds, id_col: str = "doc_id", text_col: str = "text",
         tf = tf.sort_values(["row", "tf", "term"],
                             ascending=[True, False, True], kind="mergesort")
         top = tf.drop_duplicates("row", keep="first")
-        dfv = top["term"].map(dfm).astype("int64")
-        out = pd.DataFrame({
+        return pd.DataFrame({
             id_col: df[id_col].to_numpy()[top["row"].to_numpy()],
             "top_term": top["term"].astype("string").to_numpy(),
             "tf": top["tf"].astype("int64").to_numpy(),
+        })
+
+    winners = docs.map_batches(pick_top, batch_format="pandas")
+
+    if broadcast_max_terms is None:
+        broadcast_max_terms = BROADCAST_MAX_TERMS
+    if n_terms <= broadcast_max_terms:
+        df_map_ref = ray.remote(_df_blocks_to_series).remote(
+            *df_ds.to_arrow_refs())
+
+        def hydrate(df: pd.DataFrame, _ref=df_map_ref,
+                    _n=n_docs) -> pd.DataFrame:
+            dfm = ray.get(_ref)
+            out = df.copy()
+            dfv = df["top_term"].map(dfm).astype("int64")
+            out["df_n"] = dfv.to_numpy()
+            out["tfidf"] = (df["tf"].to_numpy()
+                            * np.log(float(_n) / dfv.to_numpy())).round(6)
+            return out
+
+        return winners.map_batches(hydrate, batch_format="pandas")
+
+    # vocabulary too large to broadcast: distributed hash join on term
+    joined = hash_join(winners, df_ds, on=["top_term"], right_on=["term"],
+                       how="inner", rows_hint=n_docs + n_terms)
+
+    def finish(df: pd.DataFrame, _n=n_docs) -> pd.DataFrame:
+        dfv = df["df_n"].astype("int64")
+        out = pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "top_term": df["top_term"].astype("string").to_numpy(),
+            "tf": df["tf"].astype("int64").to_numpy(),
             "df_n": dfv.to_numpy(),
-            "tfidf": (top["tf"].to_numpy()
+            "tfidf": (df["tf"].to_numpy()
                       * np.log(float(_n) / dfv.to_numpy())).round(6),
         })
         return out
 
-    return docs.map_batches(score, batch_format="pandas")
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+# above this vocabulary size the DF table is hydrated by a distributed
+# hash join instead of one broadcast Series (matches the 2M-row
+# broadcast-lookup ceiling used by the flagship feature hydration)
+BROADCAST_MAX_TERMS = 2_000_000
 
 
 def _df_blocks_to_series(*blocks) -> pd.Series:

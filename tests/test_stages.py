@@ -463,3 +463,31 @@ def test_set_op_null_keys_survive(ray_session):
 
     exc = set_op(l_ds, r_ds, ["a"], op="except").to_pandas()
     assert [int(v) for v in exc["a"]] == [1]
+
+
+def test_top_tfidf_join_path_matches_broadcast(ray_session):
+    """Above the vocabulary-broadcast ceiling, df_n is hydrated by a
+    distributed hash join on term; forcing that path must reproduce the
+    broadcast path exactly."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.textstats import (
+        top_tfidf_terms,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    cols = ["doc_id", "text"]
+
+    def canon(df):
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        df["tfidf"] = df["tfidf"].round(6)
+        return df[["doc_id", "top_term", "tf", "df_n", "tfidf"]].astype(
+            {"doc_id": "int64", "top_term": str, "tf": "int64",
+             "df_n": "int64"})
+
+    bcast = canon(top_tfidf_terms(
+        rd.read_parquet(src, columns=cols), "doc_id", "text").to_pandas())
+    joined = canon(top_tfidf_terms(
+        rd.read_parquet(src, columns=cols), "doc_id", "text",
+        broadcast_max_terms=0).to_pandas())
+    pd.testing.assert_frame_equal(bcast, joined)

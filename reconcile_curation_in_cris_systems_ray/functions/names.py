@@ -62,6 +62,21 @@ def jaro_winkler_similarity(s1: str, s2: str, prefix_weight: float = 0.1) -> flo
     return jaro + prefix * prefix_weight * (1.0 - jaro)
 
 
+# HumanName-compatible token classes for the fallback parser (the
+# reference's nameparser package is unavailable here; these cover its
+# common behaviors — titles dropped, suffixes dropped, surname
+# particles glued to the last name, a bare token treated as a FIRST
+# name — and tests/test_names.py pins a hand-derived truth table of
+# HumanName outputs for 18 names)
+_TITLES = {"dr", "prof", "professor", "mr", "mrs", "ms", "miss", "sir",
+           "dame", "rev", "fr", "hon"}
+_SUFFIXES = {"jr", "sr", "ii", "iii", "iv", "v", "phd", "md", "esq",
+             "dds", "jd"}
+_PARTICLES = {"van", "von", "de", "del", "della", "der", "den", "di",
+              "da", "dos", "das", "du", "la", "le", "bin", "ibn", "al",
+              "ter", "ten", "st"}
+
+
 def _fallback_parse(name: str) -> dict:
     """Deterministic stand-in for the reference's HumanName fallback."""
     if "," in name:
@@ -72,11 +87,26 @@ def _fallback_parse(name: str) -> dict:
         last = last.strip()
     else:
         parts = name.split()
+        while len(parts) > 1 and parts[0].lower().rstrip(".") in _TITLES:
+            parts = parts[1:]
+        while len(parts) > 1 and parts[-1].lower().rstrip(".") in _SUFFIXES:
+            parts = parts[:-1]
         if len(parts) >= 2:
-            first, last = parts[0], parts[-1]
-            middle = " ".join(parts[1:-1])
+            # absorb surname particles into the last name
+            # ("van der Waals" -> last, like HumanName)
+            li = len(parts) - 1
+            while li - 1 >= 1 and parts[li - 1].lower().rstrip(
+                    ".") in _PARTICLES:
+                li -= 1
+            first = parts[0]
+            last = " ".join(parts[li:])
+            middle = " ".join(parts[1:li])
+        elif parts:
+            # HumanName treats a bare token as a FIRST name (mononyms);
+            # are_names_similar then takes the empty-last equality path
+            first, middle, last = parts[0], "", ""
         else:
-            first, middle, last = "", "", name
+            first, middle, last = "", "", ""
     clean = f"{first} {middle} {last}".strip()
     clean = unicodedata.normalize("NFKD", clean).encode("ascii", "ignore").decode()
     normalized = re.sub(r"[-.,]", " ", clean.lower()).strip()

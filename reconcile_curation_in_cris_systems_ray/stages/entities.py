@@ -18,9 +18,15 @@ Ray-Data-first re-expression:
     vectorized substring search for a broadcast list of entity surface
     forms, emitting ``(id, entity, pos, n_hits)`` per match.  Exactly
     SQL-expressible, so the driver oracles it (``entity_extract``).
-  * ``backend="model"``: import-try a real NER model (flair is not in
-    this container); raises with the interface documented so a model
-    backend slots in behind the identical schema.
+  * ``backend="model"``: the ST1 model path — load-once in
+    ``__init__``, batched predict in ``__call__``, same output schema.
+    A real flair model is not installable in this container, so the
+    backend ships :class:`_HashedNGramNER`, a deterministic torch-free
+    stand-in (hashed char-trigram logistic classifier trained on an
+    embedded synthetic ORG/non-ORG span set at load time); swapping in
+    ``flair.Classifier.load('flair/ner-english-fast')`` (reference
+    ``entity_extraction.py:19-24``) only changes the two marked
+    methods.
 
 - :func:`validate_entities` — J7 entity-validation cross join: every
   candidate entity scored against every org-name variant with
@@ -36,6 +42,97 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+
+class _HashedNGramNER:
+    """Deterministic, dependency-free stand-in for a batched NER model
+    (the ST1 slot; reference ``entity_extraction.py:5-69`` uses flair,
+    absent in this environment).
+
+    "Loading" the model = training a hashed character-trigram logistic
+    classifier on an embedded synthetic ORG / non-ORG span corpus —
+    deliberately non-trivial one-time work so the actor-pool load-once
+    economics are real.  Prediction is batched: every candidate span in
+    the batch is featurized into ONE matrix and scored with a single
+    matmul, the same shape as a real model's batch forward pass.
+    """
+
+    DIM = 1 << 13
+
+    # word pools for the embedded training corpus (seeded, synthetic)
+    _ORG_SUFFIX = ["University", "Institute", "Corporation", "Inc",
+                   "Laboratories", "College", "Foundation", "Society",
+                   "Academy", "Centre", "Hospital", "Ltd", "Agency",
+                   "Council", "Association"]
+    _STEM = ["North", "Global", "Central", "Pacific", "Royal", "United",
+             "Advanced", "General", "Applied", "Modern", "Western",
+             "Quantum", "Stellar", "Nova", "Alpha", "Vertex", "Summit",
+             "Harbor", "Crest", "Beacon"]
+    _PERSON = ["John", "Mary", "Ahmed", "Wei", "Elena", "Carlos", "Aisha",
+               "Ivan", "Sofia", "Kenji", "Smith", "Johnson", "Garcia",
+               "Mueller", "Tanaka", "Novak", "Okafor", "Larsen", "Costa",
+               "Reyes"]
+    _PHRASE = ["Early Morning", "Blue Monday", "Next Tuesday",
+               "Dear Reader", "Happy Birthday", "Last Summer",
+               "New Ideas", "Open Road", "Green Hills", "Silver Rain"]
+
+    def __init__(self, seed: int = 17, threshold: float = 0.5):
+        self.threshold = float(threshold)
+        rng = np.random.default_rng(seed)
+        pos = [f"{rng.choice(self._STEM)} {rng.choice(self._STEM)} "
+               f"{rng.choice(self._ORG_SUFFIX)}" for _ in range(150)]
+        pos += [f"{rng.choice(self._STEM)} {rng.choice(self._ORG_SUFFIX)}"
+                for _ in range(150)]
+        neg = [f"{rng.choice(self._PERSON)} {rng.choice(self._PERSON)}"
+               for _ in range(200)]
+        neg += [str(rng.choice(self._PHRASE)) for _ in range(100)]
+        X = self._featurize(pos + neg)
+        y = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+        w = np.zeros(self.DIM)
+        for _ in range(120):  # plain batch gradient descent
+            p = 1.0 / (1.0 + np.exp(-(X @ w)))
+            w -= 2.0 * (X.T @ (p - y)) / len(y)
+        self.w = w
+        # candidate spans: runs of >= 2 capitalized tokens
+        self.span_re = re.compile(
+            r"(?:[A-Z][A-Za-z&.\-]+)(?:\s+[A-Z][A-Za-z&.\-]+)+")
+
+    def _featurize(self, spans: list[str]) -> np.ndarray:
+        """L2-normalized hashed char-trigram counts, one row per span.
+        A real model backend replaces this with its tokenizer."""
+        X = np.zeros((len(spans), self.DIM), dtype=np.float64)
+        for i, s in enumerate(spans):
+            b = f"^{s.lower()}$".encode("utf-8", "ignore")
+            if len(b) < 3:
+                continue
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            tri = (a[:-2] * np.uint64(131071) + a[1:-1] * np.uint64(257)
+                   + a[2:])
+            np.add.at(X[i], (tri % np.uint64(self.DIM)).astype(np.int64),
+                      1.0)
+            n = np.linalg.norm(X[i])
+            if n:
+                X[i] /= n
+        return X
+
+    def predict_spans(self, texts: pd.Series) -> pd.DataFrame:
+        """Batched forward pass: (row, span) candidates from the whole
+        batch scored in one matmul; rows = spans with p >= threshold.
+        A real model backend replaces this with model.predict(batch)."""
+        rows, spans = [], []
+        for ridx, t in enumerate(texts):
+            for m in self.span_re.finditer(t):
+                rows.append(ridx)
+                spans.append(m.group(0).rstrip(".-"))
+        if not spans:
+            return pd.DataFrame({"row": pd.Series([], dtype="int64"),
+                                 "entity": pd.Series([], dtype="string")})
+        scores = 1.0 / (1.0 + np.exp(-(self._featurize(spans) @ self.w)))
+        keep = scores >= self.threshold
+        return (pd.DataFrame({"row": np.asarray(rows)[keep],
+                              "entity": pd.Series(spans, dtype="string")
+                              [keep].to_numpy()})
+                .drop_duplicates())
 
 
 class EntityExtractor:
@@ -55,14 +152,14 @@ class EntityExtractor:
     def __init__(self, entities_ref=None, entities=None,
                  id_col: str = "doc_id", text_col: str = "text",
                  backend: str = "gazetteer"):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.backend = backend
         if backend == "model":
-            raise NotImplementedError(
-                "model backend: load the NER model here (e.g. flair "
-                "Classifier.load('flair/ner-english-fast'), reference "
-                "entity_extraction.py:19-24), predict in __call__ over "
-                "batch.column(text_col), and emit the same "
-                "(id, entity, pos, n_hits) schema; the library is not "
-                "available in this environment")
+            # ST1 load-once: the (stand-in) model is built ONCE per
+            # actor; a real flair backend would Classifier.load() here
+            self.model = _HashedNGramNER()
+            return
         if backend != "gazetteer":
             raise ValueError(f"unknown backend: {backend!r}")
         if entities is None:
@@ -71,8 +168,27 @@ class EntityExtractor:
             entities = ray.get(entities_ref)
         # state built once per actor/worker (ST1 load-once pattern)
         self.entities = [e for e in entities if e]
-        self.id_col = id_col
-        self.text_col = text_col
+
+    def _model_call(self, df: pd.DataFrame, texts: pd.Series,
+                    ids: pd.Series) -> pa.Table:
+        hits = self.model.predict_spans(texts.reset_index(drop=True))
+        if len(hits) == 0:
+            return _empty_entity_table(self.id_col, ids)
+        row = hits["row"].to_numpy()
+        tx = texts.reset_index(drop=True)
+        pos = np.fromiter((tx.iloc[r].find(e) + 1
+                           for r, e in zip(row, hits["entity"])),
+                          dtype=np.int64, count=len(hits))
+        n_hits = np.fromiter((tx.iloc[r].count(e)
+                              for r, e in zip(row, hits["entity"])),
+                             dtype=np.int64, count=len(hits))
+        return pa.table({
+            self.id_col: pa.array(ids.to_numpy()[row]),
+            "entity": pa.array(hits["entity"].to_numpy(dtype=object),
+                               pa.string()),
+            "pos": pa.array(pos, pa.int64()),
+            "n_hits": pa.array(n_hits, pa.int64()),
+        })
 
     def __call__(self, batch) -> pa.Table:
         if isinstance(batch, pa.Table):
@@ -81,6 +197,8 @@ class EntityExtractor:
             df = batch
         texts = df[self.text_col].astype("string").fillna("")
         ids = df[self.id_col]
+        if self.backend == "model":
+            return self._model_call(df, texts, ids)
         out_id, out_ent, out_pos, out_hits = [], [], [], []
         for ent in self.entities:
             # vectorized per entity: one find + one count pass
@@ -94,13 +212,7 @@ class EntityExtractor:
             out_pos.append(pos[hit].to_numpy(dtype=np.int64) + 1)
             out_hits.append(n_hits.to_numpy(dtype=np.int64))
         if not out_id:
-            return pa.table({
-                self.id_col: pa.array([], pa.from_numpy_dtype(
-                    ids.to_numpy().dtype) if len(ids) else pa.int64()),
-                "entity": pa.array([], pa.string()),
-                "pos": pa.array([], pa.int64()),
-                "n_hits": pa.array([], pa.int64()),
-            })
+            return _empty_entity_table(self.id_col, ids)
         return pa.table({
             self.id_col: pa.array(np.concatenate(out_id)),
             "entity": pa.array(np.concatenate(out_ent), pa.string()),
@@ -109,19 +221,35 @@ class EntityExtractor:
         })
 
 
-def extract_entities(ds, entities: list[str], id_col: str = "doc_id",
+def _empty_entity_table(id_col: str, ids: pd.Series) -> pa.Table:
+    return pa.table({
+        id_col: pa.array([], pa.from_numpy_dtype(
+            ids.to_numpy().dtype) if len(ids) else pa.int64()),
+        "entity": pa.array([], pa.string()),
+        "pos": pa.array([], pa.int64()),
+        "n_hits": pa.array([], pa.int64()),
+    })
+
+
+def extract_entities(ds, entities: list[str] | None = None,
+                     id_col: str = "doc_id",
                      text_col: str = "text", concurrency=(1, 8),
-                     batch_size: int = 1024):
-    """Run the gazetteer entity extractor as an actor pool over a
-    Dataset; the entity list ships ONCE via ``ray.put`` (broadcast) and
-    each actor compiles its state in ``__init__``."""
+                     batch_size: int = 1024, backend: str = "gazetteer"):
+    """Run the entity extractor as an actor pool over a Dataset.
+
+    ``backend="gazetteer"``: the entity list ships ONCE via ``ray.put``
+    (broadcast) and each actor compiles its state in ``__init__``.
+    ``backend="model"``: each actor loads the (stand-in) NER model once
+    in ``__init__`` and batch-predicts in ``__call__`` — the reference
+    ST1 shape end-to-end."""
     import ray
 
-    ref = ray.put(list(entities))
+    kwargs = {"id_col": id_col, "text_col": text_col, "backend": backend}
+    if backend == "gazetteer":
+        kwargs["entities_ref"] = ray.put(list(entities))
     return ds.select_columns([id_col, text_col]).map_batches(
         EntityExtractor,
-        fn_constructor_kwargs={"entities_ref": ref, "id_col": id_col,
-                               "text_col": text_col},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
 

@@ -74,9 +74,9 @@ def test_entity_extractor_gazetteer():
     assert list(out["n_hits"]) == [2, 1]
 
 
-def test_entity_extractor_model_backend_is_documented_stub():
-    with pytest.raises(NotImplementedError):
-        EntityExtractor(entities=["x"], backend="model")
+def test_entity_extractor_rejects_unknown_backend():
+    with pytest.raises(ValueError):
+        EntityExtractor(entities=["x"], backend="quantum")
 
 
 def test_validate_entities_threshold():
@@ -106,3 +106,53 @@ def test_extract_entities_actor_pool(ray_session):
     assert len(out) == 34
     assert (out["entity"] == "acme corp").all()
     assert (out["n_hits"] == 1).all()
+
+
+def test_model_backend_end_to_end(ray_session):
+    """ST1 model path: the stand-in NER model is loaded once per actor
+    (trained in __init__) and batch-predicts in __call__, emitting the
+    same (id, entity, pos, n_hits) schema as the gazetteer backend."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.entities import (
+        extract_entities,
+    )
+
+    texts = []
+    for i in range(60):
+        if i % 3 == 0:
+            texts.append(f"Doc {i}: funding from Acme Corporation was "
+                         "confirmed by Stanford University today.")
+        elif i % 3 == 1:
+            texts.append(f"Doc {i}: John Smith met Mary Johnson for tea.")
+        else:
+            texts.append(f"doc {i} has no capitalized spans at all")
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(60), pa.int64()),
+        "text": pa.array(texts),
+    })
+    out = extract_entities(rd.from_arrow(tbl), backend="model",
+                           concurrency=(1, 2),
+                           batch_size=16).to_pandas()
+    assert list(out.columns) == ["doc_id", "entity", "pos", "n_hits"]
+    org_docs = set(range(0, 60, 3))
+    got = out.groupby("doc_id")["entity"].apply(set)
+    for d in org_docs:
+        assert {"Acme Corporation", "Stanford University"} <= got[d], got.get(d)
+    # person-name and lowercase docs must produce no entity rows
+    assert set(out["doc_id"]) == org_docs
+    # pos is the 1-based first occurrence, n_hits the occurrence count
+    one = out[(out["doc_id"] == 0) & (out["entity"] == "Acme Corporation")]
+    assert int(one["pos"].iloc[0]) == texts[0].find("Acme Corporation") + 1
+    assert int(one["n_hits"].iloc[0]) == 1
+
+
+def test_model_backend_deterministic(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.entities import (
+        _HashedNGramNER,
+    )
+
+    a, b = _HashedNGramNER(), _HashedNGramNER()
+    assert np.array_equal(a.w, b.w)
+    t = pd.Series(["Meeting at Vertex Institute with Ivan Novak."])
+    pd.testing.assert_frame_equal(a.predict_spans(t), b.predict_spans(t))

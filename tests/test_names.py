@@ -64,3 +64,49 @@ def test_acronym():
     assert not is_likely_acronym("Harvard")
     assert not is_likely_acronym("TOOLONGX")
     assert not is_likely_acronym("")
+
+
+# Hand-derived expected outputs of the reference's HumanName-based
+# fallback (name_matching.py:55-62) for 18 names: (first, middle, last,
+# normalized) after the reference's lowercase + NFKD-ascii-fold +
+# [-.,]->space cleanup.  Our fallback must reproduce these.
+HUMANNAME_TABLE = [
+    ("John Smith", ("john", "", "smith", "john smith")),
+    ("John A. Smith", ("john", "a.", "smith", "john a smith")),
+    ("Dr. John Smith", ("john", "", "smith", "john smith")),
+    ("John Smith Jr.", ("john", "", "smith", "john smith")),
+    ("Smith, John", ("john", "", "smith", "john smith")),
+    ("Smith, John A.", ("john", "a.", "smith", "john a smith")),
+    ("Ludwig van Beethoven", ("ludwig", "", "van beethoven",
+                              "ludwig van beethoven")),
+    ("Johannes Diderik van der Waals",
+     ("johannes", "diderik", "van der waals",
+      "johannes diderik van der waals")),
+    ("José García", ("josé", "", "garcía",
+                               "jose garcia")),
+    ("Jean-Claude Van Damme", ("jean-claude", "", "van damme",
+                               "jean claude van damme")),
+    ("Madonna", ("madonna", "", "", "madonna")),
+    ("Mary Jane Watson Parker", ("mary", "jane watson", "parker",
+                                 "mary jane watson parker")),
+    ("O'Brien, Conan", ("conan", "", "o'brien", "conan o'brien")),
+    ("Prof. Ada Lovelace", ("ada", "", "lovelace", "ada lovelace")),
+    ("Martin Luther King Jr.", ("martin", "luther", "king",
+                                "martin luther king")),
+    ("Gabriel García Márquez",
+     ("gabriel", "garcía", "márquez",
+      "gabriel garcia marquez")),
+    ("Charles de Gaulle", ("charles", "", "de gaulle",
+                           "charles de gaulle")),
+    ("  Alan   Turing  ", ("alan", "", "turing", "alan turing")),
+]
+
+
+@pytest.mark.parametrize("name,expected", HUMANNAME_TABLE,
+                         ids=[n for n, _ in HUMANNAME_TABLE])
+def test_fallback_parse_matches_humanname_table(name, expected):
+    p = parse_name_by_style(name, "auto")
+    first, middle, last, normalized = expected
+    assert (p["first"], p["middle"], p["last"], p["normalized"]) == (
+        first, middle, last, normalized), p
+    assert p["style"] == "first_last"

@@ -79,12 +79,35 @@ def _box_hygiene() -> None:
         pass
 
 
+def _wait_for_healthy_phase() -> tuple[float, float]:
+    """Bounded wait for the box to leave a degraded host phase before
+    measuring (round-2 lesson: BENCH_r02 was captured at 9 MB/s
+    first-touch — 3-10x walls for identical code — and was useless as a
+    perf signal).  Probes first-touch speed; below
+    ``$GRAFT_PHASE_MIN_MBS`` (default 200, healthy > 800) it applies
+    the hygiene knobs, then re-probes every ~20 s up to
+    ``$GRAFT_PHASE_MAX_WAIT`` seconds (default 600; 0 disables).
+    Returns (first probe, probe at start-of-measurement) — both are
+    stamped into the emitted JSON so walls stay interpretable even when
+    the wait times out and the bench proceeds degraded."""
+    min_mbs = float(os.environ.get("GRAFT_PHASE_MIN_MBS", "200"))
+    max_wait = float(os.environ.get("GRAFT_PHASE_MAX_WAIT", "600"))
+    first = probe = _phase_probe_mbs()
+    deadline = time.time() + max_wait
+    while probe < min_mbs and time.time() < deadline:
+        _box_hygiene()
+        time.sleep(20)
+        probe = _phase_probe_mbs()
+    return first, probe
+
+
 def run_bench() -> dict:
     import logging
 
     import ray
 
     _box_hygiene()
+    probe_first, probe_start = _wait_for_healthy_phase()
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS,
@@ -167,7 +190,8 @@ def run_bench() -> dict:
     if os.environ.get("GRAFT_SKIP_OPS"):
         # scaling children time only the flagship; the operator-query
         # sweep would just add box noise between the two levels
-        return _result(headline_sec, timings, n_pages, n_assign, pairs)
+        return _result(headline_sec, timings, n_pages, n_assign, pairs,
+                       probe_first, probe_start)
     # warm the page cache for the operator-query tables (flagship done)
     for t in ("documents", "lineitem", "orders", "events", "embeddings"):
         rd.read_parquet(f"{SF_DIR}/{t}.parquet").count()
@@ -181,7 +205,8 @@ def run_bench() -> dict:
             len(res)
         timings[name] = round(time.time() - t0, 2)
 
-    return _result(headline_sec, timings, n_pages, n_assign, pairs)
+    return _result(headline_sec, timings, n_pages, n_assign, pairs,
+                   probe_first, probe_start)
 
 
 def _phase_probe_mbs() -> float:
@@ -197,7 +222,8 @@ def _phase_probe_mbs() -> float:
     return round(sz / (time.time() - t0) / 1e6, 1)
 
 
-def _result(headline_sec, timings, n_pages, n_assign, pairs) -> dict:
+def _result(headline_sec, timings, n_pages, n_assign, pairs,
+            probe_first=None, probe_start=None) -> dict:
     return {
         "metric": "reconcile_pipeline_sec",
         "value": headline_sec,
@@ -211,6 +237,8 @@ def _result(headline_sec, timings, n_pages, n_assign, pairs) -> dict:
         "pages_per_sec": round(n_pages / headline_sec, 1),
         "pairs_per_sec": round(pairs / headline_sec, 1) if pairs else 0.0,
         "phase_first_touch_mbs": _phase_probe_mbs(),
+        "phase_first_touch_mbs_at_invoke": probe_first,
+        "phase_first_touch_mbs_at_start": probe_start,
     }
 
 

@@ -11,7 +11,7 @@ re-processes only new input files against the standing database):
 1. extract + signature the delta (same fused task stages as
    :func:`..pipelines.reconcile.run_reconcile`, so features are
    byte-identical with a full run);
-2. emit the delta's band keys; the distinct delta (band_id, band_hash)
+2. emit the delta's band keys; the distinct delta band_hash set
    key set is small (O(delta x num_bands)) and is broadcast once;
 3. re-emit the BASE corpus's band keys (a narrow streaming recompute
    over the checkpointed features — cheaper at scale than persisting
@@ -72,11 +72,12 @@ def _delta_features(delta_corpus_ds, cfg: ReconcileConfig):
 
 
 def _distinct_band_keys(band_ds) -> pd.DataFrame:
-    """Driver-bounded distinct (band_id, band_hash) of the DELTA."""
+    """Driver-bounded distinct band_hash set of the DELTA (band_hash
+    alone identifies a band group — the band index is mixed in)."""
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["band_id", "band_hash"]].drop_duplicates()
+        return df[["band_hash"]].drop_duplicates()
 
-    return (band_ds.select_columns(["band_id", "band_hash"])
+    return (band_ds.select_columns(["band_hash"])
             .map_batches(part, batch_format="pandas").to_pandas()
             .drop_duplicates().reset_index(drop=True))
 
@@ -110,13 +111,13 @@ def run_incremental(base_features, base_assignments, delta_corpus_ds,
                                  include_bands=not narrow)
     touched_keys = _distinct_band_keys(delta_bands)
     metrics["touched_bands"] = len(touched_keys)
-    keys_ref = ray.put(touched_keys[["band_id", "band_hash"]])
+    keys_ref = ray.put(touched_keys[["band_hash"]])
 
     def touched_only(batch: pa.Table) -> pa.Table:
         # vectorized semi-join against the broadcast delta key table;
         # emits ARROW so the union with delta_bands stays one block type
         keys = ray.get(keys_ref)
-        kept = batch.to_pandas().merge(keys, on=["band_id", "band_hash"],
+        kept = batch.to_pandas().merge(keys, on=["band_hash"],
                                        how="inner")
         return pa.Table.from_pandas(kept, schema=batch.schema,
                                     preserve_index=False)

@@ -79,11 +79,18 @@ class SignatureStage:
 
 def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig(),
                    include_bands: bool = True):
-    """Explode features into ``(band_id, band_hash, uh[, bands])`` rows.
+    """Explode features into ``(band_hash, uh[, band_id, bands])`` rows.
 
-    ``include_bands=False`` emits NARROW rows (20B): the pair stage
-    then needs a pair-key dedup exchange instead of min-band emission —
-    cheaper when band rows vastly outnumber pairs (large corpora).
+    ``include_bands=False`` emits NARROW rows (16B, just band_hash +
+    uh): the pair stage then needs a pair-key dedup exchange instead of
+    min-band emission — cheaper when band rows vastly outnumber pairs
+    (large corpora).  There is no ``band_id`` column in narrow mode:
+    :meth:`MinHasher.band_keys` mixes the band index into the hash
+    (``similarity.py``), so ``band_hash`` alone identifies the
+    (band, content) group up to negligible 64-bit collisions — carrying
+    the redundant int32 through the pipeline's hottest exchange cost
+    20% of its bytes.  Wide mode keeps ``band_id`` because min-band
+    emission compares ``argmax == band_id`` positionally.
 
     Shuffle-bytes discipline (what makes this viable at 10^12 rows —
     the explode multiplies row count by ``num_bands``):
@@ -109,10 +116,10 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig(),
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            cols = {"band_id": pa.array([], pa.int32()),
-                    "band_hash": pa.array([], pa.int64()),
+            cols = {"band_hash": pa.array([], pa.int64()),
                     "uh": pa.array([], pa.uint64())}
             if include_bands:
+                cols["band_id"] = pa.array([], pa.int32())
                 cols["bands"] = pa.array([], pa.binary(cfg.num_bands * 8))
             return pa.table(cols)
         sig_list = batch.column("sig")
@@ -126,11 +133,11 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig(),
             batch.column("url").to_pandas().to_numpy(dtype=object))
         idx = np.repeat(np.arange(n), cfg.num_bands)
         cols = {
-            "band_id": pa.array(band_id, pa.int32()),
             "band_hash": pa.array(band_hash, pa.int64()),
             "uh": pa.array(uh[idx], pa.uint64()),
         }
         if include_bands:
+            cols["band_id"] = pa.array(band_id, pa.int32())
             # bands as ONE fixed-size-binary buffer (numpy repeat, zero
             # Python objects) — a 2M-row explode otherwise builds 2M
             # bytes objects per pass

@@ -331,11 +331,9 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,
         bh = stable_hash_strings(
             batch.column(block_col).cast(pa.string()).to_pandas()
             .fillna("").to_numpy(dtype=object)).view(np.int64)
-        nrows = len(batch)
         return pa.table({
             "id": ids,
             "uh": pa.array(uh, pa.uint64()),
-            "band_id": pa.array(np.zeros(nrows, np.int32)),
             "band_hash": pa.array(bh, pa.int64()),
             "toks": pa.array(sets, pa.binary()),
         })
@@ -344,7 +342,7 @@ def ngram_jaccard_pairs(ds, id_col: str, text_col: str, block_col: str,
         feats, batch_format="pyarrow").materialize()
 
     blocking = BlockingConfig(num_buckets=num_buckets)
-    bands = prepped.select_columns(["band_id", "band_hash", "uh"])
+    bands = prepped.select_columns(["band_hash", "uh"])
     pairs = generate_candidate_pairs(
         bands, blocking,
         n_rows_hint=rows_hint if rows_hint is not None else prepped.count(),

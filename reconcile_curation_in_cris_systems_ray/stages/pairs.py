@@ -47,8 +47,13 @@ DRIVER_MERGE_MAX_ROWS = 20_000_000
 
 
 def find_hot_keys(band_ds, cfg: BlockingConfig,
-                  n_rows_hint: int | None = None) -> dict[tuple[int, int], int]:
-    """Narrow count pre-pass; returns {(band_id, band_hash): count}.
+                  n_rows_hint: int | None = None) -> dict[int, int]:
+    """Narrow count pre-pass; returns {band_hash: count}.
+
+    Keys on ``band_hash`` ALONE: the band index is already mixed into
+    the hash (``MinHasher.band_keys``), so one int64 identifies the
+    (band, content) group — halving the count rows' width and the
+    broadcast dict's size vs the former (band_id, band_hash) tuples.
 
     Two physical plans for the same counts:
 
@@ -68,32 +73,31 @@ def find_hot_keys(band_ds, cfg: BlockingConfig,
       two int columns), since the distinct-key set itself may not fit
       the driver at web scale.
     """
-    narrow = band_ds.select_columns(["band_id", "band_hash"])
+    narrow = band_ds.select_columns(["band_hash"])
     if n_rows_hint is None or n_rows_hint <= DRIVER_MERGE_MAX_ROWS:
         def partial(df: pd.DataFrame) -> pd.DataFrame:
-            c = df.value_counts(["band_id", "band_hash"], sort=False)
+            c = df["band_hash"].value_counts(sort=False)
             c = c[c > 1]
-            out = c.index.to_frame(index=False)
-            out["n"] = c.to_numpy()
-            return out
+            return pd.DataFrame({"band_hash": c.index.to_numpy(),
+                                 "n": c.to_numpy()})
 
         parts = narrow.map_batches(partial, batch_format="pandas").to_pandas()
         if parts.empty:
             return {}
-        totals = parts.groupby(["band_id", "band_hash"], sort=False)["n"].sum()
+        totals = parts.groupby("band_hash", sort=False)["n"].sum()
         hot = totals[totals > cfg.hot_key_cap]
-        return {k: int(v) for k, v in hot.items()}
+        return {int(k): int(v) for k, v in hot.items()}
 
-    counts = narrow.groupby(["band_id", "band_hash"]).count()
+    counts = narrow.groupby("band_hash").count()
 
     def only_hot(df: pd.DataFrame) -> pd.DataFrame:
         return df[df["count()"] > cfg.hot_key_cap]
 
     hot = counts.map_batches(only_hot, batch_format="pandas").take_all()
-    return {(r["band_id"], r["band_hash"]): r["count()"] for r in hot}
+    return {int(r["band_hash"]): int(r["count()"]) for r in hot}
 
 
-def expand_salts(band_ds, hot_keys: dict[tuple[int, int], int],
+def expand_salts(band_ds, hot_keys: dict[int, int],
                  cfg: BlockingConfig):
     """Assign salts and replicate hot-key members into triangle groups."""
     hot_ref = ray.put(hot_keys)
@@ -107,8 +111,8 @@ def expand_salts(band_ds, hot_keys: dict[tuple[int, int], int],
             out["salt_j"] = np.int32(0)
             out["member_salt"] = np.int32(0)
             return out
-        keys = list(zip(df["band_id"].to_numpy(), df["band_hash"].to_numpy()))
-        counts = np.array([hot.get(k, 0) for k in keys], dtype=np.int64)
+        counts = (df["band_hash"].map(hot).fillna(0)
+                  .to_numpy(dtype=np.int64))
         is_hot = counts > 0
         cold = df[~is_hot].copy()
         cold["salt_i"] = np.int32(0)
@@ -239,15 +243,18 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         band_ds = band_ds.repartition(nb).materialize()
         num_blocks_hint = nb
     hot = find_hot_keys(band_ds, blocking, n_rows_hint)
+    # grouping key is band_hash ALONE (band_id is mixed into the hash;
+    # narrow rows don't even carry a band_id column — 20% fewer bytes
+    # through the pipeline's hottest exchange)
     if hot:
         salted = expand_salts(band_ds, hot, blocking)
-        group_cols = ["band_id", "band_hash", "salt_i", "salt_j"]
+        group_cols = ["band_hash", "salt_i", "salt_j"]
     else:
         # no hot keys (the common case on non-skewed corpora): skip the
         # salting map entirely — one fewer full pass/copy over the band
         # rows; bucket_pairs treats absent salt columns as all-zero
         salted = band_ds
-        group_cols = ["band_id", "band_hash"]
+        group_cols = ["band_hash"]
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
         """Vectorized across groups: a bucket holds ~1e5 tiny band
@@ -259,34 +266,39 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         out_b: list[np.ndarray] = []
 
         has_bands = "bands" in df.columns
+        has_bid = "band_id" in df.columns
         has_salt = "salt_i" in df.columns
         cross_mask = (
             (df["salt_i"].to_numpy() != df["salt_j"].to_numpy())
             if has_salt else np.zeros(len(df), dtype=bool))
         if cross_mask.any():
-            for (bid, _, si, _), g in df[cross_mask].groupby(
-                    ["band_id", "band_hash", "salt_i", "salt_j"], sort=False):
+            for (_, si, _), g in df[cross_mask].groupby(
+                    ["band_hash", "salt_i", "salt_j"], sort=False):
                 urls = g["uh"].to_numpy().astype(np.uint64)
                 bands = _decode_bands(g["bands"]) if has_bands else None
+                bid = int(g["band_id"].iloc[0]) if has_bid else 0
                 ma = g["member_salt"].to_numpy() == si
                 _pairs_cross(urls[ma],
                              bands[ma] if has_bands else None,
                              urls[~ma],
                              bands[~ma] if has_bands else None,
-                             int(bid), out_a, out_b)
+                             bid, out_a, out_b)
             df = df[~cross_mask]
 
         if len(df) >= 2:
-            bid = df["band_id"].to_numpy().astype(np.int64)
             bh = df["band_hash"].to_numpy().astype(np.int64)
             si = (df["salt_i"].to_numpy().astype(np.int64)
                   if has_salt else np.zeros(len(df), dtype=np.int64))
-            order = np.lexsort((si, bh, bid))
-            b2, h2, s2 = bid[order], bh[order], si[order]
+            order = np.lexsort((si, bh))
+            h2, s2 = bh[order], si[order]
+            # band_id is constant within a band_hash group (the hash
+            # mixes it in), so it never splits groups — only min-band
+            # emission reads it, positionally
+            b2 = (df["band_id"].to_numpy().astype(np.int64)[order]
+                  if has_bid else np.zeros(len(order), dtype=np.int64))
             new = np.empty(len(order), dtype=bool)
             new[0] = True
-            new[1:] = ((b2[1:] != b2[:-1]) | (h2[1:] != h2[:-1])
-                       | (s2[1:] != s2[:-1]))
+            new[1:] = (h2[1:] != h2[:-1]) | (s2[1:] != s2[:-1])
             counts = np.diff(np.append(np.flatnonzero(new), len(order)))
             starts = np.append(0, np.cumsum(counts))[:-1]
             urls_s = df["uh"].to_numpy().astype(np.uint64)[order]
@@ -347,8 +359,17 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
 
     # global dedup of cross-band duplicates: a second shuffle, but over
     # pair rows (~2 orders of magnitude fewer than band rows); the
-    # input already has ~bucket-count blocks, so skip the pre-coalesce
+    # input already has ~bucket-count blocks, so skip the pre-coalesce.
+    # Aggregator count scales with the EXPECTED PAIR rows, not the band
+    # rows: at mid scale the pair set is small and each extra sort
+    # partition is pure per-actor overhead (the 4->16-CPU efficiency
+    # loss lived here) — ~250k pair rows per aggregator, floor 8.
+    dedup_buckets = blocking.num_buckets
+    if n_rows_hint is not None:
+        pairs_hint = max(1, n_rows_hint // 8)
+        dedup_buckets = min(dedup_buckets,
+                            max(8, pairs_hint // 250_000))
     return bucketed_map_groups(pairs, _PAIR_COLS, dedup,
-                               num_buckets=blocking.num_buckets,
+                               num_buckets=dedup_buckets,
                                num_blocks_hint=blocking.num_buckets,
                                empty_like=_empty_pairs)

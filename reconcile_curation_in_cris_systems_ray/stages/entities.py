@@ -168,6 +168,16 @@ class EntityExtractor:
             entities = ray.get(entities_ref)
         # state built once per actor/worker (ST1 load-once pattern)
         self.entities = [e for e in entities if e]
+        # one alternation regex prefilters rows containing ANY entity:
+        # the per-entity containment passes then run over the (usually
+        # small) hit subset instead of the whole batch — O(batch) +
+        # O(hits x entities) instead of O(batch x entities).  Exact:
+        # alternation shadowing can only hide WHICH entity matched,
+        # never THAT some entity matched, so no row is wrongly dropped.
+        self._any_re = (re.compile("|".join(
+            re.escape(e) for e in
+            sorted(self.entities, key=len, reverse=True)))
+            if len(self.entities) > 4 else None)
 
     def _model_call(self, df: pd.DataFrame, texts: pd.Series,
                     ids: pd.Series) -> pa.Table:
@@ -199,6 +209,10 @@ class EntityExtractor:
         ids = df[self.id_col]
         if self.backend == "model":
             return self._model_call(df, texts, ids)
+        if self._any_re is not None and len(texts):
+            cand = texts.str.contains(self._any_re, regex=True).to_numpy()
+            texts = texts[cand].reset_index(drop=True)
+            ids = ids[cand].reset_index(drop=True)
         out_id, out_ent, out_pos, out_hits = [], [], [], []
         for ent in self.entities:
             # vectorized per entity: one find + one count pass

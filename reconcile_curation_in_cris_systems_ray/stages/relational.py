@@ -87,8 +87,15 @@ def partial_groupby_agg(ds, keys: Sequence[str],
     ``spec``: ``{out_col: (src_col, fn)}`` with fn in
     {'count', 'sum', 'min', 'max'} (mean = caller-side sum/count).
     Returns a pandas DataFrame (the result is small by assumption).
+
+    When the partial stream exceeds ``tree_fanin`` blocks, one bucketed
+    combine level pre-merges the partials distributedly (a shuffle over
+    the BOUNDED partials, not the data) so the driver collect stays
+    O(groups), not O(groups x batches) — the same hierarchical-merge
+    guard as the sketch operators.
     """
     keys = list(keys)
+    tree_fanin = 32
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, sort=False)
@@ -97,7 +104,20 @@ def partial_groupby_agg(ds, keys: Sequence[str],
             out[col] = g.size() if fn == "count" else getattr(g[src], fn)()
         return out.reset_index()
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts_ds = ds.map_batches(partial, batch_format="pandas").materialize()
+    if parts_ds.num_blocks() > tree_fanin:
+        from .shuffle import bucketed_map_groups
+
+        def comb(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(keys, sort=False)
+            out = pd.DataFrame(index=g.size().index)
+            for col, (_, fn) in spec.items():
+                out[col] = getattr(g[col], "sum" if fn == "count" else fn)()
+            return out.reset_index()
+
+        parts_ds = bucketed_map_groups(parts_ds, keys, comb,
+                                       num_buckets=tree_fanin)
+    parts = parts_ds.to_pandas()
     g = parts.groupby(keys, sort=False)
     final = pd.DataFrame(index=g.size().index)
     for col, (_, fn) in spec.items():

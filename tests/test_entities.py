@@ -156,3 +156,38 @@ def test_model_backend_deterministic(ray_session):
     assert np.array_equal(a.w, b.w)
     t = pd.Series(["Meeting at Vertex Institute with Ivan Novak."])
     pd.testing.assert_frame_equal(a.predict_spans(t), b.predict_spans(t))
+
+
+def test_gazetteer_prefilter_matches_plain_loop(ray_session):
+    """A >4-entity gazetteer activates the any-match prefilter; the
+    output must equal the unfiltered per-entity pass."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.entities import (
+        extract_entities,
+    )
+
+    ents_small = ["acme corp"]
+    ents_big = ["acme corp", "globex", "initech", "umbrella", "hooli",
+                "stark labs"]
+    texts = [f"row {i} mentions acme corp and globex twice: globex"
+             if i % 4 == 0 else f"row {i} mentions hooli" if i % 4 == 1
+             else f"row {i} plain" for i in range(80)]
+    tbl = pa.table({"doc_id": pa.array(np.arange(80), pa.int64()),
+                    "text": pa.array(texts)})
+    out = extract_entities(rd.from_arrow(tbl), ents_big).to_pandas() \
+        .sort_values(["doc_id", "entity"]).reset_index(drop=True)
+    # oracle: plain python containment
+    rows = []
+    for i, t in enumerate(texts):
+        for e in ents_big:
+            if e in t:
+                rows.append((i, e, t.find(e) + 1, t.count(e)))
+    want = pd.DataFrame(rows, columns=["doc_id", "entity", "pos",
+                                       "n_hits"]) \
+        .sort_values(["doc_id", "entity"]).reset_index(drop=True)
+    got = out.astype({"doc_id": "int64", "entity": str,
+                      "pos": "int64", "n_hits": "int64"})
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "entity", "pos", "n_hits"]], want,
+        check_dtype=False)

@@ -491,3 +491,31 @@ def test_top_tfidf_join_path_matches_broadcast(ray_session):
         rd.read_parquet(src, columns=cols), "doc_id", "text",
         broadcast_max_terms=0).to_pandas())
     pd.testing.assert_frame_equal(bcast, joined)
+
+
+def test_partial_groupby_agg_tree_path(ray_session, events_df):
+    """> tree_fanin partial blocks routes through the bucketed combine
+    level; result must equal the flat path / pandas oracle."""
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        partial_groupby_agg,
+    )
+
+    ds = _ds(events_df).repartition(64)
+    got = partial_groupby_agg(ds, ["kind"], {
+        "n": (None, "count"),
+        "sum_v": ("value", "sum"),
+        "min_v": ("value", "min"),
+        "max_v": ("value", "max"),
+    }).sort_values("kind").reset_index(drop=True)
+    g = events_df.groupby("kind")
+    want = pd.DataFrame({
+        "kind": sorted(events_df["kind"].unique()),
+        "n": g.size().sort_index().to_numpy(),
+        "sum_v": g["value"].sum().sort_index().to_numpy(),
+        "min_v": g["value"].min().sort_index().to_numpy(),
+        "max_v": g["value"].max().sort_index().to_numpy(),
+    })
+    got["sum_v"] = got["sum_v"].round(6)
+    want["sum_v"] = want["sum_v"].round(6)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
+                                  check_dtype=False)

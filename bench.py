@@ -263,12 +263,15 @@ def run_scaling():
     # values are printed for scrutiny.
     passes = int(os.environ.get("GRAFT_SCALE_PASSES", "2"))
     walls_lo, walls_hi = [], []
+    probes = []
     pairs_lo = pairs_hi = 0
     pages = 0
     for _ in range(passes):
         r_lo, r_hi = one(lo), one(hi)
         walls_lo.append(r_lo["value"])
         walls_hi.append(r_hi["value"])
+        probes.append([r_lo.get("phase_first_touch_mbs_at_start"),
+                       r_hi.get("phase_first_touch_mbs_at_start")])
         pairs_lo = max(pairs_lo, r_lo["pairs_per_sec"])
         pairs_hi = max(pairs_hi, r_hi["pairs_per_sec"])
         pages = r_hi["corpus_pages"]
@@ -286,6 +289,7 @@ def run_scaling():
         "pages_per_sec_hi": round(thr_hi, 1),
         "pairs_per_sec_lo": pairs_lo,
         "pairs_per_sec_hi": pairs_hi,
+        "phase_probes_lo_hi": probes,
         "scaling_efficiency": round(eff, 3),
     }))
 

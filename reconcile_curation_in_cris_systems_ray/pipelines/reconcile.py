@@ -6,7 +6,7 @@ Composition (each stage checkpointable via
     corpus (url, warc_ts, html, text, lang)
       -> extract        actor-pool map_batches, html -> extracted_text
       -> features       actor-pool map_batches: normalize + MinHash sigs
-      -> bands          explode to (band_id, band_hash, url, sig)
+      -> bands          explode to (band_hash, uh[, band_id, bands])
       -> pairs          salted groupby-pairing + cross-band dedup
       -> scored         hydrate (hash join) + duckdb fuzzy kernels
       -> edges          is_match filter
@@ -126,7 +126,7 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
     # scale-adaptive dedup mode (measured crossover, re-measured on a
     # clean box round 2): below ~500k band rows ship the per-row band
     # vector and dedup via min-band emission (no second exchange);
-    # above it, narrow 20B rows + a pair-key dedup exchange win 2.5-3x
+    # above it, narrow 16B rows + a pair-key dedup exchange win 2.5-3x
     # (2.1M band rows: 4.5-4.9s wide vs 1.8-1.9s narrow at 32 CPUs —
     # pair rows are ~10x fewer than band rows, so deduping pairs costs
     # less than shipping a 128B band vector through the big shuffle)

@@ -19,13 +19,15 @@ control, per the north rule:
   instead of O(m^2); connectivity for true duplicate cliques is
   preserved.
 
-Shuffle discipline: band rows carry ``(band_id, band_hash, url,
-bands)`` where ``bands`` is the doc's full band-hash vector (128B at
-defaults) — 4x narrower than the MinHash signature, and sufficient for
-shuffle-free global pair dedup: each pair is emitted only by the first
-band where the two vectors agree (min-band emission), so no pair-key
-exchange is needed.  The MinHash Jaccard estimate is attached later,
-during pair hydration, from the broadcast feature table.
+Shuffle discipline: narrow band rows carry just ``(band_hash, uh)``
+(16B — the band index is mixed into the hash, so no band_id column
+travels); wide rows add ``band_id`` and ``bands``, the doc's full
+band-hash vector (128B at defaults) — 4x narrower than the MinHash
+signature, and sufficient for shuffle-free global pair dedup: each
+pair is emitted only by the first band where the two vectors agree
+(min-band emission), so no pair-key exchange is needed.  The MinHash
+Jaccard estimate is attached later, during pair hydration, from the
+broadcast feature table.
 """
 
 from __future__ import annotations

@@ -85,6 +85,14 @@ def bucketed_map_groups(ds, key_cols: list[str], bucket_fn: Callable[[pd.DataFra
     the schema survives emptiness; callers whose result is provably
     non-empty may skip it.
     """
+    import os
+
+    if os.environ.get("GRAFT_TASK_SHUFFLE") == "1":
+        # A/B escape hatch: route every bucketed exchange through the
+        # two-stage task shuffle (see bucketed_map_groups_tasks) for
+        # side-by-side measurement against the sort-based default
+        return bucketed_map_groups_tasks(ds, key_cols, bucket_fn,
+                                         num_buckets, empty_like=empty_like)
     nb = effective_buckets(num_buckets)
     # coalesce to ~bucket-count blocks first: the sort-based groupby
     # exchange scales with input block count, and upstream task-fused
@@ -119,3 +127,84 @@ def bucketed_map_groups(ds, key_cols: list[str], bucket_fn: Callable[[pd.DataFra
             rd.from_arrow(pa.Table.from_pandas(anchor,
                                                preserve_index=False)))
     return grouped
+
+
+def _split_block(tbl: pa.Table, key_cols: list[str], nb: int):
+    """Map side of the task shuffle: one Arrow take per target bucket
+    (no pandas round-trip on the exchange path)."""
+    import pyarrow.compute as _pc
+
+    h = np.zeros(len(tbl), dtype=np.uint64)
+    for c in key_cols:
+        col = tbl.column(c)
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            vals = stable_hash_strings(col.to_pandas().to_numpy(dtype=object))
+        else:
+            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = h * np.uint64(0x9E3779B97F4A7C15) + vals
+    bucket = (h % np.uint64(nb)).astype(np.int64)
+    order = np.argsort(bucket, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(bucket[order], np.arange(nb + 1))
+    out = tuple(sorted_tbl.slice(bounds[j], bounds[j + 1] - bounds[j])
+                .combine_chunks() for j in range(nb))
+    return out if nb > 1 else out[0]
+
+
+def _merge_bucket(bucket_fn, empty_tbl, *shards) -> pa.Table:
+    tbls = [s for s in shards if s is not None and s.num_rows]
+    if not tbls:
+        return empty_tbl if empty_tbl is not None else pa.table({})
+    df = pa.concat_tables(tbls, promote_options="default").to_pandas()
+    out = bucket_fn(df)
+    if len(out) == 0:
+        out = out.astype({c: "string" for c in out.columns
+                          if out[c].dtype == object})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def bucketed_map_groups_tasks(ds, key_cols: list[str],
+                              bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                              num_buckets: int = 256,
+                              empty_like: pd.DataFrame | None = None):
+    """Task-shuffle variant of :func:`bucketed_map_groups`: a classic
+    two-stage map/reduce exchange over raw Ray tasks — each input block
+    splits into per-bucket Arrow shards (zero-copy slices of one sorted
+    take), each bucket task concats its shards and runs ``bucket_fn``.
+
+    Why it exists: Ray Data's sort-based ``groupby().map_groups`` pays
+    a sample + range-partition + merge pipeline that does not amortize
+    on SMALL exchanges with a known tiny key domain (the int32 bucket
+    id).  This path has exactly one map and one reduce round and stays
+    Arrow end-to-end until the bucket function.  Dataset-API semantics
+    are preserved (returns a Dataset of ``bucket_fn`` outputs).
+
+    Used where measured faster (see BASELINE.md); the sort-based path
+    remains the default for large exchanges, where Ray's operator can
+    spill and pipeline.
+    """
+    import ray
+    import ray.data as rd
+
+    nb = effective_buckets(num_buckets)
+    refs = ds.materialize().to_arrow_refs()
+    split = ray.remote(_split_block)
+    if nb > 1:
+        shard_refs = [split.options(num_returns=nb).remote(r, key_cols, nb)
+                      for r in refs]
+    else:
+        shard_refs = [[split.remote(r, key_cols, nb)] for r in refs]
+    merge = ray.remote(_merge_bucket)
+    anchor_tbl = None
+    if empty_like is not None:
+        anchor = empty_like.iloc[0:0].astype(
+            {c: "string" for c in empty_like.columns
+             if empty_like[c].dtype == object})
+        anchor_tbl = pa.Table.from_pandas(anchor, preserve_index=False)
+    out_refs = [merge.remote(bucket_fn, anchor_tbl,
+                             *[shard_refs[i][j] for i in range(len(refs))])
+                for j in range(nb)]
+    out = rd.from_arrow_refs(out_refs)
+    if anchor_tbl is not None:
+        out = out.union(rd.from_arrow(anchor_tbl))
+    return out

@@ -65,8 +65,8 @@ def _large_star(edges_ds, num_buckets: int):
 
 def _small_star(edges_ds, num_buckets: int):
     def orient(batch: pa.Table) -> pa.Table:
-        u = np.asarray(batch.column("u").to_pylist(), dtype=object)
-        v = np.asarray(batch.column("v").to_pylist(), dtype=object)
+        u = batch.column("u").to_pandas().to_numpy(dtype=object)
+        v = batch.column("v").to_pandas().to_numpy(dtype=object)
         h = np.maximum(u, v)
         l = np.minimum(u, v)
         keep = h != l
@@ -96,8 +96,8 @@ def _edge_stats(edges_ds) -> tuple[int, int]:
     """(count, order-independent checksum) in one pass."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        u = np.asarray(batch.column("u").to_pylist(), dtype=object)
-        v = np.asarray(batch.column("v").to_pylist(), dtype=object)
+        u = batch.column("u").to_pandas().to_numpy(dtype=object)
+        v = batch.column("v").to_pandas().to_numpy(dtype=object)
         if len(u) == 0:
             return pa.table({"n": pa.array([0], pa.int64()),
                              "c": pa.array([0], pa.int64())})

@@ -519,3 +519,47 @@ def test_partial_groupby_agg_tree_path(ray_session, events_df):
     want["sum_v"] = want["sum_v"].round(6)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want,
                                   check_dtype=False)
+
+
+def test_task_shuffle_matches_sort_shuffle(ray_session):
+    """bucketed_map_groups_tasks (two-stage task shuffle) must produce
+    the same grouped results as the sort-based default, including
+    string keys and the typed empty anchor."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.shuffle import (
+        bucketed_map_groups, bucketed_map_groups_tasks,
+    )
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"k": rng.integers(0, 500, 20_000),
+                       "s": rng.choice(["x", "y", "z"], 20_000),
+                       "v": rng.uniform(0, 1, 20_000)})
+    ds = _ds(df).repartition(8).materialize()
+
+    def fn(d):
+        g = d.groupby("k", sort=False)["v"].sum()
+        return pd.DataFrame({"k": g.index.to_numpy(), "sv": g.to_numpy()})
+
+    a = bucketed_map_groups(ds, ["k"], fn, 8).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    b = bucketed_map_groups_tasks(ds, ["k"], fn, 8).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    a["sv"] = a["sv"].round(9)
+    b["sv"] = b["sv"].round(9)
+    pd.testing.assert_frame_equal(a, b)
+
+    def fn2(d):
+        return d.groupby("s", sort=False)["v"].count().reset_index(name="n")
+
+    a2 = bucketed_map_groups(ds, ["s"], fn2, 8).to_pandas() \
+        .groupby("s")["n"].sum()
+    b2 = bucketed_map_groups_tasks(ds, ["s"], fn2, 8).to_pandas() \
+        .groupby("s")["n"].sum()
+    assert a2.equals(b2)
+
+    empty = _ds(df.iloc[0:0])
+    anchor = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                           "sv": pd.Series([], dtype="float64")})
+    e = bucketed_map_groups_tasks(empty, ["k"], fn, 8, empty_like=anchor)
+    assert [f.name for f in e.schema().base_schema] == ["k", "sv"]

@@ -38,7 +38,7 @@ import ray
 
 from ..config import BlockingConfig, ScoringConfig
 from ..functions.similarity import stable_hash_strings
-from .shuffle import bucketed_map_groups
+from .shuffle import bucketed_map_groups, bucketed_map_groups_tasks
 
 _PAIR_COLS = ["uh_a", "uh_b"]
 MAX_SIDE = 2000          # degenerate-clique guard
@@ -348,10 +348,28 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
 
     _empty_pairs = pd.DataFrame({c: pd.Series([], dtype="uint64")
                                  for c in _PAIR_COLS})
-    pairs = bucketed_map_groups(
-        salted, group_cols,
-        bucket_pairs, num_buckets=blocking.num_buckets,
-        num_blocks_hint=num_blocks_hint, empty_like=_empty_pairs)
+    # exchange implementation: below the driver-merge cap the band rows
+    # are already materialized into ~bucket-count blocks, and the
+    # two-stage TASK shuffle (one split map + one merge reduce, Arrow
+    # end-to-end) measured ~2x faster than Ray's sort-based groupby at
+    # BOTH 4 and 16 CPUs (4.2 s vs 9.0 s / 1.8 s vs 3.6-5.0 s on 1.9M
+    # band rows — the sort's sample + range-partition rounds don't
+    # amortize on an int32 bucket domain).  Above the cap keep the
+    # sort-based operator: it pipelines and spills, which an
+    # all-refs-at-once task shuffle does not.
+    use_tasks = (n_rows_hint is not None
+                 and n_rows_hint <= DRIVER_MERGE_MAX_ROWS)
+    exchange = (bucketed_map_groups_tasks if use_tasks
+                else bucketed_map_groups)
+    if use_tasks:
+        pairs = exchange(salted, group_cols, bucket_pairs,
+                         num_buckets=blocking.num_buckets,
+                         empty_like=_empty_pairs)
+    else:
+        pairs = bucketed_map_groups(
+            salted, group_cols,
+            bucket_pairs, num_buckets=blocking.num_buckets,
+            num_blocks_hint=num_blocks_hint, empty_like=_empty_pairs)
 
     if not dedup_pairs:
         return pairs
@@ -371,6 +389,10 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         pairs_hint = max(1, n_rows_hint // 8)
         dedup_buckets = min(dedup_buckets,
                             max(8, pairs_hint // 250_000))
+    if use_tasks:
+        return exchange(pairs, _PAIR_COLS, dedup,
+                        num_buckets=dedup_buckets,
+                        empty_like=_empty_pairs)
     return bucketed_map_groups(pairs, _PAIR_COLS, dedup,
                                num_buckets=dedup_buckets,
                                num_blocks_hint=blocking.num_buckets,

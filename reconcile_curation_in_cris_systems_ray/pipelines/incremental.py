@@ -71,6 +71,11 @@ def _delta_features(delta_corpus_ds, cfg: ReconcileConfig):
                          batch_format="pyarrow"))
 
 
+# band-row width crossover (same value as the flagship's): above this
+# many touched band rows, ship narrow 16B rows + pair-key dedup
+NARROW_THRESHOLD = 500_000
+
+
 def _distinct_band_keys(band_ds) -> pd.DataFrame:
     """Driver-bounded distinct band_hash set of the DELTA (band_hash
     alone identifies a band group — the band index is mixed in)."""
@@ -106,7 +111,7 @@ def run_incremental(base_features, base_assignments, delta_corpus_ds,
     # non-pathological corpora — hot boilerplate keys are capped by the
     # pair stage's salting/clique guard regardless)
     touched_hint = n_delta * cfg.blocking.num_bands * 4
-    narrow = touched_hint >= 500_000
+    narrow = touched_hint >= NARROW_THRESHOLD
     delta_bands = emit_band_keys(delta_feat, cfg.blocking,
                                  include_bands=not narrow)
     touched_keys = _distinct_band_keys(delta_bands)

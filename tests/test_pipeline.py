@@ -235,3 +235,52 @@ def test_incremental_equals_full_run(ray_session, corpus):
     assert got == want
     # the delta actually linked into base clusters (non-vacuous)
     assert inc["metrics"]["delta_edges"] > 0
+
+
+def test_incremental_narrow_mode_equals_full_run(ray_session, corpus,
+                                                 monkeypatch):
+    """Force the NARROW incremental path (16B band_hash-only rows +
+    band_hash semi-join + pair-key dedup): clustering must still equal
+    a from-scratch run over base+delta."""
+    import numpy as np
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.functions.similarity import (
+        stable_hash_strings,
+    )
+    from reconcile_curation_in_cris_systems_ray.pipelines import incremental
+
+    monkeypatch.setattr(incremental, "NARROW_THRESHOLD", 0)
+
+    urls = np.asarray(corpus.column("url").to_pylist(), dtype=object)
+    is_delta = stable_hash_strings(urls) % np.uint64(5) == 0
+    base = run_reconcile(rd.from_arrow(corpus.filter(~is_delta)))
+    inc = incremental.run_incremental(
+        base["features"], base["assignments"],
+        rd.from_arrow(corpus.filter(is_delta)))
+    got = {r["url"]: r["cluster_id"]
+           for r in inc["assignments"].take_all()}
+    full = run_reconcile(rd.from_arrow(corpus))
+    want = {r["url"]: r["cluster_id"]
+            for r in full["assignments"].take_all()}
+    assert got == want
+
+
+def test_flagship_narrow_mode_f1(ray_session, corpus, monkeypatch):
+    """Force the flagship's NARROW band path (no band vectors, pair-key
+    dedup exchange, task shuffle) on the small corpus: F1 gate must
+    still hold and pair sets stay canonical-unique."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.pipelines import (
+        reconcile as rmod,
+    )
+
+    monkeypatch.setattr(rmod, "NARROW_THRESHOLD", 0)
+    out = rmod.run_reconcile(rd.from_arrow(corpus))
+    assigns = out["assignments"].take_all()
+    f1, prec, rec = _pairwise_f1(assigns, true_pairs(corpus))
+    assert f1 >= 0.99, (f1, prec, rec)
+    keys = [(r["uh_a"], r["uh_b"]) for r in out["pairs"].take_all()]
+    assert len(keys) == len(set(keys))
+    assert all(a < b for a, b in keys)

@@ -117,16 +117,20 @@ SQL_DISTINCT = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
 
 
 def q_broadcast_join(sf_dir: str):
-    """J2: small-side broadcast join (customer+nation shipped once via
-    ray.put), then grouped aggregate."""
+    """J2: small-side broadcast join — the genuinely-constant nation
+    lookup (25 rows by schema) ships once via ray.put, while customer,
+    which SCALES with the dataset, stays a distributed hash join
+    (driver-collecting it was the star_join-class mistake)."""
     orders = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _rp(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
-    small = cust.merge(nation, left_on="c_nationkey",
-                       right_on="n_nationkey")[["c_custkey", "n_name"]]
+    joined = rel.hash_join(orders, cust, on=["o_custkey"],
+                           right_on=["c_custkey"],
+                           rows_hint=orders.count() + cust.count())
     joined = rel.broadcast_join(
-        orders, small.rename(columns={"c_custkey": "o_custkey"}),
-        on=["o_custkey"], how="inner")
+        joined, nation[["n_nationkey", "n_name"]].rename(
+            columns={"n_nationkey": "c_nationkey"}),
+        on=["c_nationkey"], how="inner")
     df = rel.partial_groupby_agg(joined, ["n_name"], {
         "n_orders": (None, "count"),
         "total_price": ("o_totalprice", "sum"),

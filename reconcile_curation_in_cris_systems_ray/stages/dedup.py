@@ -90,8 +90,12 @@ def near_dup_pairs(ds, id_col: str, text_col: str,
     features = _doc_features(ds, id_col, text_col, blocking,
                              normalize).materialize()
     bands = emit_band_keys(features, blocking, include_bands=False)
-    pairs = generate_candidate_pairs(bands, blocking, scoring,
-                                     dedup_pairs=True)
+    # row hint (free: features is materialized) lets the pair stage
+    # pick the materialize-once + task-shuffle plan below the cap
+    pairs = generate_candidate_pairs(
+        bands, blocking, scoring,
+        n_rows_hint=features.count() * blocking.num_bands,
+        dedup_pairs=True)
 
     feats_join = features.map_batches(
         lambda t: pa.table({"url": t.column("url"),

@@ -384,15 +384,22 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
     # rows: at mid scale the pair set is small and each extra sort
     # partition is pure per-actor overhead (the 4->16-CPU efficiency
     # loss lived here) — ~250k pair rows per aggregator, floor 8.
+    if use_tasks:
+        # full bucket count: a task-shuffle bucket is ONE task (no
+        # aggregator actor), and the dedup output's block count is the
+        # downstream hydrate+score stage's parallelism — shrinking it
+        # would cap a 32-CPU score stage at 8 tasks
+        return exchange(pairs, _PAIR_COLS, dedup,
+                        num_buckets=blocking.num_buckets,
+                        empty_like=_empty_pairs)
+    # sort path: aggregator count scales with the EXPECTED PAIR rows,
+    # not the band rows — at mid scale each extra sort partition is
+    # pure per-actor overhead (~250k pair rows per aggregator, floor 8)
     dedup_buckets = blocking.num_buckets
     if n_rows_hint is not None:
         pairs_hint = max(1, n_rows_hint // 8)
         dedup_buckets = min(dedup_buckets,
                             max(8, pairs_hint // 250_000))
-    if use_tasks:
-        return exchange(pairs, _PAIR_COLS, dedup,
-                        num_buckets=dedup_buckets,
-                        empty_like=_empty_pairs)
     return bucketed_map_groups(pairs, _PAIR_COLS, dedup,
                                num_buckets=dedup_buckets,
                                num_blocks_hint=blocking.num_buckets,

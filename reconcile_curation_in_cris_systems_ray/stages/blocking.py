@@ -73,8 +73,36 @@ class SignatureStage:
             # column survives Arrow acero hash joins as a payload field
             "shingles": pa.array([s.tobytes() for s in sets32],
                                  pa.binary()),
-            "sig": pa.array([row.tobytes() for row in sig32], pa.binary()),
+            # FIXED-size binary: every sig is num_perm x uint32, and the
+            # fixed width lets every consumer rebuild the (n, num_perm)
+            # matrix zero-copy from the Arrow buffer instead of joining
+            # n Python bytes objects (emit_band_keys + hydrate merge
+            # were two full Python-object passes over the corpus)
+            "sig": pa.Array.from_buffers(
+                pa.binary(sig32.shape[1] * 4), len(sig32),
+                [None, pa.py_buffer(np.ascontiguousarray(sig32)
+                                    .tobytes())]),
         })
+
+
+def binary_matrix(col, dtype=np.uint32) -> np.ndarray:
+    """(n, k) matrix from a binary column of fixed-length payloads.
+
+    Zero-copy view of the Arrow data buffer when the column is
+    fixed_size_binary (the writer's format); falls back to the
+    Python-bytes join for variable binary (older checkpoints/parquet).
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 1), dtype=dtype)
+    if pa.types.is_fixed_size_binary(arr.type):
+        w = arr.type.byte_width
+        flat = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+        flat = flat[arr.offset * w: (arr.offset + n) * w]
+        return flat.view(dtype).reshape(n, -1)
+    return np.frombuffer(b"".join(arr.to_pylist()),
+                         dtype=dtype).reshape(n, -1)
 
 
 def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig(),
@@ -122,12 +150,9 @@ def emit_band_keys(features_ds, cfg: BlockingConfig = BlockingConfig(),
                 cols["band_id"] = pa.array([], pa.int32())
                 cols["bands"] = pa.array([], pa.binary(cfg.num_bands * 8))
             return pa.table(cols)
-        sig_list = batch.column("sig")
         # stored sigs are uint32 equality tokens; band-key mixing runs
         # in uint64 arithmetic
-        sigs = np.frombuffer(b"".join(sig_list.to_pylist()),
-                             dtype=np.uint32).reshape(n, -1) \
-            .astype(np.uint64)
+        sigs = binary_matrix(batch.column("sig")).astype(np.uint64)
         band_id, band_hash = hasher.band_keys(sigs)
         uh = stable_hash_strings(
             batch.column("url").to_pandas().to_numpy(dtype=object))

@@ -66,7 +66,11 @@ def _doc_features(ds, id_col: str, text_col: str, blocking: BlockingConfig,
         return pa.table({
             "url": batch.column(id_col).cast(pa.string()),
             "shingles": pa.array([s.tobytes() for s in sets32], pa.binary()),
-            "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
+            # fixed-size binary: zero-copy matrix reads downstream
+            "sig": pa.Array.from_buffers(
+                pa.binary(sigs.shape[1] * 4), len(sigs),
+                [None, pa.py_buffer(np.ascontiguousarray(sigs)
+                                    .tobytes())]),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(

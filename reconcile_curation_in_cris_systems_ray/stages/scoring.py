@@ -132,14 +132,12 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
                 "url_b": pa.array(np.where(swap, url_a, url_b),
                                   pa.string()),
             })
+            from .blocking import binary_matrix
+
             sigs = {}
             for side, rows_idx in (("a", ia2), ("b", ib2)):
                 rows = tbl.take(pa.array(rows_idx))
-                sig_bytes = rows.column("sig").to_pylist()
-                sigs[side] = (
-                    np.frombuffer(b"".join(sig_bytes), dtype=np.uint32)
-                    .reshape(len(sig_bytes), -1) if sig_bytes
-                    else np.empty((0, 1), dtype=np.uint32))
+                sigs[side] = binary_matrix(rows.column("sig"))
                 out = (out.append_column(f"title_{side}",
                                          rows.column("title_norm"))
                           .append_column(f"head_{side}",
@@ -209,10 +207,10 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
         if n == 0:
             est = np.empty(0, dtype=np.float64)
         else:
-            sa = np.frombuffer(b"".join(batch.column("sig_a").to_pylist()),
-                               dtype=np.uint32).reshape(n, -1)
-            sb = np.frombuffer(b"".join(batch.column("sig_b").to_pylist()),
-                               dtype=np.uint32).reshape(n, -1)
+            from .blocking import binary_matrix
+
+            sa = binary_matrix(batch.column("sig_a"))
+            sb = binary_matrix(batch.column("sig_b"))
             est = (sa == sb).mean(axis=1)
         drop = [c for c in ("sig_a", "sig_b", "uh_a", "uh_b")
                 if c in batch.schema.names]

@@ -2345,6 +2345,73 @@ LIMIT 20
 """
 
 
+def q_repetition_ratio(sf_dir: str):
+    """Gopher-style intra-document repetition filter: per-doc duplicate
+    word fraction (1 - distinct/total tokens) and duplicate bigram
+    fraction — the standard "remove boilerplate/spam" quality signal
+    for LLM training corpora.  Map-only (each doc's ratio is computed
+    entirely within its own row), fully vectorized: one explode +
+    drop_duplicates pass per batch, no shuffle at any scale."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("").str.strip()
+        keep = texts != ""
+        texts = texts[keep].str.lower().reset_index(drop=True)
+        ids = df["doc_id"][keep.to_numpy()].reset_index(drop=True)
+        toks = texts.str.split()
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        pairs = pd.DataFrame({"row": ex.index.to_numpy(),
+                              "tok": ex.to_numpy()})
+        d_tok = (pairs.drop_duplicates().groupby("row", sort=False).size()
+                 .reindex(range(len(texts)), fill_value=0).to_numpy())
+        # bigrams: join each token with its successor within the row
+        nxt = pairs["tok"].shift(-1)
+        same_row = pairs["row"].to_numpy()[1:] == pairs["row"].to_numpy()[:-1]
+        bg = pd.DataFrame({
+            "row": pairs["row"].to_numpy()[:-1][same_row],
+            "bg": (pairs["tok"].astype(str) + " " + nxt.astype(str))
+            .to_numpy()[:-1][same_row],
+        })
+        n_bg = np.maximum(n_tok - 1, 0)
+        d_bg = (bg.drop_duplicates().groupby("row", sort=False).size()
+                .reindex(range(len(texts)), fill_value=0).to_numpy())
+        dup_word = np.where(n_tok > 0, 1.0 - d_tok / np.maximum(n_tok, 1),
+                            0.0)
+        dup_bg = np.where(n_bg > 0, 1.0 - d_bg / np.maximum(n_bg, 1), 0.0)
+        return pd.DataFrame({
+            "doc_id": ids.to_numpy(),
+            "dup_word_ratio": dup_word.round(6),
+            "dup_bigram_ratio": dup_bg.round(6),
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_REPETITION_RATIO = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), w AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         count(DISTINCT tok) AS d_tok
+  FROM t, unnest(toks) AS u(tok) GROUP BY doc_id, len(toks)
+), pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+  FROM t WHERE len(toks) >= 2
+), b AS (
+  SELECT doc_id, count(*) AS n_bg,
+         count(DISTINCT toks[i] || ' ' || toks[i+1]) AS d_bg
+  FROM pos GROUP BY doc_id
+)
+SELECT w.doc_id,
+       round(1.0 - d_tok / n_tok, 6) AS dup_word_ratio,
+       coalesce(round(1.0 - d_bg / n_bg, 6), 0.0) AS dup_bigram_ratio
+FROM w LEFT JOIN b ON w.doc_id = b.doc_id
+"""
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable t-digest approximate global quantiles over event
     values (combiner pattern: per-batch centroid digests, no shuffle).
@@ -2449,6 +2516,7 @@ QUERIES = {
     "keyword_search": q_keyword_search,
     "ngram_top": q_ngram_top,
     "heavy_hitters": q_heavy_hitters,
+    "repetition_ratio": q_repetition_ratio,
     "quantile_sketch": q_quantile_sketch,
     # rows-only
     "approx_distinct": q_approx_distinct,
@@ -2536,5 +2604,6 @@ ORACLES = {
     "star_join": SQL_STAR_JOIN,
     "keyword_search": SQL_KEYWORD_SEARCH,
     "ngram_top": SQL_NGRAM_TOP,
+    "repetition_ratio": SQL_REPETITION_RATIO,
     "heavy_hitters": SQL_HEAVY_HITTERS,
 }

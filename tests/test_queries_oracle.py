@@ -56,6 +56,7 @@ PINNED = [
     "keyword_search",
     "ngram_top",
     "group_concat",
+    "repetition_ratio",
 ]
 
 

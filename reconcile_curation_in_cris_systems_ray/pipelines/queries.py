@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..config import BlockingConfig, ReconcileConfig, ScoringConfig
+from ..config import BlockingConfig, ScoringConfig
 from ..stages import relational as rel
 from ..stages import textstats as ts
 from ..stages.ann import brute_force_topk, ivf_topk

@@ -25,7 +25,7 @@ import pyarrow as pa
 
 from ..config import BlockingConfig, ScoringConfig
 from ..functions.similarity import (
-    MinHasher, batch_shingle_sets, hamming64, jaccard_from_sets,
+    MinHasher, batch_shingle_sets, hamming64,
     jaccard_pairs_from_binary, simhash64, stable_hash_strings,
 )
 from ..functions.textnorm import normalize_text_series

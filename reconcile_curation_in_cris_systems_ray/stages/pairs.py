@@ -37,7 +37,6 @@ import pandas as pd
 import ray
 
 from ..config import BlockingConfig, ScoringConfig
-from ..functions.similarity import stable_hash_strings
 from .shuffle import bucketed_map_groups, bucketed_map_groups_tasks
 
 _PAIR_COLS = ["uh_a", "uh_b"]

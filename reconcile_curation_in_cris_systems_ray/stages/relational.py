@@ -22,7 +22,6 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-import pyarrow as pa
 import ray
 
 from .shuffle import bucketed_map_groups

@@ -132,8 +132,6 @@ def bucketed_map_groups(ds, key_cols: list[str], bucket_fn: Callable[[pd.DataFra
 def _split_block(tbl: pa.Table, key_cols: list[str], nb: int):
     """Map side of the task shuffle: one Arrow take per target bucket
     (no pandas round-trip on the exchange path)."""
-    import pyarrow.compute as _pc
-
     h = np.zeros(len(tbl), dtype=np.uint64)
     for c in key_cols:
         col = tbl.column(c)

@@ -2448,6 +2448,312 @@ GROUP BY term ORDER BY n DESC, term LIMIT 20
 """
 
 
+def q_pii_redact(sf_dir: str):
+    """PII detection + redaction — the standard pre-training scrub
+    (emails, IPv4 addresses, phone-shaped numbers).  Map-only and RE2
+    end-to-end: counts via pc.count_substring_regex and redaction via
+    pc.replace_substring_regex, the same regex engine DuckDB uses, so
+    the oracle matches bit-for-bit.  The synthetic corpus contains no
+    natural PII, so both sides enrich the text with PII deterministically
+    derived from doc_id (documented fixture enrichment); the detection/
+    redaction machinery itself is implemented independently per side."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    pat_email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    pat_ip = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    pat_phone = r"\b\d{3}-\d{3}-\d{4}\b"
+
+    def fn(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").to_numpy(zero_copy_only=False)
+        base = pd.Series(t.column("text").to_pandas()).fillna("")
+        scan = (base + " contact u" + pd.Series(did.astype(str))
+                + "@ex" + pd.Series((did % 7).astype(str)) + ".org ip 10."
+                + pd.Series((did % 250).astype(str)) + "."
+                + pd.Series((did % 199).astype(str)) + "."
+                + pd.Series((did % 97).astype(str)) + " tel 555-"
+                + pd.Series((did % 1000).astype(str)).str.zfill(3) + "-"
+                + pd.Series((did % 10000).astype(str)).str.zfill(4))
+        arr = pa.array(scan, type=pa.string())
+        n_email = pc.count_substring_regex(arr, pat_email)
+        n_ip = pc.count_substring_regex(arr, pat_ip)
+        n_phone = pc.count_substring_regex(arr, pat_phone)
+        red = pc.replace_substring_regex(arr, pat_email, "<EMAIL>")
+        red = pc.replace_substring_regex(red, pat_ip, "<IP>")
+        red = pc.replace_substring_regex(red, pat_phone, "<PHONE>")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_email": pc.cast(n_email, pa.int64()),
+            "n_ip": pc.cast(n_ip, pa.int64()),
+            "n_phone": pc.cast(n_phone, pa.int64()),
+            "redacted": red,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_PII_REDACT = r"""
+WITH s AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' contact u' || doc_id || '@ex'
+           || (doc_id % 7) || '.org ip 10.' || (doc_id % 250) || '.'
+           || (doc_id % 199) || '.' || (doc_id % 97) || ' tel 555-'
+           || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS scan
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(scan,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(scan,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+       len(regexp_extract_all(scan, '\b\d{3}-\d{3}-\d{4}\b')) AS n_phone,
+       regexp_replace(regexp_replace(regexp_replace(scan,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+           '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+FROM s
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination — the GPT-3-style n-gram overlap
+    check: any document sharing a word 3-gram with the held-out
+    benchmark set is flagged.  Docs with doc_id % 97 == 0 stand in for
+    the benchmark.  The 100-TB shape: eval sets are tiny relative to
+    the corpus, so the benchmark's distinct n-gram set is built once
+    (a filtered pass over a pruned projection) and broadcast via
+    ``ray.put``; the corpus pass is then map-only — one vectorized
+    explode + isin per batch, no shuffle of the big side ever."""
+    import ray as _ray
+
+    n = 3
+
+    def doc_ngrams(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("").str.strip()
+        keep = texts != ""
+        texts = texts[keep].str.lower().reset_index(drop=True)
+        ids = df["doc_id"][keep.to_numpy()].reset_index(drop=True)
+        toks = texts.str.split()
+        ex = toks.explode()
+        rows = ex.index.to_numpy()
+        words = ex.astype(str).to_numpy()
+        if len(words) < n:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "ngram": pd.Series([], dtype="string")})
+        same = np.ones(len(words) - (n - 1), dtype=bool)
+        for off in range(1, n):
+            same &= rows[off:len(rows) - (n - 1) + off] == \
+                rows[:len(rows) - (n - 1)]
+        grams = words[:-(n - 1)].astype(object)
+        for off in range(1, n):
+            grams = grams + " " + words[off:len(words) - (n - 1) + off]
+        out = pd.DataFrame({
+            "doc_id": ids.to_numpy()[rows[:-(n - 1)][same]],
+            "ngram": grams[same],
+        })
+        return out.drop_duplicates()
+
+    bench = (_rp(sf_dir, "documents", ["doc_id", "text"])
+             .filter(lambda r: r["doc_id"] % 97 == 0)
+             .map_batches(doc_ngrams, batch_format="pandas"))
+    bench_set = set()
+    for b in bench.iter_batches(batch_format="pandas"):
+        bench_set.update(b["ngram"].tolist())
+    bench_ref = _ray.put(np.asarray(sorted(bench_set), dtype=object))
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        grams = doc_ngrams(df)
+        bset = _ray.get(bench_ref)
+        hit = grams[grams["ngram"].isin(bset)]
+        out = (hit.groupby("doc_id", sort=False).size()
+               .rename("n_hit").reset_index())
+        out["n_hit"] = out["n_hit"].astype("int64")
+        return out
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(flag, batch_format="pandas")
+
+
+SQL_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), g AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS ngram
+  FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+  WHERE len(toks) >= 3
+), bench AS (
+  SELECT DISTINCT ngram FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, count(*) AS n_hit
+FROM g JOIN bench USING (ngram)
+GROUP BY g.doc_id
+"""
+
+
+def q_chunk_tokens(sf_dir: str):
+    """Training-sequence chunking: split each document's token stream
+    into fixed 32-token chunks, emitting (doc_id, chunk_id, n_tokens).
+    Map-only and fully vectorized (np.repeat over per-doc chunk counts
+    — no Python loop, no shuffle at any scale)."""
+    B = 32
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("").str.strip()
+        keep = texts != ""
+        ids = df["doc_id"][keep.to_numpy()].to_numpy()
+        ntok = texts[keep].str.split().str.len().to_numpy(dtype=np.int64)
+        nchunk = -(-ntok // B)
+        out_id = np.repeat(ids, nchunk)
+        chunk_id = np.concatenate(
+            [np.arange(c, dtype=np.int64) for c in nchunk]) \
+            if len(nchunk) else np.array([], dtype=np.int64)
+        rem = np.repeat(ntok, nchunk) - chunk_id * B
+        n_tokens = np.minimum(rem, B)
+        return pd.DataFrame({"doc_id": out_id, "chunk_id": chunk_id,
+                             "n_tokens": n_tokens})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_CHUNK_TOKENS = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ntok
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+)
+SELECT doc_id, i AS chunk_id,
+       CASE WHEN (i + 1) * 32 <= ntok THEN 32 ELSE ntok - i * 32 END
+           AS n_tokens
+FROM t, unnest(generate_series(0, CAST(ceil(ntok / 32.0) AS BIGINT) - 1))
+     AS u(i)
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing for LLM training: documents are concatenated
+    in doc_id order and cut into fixed 256-token sequences; each doc
+    reports the sequence holding its first token and its offset there.
+    This is a DISTRIBUTED PREFIX SUM (two-level scan): docs are range-
+    bucketed by doc_id, per-range token totals are combined into tiny
+    partials whose exclusive scan is broadcast back, and each range
+    computes its internal cumsum independently — no global sort, no
+    all-to-all beyond the range co-location."""
+    B = 256
+    n_ranges = 64
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    # doc_id span (two scalars) for range bucketing
+    import ray.data as rd  # noqa: F401
+    lohi = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(t.column("doc_id")).as_py()]),
+            "hi": pa.array([pc.max(t.column("doc_id")).as_py()]),
+        }), batch_format="pyarrow").take_all()
+    lo = min(r["lo"] for r in lohi if r["lo"] is not None)
+    hi = max(r["hi"] for r in lohi if r["hi"] is not None)
+    width = max((hi - lo) // n_ranges + 1, 1)
+
+    def ntok_batch(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("").str.strip()
+        keep = texts != ""
+        ids = df["doc_id"][keep.to_numpy()].to_numpy()
+        ntok = texts[keep].str.split().str.len().to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "rng": ((ids - lo) // width).astype(np.int64),
+            "ntok": ntok,
+        })
+
+    narrow = ds.map_batches(ntok_batch, batch_format="pandas").materialize()
+
+    # pass 1: per-range totals (tiny partials; bounded driver scan)
+    totals = narrow.map_batches(
+        lambda df: df.groupby("rng", sort=False)["ntok"].sum()
+        .rename("tot").reset_index(), batch_format="pandas").take_all()
+    agg = {}
+    for r in totals:
+        agg[r["rng"]] = agg.get(r["rng"], 0) + r["tot"]
+    offsets = np.zeros(n_ranges + 1, dtype=np.int64)
+    for i in range(n_ranges):
+        offsets[i + 1] = offsets[i] + agg.get(i, 0)
+    import ray as _ray
+    off_ref = _ray.put(offsets)
+
+    # pass 2: within-range exclusive cumsum + broadcast range offset
+    def pack_range(df: pd.DataFrame) -> pd.DataFrame:
+        offs = _ray.get(off_ref)
+        outs = []
+        for rng, g in df.groupby("rng", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort")
+            cum0 = offs[int(rng)] + np.concatenate(
+                [[0], np.cumsum(g["ntok"].to_numpy())[:-1]])
+            outs.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(),
+                "seq_id": cum0 // B,
+                "seq_offset": cum0 % B,
+            }))
+        if not outs:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "seq_id": pd.Series([], dtype="int64"),
+                "seq_offset": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "seq_id": pd.Series([], dtype="int64"),
+                          "seq_offset": pd.Series([], dtype="int64")})
+    return bucketed_map_groups(narrow, ["rng"], pack_range,
+                               num_buckets=n_ranges, empty_like=empty)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS ntok
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), c AS (
+  SELECT doc_id, ntok,
+         coalesce(sum(ntok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+  FROM t
+)
+SELECT doc_id, CAST(cum0 // 256 AS BIGINT) AS seq_id,
+       CAST(cum0 % 256 AS BIGINT) AS seq_offset
+FROM c
+"""
+
+
+def q_kmeans_embed(sf_dir: str):
+    """Distributed Lloyd's k-means over the embeddings table (k=10,
+    10 iterations, deterministic min-id init): per iteration one
+    centroid broadcast + one data pass emitting k-row partials.
+    Rows-only driver check; tests/test_embcluster.py pins the
+    assignments against an identical-semantics single-node numpy
+    reference."""
+    from ..stages.embcluster import kmeans
+
+    _, assigned = kmeans(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                         k=10, iters=10)
+    return assigned
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clustering then cosine
+    near-dup removal WITHIN clusters only (min-id representative).
+    Pairwise work bounded per cluster — the embedding-dedup plan that
+    scales by growing k with the corpus.  Rows-only driver check;
+    planted-duplicate recovery pinned in tests/test_embcluster.py."""
+    from ..stages.embcluster import semdedup
+
+    return semdedup(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]),
+                    k=10, iters=5, threshold=0.9)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -2517,6 +2823,10 @@ QUERIES = {
     "ngram_top": q_ngram_top,
     "heavy_hitters": q_heavy_hitters,
     "repetition_ratio": q_repetition_ratio,
+    "pii_redact": q_pii_redact,
+    "decontaminate": q_decontaminate,
+    "chunk_tokens": q_chunk_tokens,
+    "pack_sequences": q_pack_sequences,
     "quantile_sketch": q_quantile_sketch,
     # rows-only
     "approx_distinct": q_approx_distinct,
@@ -2530,6 +2840,8 @@ QUERIES = {
     "embedding_dups": q_embedding_dups,
     "lang_id": q_lang_id,
     "ann_ivf": q_ann_ivf,
+    "kmeans_embed": q_kmeans_embed,
+    "semdedup": q_semdedup,
     "reconcile_flagship": q_reconcile_flagship,
     "incremental_link": q_incremental_link,
 }
@@ -2606,4 +2918,8 @@ ORACLES = {
     "ngram_top": SQL_NGRAM_TOP,
     "repetition_ratio": SQL_REPETITION_RATIO,
     "heavy_hitters": SQL_HEAVY_HITTERS,
+    "pii_redact": SQL_PII_REDACT,
+    "decontaminate": SQL_DECONTAMINATE,
+    "chunk_tokens": SQL_CHUNK_TOKENS,
+    "pack_sequences": SQL_PACK_SEQUENCES,
 }

@@ -57,6 +57,10 @@ PINNED = [
     "ngram_top",
     "group_concat",
     "repetition_ratio",
+    "pii_redact",
+    "decontaminate",
+    "chunk_tokens",
+    "pack_sequences",
 ]
 
 

@@ -2728,6 +2728,94 @@ FROM c
 """
 
 
+def q_json_extract(sf_dir: str):
+    """JSON metadata extraction — parse the events.props JSON column
+    and surface $.k as a typed int64.  Vectorized: each batch's strings
+    are joined into one NDJSON buffer and parsed by pyarrow's C++ JSON
+    reader (no per-row Python json.loads).  Contract: one compact JSON
+    object per row (no raw newlines) — the NDJSON assumption; rows
+    violating it would surface as parse errors, matching the
+    error-tolerant-load posture of the JSONL source (S6)."""
+    import io
+
+    import pyarrow.json as pj
+
+    ds = _rp(sf_dir, "events", ["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t.column("props").to_pandas().fillna("{}")
+        parsed = pj.read_json(io.BytesIO(("\n".join(s)).encode()))
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "k": pc.cast(parsed.column("k"), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_JSON_EXTRACT = r"""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def q_centroid_agg(sf_dir: str):
+    """Vector aggregate: per-label embedding centroid (the IVF /
+    class-prototype primitive).  Combiner pattern — each batch emits
+    one (label, sum-vector, count) partial per label present, so only
+    labels x n_blocks tiny rows ever leave the workers; the driver
+    finishes and emits long-format (label, pos, avg) for the oracle's
+    order-insensitive hash."""
+    import ray as _ray  # noqa: F401
+
+    ds = _rp(sf_dir, "embeddings", ["label", "embedding"])
+    from ..stages.embcluster import _matrix
+
+    def part(t: pa.Table) -> pa.Table:
+        X = _matrix(t.column("embedding"))
+        if X.shape[0] == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.list_(pa.float64())),
+                             "n": pa.array([], type=pa.int64())})
+        labs = t.column("label").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        onehot = np.zeros((len(uniq), X.shape[0]))
+        onehot[inv, np.arange(X.shape[0])] = 1.0
+        sums = onehot @ X
+        counts = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "label": pa.array(uniq.astype(np.int64)),
+            "s": pa.array(list(map(list, sums)), type=pa.list_(pa.float64())),
+            "n": pa.array(counts),
+        })
+
+    rows = ds.map_batches(part, batch_format="pyarrow").take_all()
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for r in rows:
+        s = np.asarray(r["s"], dtype=np.float64)
+        if r["label"] in acc:
+            s0, n0 = acc[r["label"]]
+            acc[r["label"]] = (s0 + s, n0 + r["n"])
+        else:
+            acc[r["label"]] = (s, r["n"])
+    out = []
+    for lab in sorted(acc):
+        s, n = acc[lab]
+        for pos, v in enumerate(s / n):
+            out.append((lab, pos, round(float(v), 6)))
+    return pd.DataFrame(out, columns=["label", "pos", "avg_v"])
+
+
+SQL_CENTROID_AGG = r"""
+SELECT CAST(label AS BIGINT) AS label, pos, round(avg(v), 6) AS avg_v
+FROM (SELECT label, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings) t
+GROUP BY label, pos
+"""
+
+
 def q_kmeans_embed(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (k=10,
     10 iterations, deterministic min-id init): per iteration one
@@ -2827,6 +2915,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "chunk_tokens": q_chunk_tokens,
     "pack_sequences": q_pack_sequences,
+    "json_extract": q_json_extract,
+    "centroid_agg": q_centroid_agg,
     "quantile_sketch": q_quantile_sketch,
     # rows-only
     "approx_distinct": q_approx_distinct,
@@ -2922,4 +3012,6 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "chunk_tokens": SQL_CHUNK_TOKENS,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "json_extract": SQL_JSON_EXTRACT,
+    "centroid_agg": SQL_CENTROID_AGG,
 }

@@ -61,6 +61,8 @@ PINNED = [
     "decontaminate",
     "chunk_tokens",
     "pack_sequences",
+    "json_extract",
+    "centroid_agg",
 ]
 
 

@@ -2728,6 +2728,25 @@ FROM c
 """
 
 
+def q_skew_join(sf_dir: str):
+    """Skew-aware join: events fact to customer dimension where a few
+    user_ids dominate the event stream.  Hot keys (detected via
+    bounded per-batch count partials) take a broadcast map-side path
+    and never enter the shuffle; cold keys take the normal hash
+    exchange.  Exercises BOTH paths at every sf (the synthetic user
+    distribution has heavy and light users)."""
+    ev = _rp(sf_dir, "events", ["event_id", "user_id"])
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    return rel.skew_join(ev, cust, on=["user_id"], right_on=["c_custkey"],
+                         rows_hint=ev.count() + cust.count())
+
+
+SQL_SKEW_JOIN = """
+SELECT e.event_id, e.user_id, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
 def q_json_extract(sf_dir: str):
     """JSON metadata extraction — parse the events.props JSON column
     and surface $.k as a typed int64.  Vectorized: each batch's strings
@@ -2917,6 +2936,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "json_extract": q_json_extract,
     "centroid_agg": q_centroid_agg,
+    "skew_join": q_skew_join,
     "quantile_sketch": q_quantile_sketch,
     # rows-only
     "approx_distinct": q_approx_distinct,
@@ -3014,4 +3034,5 @@ ORACLES = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "json_extract": SQL_JSON_EXTRACT,
     "centroid_agg": SQL_CENTROID_AGG,
+    "skew_join": SQL_SKEW_JOIN,
 }

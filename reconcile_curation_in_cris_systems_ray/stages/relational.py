@@ -74,6 +74,92 @@ def hash_join(left, right, on: Sequence[str], how: str = "inner",
                      right_on=tuple(right_on) if right_on else None)
 
 
+def skew_join(left, right, on: Sequence[str],
+              right_on: Sequence[str] | None = None,
+              detect_capacity: int = 64, hot_factor: float = 1.1,
+              num_partitions: int | None = None,
+              rows_hint: int | None = None):
+    """Skew-aware inner equi-join: HOT keys bypass the shuffle.
+
+    The classic salted-join alternative for joins where a handful of
+    keys dominate (boilerplate-heavy domains, null-like sentinel ids):
+    1. detect candidate hot keys on the left with per-batch
+       top-``detect_capacity`` count partials (bounded driver merge —
+       capacity x blocks rows, data-size independent);
+    2. the right side's rows for those keys are broadcast once via
+       ``ray.put`` and joined map-side against the left's hot rows —
+       the skewed keys never enter the hash exchange, so no reducer
+       receives a monster partition;
+    3. the cold remainder takes the normal shuffle :func:`hash_join`;
+    4. union (paths cover disjoint key sets).
+
+    Detection is an OPTIMIZATION, not a correctness gate: both paths
+    are exact joins, so any candidate set — missed stragglers, false
+    positives — yields the identical result.  A key is hot when its
+    merged count reaches ``hot_factor`` x the mean candidate count, or
+    holds >= 20% of all rows (catches the single-monster-key case).
+    Contract: the right side must be dimension-like on hot keys (rows
+    per key bounded) so the broadcast stays small.  Single-key
+    detection only: compound joins route everything cold.
+    """
+    on = list(on)
+    ron = list(right_on) if right_on else on
+    key = on[0]
+
+    rename = dict(zip(ron, on))
+    right2 = right.map_batches(
+        lambda df: df.rename(columns=rename), batch_format="pandas")
+    out_cols = list(left.schema().names) + [
+        c for c in right.schema().names if c not in ron]
+
+    if len(on) > 1:
+        return hash_join(left, right2, on=on,
+                         num_partitions=num_partitions,
+                         rows_hint=rows_hint).select_columns(out_cols)
+
+    def part_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[key].value_counts().head(detect_capacity)
+        return pd.DataFrame({key: vc.index.to_numpy(), "n": vc.to_numpy()})
+
+    parts = left.select_columns([key]).map_batches(
+        part_counts, batch_format="pandas").take_all()
+    agg: dict = {}
+    for r in parts:
+        agg[r[key]] = agg.get(r[key], 0) + r["n"]
+    hot: set = set()
+    if agg:
+        total = sum(agg.values())
+        mean = total / len(agg)
+        hot = {k for k, n in agg.items()
+               if n >= hot_factor * mean or n >= 0.2 * total}
+    if not hot:
+        return hash_join(left, right2, on=on,
+                         num_partitions=num_partitions,
+                         rows_hint=rows_hint).select_columns(out_cols)
+
+    hot_ref = ray.put(hot)
+
+    def split(col: str, want_hot: bool):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[col].isin(ray.get(hot_ref))
+            return df[m if want_hot else ~m]
+        return f
+
+    left_hot = left.map_batches(split(key, True), batch_format="pandas")
+    left_cold = left.map_batches(split(key, False), batch_format="pandas")
+    right_hot_df = right2.map_batches(split(key, True),
+                                      batch_format="pandas").to_pandas()
+    right_cold = right2.map_batches(split(key, False),
+                                    batch_format="pandas")
+
+    hot_joined = broadcast_join(left_hot, right_hot_df, on=on)
+    cold_joined = hash_join(left_cold, right_cold, on=on,
+                            num_partitions=num_partitions,
+                            rows_hint=rows_hint)
+    return hot_joined.select_columns(out_cols).union(
+        cold_joined.select_columns(out_cols))
+
+
 def partial_groupby_agg(ds, keys: Sequence[str],
                         spec: dict[str, tuple[str | None, str]]) -> pd.DataFrame:
     """Low-cardinality grouped aggregate via the COMBINER pattern:

@@ -63,6 +63,7 @@ PINNED = [
     "pack_sequences",
     "json_extract",
     "centroid_agg",
+    "skew_join",
 ]
 
 

@@ -563,3 +563,40 @@ def test_task_shuffle_matches_sort_shuffle(ray_session):
                            "sv": pd.Series([], dtype="float64")})
     e = bucketed_map_groups_tasks(empty, ["k"], fn, 8, empty_like=anchor)
     assert [f.name for f in e.schema().base_schema] == ["k", "sv"]
+
+
+def test_skew_join_hot_and_cold_paths(ray_session):
+    """skew_join must equal a plain merge with a planted monster key
+    (hot broadcast path) alongside uniform cold keys, and fall back to
+    the pure hash join when the distribution is uniform."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        skew_join)
+
+    rng = np.random.default_rng(3)
+    # key 999 holds ~50% of rows (monster); keys 0..19 uniform
+    keys = np.where(rng.random(2000) < 0.5, 999,
+                    rng.integers(0, 20, 2000)).astype(np.int64)
+    left = pd.DataFrame({"row_id": np.arange(2000, dtype=np.int64),
+                         "k": keys})
+    right = pd.DataFrame({"rk": np.arange(0, 1000, dtype=np.int64)})
+    right["tag"] = "t" + right["rk"].astype(str)
+
+    got = skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on=["k"], right_on=["rk"], rows_hint=3000).to_pandas()
+    want = left.merge(right.rename(columns={"rk": "k"}), on="k")
+    key_cols = ["row_id", "k", "tag"]
+    got = got[key_cols].sort_values(key_cols).reset_index(drop=True)
+    want = want[key_cols].sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+    # uniform distribution: no hot candidates -> single hash-join path
+    left_u = pd.DataFrame({"row_id": np.arange(200, dtype=np.int64),
+                           "k": np.arange(200, dtype=np.int64) % 20})
+    got_u = skew_join(rd.from_pandas(left_u), rd.from_pandas(right),
+                      on=["k"], right_on=["rk"], rows_hint=1200).to_pandas()
+    want_u = left_u.merge(right.rename(columns={"rk": "k"}), on="k")
+    got_u = got_u[key_cols].sort_values(key_cols).reset_index(drop=True)
+    want_u = want_u[key_cols].sort_values(key_cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_u, want_u)

@@ -2728,6 +2728,68 @@ FROM c
 """
 
 
+def q_percent_rank(sf_dir: str):
+    """percent_rank() + ntile(4) per user over the (ts, event_id)
+    total order — the remaining rank-family window ops.  One hash
+    shuffle, vectorized per bucket (see temporal.percent_ntile)."""
+    from ..stages.temporal import percent_ntile
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    out = percent_ntile(events, key="user_id",
+                        order_cols=["ts", "event_id"], k=4)
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "pr", "tile"]],
+        batch_format="pandas")
+
+
+SQL_PERCENT_RANK = """
+SELECT event_id, user_id,
+       round(percent_rank() OVER
+             (PARTITION BY user_id ORDER BY ts, event_id), 6) AS pr,
+       ntile(4) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id) AS tile
+FROM events
+"""
+
+
+def q_hopping_window(sf_dir: str):
+    """Hopping (sliding) window aggregate: 2-hour windows advancing
+    every hour — each event lands in exactly two windows.  Map-only
+    explode (window_size/hop copies per row) into the shuffle-free
+    partial-aggregate combiner; window count is bounded by the time
+    span, never the row count."""
+    ds = _rp(sf_dir, "events", ["ts", "value"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].dt.floor("h")
+        v = df["value"]
+        return pd.DataFrame({
+            "win_start": pd.concat([h, h - pd.Timedelta(hours=1)],
+                                   ignore_index=True),
+            "value": pd.concat([v, v], ignore_index=True),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    df = rel.partial_groupby_agg(exploded, ["win_start"], {
+        "n": (None, "count"),
+        "sum_value": ("value", "sum"),
+    })
+    df["sum_value"] = df["sum_value"].round(4)
+    return df
+
+
+SQL_HOPPING_WINDOW = """
+WITH w AS (SELECT date_trunc('hour', ts) AS h, value FROM events),
+x AS (
+  SELECT h AS win_start, value FROM w
+  UNION ALL
+  SELECT h - INTERVAL 1 HOUR AS win_start, value FROM w
+)
+SELECT win_start, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM x GROUP BY win_start
+"""
+
+
 def q_skew_join(sf_dir: str):
     """Skew-aware join: events fact to customer dimension where a few
     user_ids dominate the event stream.  Hot keys (detected via
@@ -2937,6 +2999,8 @@ QUERIES = {
     "json_extract": q_json_extract,
     "centroid_agg": q_centroid_agg,
     "skew_join": q_skew_join,
+    "percent_rank": q_percent_rank,
+    "hopping_window": q_hopping_window,
     "quantile_sketch": q_quantile_sketch,
     # rows-only
     "approx_distinct": q_approx_distinct,
@@ -3035,4 +3099,6 @@ ORACLES = {
     "json_extract": SQL_JSON_EXTRACT,
     "centroid_agg": SQL_CENTROID_AGG,
     "skew_join": SQL_SKEW_JOIN,
+    "percent_rank": SQL_PERCENT_RANK,
+    "hopping_window": SQL_HOPPING_WINDOW,
 }

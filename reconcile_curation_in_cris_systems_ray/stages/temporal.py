@@ -315,6 +315,44 @@ def row_number(ds, key: str, order_cols: Sequence[str],
     return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
 
 
+def percent_ntile(ds, key: str, order_cols: Sequence[str], k: int = 4,
+                  pr_col: str = "pr", tile_col: str = "tile",
+                  num_buckets: int = 64):
+    """Per-key ``percent_rank()`` and ``ntile(k)`` (SQL window
+    semantics: percent_rank = (rank-1)/(n-1), 0 for singleton groups;
+    ntile hands the first ``n % k`` tiles one extra row).  Requires
+    ``order_cols`` to be a total order within each key so rank equals
+    row_number (no ties — the deterministic contract shared by the
+    other window ops).  ONE hash shuffle, vectorized per bucket."""
+    order_cols = list(order_cols)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[pr_col] = pd.Series([], dtype="float64")
+            out[tile_col] = pd.Series([], dtype="int64")
+            return out
+        df = df.sort_values([key, *order_cols], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        rn0 = g.cumcount().to_numpy(dtype=np.int64)
+        n = g[key].transform("size").to_numpy(dtype=np.int64)
+        pr = np.where(n > 1, rn0 / np.maximum(n - 1, 1), 0.0)
+        base = n // k
+        rem = n % k
+        cut = rem * (base + 1)
+        tile = np.where(
+            rn0 < cut,
+            rn0 // np.maximum(base + 1, 1),
+            rem + (rn0 - cut) // np.maximum(base, 1),
+        ) + 1
+        out = df.copy()
+        out[pr_col] = np.round(pr, 6)
+        out[tile_col] = tile.astype(np.int64)
+        return out
+
+    return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
+
+
 def quantile_agg(ds, keys: Sequence[str], value_col: str,
                  qs: dict[str, float], num_buckets: int = 64):
     """Exact per-group quantiles (linear interpolation — DuckDB

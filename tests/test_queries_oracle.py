@@ -64,6 +64,8 @@ PINNED = [
     "json_extract",
     "centroid_agg",
     "skew_join",
+    "percent_rank",
+    "hopping_window",
 ]
 
 

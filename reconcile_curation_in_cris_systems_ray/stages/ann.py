@@ -21,6 +21,19 @@ from .relational import topk_per_group
 
 
 def _as_matrix(col) -> np.ndarray:
+    """(n, dim) float64 from a list<float> column — flatten the values
+    buffer and reshape (uniform-length lists by construction), instead
+    of a per-row to_pylist round-trip through Python objects."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    try:
+        vals = col.flatten().to_numpy(zero_copy_only=False)
+        n = len(col)
+        if n and len(vals) % n == 0:
+            return vals.reshape(n, len(vals) // n).astype(
+                np.float64, copy=False)
+    except (pa.ArrowInvalid, ValueError):
+        pass
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 

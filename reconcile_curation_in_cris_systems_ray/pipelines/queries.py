@@ -2554,7 +2554,8 @@ def q_decontaminate(sf_dir: str):
         return out.drop_duplicates()
 
     bench = (_rp(sf_dir, "documents", ["doc_id", "text"])
-             .filter(lambda r: r["doc_id"] % 97 == 0)
+             .map_batches(lambda df: df[df["doc_id"] % 97 == 0],
+                          batch_format="pandas")
              .map_batches(doc_ngrams, batch_format="pandas"))
     bench_set = set()
     for b in bench.iter_batches(batch_format="pandas"):
@@ -2824,6 +2825,9 @@ def q_json_extract(sf_dir: str):
     ds = _rp(sf_dir, "events", ["event_id", "props"])
 
     def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": t.column("event_id"),
+                             "k": pa.array([], type=pa.int64())})
         s = t.column("props").to_pandas().fillna("{}")
         parsed = pj.read_json(io.BytesIO(("\n".join(s)).encode()))
         return pa.table({

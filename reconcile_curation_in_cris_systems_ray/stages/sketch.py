@@ -107,6 +107,53 @@ def hll_count_distinct(ds, col: str, p: int = _HLL_P) -> int:
     return int(round(_hll_estimate(merged)))
 
 
+def hll_per_group(ds, keys, col: str, p: int = 12,
+                  out_col: str = "approx_n", num_buckets: int = 64):
+    """Per-group approximate COUNT(DISTINCT col) — the 100-TB path for
+    high-cardinality grouped distincts: each batch emits one 2^p-byte
+    HLL register row per group it contains, then ONE co-location
+    shuffle moves the BOUNDED sketches (never the raw values) and a
+    vectorized max-merge + estimate runs per group.  Contrast the
+    exact route (`count_distinct`), which must shuffle every value;
+    at p=12 the sketch is 4 KiB per (batch, group) with ~1.6% std
+    error, dropping to near-exact in the linear-counting regime.
+    Accuracy pinned vs exact in tests/test_sketch.py."""
+    from .shuffle import bucketed_map_groups
+
+    keys = list(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_rows, regs = [], []
+        for k, g in df.groupby(keys, sort=False):
+            vals = g[col].astype(str).to_numpy(dtype=object)
+            h = stable_hash_strings(vals)
+            out_rows.append(k if isinstance(k, tuple) else (k,))
+            regs.append(_hll_partial(h, p).tobytes())
+        kdf = pd.DataFrame(out_rows, columns=keys) if out_rows else \
+            pd.DataFrame({k: pd.Series([], dtype="object") for k in keys})
+        kdf["regs"] = pd.Series(regs, dtype="object")
+        return kdf
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby(keys, sort=False):
+            m = np.zeros(1 << p, dtype=np.uint8)
+            for b in g["regs"]:
+                np.maximum(m, np.frombuffer(b, dtype=np.uint8), out=m)
+            kt = k if isinstance(k, tuple) else (k,)
+            rows.append((*kt, int(round(_hll_estimate(m)))))
+        if not rows:
+            out = pd.DataFrame({k: pd.Series([], dtype="object")
+                                for k in keys})
+            out[out_col] = pd.Series([], dtype="int64")
+            return out
+        return pd.DataFrame(rows, columns=[*keys, out_col])
+
+    return bucketed_map_groups(partials, keys, merge, num_buckets)
+
+
 def stratified_sample(ds, group_cols, key_col: str, n_per_group: int,
                       num_buckets: int = 64):
     """Deterministic stratified sample: the ``n_per_group`` rows of each

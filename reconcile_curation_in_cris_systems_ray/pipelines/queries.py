@@ -2412,6 +2412,33 @@ FROM w LEFT JOIN b ON w.doc_id = b.doc_id
 """
 
 
+def q_compression_ratio(sf_dir: str):
+    """Compression-ratio quality signal (RefinedWeb/Gopher-style
+    boilerplate detector): zlib-compressed size over raw UTF-8 size
+    per document — highly repetitive documents compress far below
+    ~0.4.  Map-only; the per-row zlib.compress call runs in C (the
+    Python loop only dispatches), level pinned so results are
+    deterministic.  No SQL oracle (DuckDB has no zlib scalar) —
+    rows-only driver check + a direct-computation pin in
+    tests/test_queries_oracle.py."""
+    import zlib
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("")
+        raw = texts.str.encode("utf-8")
+        n_raw = raw.str.len().to_numpy(dtype=np.int64)
+        n_comp = np.fromiter((len(zlib.compress(b, 6)) for b in raw),
+                             dtype=np.int64, count=len(raw))
+        ratio = np.where(n_raw > 0, n_comp / np.maximum(n_raw, 1), 1.0)
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "n_raw": n_raw,
+                             "compress_ratio": ratio.round(6)})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def q_approx_distinct_group(sf_dir: str):
     """Per-event-type approximate distinct users via grouped HLL
     sketches: only bounded 4 KiB registers are shuffled, never the
@@ -3023,6 +3050,7 @@ QUERIES = {
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
+    "compression_ratio": q_compression_ratio,
     "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,
     "frame_sample": q_frame_sample,

@@ -150,3 +150,23 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     assert sorted(ray_df.columns) == sorted(sql_df.columns)
     assert len(ray_df) == len(sql_df)
     pd.testing.assert_frame_equal(_canon(ray_df), _canon(sql_df))
+
+
+def test_compression_ratio_matches_direct(ray_session, oracle_con):
+    """compression_ratio has no SQL oracle (no zlib in DuckDB); pin the
+    distributed result against a direct single-process computation."""
+    import zlib
+
+    import numpy as np
+
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import QUERIES
+
+    got = _to_pandas(QUERIES["compression_ratio"](SF)).set_index("doc_id")
+    docs = oracle_con.execute(
+        "SELECT doc_id, coalesce(text, '') AS text FROM documents").df()
+    for _, row in docs.sample(50, random_state=1).iterrows():
+        b = row["text"].encode("utf-8")
+        want = round(len(zlib.compress(b, 6)) / max(len(b), 1), 6) \
+            if len(b) else 1.0
+        assert np.isclose(got.loc[row["doc_id"], "compress_ratio"], want), \
+            row["doc_id"]

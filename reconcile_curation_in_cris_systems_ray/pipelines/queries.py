@@ -2412,6 +2412,50 @@ FROM w LEFT JOIN b ON w.doc_id = b.doc_id
 """
 
 
+def q_outlier_filter(sf_dir: str):
+    """Robust outlier detection per group: flag events whose value
+    sits more than 3 median-absolute-deviations from the group median
+    — the standard robust z-score data-cleaning gate (immune to the
+    outliers it hunts, unlike mean/stddev).  Medians are not
+    algebraic, so one co-location shuffle per the quantile_agg
+    contract (HIGH-cardinality keys spread across buckets; a single
+    giant group is the documented limit — switch to the t-digest
+    route there)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ds = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("event_type", sort=False):
+            v = g["value"].to_numpy(dtype=np.float64)
+            med = np.median(v)
+            mad = np.median(np.abs(v - med))
+            keep = np.abs(v - med) > 3.0 * mad
+            outs.append(g[keep])
+        if not outs:
+            return df
+        return pd.concat(outs, ignore_index=True)[
+            ["event_id", "event_type", "value"]]
+
+    empty = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                          "event_type": pd.Series([], dtype="object"),
+                          "value": pd.Series([], dtype="float64")})
+    return bucketed_map_groups(ds, ["event_type"], bucket_fn,
+                               num_buckets=16, empty_like=empty)
+
+
+SQL_OUTLIER_FILTER = """
+WITH s AS (
+  SELECT event_type, median(value) AS med, mad(value) AS mad
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN s USING (event_type)
+WHERE abs(e.value - s.med) > 3 * s.mad
+"""
+
+
 def q_compression_ratio(sf_dir: str):
     """Compression-ratio quality signal (RefinedWeb/Gopher-style
     boilerplate detector): zlib-compressed size over raw UTF-8 size
@@ -3046,6 +3090,7 @@ QUERIES = {
     "skew_join": q_skew_join,
     "percent_rank": q_percent_rank,
     "hopping_window": q_hopping_window,
+    "outlier_filter": q_outlier_filter,
     "quantile_sketch": q_quantile_sketch,
     # rows-only
     "approx_distinct": q_approx_distinct,
@@ -3148,4 +3193,5 @@ ORACLES = {
     "skew_join": SQL_SKEW_JOIN,
     "percent_rank": SQL_PERCENT_RANK,
     "hopping_window": SQL_HOPPING_WINDOW,
+    "outlier_filter": SQL_OUTLIER_FILTER,
 }

@@ -66,6 +66,7 @@ PINNED = [
     "skew_join",
     "percent_rank",
     "hopping_window",
+    "outlier_filter",
 ]
 
 

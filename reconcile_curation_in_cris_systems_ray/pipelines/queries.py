@@ -3012,6 +3012,98 @@ def q_semdedup(sf_dir: str):
                     k=10, iters=5, threshold=0.9)
 
 
+def q_chunk_dedup(sf_dir: str):
+    """Sub-document (paragraph-grain) exact dedup: one owner per
+    distinct 32-token chunk content plus its corpus-wide copy count —
+    the CCNet paragraph-hash dedup shape over the documents table."""
+    from ..stages.chunks import chunk_dedup
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_dedup(ds, "doc_id", "text", chunk_tokens=32)
+
+
+SQL_CHUNK_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+chunks AS (
+  SELECT doc_id, CAST((g - 1) // 32 AS BIGINT) AS chunk_id,
+         string_agg(arr[g], ' ' ORDER BY g) AS chunk
+  FROM t, unnest(generate_series(1, len(arr))) AS u(g)
+  GROUP BY doc_id, CAST((g - 1) // 32 AS BIGINT))
+SELECT doc_id, chunk_id, n_copies FROM (
+  SELECT doc_id, chunk_id,
+         CAST(count(*) OVER (PARTITION BY chunk) AS BIGINT) AS n_copies,
+         row_number() OVER (PARTITION BY chunk
+                            ORDER BY doc_id, chunk_id) AS rn
+  FROM chunks)
+WHERE rn = 1
+"""
+
+
+def q_boilerplate(sf_dir: str):
+    """C4-style boilerplate detection at chunk grain: per-doc counts of
+    32-token chunks whose content recurs in >= 2 distinct documents."""
+    from ..stages.chunks import boilerplate_stats
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return boilerplate_stats(ds, "doc_id", "text", chunk_tokens=32,
+                             min_docs=2)
+
+
+SQL_BOILERPLATE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+chunks AS (
+  SELECT doc_id, CAST((g - 1) // 32 AS BIGINT) AS chunk_id,
+         string_agg(arr[g], ' ' ORDER BY g) AS chunk
+  FROM t, unnest(generate_series(1, len(arr))) AS u(g)
+  GROUP BY doc_id, CAST((g - 1) // 32 AS BIGINT)),
+bo AS (
+  SELECT chunk FROM chunks GROUP BY chunk
+  HAVING count(DISTINCT doc_id) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN chunk IN (SELECT chunk FROM bo)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+FROM chunks GROUP BY doc_id
+HAVING sum(CASE WHEN chunk IN (SELECT chunk FROM bo)
+                THEN 1 ELSE 0 END) > 0
+"""
+
+
+def q_setsim_join(sf_dir: str):
+    """Prefix-filtered set-similarity self-join (AllPairs/PPJoin):
+    all document pairs with word-3-gram-set Jaccard >= 0.6, exact —
+    the prefix filter prunes candidates, never results."""
+    from ..stages.setsim import setsim_join
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return setsim_join(ds, "doc_id", "text", threshold=0.6, shingle_n=3)
+
+
+SQL_SETSIM_JOIN = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id,
+         arr[g] || ' ' || arr[g + 1] || ' ' || arr[g + 2] AS shingle
+  FROM t, unnest(generate_series(1, len(arr) - 2)) AS u(g)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS s
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(CAST(s AS DOUBLE) / (sa.n + sb.n - s), 6) AS jaccard
+FROM shared
+JOIN sz sa ON sa.doc_id = da
+JOIN sz sb ON sb.doc_id = db
+WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.6
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -3092,6 +3184,9 @@ QUERIES = {
     "hopping_window": q_hopping_window,
     "outlier_filter": q_outlier_filter,
     "quantile_sketch": q_quantile_sketch,
+    "chunk_dedup": q_chunk_dedup,
+    "boilerplate": q_boilerplate,
+    "setsim_join": q_setsim_join,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -3194,4 +3289,7 @@ ORACLES = {
     "percent_rank": SQL_PERCENT_RANK,
     "hopping_window": SQL_HOPPING_WINDOW,
     "outlier_filter": SQL_OUTLIER_FILTER,
+    "chunk_dedup": SQL_CHUNK_DEDUP,
+    "boilerplate": SQL_BOILERPLATE,
+    "setsim_join": SQL_SETSIM_JOIN,
 }

@@ -67,6 +67,9 @@ PINNED = [
     "percent_rank",
     "hopping_window",
     "outlier_filter",
+    "chunk_dedup",
+    "boilerplate",
+    "setsim_join",
 ]
 
 

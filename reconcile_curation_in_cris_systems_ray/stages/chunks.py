@@ -18,6 +18,14 @@ splitter on real web text).
   ``broadcast_cap`` distinct boilerplate chunks the operator switches
   to a distributed join + bucketed count instead (no driver set).
 
+Bytes discipline: chunk TEXT never enters an exchange.  Each batch
+hashes its chunks to a 128-bit digest (two independent vectorized
+64-bit hashes — pandas siphash + DuckDB ``hash()``), and only
+``(doc_id, chunk_id, h1, h2)`` rows (~32 B) travel; a 32-token chunk
+averages ~200 B, so the shuffle is ~6x lighter and, unlike truncated
+hashing schemes, 128 bits keeps the collision probability negligible
+at web scale (~10^13 chunks -> P(any collision) < 10^-12).
+
 Both operators stream the corpus; nothing document-shaped is ever
 driver-materialized.
 """
@@ -28,6 +36,7 @@ import numpy as np
 import pandas as pd
 import ray
 
+from ..functions.similarity import hash_strings_fast, stable_hash_strings
 from . import relational as rel
 from .shuffle import bucketed_map_groups
 
@@ -66,28 +75,41 @@ def _chunk_frame(df: pd.DataFrame, id_col: str, text_col: str,
     return chunks
 
 
+def _digest_frame(df: pd.DataFrame, id_col: str, text_col: str,
+                  chunk_tokens: int) -> pd.DataFrame:
+    """(id, chunk_id, h1, h2) rows: chunk content reduced map-side to a
+    128-bit digest so no exchange ever carries chunk text."""
+    c = _chunk_frame(df, id_col, text_col, chunk_tokens)
+    vals = c["chunk"].to_numpy(dtype=object)
+    return pd.DataFrame({
+        id_col: c[id_col].to_numpy(),
+        "chunk_id": c["chunk_id"].to_numpy(),
+        "h1": stable_hash_strings(vals),
+        "h2": hash_strings_fast(vals),
+    })
+
+
 def chunk_dedup(docs, id_col: str, text_col: str, chunk_tokens: int = 32,
                 num_buckets: int = 64):
     """Exact chunk-level dedup: (id, chunk_id, n_copies) for the owner
     — min ``(id, chunk_id)`` — of every distinct chunk content.
 
-    Chunk strings ship exactly once through one bucketed exchange keyed
-    on content (hash-partitioned), the CCNet paragraph-dedup plan; the
-    grouped pick is a mergesort-stable drop_duplicates, deterministic
-    at any block order.
+    One bucketed exchange keyed on the content digest (the CCNet
+    paragraph-dedup plan); the grouped pick is a mergesort-stable
+    drop_duplicates, deterministic at any block order.
     """
     chunks = docs.select_columns([id_col, text_col]).map_batches(
-        lambda df: _chunk_frame(df, id_col, text_col, chunk_tokens),
+        lambda df: _digest_frame(df, id_col, text_col, chunk_tokens),
         batch_format="pandas")
 
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([id_col, "chunk_id"], kind="mergesort")
-        g = df.groupby("chunk", sort=False)
-        out = g.head(1).copy()
-        out["n_copies"] = g.size().reindex(out["chunk"]).to_numpy()
+        df["n_copies"] = (df.groupby(["h1", "h2"], sort=False)[id_col]
+                          .transform("size"))
+        out = df.drop_duplicates(["h1", "h2"], keep="first")
         return out[[id_col, "chunk_id", "n_copies"]]
 
-    return bucketed_map_groups(chunks, ["chunk"], pick, num_buckets)
+    return bucketed_map_groups(chunks, ["h1"], pick, num_buckets)
 
 
 def boilerplate_stats(docs, id_col: str, text_col: str,
@@ -106,50 +128,52 @@ def boilerplate_stats(docs, id_col: str, text_col: str,
     with n_boiler > 0.
     """
     def emit_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return (_chunk_frame(df, id_col, text_col, chunk_tokens)
-                [[id_col, "chunk"]].drop_duplicates())
+        return (_digest_frame(df, id_col, text_col, chunk_tokens)
+                [[id_col, "h1", "h2"]].drop_duplicates())
 
     pairs = docs.select_columns([id_col, text_col]).map_batches(
         emit_distinct, batch_format="pandas")
 
     def df_count(df: pd.DataFrame) -> pd.DataFrame:
-        out = (df.groupby("chunk", sort=False)[id_col].size()
+        out = (df.groupby(["h1", "h2"], sort=False)[id_col].size()
                .reset_index(name="n_docs"))
         return out[out["n_docs"] >= min_docs]
 
+    _h_empty = pd.DataFrame({"h1": pd.Series([], dtype="uint64"),
+                             "h2": pd.Series([], dtype="uint64"),
+                             "n_docs": pd.Series([], dtype="int64")})
     # the filtered count table is corpus-small (that's the point of the
     # filter); materialize so count() + consume don't re-run the exchange
-    boiler = bucketed_map_groups(pairs, ["chunk"], df_count, num_buckets,
-                                 empty_like=pd.DataFrame({
-                                     "chunk": pd.Series([], dtype="string"),
-                                     "n_docs": pd.Series([], dtype="int64"),
-                                 })).materialize()
+    boiler = bucketed_map_groups(pairs, ["h1"], df_count, num_buckets,
+                                 empty_like=_h_empty).materialize()
 
     n_boiler_rows = boiler.count()
 
     def per_doc(df: pd.DataFrame) -> pd.DataFrame:
-        c = _chunk_frame(df, id_col, text_col, chunk_tokens)
+        c = _digest_frame(df, id_col, text_col, chunk_tokens)
         return (c.groupby(id_col, sort=False)
-                .agg(n_chunks=("chunk", "size"))
+                .agg(n_chunks=("h1", "size"))
                 .reset_index())
 
     totals = docs.select_columns([id_col, text_col]).map_batches(
         per_doc, batch_format="pandas")
 
     if n_boiler_rows <= broadcast_cap:
-        boiler_set = frozenset(
-            pd.concat([b["chunk"] for b in
-                       boiler.iter_batches(batch_format="pandas")],
-                      ignore_index=True)
-            if n_boiler_rows else pd.Series([], dtype="string"))
-        ref = ray.put(boiler_set)
+        bt = (pd.concat(list(boiler.iter_batches(batch_format="pandas")),
+                        ignore_index=True)[["h1", "h2"]]
+              if n_boiler_rows else _h_empty[["h1", "h2"]])
+        ref = ray.put(bt)
 
         def per_doc_counts(df: pd.DataFrame) -> pd.DataFrame:
-            bset = ray.get(ref)
-            c = _chunk_frame(df, id_col, text_col, chunk_tokens)
-            c["is_b"] = c["chunk"].isin(bset).astype("int64")
+            bdf = ray.get(ref)
+            c = _digest_frame(df, id_col, text_col, chunk_tokens)
+            # indicator merge: vectorized C hash join on the two digest
+            # halves (row order of c is preserved under how="left")
+            hit = c.merge(bdf.assign(__b=np.int64(1)), on=["h1", "h2"],
+                          how="left")["__b"].fillna(0).astype("int64")
+            c["is_b"] = hit.to_numpy()
             out = (c.groupby(id_col, sort=False)
-                   .agg(n_chunks=("chunk", "size"), n_boiler=("is_b", "sum"))
+                   .agg(n_chunks=("h1", "size"), n_boiler=("is_b", "sum"))
                    .reset_index())
             return out[out["n_boiler"] > 0]
 
@@ -157,12 +181,12 @@ def boilerplate_stats(docs, id_col: str, text_col: str,
             per_doc_counts, batch_format="pandas")
 
     # scale path: boilerplate set too large to broadcast — join chunk
-    # occurrences against it, count hits per doc, re-attach totals
+    # digest occurrences against it, count hits per doc, re-attach totals
     occ = docs.select_columns([id_col, text_col]).map_batches(
-        lambda df: _chunk_frame(df, id_col, text_col, chunk_tokens)
-        [[id_col, "chunk"]], batch_format="pandas")
+        lambda df: _digest_frame(df, id_col, text_col, chunk_tokens)
+        [[id_col, "h1", "h2"]], batch_format="pandas")
     hits = rel.hash_join(occ, boiler.drop_columns(["n_docs"]),
-                         on=("chunk",))
+                         on=("h1", "h2"))
 
     def count_hits(df: pd.DataFrame) -> pd.DataFrame:
         return (df.groupby(id_col, sort=False).size()

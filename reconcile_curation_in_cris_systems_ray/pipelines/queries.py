@@ -3104,6 +3104,34 @@ WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.6
 """
 
 
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style LM quality score: per-doc mean negative log-prob
+    under an add-one unigram model trained on the doc_id%10==0 slice."""
+    from ..stages.textstats import unigram_logprob
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return unigram_logprob(ds, "doc_id", "text", ref_mod=10)
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+ref AS (
+  SELECT term, count(*) AS cnt FROM toks WHERE doc_id % 10 = 0
+  GROUP BY term),
+tot AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE)
+         + CAST(count(*) AS DOUBLE) + 1.0 AS denom
+  FROM ref)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+       round(-avg(ln((coalesce(cnt, 0) + 1.0) / denom)), 6) AS nll
+FROM toks LEFT JOIN ref USING (term), tot
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -3187,6 +3215,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "boilerplate": q_boilerplate,
     "setsim_join": q_setsim_join,
+    "unigram_logprob": q_unigram_logprob,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -3292,4 +3321,5 @@ ORACLES = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "boilerplate": SQL_BOILERPLATE,
     "setsim_join": SQL_SETSIM_JOIN,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }

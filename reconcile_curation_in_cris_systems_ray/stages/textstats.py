@@ -411,3 +411,136 @@ def _df_blocks_to_series(*blocks) -> pd.Series:
     allf = pd.concat(frames, ignore_index=True)
     return pd.Series(allf["df_n"].to_numpy(),
                      index=allf["term"].to_numpy())
+
+
+def unigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                    ref_mod: int = 10, num_buckets: int = 64,
+                    broadcast_max_terms: int | None = None):
+    """Per-document mean negative log-probability under a unigram LM
+    trained on a reference slice — the CCNet/KenLM perplexity-filter
+    shape (Wenzek et al. 2020) with the LM reduced to add-one-smoothed
+    unigrams (no LM library in this environment; the distributed plan
+    is identical for any token-factorized model).
+
+    Train: docs with ``id % ref_mod == 0`` are the reference corpus;
+    one combiner pass + ONE bucketed shuffle builds (term, cnt) counts
+    (the model).  Score: every doc's mean of ``-log((cnt+1)/(N+V+1))``
+    over its tokens (unseen tokens get the cnt=0 mass).
+
+    Model hydration mirrors :func:`top_tfidf_terms`: broadcast the
+    count table once below ``broadcast_max_terms``; above it (web-scale
+    vocabularies), a distributed left join on term over per-doc
+    DISTINCT (doc, term, tf) rows — multiplicity travels as the tf
+    integer, never as repeated token rows — then one doc-keyed
+    aggregate.  Returns (id, n_tok, nll) with nll rounded to 6.
+    """
+    import ray
+
+    from .relational import hash_join
+    from .shuffle import bucketed_map_groups
+
+    docs = ds.select_columns([id_col, text_col])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ref = df[df[id_col].to_numpy() % ref_mod == 0]
+        ex = _ws_tokens(ref[text_col]).explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        g = ex.groupby(ex.to_numpy(), sort=False).size()
+        return pd.DataFrame({"term": g.index.astype("string"),
+                             "cnt": g.to_numpy()})
+
+    def cnt_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False)["cnt"].sum()
+        return pd.DataFrame({"term": g.index.astype("string"),
+                             "cnt": g.to_numpy()})
+
+    model = bucketed_map_groups(
+        docs.map_batches(cnt_partial, batch_format="pandas"),
+        ["term"], cnt_sum, num_buckets,
+        empty_like=pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "cnt": pd.Series([], dtype="int64")}),
+    ).materialize()
+    v_terms = model.count()
+    n_tokens = int(model.sum("cnt") or 0)
+    denom = float(n_tokens + v_terms + 1)
+
+    def doc_tf(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df[text_col]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({id_col: df[id_col].iloc[:0],
+                                 "term": pd.Series([], dtype="string"),
+                                 "tf": pd.Series([], dtype="int64")})
+        tf = (pd.DataFrame({"row": ex.index.to_numpy(),
+                            "term": ex.to_numpy()})
+              .groupby(["row", "term"], sort=False).size()
+              .reset_index(name="tf"))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[tf["row"].to_numpy()],
+            "term": tf["term"].astype("string").to_numpy(),
+            "tf": tf["tf"].astype("int64").to_numpy(),
+        })
+
+    if broadcast_max_terms is None:
+        broadcast_max_terms = BROADCAST_MAX_TERMS
+    if v_terms <= broadcast_max_terms:
+        ref_map = ray.remote(_cnt_blocks_to_series).remote(
+            *model.to_arrow_refs())
+
+        def score(df: pd.DataFrame, _ref=ref_map,
+                  _d=denom) -> pd.DataFrame:
+            cm = ray.get(_ref)
+            t = doc_tf(df)
+            if not len(t):
+                return pd.DataFrame({id_col: df[id_col].iloc[:0],
+                                     "n_tok": pd.Series([], dtype="int64"),
+                                     "nll": pd.Series([], dtype="float64")})
+            cnt = t["term"].map(cm).fillna(0).to_numpy(dtype=np.float64)
+            lp = np.log((cnt + 1.0) / _d) * t["tf"].to_numpy()
+            g = (pd.DataFrame({id_col: t[id_col].to_numpy(),
+                               "tf": t["tf"].to_numpy(), "lp": lp})
+                 .groupby(id_col, sort=False).sum().reset_index())
+            return pd.DataFrame({
+                id_col: g[id_col].to_numpy(),
+                "n_tok": g["tf"].astype("int64").to_numpy(),
+                "nll": np.round(-g["lp"].to_numpy()
+                                / g["tf"].to_numpy(), 6),
+            })
+
+        return docs.map_batches(score, batch_format="pandas")
+
+    # web-scale vocabulary: distributed left join on term, then one
+    # doc-keyed aggregate (unseen terms surface as null cnt -> 0)
+    pairs = docs.map_batches(doc_tf, batch_format="pandas")
+    joined = hash_join(pairs, model, on=["term"], how="left_outer")
+
+    def finish(df: pd.DataFrame, _d=denom) -> pd.DataFrame:
+        cnt = df["cnt"].fillna(0).to_numpy(dtype=np.float64)
+        tf = df["tf"].to_numpy(dtype=np.float64)
+        lp = np.log((cnt + 1.0) / _d) * tf
+        g = (pd.DataFrame({id_col: df[id_col].to_numpy(),
+                           "tf": tf, "lp": lp})
+             .groupby(id_col, sort=False).sum().reset_index())
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_tok": g["tf"].astype("int64").to_numpy(),
+            "nll": np.round(-g["lp"].to_numpy() / g["tf"].to_numpy(), 6),
+        })
+
+    return bucketed_map_groups(
+        joined, [id_col], finish, num_buckets,
+        empty_like=pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "n_tok": pd.Series([], dtype="int64"),
+            "nll": pd.Series([], dtype="float64")}))
+
+
+def _cnt_blocks_to_series(*blocks) -> pd.Series:
+    frames = [b.to_pandas() for b in blocks if "term" in b.schema.names]
+    if not frames:
+        return pd.Series(dtype="int64")
+    allf = pd.concat(frames, ignore_index=True)
+    return pd.Series(allf["cnt"].to_numpy(),
+                     index=allf["term"].to_numpy())

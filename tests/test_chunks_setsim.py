@@ -122,3 +122,18 @@ def test_setsim_matches_bruteforce(ray_session):
                                   columns=["doc_a", "doc_b", "jaccard"]))
     assert len(expect) > 0
     pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+def test_unigram_logprob_broadcast_vs_join(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.textstats import (
+        unigram_logprob,
+    )
+
+    df = _docs_df(n_docs=100, seed=3)
+    a = unigram_logprob(_ds(df), "doc_id", "text", ref_mod=5).to_pandas()
+    # broadcast_max_terms=0 forces the distributed left-join hydration
+    b = unigram_logprob(_ds(df), "doc_id", "text", ref_mod=5,
+                        broadcast_max_terms=0).to_pandas()
+    assert len(a) == len(df)
+    pd.testing.assert_frame_equal(_sorted(a), _sorted(b),
+                                  check_dtype=False)

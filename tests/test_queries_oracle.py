@@ -70,6 +70,7 @@ PINNED = [
     "chunk_dedup",
     "boilerplate",
     "setsim_join",
+    "unigram_logprob",
 ]
 
 

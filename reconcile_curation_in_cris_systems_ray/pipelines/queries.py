@@ -3132,6 +3132,32 @@ GROUP BY doc_id
 """
 
 
+def q_mixture_resample(sf_dir: str):
+    """Domain-mixture resampling: per-language epoch weights, rows
+    repeated floor(w + hash-uniform) times with an epoch index."""
+    from ..stages.sketch import mixture_resample
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    return mixture_resample(ds, "lang", "doc_id",
+                            {"en": 0.5, "zh": 2.3, "es": 1.0,
+                             "de": 1.7, "fr": 0.2})
+
+
+SQL_MIXTURE_RESAMPLE = """
+WITH w(lang, wt) AS (VALUES ('en', 0.5), ('zh', 2.3), ('es', 1.0),
+                            ('de', 1.7), ('fr', 0.2)),
+b AS (
+  SELECT doc_id, d.lang,
+         CAST(floor(coalesce(wt, 1.0)
+              + hash(CAST(doc_id AS VARCHAR))
+                / 18446744073709551616.0) AS BIGINT) AS n
+  FROM documents d LEFT JOIN w USING (lang))
+SELECT doc_id, lang, CAST(g AS BIGINT) AS epoch
+FROM b, unnest(generate_series(1, n)) AS u(g)
+WHERE n > 0
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -3216,6 +3242,7 @@ QUERIES = {
     "boilerplate": q_boilerplate,
     "setsim_join": q_setsim_join,
     "unigram_logprob": q_unigram_logprob,
+    "mixture_resample": q_mixture_resample,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -3322,4 +3349,5 @@ ORACLES = {
     "boilerplate": SQL_BOILERPLATE,
     "setsim_join": SQL_SETSIM_JOIN,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "mixture_resample": SQL_MIXTURE_RESAMPLE,
 }

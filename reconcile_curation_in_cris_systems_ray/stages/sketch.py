@@ -184,6 +184,45 @@ def stratified_sample(ds, group_cols, key_col: str, n_per_group: int,
     return bucketed_map_groups(ds, group_cols, bucket_fn, num_buckets)
 
 
+def mixture_resample(ds, group_col: str, key_col: str,
+                     weights: dict[str, float],
+                     default_weight: float = 1.0):
+    """Deterministic domain-mixture resampling (the DoReMi / Pile
+    data-mixing shape): each row is emitted ``floor(w + u)`` times,
+    where ``w`` is its domain's target weight (epochs — may exceed 1
+    for upsampling, be < 1 for downsampling) and ``u = hash(key)/2^64``
+    is a per-key uniform.  Expected copies = w exactly; stochastic
+    rounding is resolved by the key hash, so the output is stable under
+    repartition/retry and exactly reproducible by a SQL oracle
+    (``floor(w + hash(key)/2^64)`` + ``generate_series``).  Map-only —
+    no shuffle at any scale; adds an ``epoch`` column (1..n per source
+    row)."""
+    from ..functions.similarity import hash_strings_fast
+
+    def rs(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [*df.columns, "epoch"]
+        if len(df) == 0:
+            return pd.DataFrame({**{c: df[c] for c in df.columns},
+                                 "epoch": pd.Series([], dtype="int64")})
+        w = (df[group_col].map(weights).fillna(default_weight)
+             .to_numpy(dtype=np.float64))
+        u = (hash_strings_fast(df[key_col].astype(str)
+                               .to_numpy(dtype=object))
+             .astype(np.float64) / float(2 ** 64))
+        n = np.floor(w + u).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), n)
+        out = df.iloc[idx].reset_index(drop=True)
+        ends = np.cumsum(n)
+        out["epoch"] = (np.arange(len(idx), dtype=np.int64)
+                        - np.repeat(ends - n, n) + 1)
+        if len(out) == 0:
+            out = out.astype({c: "string" for c in out.columns
+                              if out[c].dtype == object})
+        return out[out_cols]
+
+    return ds.map_batches(rs, batch_format="pandas")
+
+
 # ----------------------------------------------------------------------
 # Mergeable approximate quantiles (t-digest; Dunning & Ertl, public
 # algorithm) — the scale path quantile_agg's docstring reserves for

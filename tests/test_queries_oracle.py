@@ -71,6 +71,7 @@ PINNED = [
     "boilerplate",
     "setsim_join",
     "unigram_logprob",
+    "mixture_resample",
 ]
 
 

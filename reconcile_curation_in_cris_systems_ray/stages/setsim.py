@@ -7,7 +7,12 @@ PPJoin) only prunes candidate generation, never the verified output.
 
 Plan (all stages streaming, one content-keyed exchange each):
 
-1. distinct (doc, shingle) emission — map-only, vectorized.
+1. distinct (doc, shingle-digest) emission — map-only, vectorized.
+   Shingle TEXT never leaves the map task: each shingle is reduced to
+   a 128-bit digest (two independent vectorized 64-bit hashes), so
+   every exchange and join below moves 16 B keys, not ~30 B strings,
+   and set equality is digest equality (collision probability at
+   10^13 distinct shingles < 1e-12).
 2. a global total order over shingles: rarest-first by document
    frequency (one combiner-aggregated count, broadcast as a rank
    table) when the distinct-shingle table fits ``df_broadcast_cap``;
@@ -16,16 +21,16 @@ Plan (all stages streaming, one content-keyed exchange each):
 3. prefix emission: per doc, the first ``n - ceil(t*n) + 1`` shingles
    of its ordered set; two sets with Jaccard >= t MUST share a prefix
    element under any common total order (the prefix-filter lemma).
-4. candidate pairs: bucketed group on prefix shingle, within-group
+4. candidate pairs: bucketed group on prefix digest, within-group
    pairing with the size filter ``min(na,nb) >= t * max(na,nb)``,
    then a pair-keyed dedup exchange (a pair can share several prefix
    shingles).  The positional filter is intentionally omitted —
    measured candidate volumes here don't warrant the extra payload.
 5. exact verify: two distributed hash joins hydrate the shared-shingle
-   count per pair (cand x shingles-of-a inner-joined against
-   shingles-of-b), then Jaccard = shared / (na + nb - shared).
+   count per pair (cand x digests-of-a inner-joined against
+   digests-of-b), then Jaccard = shared / (na + nb - shared).
 
-The corpus-scale shingle table is recomputed for the verify joins
+The corpus-scale digest table is recomputed for the verify joins
 rather than materialized — a map-only pass is cheaper than pinning
 corpus-scale state in the object store at 100 TB.
 """
@@ -36,20 +41,25 @@ import numpy as np
 import pandas as pd
 import ray
 
+from ..functions.similarity import hash_strings_fast, stable_hash_strings
 from . import relational as rel
 from .shuffle import bucketed_map_groups
+
+_D_EMPTY = {"h1": "uint64", "h2": "uint64"}
 
 
 def _shingle_frame(df: pd.DataFrame, id_col: str, text_col: str,
                    n: int) -> pd.DataFrame:
-    """Distinct (id, shingle) word-n-gram pairs for one doc batch.
+    """Distinct (id, h1, h2) word-n-gram digest pairs for one doc batch.
 
     Token explode and n-gram window are numpy over the flat token
     array; a position is a valid window start iff it sits >= n-1 from
-    its doc's end (docs never split across rows of one batch).
+    its doc's end (docs never split across rows of one batch).  The
+    n-gram string exists only transiently inside this task.
     """
     empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                          "shingle": pd.Series([], dtype="string")})
+                          "h1": pd.Series([], dtype="uint64"),
+                          "h2": pd.Series([], dtype="uint64")})
     texts = (df[text_col].astype("string").fillna("")
              .str.strip().str.lower())
     keep = (texts != "").to_numpy()
@@ -70,35 +80,38 @@ def _shingle_frame(df: pd.DataFrame, id_col: str, text_col: str,
     sh = pd.Series(flat[idx], dtype="string")
     for k in range(1, n):
         sh = sh + " " + pd.Series(flat[idx + k], dtype="string")
+    vals = sh.to_numpy(dtype=object)
     out = pd.DataFrame({id_col: np.repeat(ids, ntok)[idx],
-                        "shingle": sh})
+                        "h1": stable_hash_strings(vals),
+                        "h2": hash_strings_fast(vals)})
     return out.drop_duplicates()
 
 
 def _prefix_frame(df: pd.DataFrame, id_col: str, text_col: str, n: int,
                   threshold: float, rank_df: pd.DataFrame | None
                   ) -> pd.DataFrame:
-    """Per-doc ordered-prefix rows (shingle, id, set size)."""
-    from ..functions.similarity import stable_hash_strings
-
+    """Per-doc ordered-prefix rows (h1, h2, id, set size)."""
     d = _shingle_frame(df, id_col, text_col, n)
     if not len(d):
-        return pd.DataFrame({"shingle": pd.Series([], dtype="string"),
+        return pd.DataFrame({"h1": pd.Series([], dtype="uint64"),
+                             "h2": pd.Series([], dtype="uint64"),
                              "sid": pd.Series([], dtype="int64"),
                              "ssz": pd.Series([], dtype="int64")})
     if rank_df is not None:
-        d = d.merge(rank_df, on="shingle", how="left")
-        d["rank"] = d["rank"].fillna(np.int64(2**62)).astype("int64")
+        d = d.merge(rank_df, on=["h1", "h2"], how="left")
+        d["rank"] = d["rank"].fillna(np.int64(2 ** 62)).astype("int64")
     else:
-        d["rank"] = stable_hash_strings(
-            d["shingle"].to_numpy(dtype=object)).astype("int64")
-    d = d.sort_values([id_col, "rank", "shingle"], kind="mergesort")
+        # hash total order: h1 reinterpreted as int64 (same order class
+        # for equality purposes — any common total order is valid)
+        d["rank"] = d["h1"].to_numpy().view(np.int64)
+    d = d.sort_values([id_col, "rank", "h1", "h2"], kind="mergesort")
     g = d.groupby(id_col, sort=False)
-    sz = g["shingle"].transform("size").to_numpy(dtype=np.int64)
+    sz = g["h1"].transform("size").to_numpy(dtype=np.int64)
     pref_len = sz - np.ceil(threshold * sz).astype(np.int64) + 1
     mask = g.cumcount().to_numpy() < pref_len
     out = d[mask]
-    return pd.DataFrame({"shingle": out["shingle"].astype("string"),
+    return pd.DataFrame({"h1": out["h1"].to_numpy(),
+                         "h2": out["h2"].to_numpy(),
                          "sid": out[id_col].to_numpy(),
                          "ssz": sz[mask]})
 
@@ -135,29 +148,32 @@ def setsim_join(docs, id_col: str, text_col: str, threshold: float = 0.6,
     # the BOUNDED result to build the rank table.
     from .sketch import hll_count_distinct
 
-    est_distinct = hll_count_distinct(shingles, "shingle")
+    est_distinct = hll_count_distinct(shingles, "h1")
     if est_distinct * 1.05 <= df_broadcast_cap:
         parts = shingles.map_batches(
-            lambda df: (df.groupby("shingle", sort=False).size()
+            lambda df: (df.groupby(["h1", "h2"], sort=False).size()
                         .reset_index(name="n")),
             batch_format="pandas")
         counts_ds = bucketed_map_groups(
-            parts, ["shingle"],
-            lambda df: (df.groupby("shingle", sort=False)["n"].sum()
+            parts, ["h1"],
+            lambda df: (df.groupby(["h1", "h2"], sort=False)["n"].sum()
                         .reset_index()),
             num_buckets,
             empty_like=pd.DataFrame({
-                "shingle": pd.Series([], dtype="string"),
+                "h1": pd.Series([], dtype="uint64"),
+                "h2": pd.Series([], dtype="uint64"),
                 "n": pd.Series([], dtype="int64")}))
         count_batches = list(counts_ds.iter_batches(batch_format="pandas"))
         rank_pdf = (pd.concat(count_batches, ignore_index=True)
                     if count_batches else
-                    pd.DataFrame({"shingle": pd.Series([], dtype="string"),
+                    pd.DataFrame({"h1": pd.Series([], dtype="uint64"),
+                                  "h2": pd.Series([], dtype="uint64"),
                                   "n": pd.Series([], dtype="int64")}))
-        rank_pdf = (rank_pdf.sort_values(["n", "shingle"], kind="mergesort")
+        rank_pdf = (rank_pdf.sort_values(["n", "h1", "h2"],
+                                         kind="mergesort")
                     .reset_index(drop=True))
         rank_pdf["rank"] = np.arange(len(rank_pdf), dtype=np.int64)
-        rank_ref = ray.put(rank_pdf[["shingle", "rank"]])
+        rank_ref = ray.put(rank_pdf[["h1", "h2", "rank"]])
     else:
         rank_ref = None  # hash order: no global state at all
 
@@ -168,7 +184,7 @@ def setsim_join(docs, id_col: str, text_col: str, threshold: float = 0.6,
     pref = project.map_batches(prefixes, batch_format="pandas")
 
     def pairgen(df: pd.DataFrame) -> pd.DataFrame:
-        m = df.merge(df, on="shingle", suffixes=("_a", "_b"))
+        m = df.merge(df, on=["h1", "h2"], suffixes=("_a", "_b"))
         m = m[m["sid_a"] < m["sid_b"]]
         lo = np.minimum(m["ssz_a"], m["ssz_b"])
         hi = np.maximum(m["ssz_a"], m["ssz_b"])
@@ -180,17 +196,17 @@ def setsim_join(docs, id_col: str, text_col: str, threshold: float = 0.6,
 
     pair_schema = pd.DataFrame({c: pd.Series([], dtype="int64")
                                 for c in ("a", "b", "na", "nb")})
-    cand = bucketed_map_groups(pref, ["shingle"], pairgen, num_buckets,
+    cand = bucketed_map_groups(pref, ["h1"], pairgen, num_buckets,
                                empty_like=pair_schema)
     cand = bucketed_map_groups(
         cand, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]),
         num_buckets, empty_like=pair_schema)
 
-    # exact verify: shared = |shingles(a) ∩ shingles(b)| via two joins
-    sh_a = _rename(shingles, {id_col: "a", "shingle": "sh"})
-    sh_b = _rename(shingles, {id_col: "b", "shingle": "sh"})
+    # exact verify: shared = |digests(a) ∩ digests(b)| via two joins
+    sh_a = _rename(shingles, {id_col: "a"})
+    sh_b = _rename(shingles, {id_col: "b"})
     e1 = rel.hash_join(cand, sh_a, on=("a",))
-    e2 = rel.hash_join(e1, sh_b, on=("b", "sh"))
+    e2 = rel.hash_join(e1, sh_b, on=("b", "h1", "h2"))
 
     def count_shared(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby(["a", "b", "na", "nb"], sort=False)

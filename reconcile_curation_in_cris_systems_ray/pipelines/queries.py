@@ -3158,6 +3158,63 @@ WHERE n > 0
 """
 
 
+def q_warc_ingest(sf_dir: str):
+    """WARC source roundtrip: documents are serialized into WARC shards
+    (the Common Crawl container — one fixture shard plain, the rest
+    gzipped, HTTP response envelopes included), read back with the
+    streaming WARC source, and reduced to (url, text_len).  The oracle
+    recomputes both from the documents table, so header parsing,
+    Content-Length walking, gzip handling and HTTP-envelope stripping
+    are all value-checked."""
+    import hashlib as _hl
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.warc import read_warc, write_warc_file
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/graft_warc_{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+    shards: dict[int, list[dict]] = {i: [] for i in range(4)}
+    for did, text in zip(tbl.column("doc_id").to_pylist(),
+                         tbl.column("text").to_pylist()):
+        shards[did % 4].append({
+            "url": f"https://example.org/doc/{did}",
+            "payload": (text or "").encode("utf-8"),
+            "http_headers": b"HTTP/1.1 200 OK\r\nContent-Type: text/html",
+        })
+    paths = []
+    for i, recs in shards.items():
+        p = os.path.join(out_dir,
+                         f"shard{i}.warc" + (".gz" if i else ""))
+        write_warc_file(p, recs, compress=bool(i))
+        paths.append(p)
+
+    ds = read_warc(paths)
+
+    def finish(batch):
+        ok = batch.filter(pc.is_valid(batch.column("url")))
+        return pa.table({
+            "url": ok.column("url"),
+            "text_len": pc.binary_length(ok.column("payload")).cast(
+                pa.int64()),
+        })
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_WARC_INGEST = """
+SELECT 'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT)
+           AS text_len
+FROM documents
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -3243,6 +3300,7 @@ QUERIES = {
     "setsim_join": q_setsim_join,
     "unigram_logprob": q_unigram_logprob,
     "mixture_resample": q_mixture_resample,
+    "warc_ingest": q_warc_ingest,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -3350,4 +3408,5 @@ ORACLES = {
     "setsim_join": SQL_SETSIM_JOIN,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
+    "warc_ingest": SQL_WARC_INGEST,
 }

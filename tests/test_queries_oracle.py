@@ -72,6 +72,7 @@ PINNED = [
     "setsim_join",
     "unigram_logprob",
     "mixture_resample",
+    "warc_ingest",
 ]
 
 

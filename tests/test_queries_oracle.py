@@ -177,3 +177,23 @@ def test_compression_ratio_matches_direct(ray_session, oracle_con):
             if len(b) else 1.0
         assert np.isclose(got.loc[row["doc_id"], "compress_ratio"], want), \
             row["doc_id"]
+
+
+def _rows_only_names():
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import (
+        ORACLES, QUERIES,
+    )
+
+    return sorted(set(QUERIES) - set(ORACLES))
+
+
+@pytest.mark.parametrize("name", _rows_only_names())
+def test_rows_only_query_smoke(ray_session, name):
+    """Rows-only queries have no SQL oracle; their semantics are pinned
+    by stage-level tests.  This smoke run catches wrapper breakage
+    (bad column names, stale imports) before the driver's sweep."""
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import QUERIES
+
+    df = _to_pandas(QUERIES[name](SF))
+    assert len(df.columns) > 0
+    assert df is not None

@@ -124,3 +124,74 @@ def frame_sample_stage(ds, every_n: int = 10):
         })
 
     return ds.map_batches(sample, batch_format="pyarrow", batch_size=32)
+
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"RIFF", "audio/wav"),        # refined to webp below
+    (b"%PDF-", "application/pdf"),
+    (b"\x1f\x8b", "application/gzip"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"ID3", "audio/mpeg"),
+    (b"PK\x03\x04", "application/zip"),
+]
+
+
+def sniff_mime(ds, payload_col: str = "payload",
+               out_col: str = "mime_sniffed"):
+    """Magic-byte content-type detection over a binary column — the
+    curation gate that catches mislabeled payloads BEFORE an expensive
+    decode stage (a 100 TB crawl carries wrong Content-Types
+    constantly).  One zero-copy 16-byte prefix slice per batch, then
+    numpy byte comparisons per signature (bounded signature table);
+    the only per-row Python is padding the 16-byte prefixes into the
+    fixed-width matrix.  HTML/text fall back via a printable heuristic:
+    leading ``<`` -> text/html, mostly-printable -> text/plain, else
+    application/octet-stream."""
+
+    def sniff(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        pay = batch.column(payload_col)
+        n = len(batch)
+        prefix = pc.binary_slice(pay.combine_chunks()
+                                 if isinstance(pay, pa.ChunkedArray)
+                                 else pay, 0, 16)
+        # fixed-width byte matrix: pad to 16 with zeros
+        buf = np.zeros((n, 16), dtype=np.uint8)
+        for i, v in enumerate(prefix):
+            b = v.as_py() or b""
+            buf[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        out = np.full(n, "application/octet-stream", dtype=object)
+        lens = pc.binary_length(pay).to_numpy(zero_copy_only=False)
+        # longest-signature-first so e.g. PNG wins over its prefix
+        for sig, mime in sorted(_MAGIC, key=lambda s: -len(s[0])):
+            s = np.frombuffer(sig, dtype=np.uint8)
+            hit = (buf[:, :len(s)] == s).all(axis=1) & (lens >= len(s))
+            if mime == "audio/wav":
+                webp = hit & (buf[:, 8:12] == np.frombuffer(
+                    b"WEBP", dtype=np.uint8)).all(axis=1)
+                out[webp & (out == "application/octet-stream")] = \
+                    "image/webp"
+                hit = hit & ~webp
+            mask = hit & (out == "application/octet-stream")
+            out[mask] = mime
+        undecided = out == "application/octet-stream"
+        if undecided.any():
+            first = buf[:, 0]
+            stripped = first
+            printable = ((buf >= 0x20) & (buf < 0x7F) | (buf == 0x09)
+                         | (buf == 0x0A) | (buf == 0x0D) | (buf == 0))
+            textish = printable.all(axis=1) & (lens > 0)
+            out[undecided & textish & (stripped == ord("<"))] = \
+                "text/html"
+            out[undecided & textish & (stripped != ord("<"))] = \
+                "text/plain"
+        return batch.append_column(out_col,
+                                   pa.array(out.tolist(), pa.string()))
+
+    return ds.map_batches(sniff, batch_format="pyarrow")

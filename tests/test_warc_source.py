@@ -54,3 +54,39 @@ def test_warc_per_record_gzip_members(ray_session, tmp_path):
     rows = read_warc([str(multi)]).take_all()
     assert {r["url"]: r["payload"] for r in rows} == {
         "https://x.org/a": b"AAA", "https://x.org/b": b"BBB"}
+
+
+def test_sniff_mime_signatures(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.multimodal import (
+        sniff_mime,
+    )
+
+    payloads = [
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8,
+        b"\xff\xd8\xff\xe0rest-of-jpeg",
+        b"GIF89a.....",
+        b"RIFF\x00\x00\x00\x00WEBPVP8 ",
+        b"RIFF\x00\x00\x00\x00WAVEfmt ",
+        b"%PDF-1.7\n",
+        b"\x1f\x8b\x08\x00gz",
+        b"PK\x03\x04zipfile",
+        b"<html><body>hi</body></html>",
+        b"plain words only",
+        b"\x00\x01\x02\xfe\xff binary junk",
+        b"",
+    ]
+    expect = ["image/png", "image/jpeg", "image/gif", "image/webp",
+              "audio/wav", "application/pdf", "application/gzip",
+              "application/zip", "text/html", "text/plain",
+              "application/octet-stream", "application/octet-stream"]
+    ds = rd.from_arrow(pa.table({
+        "media_id": [str(i) for i in range(len(payloads))],
+        "payload": payloads,
+    }))
+    rows = sniff_mime(ds).take_all()
+    got = {r["media_id"]: r["mime_sniffed"] for r in rows}
+    for i, e in enumerate(expect):
+        assert got[str(i)] == e, (i, payloads[i], got[str(i)], e)

@@ -3215,6 +3215,112 @@ FROM documents
 """
 
 
+def _doc_count(sf_dir: str) -> int:
+    """Row count from parquet metadata (free; no read)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+
+
+def _link_graph_inputs(sf_dir: str):
+    from ..stages.graph import derive_link_edges
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    n = _doc_count(sf_dir)
+    edges = derive_link_edges(docs, n_nodes=n)
+    nodes = docs.map_batches(
+        lambda df: df.rename(columns={"doc_id": "node"}),
+        batch_format="pandas")
+    return edges, nodes, n
+
+
+def q_graph_degree(sf_dir: str):
+    """Link-graph degree stats: deterministic hash-derived edge fixture
+    (DuckDB hash() parity, same discipline as mixture_resample), then
+    per-node out/in degree via count partials + one co-location
+    shuffle; isolated nodes kept via zero anchors, no second join."""
+    from ..stages.graph import degree_stats
+
+    edges, nodes, _ = _link_graph_inputs(sf_dir)
+    return degree_stats(edges, nodes)
+
+
+# shared edge-fixture SQL: must mirror derive_link_edges bit-for-bit
+_SQL_EDGES_CTE = """
+n AS (SELECT count(*) AS nv FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         CAST(hash(CAST(d.doc_id AS VARCHAR) || ':'
+                   || CAST(t.j AS VARCHAR))
+              % (SELECT nv FROM n) AS BIGINT) AS dst
+  FROM documents d,
+       unnest(generate_series(1, d.doc_id % 4)) AS t(j)),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+outd AS (SELECT src AS node, count(*) AS c FROM edges GROUP BY 1)
+"""
+
+SQL_GRAPH_DEGREE = f"""
+WITH {_SQL_EDGES_CTE},
+ind AS (SELECT dst AS node, count(*) AS c FROM edges GROUP BY 1)
+SELECT d.doc_id AS node,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
+       CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree
+FROM documents d
+LEFT JOIN outd o ON o.node = d.doc_id
+LEFT JOIN ind i ON i.node = d.doc_id
+"""
+
+
+def q_pagerank(sf_dir: str):
+    """PageRank (5 damped power iterations, dangling mass redistributed
+    uniformly) over the same hash-derived edge fixture; oracle unrolls
+    the iterations as chained CTEs.  Rank rounded to 8 decimals on both
+    sides (identical IEEE expression order; only groupby-sum reduction
+    order differs, ~1e-17 — the corr_agg rounding discipline)."""
+    from ..stages.graph import pagerank
+
+    edges, nodes, n = _link_graph_inputs(sf_dir)
+    ranks = pagerank(edges, nodes, n_nodes=n, n_iter=5, damping=0.85)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node"]].copy()
+        out["pr"] = df["pr"].to_numpy(np.float64).round(8)
+        return out
+
+    return ranks.map_batches(finish, batch_format="pandas")
+
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration SQL matching stages/graph.pagerank."""
+    parts = [f"""WITH {_SQL_EDGES_CTE},
+nodes AS (SELECT d.doc_id AS node, coalesce(o.c, 0) AS outdeg
+          FROM documents d LEFT JOIN outd o ON o.node = d.doc_id),
+r0 AS (SELECT node, 1.0 / (SELECT nv FROM n) AS pr FROM nodes)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+dg{t - 1} AS (SELECT coalesce(sum(r.pr), 0) AS dsum
+            FROM r{t - 1} r JOIN nodes nd ON nd.node = r.node
+            WHERE nd.outdeg = 0),
+r{t} AS (
+  SELECT nd.node,
+         (1 - {damping}) / n.nv
+         + {damping} * (coalesce(s.contrib, 0) + dg.dsum / n.nv) AS pr
+  FROM nodes nd CROSS JOIN n CROSS JOIN dg{t - 1} dg
+  LEFT JOIN (SELECT e.dst AS node, sum(r.pr / nd2.outdeg) AS contrib
+             FROM edges e
+             JOIN r{t - 1} r ON r.node = e.src
+             JOIN nodes nd2 ON nd2.node = e.src
+             GROUP BY e.dst) s ON s.node = nd.node)""")
+    return (",".join(parts)
+            + f"\nSELECT node, round(pr, 8) AS pr FROM r{n_iter}")
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -3301,6 +3407,8 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "mixture_resample": q_mixture_resample,
     "warc_ingest": q_warc_ingest,
+    "graph_degree": q_graph_degree,
+    "pagerank": q_pagerank,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -3409,4 +3517,6 @@ ORACLES = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "warc_ingest": SQL_WARC_INGEST,
+    "graph_degree": SQL_GRAPH_DEGREE,
+    "pagerank": SQL_PAGERANK,
 }

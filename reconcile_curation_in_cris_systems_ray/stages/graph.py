@@ -1,0 +1,283 @@
+"""Link-graph operators: degree statistics and PageRank over an edge list.
+
+The reference has no graph operators (its closest relative is the
+transitive-closure cluster assembly in ``stages/cluster.py``, SURVEY
+§7.1 step 7); a web-scale curation engine needs the classic link-graph
+family — per-node degree stats and PageRank (Page et al. 1999, public
+algorithm) over the page/host graph — so these are north-rule additions
+in the same spirit as the dedup/ANN operators.
+
+Physical plans, graded for 100 TB:
+
+* ``degree_stats`` — per-batch count partials (one narrow map over the
+  edges, never the payload) + ONE bucketed co-location shuffle of the
+  bounded (node, out, in) partials.  Zero-degree nodes enter as
+  zero-partials from the node table, so no second join is needed.
+* ``pagerank`` — power iteration.  Per iteration the rank state moves,
+  never the edge payload: below ``broadcast_limit`` nodes the
+  rank/out-degree vector ships once via ``ray.put`` and each edge batch
+  emits (dst, contrib) partials into the combiner (kmeans-style, one
+  data pass per iteration); above it, ranks stay a Dataset and each
+  iteration is two bounded hash joins (edges ⋈ ranks on src; node
+  universe ⋈ contribs on dst) — the rank table is O(nodes), the edge
+  table is streamed.  Both paths share identical arithmetic (IEEE
+  double, same expression order) and are pinned equal in tests.
+  Dangling mass (out-degree 0) is redistributed uniformly each
+  iteration, the standard correction.
+
+Edge fixture: ``derive_link_edges`` derives a deterministic synthetic
+link graph from an integer id column — out-degree ``id % max_out``,
+destinations ``hash(id || ':' || j) % n_nodes`` with DuckDB's
+``hash()`` kernel (via ``hash_strings_fast``) so a SQL oracle rebuilds
+the identical edge set bit-for-bit (same fixture discipline as
+``mixture_resample``).  Self-loops dropped, parallel edges deduped
+batch-locally — global, because every edge of a given src is emitted
+from that src's single input row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray
+
+from ..functions.similarity import hash_strings_fast
+from .shuffle import bucketed_map_groups
+
+# same 2M-row ceiling as the flagship feature hydration and the
+# unigram-LM / TF-IDF model broadcasts
+BROADCAST_MAX_NODES = 2_000_000
+
+
+def derive_link_edges(docs, n_nodes: int, id_col: str = "doc_id",
+                      max_out: int = 4):
+    """Map-only deterministic edge generator: (src, dst) int64 rows.
+
+    Out-degree of node ``i`` is ``i % max_out`` (so ~1/max_out of the
+    nodes are dangling, exercising PageRank's dangling-mass path);
+    ``dst = duckdb_hash(f"{i}:{j}") % n_nodes`` for j in 1..k.
+    """
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        k = ids % max_out
+        total = int(k.sum())
+        if total == 0:
+            return pd.DataFrame({"src": np.empty(0, np.int64),
+                                 "dst": np.empty(0, np.int64)})
+        src = np.repeat(ids, k)
+        starts = np.cumsum(k) - k
+        j = np.arange(total, dtype=np.int64) - np.repeat(starts, k) + 1
+        keys = (pd.Series(src).astype(str) + ":" +
+                pd.Series(j).astype(str)).tolist()
+        dst = (hash_strings_fast(keys) % np.uint64(n_nodes)).astype(np.int64)
+        out = pd.DataFrame({"src": src, "dst": dst})
+        out = out[out["src"] != out["dst"]]
+        # batch-local dedup is global: each src's edges live in one row
+        return out.drop_duplicates(ignore_index=True)
+
+    return docs.map_batches(gen, batch_format="pandas")
+
+
+def _degree_partials(edges, nodes, node_col: str):
+    """Edge-count partials + zero anchors for every node (so isolated
+    nodes appear with degree 0 without a second join)."""
+
+    def edge_part(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.groupby("src", sort=False).size()
+        i = df.groupby("dst", sort=False).size()
+        return pd.DataFrame({
+            "node": np.concatenate([o.index.to_numpy(np.int64),
+                                    i.index.to_numpy(np.int64)]),
+            "out_degree": np.concatenate(
+                [o.to_numpy(np.int64), np.zeros(len(i), np.int64)]),
+            "in_degree": np.concatenate(
+                [np.zeros(len(o), np.int64), i.to_numpy(np.int64)]),
+        })
+
+    def node_part(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            "node": df[node_col].to_numpy(np.int64),
+            "out_degree": np.zeros(n, np.int64),
+            "in_degree": np.zeros(n, np.int64),
+        })
+
+    return edges.map_batches(edge_part, batch_format="pandas").union(
+        nodes.map_batches(node_part, batch_format="pandas"))
+
+
+def degree_stats(edges, nodes, node_col: str = "node"):
+    """Per-node (out_degree, in_degree) — one shuffle of count partials."""
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)
+        return g.agg(out_degree=("out_degree", "sum"),
+                     in_degree=("in_degree", "sum"))
+
+    return bucketed_map_groups(_degree_partials(edges, nodes, node_col),
+                               ["node"], comb)
+
+
+def pagerank(edges, nodes, n_nodes: int, node_col: str = "node",
+             n_iter: int = 5, damping: float = 0.85,
+             broadcast_limit: int = BROADCAST_MAX_NODES):
+    """PageRank by power iteration; returns a Dataset of (node, pr).
+
+    ``PR_t(v) = (1-d)/N + d * (Σ_{(u,v)} PR_{t-1}(u)/outdeg(u) + D/N)``
+    with ``D`` the total rank held by dangling nodes.  Plan notes in the
+    module docstring; ``broadcast_limit`` picks broadcast vs distributed
+    rank hydration (tests pin both paths equal).
+    """
+    edges = edges.materialize()  # iterated over n_iter times
+
+    def out_part(df: pd.DataFrame) -> pd.DataFrame:
+        o = df.groupby("src", sort=False).size()
+        return pd.DataFrame({"node": o.index.to_numpy(np.int64),
+                             "outdeg": o.to_numpy(np.int64)})
+
+    def zero_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[node_col].to_numpy(np.int64),
+                             "outdeg": np.zeros(len(df), np.int64)})
+
+    parts = edges.map_batches(out_part, batch_format="pandas").union(
+        nodes.map_batches(zero_part, batch_format="pandas"))
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)
+        return g.agg(outdeg=("outdeg", "sum"))
+
+    state = bucketed_map_groups(parts, ["node"], comb).materialize()
+
+    if n_nodes <= broadcast_limit:
+        return _pagerank_broadcast(edges, state, n_nodes, n_iter, damping)
+    return _pagerank_distributed(edges, state, n_nodes, n_iter, damping)
+
+
+def _pagerank_broadcast(edges, state, n_nodes: int, n_iter: int,
+                        damping: float):
+    """Rank vector held driver-side, shipped once per iteration via
+    ray.put; each edge batch emits (dst, contrib) partials (combiner)."""
+    from .relational import partial_groupby_agg
+
+    st = state.to_pandas()
+    node_idx = pd.Index(st["node"].to_numpy(np.int64))
+    outdeg = pd.Series(st["outdeg"].to_numpy(np.float64), index=node_idx)
+    rank = pd.Series(np.full(len(st), 1.0 / n_nodes), index=node_idx)
+    dangling_mask = outdeg.to_numpy() == 0.0
+
+    for _ in range(n_iter):
+        dangling = float(rank.to_numpy()[dangling_mask].sum())
+        weight = rank / outdeg.where(outdeg > 0, np.nan)
+        ref = ray.put(weight.dropna())
+
+        def contrib_part(df: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(ref)
+            c = df["src"].map(w).to_numpy(np.float64)
+            g = pd.DataFrame({"node": df["dst"].to_numpy(np.int64),
+                              "contrib": c}).groupby(
+                "node", sort=False, as_index=False)["contrib"].sum()
+            return g
+
+        mapped = edges.map_batches(contrib_part, batch_format="pandas")
+        contribs = partial_groupby_agg(mapped, ["node"],
+                                       {"contrib": ("contrib", "sum")})
+        c = (contribs.set_index("node")["contrib"]
+             .reindex(node_idx).fillna(0.0))
+        rank = ((1.0 - damping) / n_nodes
+                + damping * (c + dangling / n_nodes))
+
+    out = pd.DataFrame({"node": node_idx.to_numpy(np.int64),
+                        "pr": rank.to_numpy(np.float64)})
+    import ray.data as rd
+
+    return rd.from_pandas(out)
+
+
+def _pagerank_distributed(edges, state, n_nodes: int, n_iter: int,
+                          damping: float):
+    """Rank table stays distributed: per iteration one edges⋈ranks hash
+    join on src, one bucketed contrib sum, one node-universe left join.
+    Edge payload is streamed every pass, never re-shuffled; rank state
+    (O(nodes)) is the only table that moves twice."""
+    from .relational import hash_join
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node", "outdeg"]].copy()
+        out["pr"] = 1.0 / n_nodes
+        return out
+
+    ranks = state.map_batches(init, batch_format="pandas").materialize()
+
+    for _ in range(n_iter):
+        dang_parts = ranks.map_batches(
+            lambda df: pd.DataFrame(
+                {"d": [df.loc[df["outdeg"] == 0, "pr"].sum()]}),
+            batch_format="pandas").to_pandas()
+        dangling = float(dang_parts["d"].sum())
+
+        def weight(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["outdeg"] > 0
+            out = df.loc[m, ["node"]].copy()
+            out["w"] = (df.loc[m, "pr"].to_numpy(np.float64)
+                        / df.loc[m, "outdeg"].to_numpy(np.float64))
+            return out
+
+        w_ds = ranks.map_batches(weight, batch_format="pandas")
+        joined = hash_join(edges, w_ds, on=["src"], right_on=["node"])
+
+        def contrib_part(df: pd.DataFrame) -> pd.DataFrame:
+            return (pd.DataFrame({"node": df["dst"].to_numpy(np.int64),
+                                  "contrib": df["w"].to_numpy(np.float64)})
+                    .groupby("node", sort=False, as_index=False)["contrib"]
+                    .sum())
+
+        def csum(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("node", sort=False,
+                              as_index=False)["contrib"].sum()
+
+        empty = pd.DataFrame({"node": np.empty(0, np.int64),
+                              "contrib": np.empty(0, np.float64)})
+        contribs = bucketed_map_groups(
+            joined.map_batches(contrib_part, batch_format="pandas"),
+            ["node"], csum, empty_like=empty)
+
+        base = ranks.select_columns(["node", "outdeg"])
+        hydrated = hash_join(base, contribs, on=["node"], how="left_outer")
+
+        def step(df: pd.DataFrame) -> pd.DataFrame:
+            c = df["contrib"].to_numpy(np.float64)
+            c = np.where(np.isnan(c), 0.0, c)
+            out = df[["node", "outdeg"]].copy()
+            out["pr"] = ((1.0 - damping) / n_nodes
+                         + damping * (c + dangling / n_nodes))
+            return out
+
+        ranks = hydrated.map_batches(step,
+                                     batch_format="pandas").materialize()
+
+    return ranks.select_columns(["node", "pr"])
+
+
+def extract_links(ds, html_col: str = "html", url_col: str = "url"):
+    """href extraction over an HTML column: one row per (src, href).
+
+    Vectorized ``str.findall`` with a compiled pattern (double- or
+    single-quoted href attribute values), exploded to long format —
+    the real-corpus edge source that ``derive_link_edges`` stands in
+    for on the link-free test tables.  Map-only.
+    """
+    import re
+
+    pat = re.compile(r"""href\s*=\s*["']([^"']+)["']""", re.IGNORECASE)
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        html = df[html_col].astype(str)
+        hits = html.str.findall(pat)
+        n = hits.str.len().to_numpy(np.int64)
+        src = np.repeat(df[url_col].to_numpy(object), n)
+        flat = [h for row in hits for h in row]
+        return pd.DataFrame({"src": pd.array(src, dtype="string"),
+                             "href": pd.array(flat, dtype="string")})
+
+    return ds.map_batches(f, batch_format="pandas")

@@ -1,0 +1,122 @@
+"""Link-graph operators: degree stats, PageRank (both hydration paths),
+href extraction."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from reconcile_curation_in_cris_systems_ray.stages.graph import (
+    degree_stats, derive_link_edges, extract_links, pagerank,
+)
+
+
+def _docs_ds(n: int):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({"doc_id": np.arange(n)}))
+
+
+def _nodes(docs):
+    return docs.map_batches(
+        lambda df: df.rename(columns={"doc_id": "node"}),
+        batch_format="pandas")
+
+
+def _edges_df(docs, n):
+    return derive_link_edges(docs, n_nodes=n).to_pandas()
+
+
+def _pagerank_reference(edges: pd.DataFrame, n: int, n_iter: int = 5,
+                        d: float = 0.85) -> np.ndarray:
+    """Single-node numpy power iteration, identical semantics."""
+    outdeg = np.zeros(n)
+    np.add.at(outdeg, edges["src"].to_numpy(), 1.0)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = pr[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        w = pr[edges["src"].to_numpy()] / outdeg[edges["src"].to_numpy()]
+        np.add.at(contrib, edges["dst"].to_numpy(), w)
+        pr = (1 - d) / n + d * (contrib + dangling / n)
+    return pr
+
+
+def test_edge_fixture_deterministic_and_simple(ray_session):
+    n = 97
+    docs = _docs_ds(n)
+    e1 = _edges_df(docs, n).sort_values(["src", "dst"]).reset_index(drop=True)
+    e2 = _edges_df(_docs_ds(n), n).sort_values(["src", "dst"]).reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(e1, e2)
+    assert (e1["src"] != e1["dst"]).all()
+    assert not e1.duplicated().any()
+    # out-degree bounded by doc_id % 4
+    vc = e1.groupby("src").size()
+    assert (vc.to_numpy() <= (vc.index.to_numpy() % 4)).all()
+
+
+def test_degree_stats_matches_reference(ray_session):
+    n = 120
+    docs = _docs_ds(n)
+    edges = derive_link_edges(docs, n_nodes=n)
+    got = degree_stats(edges, _nodes(docs)).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    e = _edges_df(docs, n)
+    exp_out = np.zeros(n, np.int64)
+    exp_in = np.zeros(n, np.int64)
+    np.add.at(exp_out, e["src"].to_numpy(), 1)
+    np.add.at(exp_in, e["dst"].to_numpy(), 1)
+    assert len(got) == n  # isolated nodes present
+    assert (got["out_degree"].to_numpy() == exp_out).all()
+    assert (got["in_degree"].to_numpy() == exp_in).all()
+
+
+def test_pagerank_matches_numpy_reference(ray_session):
+    n = 150
+    docs = _docs_ds(n)
+    edges = derive_link_edges(docs, n_nodes=n)
+    got = pagerank(edges, _nodes(docs), n_nodes=n).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    exp = _pagerank_reference(_edges_df(docs, n), n)
+    assert len(got) == n
+    np.testing.assert_allclose(got["pr"].to_numpy(), exp, rtol=0, atol=1e-12)
+    # ranks form a distribution (dangling mass conserved)
+    assert got["pr"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_distributed_equals_broadcast(ray_session):
+    n = 150
+    docs = _docs_ds(n)
+    edges = derive_link_edges(docs, n_nodes=n)
+    b = pagerank(edges, _nodes(docs), n_nodes=n).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    d = pagerank(derive_link_edges(_docs_ds(n), n_nodes=n),
+                 _nodes(_docs_ds(n)), n_nodes=n,
+                 broadcast_limit=1).to_pandas().sort_values(
+        "node").reset_index(drop=True)
+    assert (b["node"].to_numpy() == d["node"].to_numpy()).all()
+    np.testing.assert_allclose(b["pr"].to_numpy(), d["pr"].to_numpy(),
+                               rtol=0, atol=1e-12)
+
+
+def test_extract_links(ray_session):
+    import ray.data as rd
+
+    html = [
+        '<a href="https://a.example/x">x</a> <a HREF=\'/rel\'>r</a>',
+        "<p>no links</p>",
+        '<link href="style.css"><a href="https://b.example">b</a>',
+    ]
+    ds = rd.from_pandas(pd.DataFrame(
+        {"url": ["u1", "u2", "u3"], "html": html}))
+    got = extract_links(ds).to_pandas()
+    exp = pd.DataFrame({
+        "src": ["u1", "u1", "u3", "u3"],
+        "href": ["https://a.example/x", "/rel", "style.css",
+                 "https://b.example"],
+    })
+    pd.testing.assert_frame_equal(
+        got.sort_values(["src", "href"]).reset_index(drop=True).astype(str),
+        exp.sort_values(["src", "href"]).reset_index(drop=True).astype(str))

@@ -73,6 +73,8 @@ PINNED = [
     "unigram_logprob",
     "mixture_resample",
     "warc_ingest",
+    "graph_degree",
+    "pagerank",
 ]
 
 

@@ -3321,6 +3321,59 @@ r{t} AS (
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_connected_components(sf_dir: str):
+    """Standalone SQL-checkable path through the flagship's transitive
+    clustering (stages/cluster.py large/small-star + union-find): the
+    hash-derived edge fixture, undirected, labeled by component-min
+    node.  Node ids ride as zero-padded strings so the engine's
+    lexicographic-min label IS the numeric min; the oracle computes
+    reachability with a recursive CTE."""
+    from ..stages.cluster import assign_clusters, connected_components
+
+    edges, nodes, _ = _link_graph_inputs(sf_dir)
+
+    def to_str(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": df["src"].map("{:08d}".format).astype("string"),
+            "v": df["dst"].map("{:08d}".format).astype("string"),
+        })
+
+    str_edges = edges.map_batches(to_str, batch_format="pandas")
+    stars = connected_components(str_edges)
+
+    def as_url(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"url": df["node"].map("{:08d}".format).astype("string")})
+
+    assigns = assign_clusters(nodes.map_batches(as_url,
+                                                batch_format="pandas"),
+                              stars)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["url"].astype("int64"),
+            "component": df["cluster_id"].astype("int64"),
+        })
+
+    return assigns.map_batches(finish, batch_format="pandas")
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_EDGES_CTE},
+und AS (SELECT src AS a, dst AS b FROM edges
+        UNION SELECT dst, src FROM edges),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b)
+SELECT d.doc_id AS node,
+       CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT)
+           AS component
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -3409,6 +3462,7 @@ QUERIES = {
     "warc_ingest": q_warc_ingest,
     "graph_degree": q_graph_degree,
     "pagerank": q_pagerank,
+    "connected_components": q_connected_components,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -3519,4 +3573,5 @@ ORACLES = {
     "warc_ingest": SQL_WARC_INGEST,
     "graph_degree": SQL_GRAPH_DEGREE,
     "pagerank": SQL_PAGERANK,
+    "connected_components": SQL_CONNECTED_COMPONENTS,
 }

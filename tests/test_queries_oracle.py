@@ -75,6 +75,7 @@ PINNED = [
     "warc_ingest",
     "graph_degree",
     "pagerank",
+    "connected_components",
 ]
 
 

@@ -3374,6 +3374,93 @@ GROUP BY d.doc_id
 """
 
 
+def _shard_table(sf_dir: str, columns: list[str], n_shards: int = 4):
+    """Documents table split into n deterministic shards for the
+    container-roundtrip queries."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=columns)
+    idx = pa.array(tbl.column("doc_id").to_numpy() % n_shards)
+    return [tbl.filter(pc.equal(idx, i)) for i in range(n_shards)]
+
+
+def q_orc_roundtrip(sf_dir: str):
+    """ORC source/sink roundtrip: documents serialized to 4 ORC shards,
+    read back one-file-per-task, full value fidelity checked by the
+    oracle recomputing from the parquet table (S2/S6 source-matrix
+    extension; quarantine rows filtered like the WARC path)."""
+    import hashlib as _hl
+    import os
+
+    from ..sources.columnar import read_orc, write_orc_file
+
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/graft_orc_{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, shard in enumerate(_shard_table(sf_dir, cols)):
+        p = os.path.join(out_dir, f"shard{i}.orc")
+        write_orc_file(p, shard)
+        paths.append(p)
+
+    ds = read_orc(paths)
+
+    def finish(t: pa.Table) -> pa.Table:
+        ok = t.filter(pc.is_valid(t.column("doc_id")))
+        return ok.select(cols)
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ORC_ROUNDTRIP = """
+SELECT doc_id, lang, source, n_chars FROM documents
+"""
+
+
+def q_ipc_roundtrip(sf_dir: str):
+    """Arrow IPC (Feather v2) roundtrip: shards written in IPC file
+    format, read back per-task, reduced with the combiner aggregate so
+    the query also exercises sum/count over the decoded stream."""
+    import hashlib as _hl
+    import os
+
+    from ..sources.columnar import read_ipc, write_ipc_file
+    from ..stages.relational import partial_groupby_agg
+
+    cols = ["doc_id", "source", "n_chars"]
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"/tmp/graft_ipc_{tag}"
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, shard in enumerate(_shard_table(sf_dir, cols)):
+        p = os.path.join(out_dir, f"shard{i}.arrow")
+        write_ipc_file(p, shard)
+        paths.append(p)
+
+    ds = read_ipc(paths)
+
+    def clean(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("doc_id"))).select(
+            ["source", "n_chars"])
+
+    out = partial_groupby_agg(ds.map_batches(clean, batch_format="pyarrow"),
+                              ["source"],
+                              {"n_docs": (None, "count"),
+                               "total_chars": ("n_chars", "sum")})
+    return out
+
+
+SQL_IPC_ROUNDTRIP = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -3463,6 +3550,8 @@ QUERIES = {
     "graph_degree": q_graph_degree,
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
+    "orc_roundtrip": q_orc_roundtrip,
+    "ipc_roundtrip": q_ipc_roundtrip,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -3574,4 +3663,6 @@ ORACLES = {
     "graph_degree": SQL_GRAPH_DEGREE,
     "pagerank": SQL_PAGERANK,
     "connected_components": SQL_CONNECTED_COMPONENTS,
+    "orc_roundtrip": SQL_ORC_ROUNDTRIP,
+    "ipc_roundtrip": SQL_IPC_ROUNDTRIP,
 }

@@ -76,6 +76,8 @@ PINNED = [
     "graph_degree",
     "pagerank",
     "connected_components",
+    "orc_roundtrip",
+    "ipc_roundtrip",
 ]
 
 

@@ -31,7 +31,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_QUERIES = [
     "groupby_agg", "hash_join", "priority_dedup", "window_hourly",
     "dedup_exact", "near_dup_docs", "knn_bruteforce",
-    "chunk_dedup", "unigram_logprob",
+    "chunk_dedup", "unigram_logprob", "pagerank",
 ]
 
 

@@ -3012,6 +3012,21 @@ def q_semdedup(sf_dir: str):
                     k=10, iters=5, threshold=0.9)
 
 
+def q_pca_project(sf_dir: str):
+    """Distributed PCA projection to 8 components over the embeddings
+    table: one shuffle-free matrix-moment combiner pass (each partial
+    O(dim²), data-size independent), driver-side eigh on the d×d
+    covariance, one broadcast + map projection pass.  Rows-only driver
+    check (eigendecomposition is not SQL-expressible);
+    tests/test_embcluster.py pins projections exactly against the
+    identical-semantics single-node numpy reference."""
+    from ..stages.embcluster import pca
+
+    _, _, _, projected = pca(
+        _rp(sf_dir, "embeddings", ["vec_id", "embedding"]), k=8)
+    return projected
+
+
 def q_chunk_dedup(sf_dir: str):
     """Sub-document (paragraph-grain) exact dedup: one owner per
     distinct 32-token chunk content plus its corpus-wide copy count —
@@ -3568,6 +3583,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "kmeans_embed": q_kmeans_embed,
     "semdedup": q_semdedup,
+    "pca_project": q_pca_project,
     "reconcile_flagship": q_reconcile_flagship,
     "incremental_link": q_incremental_link,
 }

@@ -201,3 +201,97 @@ def semdedup(ds, k: int = 10, iters: int = 10, threshold: float = 0.9,
                           "keep": pd.Series([], dtype="bool")})
     return bucketed_map_groups(tagged, ["cluster"], dedup_group,
                                num_buckets=num_buckets, empty_like=empty)
+
+
+def pca(ds, k: int = 8, id_col: str = "vec_id",
+        vec_col: str = "embedding"):
+    """Distributed PCA projection (classic dimensionality reduction for
+    embedding curation, e.g. before clustering or ANN indexing).
+
+    Plan: ONE shuffle-free combiner pass accumulates per-batch moment
+    partials ``(n, Σx, Σ x xᵀ)`` — each partial is O(dim²) floats,
+    data-size independent — merged on the driver into the d×d
+    covariance; ``eigh`` there (d is the embedding width, tiny); then
+    one broadcast of the (d, k) component matrix and a map pass
+    projects every vector.  Nothing wide ever moves: the pattern is
+    exactly the corr_agg / centroid_agg re-aggregable-moments combiner
+    lifted to matrix moments.
+
+    Determinism: eigenvector signs are fixed by making each
+    component's largest-|coefficient| entry positive (ties broken by
+    lowest index via argmax), so two runs — and the single-node
+    reference in tests — produce identical projections.
+
+    Returns ``(components (d,k), mean (d,), explained_var (k,),
+    Dataset(id_col, p0..p{k-1}))``.
+    """
+    narrow = ds.select_columns([id_col, vec_col]).materialize()
+
+    def part(t: pa.Table) -> pa.Table:
+        X = _matrix(t.column(vec_col))
+        n, d = X.shape
+        if n == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "ss": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([X.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "ss": pa.array([(X.T @ X).ravel().tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    parts = narrow.map_batches(part, batch_format="pyarrow").take_all()
+    n_total = sum(r["n"] for r in parts)
+    if n_total == 0:
+        raise ValueError("pca: empty input")
+    d = len(parts[0]["s"])
+    s = np.zeros(d)
+    ss = np.zeros((d, d))
+    for r in parts:
+        s += np.asarray(r["s"], dtype=np.float64)
+        ss += np.asarray(r["ss"], dtype=np.float64).reshape(d, d)
+    mean = s / n_total
+    cov = (ss - n_total * np.outer(mean, mean)) / max(n_total - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals, kind="stable")[::-1][:k]
+    W = evecs[:, order]                          # (d, k)
+    explained = evals[order]
+    # deterministic sign: largest-|coef| entry of each component > 0
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(W.shape[1])])
+    flip[flip == 0] = 1.0
+    W = W * flip[None, :]
+
+    ref = ray.put((mean, W))
+
+    def project(t: pa.Table) -> pa.Table:
+        m, comp = ray.get(ref)
+        X = _matrix(t.column(vec_col))
+        cols = {id_col: t.column(id_col)}
+        if X.shape[0] == 0:
+            for j in range(comp.shape[1]):
+                cols[f"p{j}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        P = (X - m[None, :]) @ comp
+        for j in range(comp.shape[1]):
+            cols[f"p{j}"] = pa.array(P[:, j])
+        return pa.table(cols)
+
+    return W, mean, explained, narrow.map_batches(
+        project, batch_format="pyarrow")
+
+
+def pca_reference(X: np.ndarray, k: int):
+    """Single-node numpy PCA with identical semantics (covariance
+    eigh, descending eigenvalues, largest-|coef|-positive signs)."""
+    mean = X.mean(axis=0)
+    Xc = X - mean
+    cov = (Xc.T @ Xc) / max(X.shape[0] - 1, 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals, kind="stable")[::-1][:k]
+    W = evecs[:, order]
+    flip = np.sign(W[np.abs(W).argmax(axis=0), np.arange(W.shape[1])])
+    flip[flip == 0] = 1.0
+    W = W * flip[None, :]
+    return W, mean, evals[order], Xc @ W

@@ -111,3 +111,32 @@ def test_semdedup_recovers_planted_duplicates(ray_session, planted_dir):
     for probe, src in ((120, 3), (121, 3), (122, 40), (123, 40),
                        (124, 77), (125, 77)):
         assert cl[probe] == cl[src]
+
+
+def test_pca_matches_reference_exactly(ray_session):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+    from reconcile_curation_in_cris_systems_ray.stages.embcluster import (
+        _matrix, pca, pca_reference,
+    )
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    W, mean, ev, projected = pca(rd.from_arrow(tbl), k=8)
+    got = projected.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    ids = tbl.column("vec_id").to_numpy()
+    X = _matrix(tbl.column("embedding"))
+    order = np.argsort(ids, kind="stable")
+    Wr, mr, evr, Pr = pca_reference(X[order], k=8)
+
+    np.testing.assert_allclose(W, Wr, atol=1e-9)
+    np.testing.assert_allclose(mean, mr, atol=1e-12)
+    np.testing.assert_allclose(ev, evr, atol=1e-9)
+    P = got[[f"p{j}" for j in range(8)]].to_numpy()
+    np.testing.assert_allclose(P, Pr, atol=1e-9)
+    # variance actually concentrates: top-8 explain more than 8/64 uniform
+    total_var = X.var(axis=0, ddof=1).sum()
+    assert ev.sum() / total_var > 8 / 64

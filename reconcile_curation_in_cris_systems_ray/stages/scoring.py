@@ -346,3 +346,96 @@ class BroadcastFuzzyJoin:
             """).arrow()
         self.con.unregister("lhs")
         return out
+
+
+def fellegi_sunter(pairs, spec, upper: float, lower: float,
+                   weight_col: str = "fs_weight",
+                   decision_col: str = "decision"):
+    """Fellegi-Sunter probabilistic record linkage (Fellegi & Sunter
+    1969, the canonical ER decision model; public algorithm) over a
+    candidate-pair Dataset that already carries boolean per-field
+    agreement indicators.
+
+    ``spec``: ``{indicator_col: (m, u)}`` — m = P(agree | match),
+    u = P(agree | non-match).  Weight = Σ_field log2(m/u) on agreement
+    else log2((1-m)/(1-u)); decision = link / possible / non_link by
+    the (upper, lower) thresholds.  Map-only and vectorized — candidate
+    generation (the expensive part) stays in the blocking machinery,
+    which is the reference's own factoring (J1 joins feed the fuzzy
+    filter, SURVEY §2.4).
+
+    Determinism: the per-field log weights are computed ONCE here and
+    added left-to-right in ``spec`` order, so a SQL oracle embedding
+    the same literals in the same order sums bit-identically.
+    """
+    import numpy as np
+
+    logs = [(c, float(np.log2(m / u)), float(np.log2((1 - m) / (1 - u))))
+            for c, (m, u) in spec.items()]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        w = np.zeros(len(df), dtype=np.float64)
+        for c, la, ld in logs:
+            w = w + np.where(df[c].to_numpy(dtype=bool), la, ld)
+        out = df.copy()
+        out[weight_col] = w
+        out[decision_col] = np.where(
+            w >= upper, "link",
+            np.where(w >= lower, "possible", "non_link"))
+        return out
+
+    return pairs.map_batches(score, batch_format="pandas")
+
+
+def fs_log_weights(spec) -> list[tuple[str, float, float]]:
+    """The (col, agree, disagree) log2 weights ``fellegi_sunter`` uses —
+    exposed so oracles can embed the identical literals."""
+    import numpy as np
+
+    return [(c, float(np.log2(m / u)),
+             float(np.log2((1 - m) / (1 - u))))
+            for c, (m, u) in spec.items()]
+
+
+class BroadcastAttrPairJoin:
+    """Candidate pairs with BOTH sides' attributes: the stream cross-
+    joins a small broadcast attribute table per actor (DuckDB C++
+    kernels, the BroadcastFuzzyJoin pattern) under an ``a < b`` name
+    ordering and a Jaro-Winkler gate, emitting per-field agreement
+    indicators ready for :func:`fellegi_sunter`."""
+
+    def __init__(self, rhs_ref, gate: float = 0.9,
+                 name_eq_threshold: float = 0.97):
+        import duckdb
+        import ray
+
+        self.con = duckdb.connect()
+        self.con.execute("PRAGMA threads=1")
+        self.gate = float(gate)
+        self.thr = float(name_eq_threshold)
+        self.con.register("rhs", ray.get(rhs_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({
+                "name_a": pa.array([], pa.string()),
+                "name_b": pa.array([], pa.string()),
+                "jw": pa.array([], pa.float64()),
+                "ind_name": pa.array([], pa.bool_()),
+                "ind_nation": pa.array([], pa.bool_()),
+                "ind_seg": pa.array([], pa.bool_()),
+            })
+        self.con.register("lhs", batch)
+        out = self.con.execute(f"""
+            SELECT l.name AS name_a, r.name AS name_b,
+                   round(jaro_winkler_similarity(l.name, r.name), 6) AS jw,
+                   (jaro_winkler_similarity(l.name, r.name)
+                        >= {self.thr}) AS ind_name,
+                   (l.nation = r.nation) AS ind_nation,
+                   (l.seg = r.seg) AS ind_seg
+            FROM lhs l, rhs r
+            WHERE l.name < r.name
+              AND jaro_winkler_similarity(l.name, r.name) >= {self.gate}
+            """).arrow()
+        self.con.unregister("lhs")
+        return out

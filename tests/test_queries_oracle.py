@@ -78,6 +78,7 @@ PINNED = [
     "connected_components",
     "orc_roundtrip",
     "ipc_roundtrip",
+    "fs_score",
 ]
 
 

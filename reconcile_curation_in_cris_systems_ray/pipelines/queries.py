@@ -3415,6 +3415,36 @@ FROM w
 """
 
 
+def q_cluster_metrics(sf_dir: str):
+    """Pairwise clustering precision/recall/F1 between two labelings
+    (source blocks as the prediction, lang groups as the truth) from
+    contingency counts — Σ C(n,2) identities, three bounded shuffles,
+    ZERO pair enumeration (the north-rule metric as a 10^12-row-safe
+    operator)."""
+    from ..stages.metrics import pairwise_cluster_metrics
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "lang"])
+    return pairwise_cluster_metrics(ds, "source", "lang")
+
+
+SQL_CLUSTER_METRICS = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+t AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS tp
+      FROM cells),
+p AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS BIGINT) AS pp
+      FROM (SELECT sum(n) AS s FROM cells GROUP BY source)),
+r AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS BIGINT) AS tt
+      FROM (SELECT sum(n) AS s FROM cells GROUP BY lang))
+SELECT t.tp AS tp_pairs, p.pp AS pred_pairs, r.tt AS true_pairs,
+       round(t.tp / p.pp, 6) AS "precision",
+       round(t.tp / r.tt, 6) AS recall,
+       round(2 * (t.tp / p.pp) * (t.tp / r.tt)
+             / ((t.tp / p.pp) + (t.tp / r.tt)), 6) AS f1
+FROM t, p, r
+"""
+
+
 def q_connected_components(sf_dir: str):
     """Standalone SQL-checkable path through the flagship's transitive
     clustering (stages/cluster.py large/small-star + union-find): the
@@ -3645,6 +3675,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "connected_components": q_connected_components,
     "fs_score": q_fs_score,
+    "cluster_metrics": q_cluster_metrics,
     "orc_roundtrip": q_orc_roundtrip,
     "ipc_roundtrip": q_ipc_roundtrip,
     # rows-only
@@ -3760,6 +3791,7 @@ ORACLES = {
     "pagerank": SQL_PAGERANK,
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "fs_score": _fs_sql(),
+    "cluster_metrics": SQL_CLUSTER_METRICS,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "ipc_roundtrip": SQL_IPC_ROUNDTRIP,
 }

@@ -1,0 +1,90 @@
+"""Clustering-evaluation metrics: pairwise precision/recall/F1 between
+two labelings, computed from contingency counts — never from enumerated
+pairs.
+
+The north rule grades the flagship on pairwise F1; at test scale that
+is computed by enumerating pairs driver-side (tests), but at 10^12
+rows the pair sets are quadratic and must never exist.  The classic
+identity makes the metric a pure counting problem:
+
+    pred_pairs = Σ_i C(a_i, 2)   (a_i = size of predicted cluster i)
+    true_pairs = Σ_j C(b_j, 2)
+    tp_pairs   = Σ_ij C(n_ij, 2) (n_ij = contingency cell)
+
+so the whole evaluation is: per-batch (pred, true) count partials →
+one co-location shuffle to exact contingency cells → bounded
+re-groupings of the CELLS (never the rows) for the margins → scalar
+sums.  Three shuffles over O(#clusters) rows, zero pair
+materialization.
+
+int64 bound: C(n, 2) overflows past n ≈ 4.3e9 rows in ONE cluster;
+beyond that switch the pair-count dtype to float64 (documented cap,
+not enforced — a 4-billion-row cluster upstream is already a bug).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .shuffle import bucketed_map_groups
+
+
+def _c2(n: np.ndarray) -> np.ndarray:
+    n = n.astype(np.int64)
+    return n * (n - 1) // 2
+
+
+def pairwise_cluster_metrics(ds, pred_col: str, true_col: str) -> pd.DataFrame:
+    """One-row DataFrame: tp_pairs, pred_pairs, true_pairs, precision,
+    recall, f1 (ratios rounded to 6, SQL-oracle discipline)."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([pred_col, true_col], sort=False).size()
+        out = g.reset_index()
+        out.columns = ["pred", "truth", "n"]
+        return out
+
+    parts = ds.map_batches(part, batch_format="pandas")
+
+    def cell_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pred", "truth"], sort=False, as_index=False)["n"].sum()
+        return g
+
+    cells = bucketed_map_groups(parts, ["pred", "truth"],
+                                cell_sum).materialize()
+
+    def tp_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"v": [_c2(df["n"].to_numpy()).sum()]})
+
+    tp = int(cells.map_batches(tp_part, batch_format="pandas")
+             .to_pandas()["v"].sum())
+
+    def margin_pairs(key: str) -> int:
+        def mpart(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(key, sort=False, as_index=False)["n"].sum()
+            return g
+
+        margins = bucketed_map_groups(cells, [key], mpart)
+
+        def psum(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"v": [_c2(df["n"].to_numpy()).sum()]})
+
+        return int(margins.map_batches(psum, batch_format="pandas")
+                   .to_pandas()["v"].sum())
+
+    pred_pairs = margin_pairs("pred")
+    true_pairs = margin_pairs("truth")
+
+    precision = tp / pred_pairs if pred_pairs else 1.0
+    recall = tp / true_pairs if true_pairs else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return pd.DataFrame({
+        "tp_pairs": [tp],
+        "pred_pairs": [pred_pairs],
+        "true_pairs": [true_pairs],
+        "precision": [round(precision, 6)],
+        "recall": [round(recall, 6)],
+        "f1": [round(f1, 6)],
+    })

@@ -79,6 +79,7 @@ PINNED = [
     "orc_roundtrip",
     "ipc_roundtrip",
     "fs_score",
+    "cluster_metrics",
 ]
 
 

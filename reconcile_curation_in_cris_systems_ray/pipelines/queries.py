@@ -3415,6 +3415,44 @@ FROM w
 """
 
 
+def q_fs_em(sf_dir: str):
+    """EM estimation of Fellegi-Sunter m/u/λ over the fs_score
+    candidate pairs: one distributed pattern-histogram pass, then EM on
+    the 2^3-row pattern table driver-side (Winkler 1988).  Rows-only
+    driver check (EM is not SQL-expressible);
+    tests/test_stages.py::test_fs_em_* pin pattern-EM == row-EM and
+    parameter recovery on planted data."""
+    import ray
+
+    from ..stages.scoring import BroadcastAttrPairJoin, fs_em
+
+    cust = _rp(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["c_custkey"], 150)),
+                     batch_format="pyarrow")
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({"name": t.column("c_name"),
+                         "nation": t.column("c_nationkey"),
+                         "seg": t.column("c_mktsegment")})
+
+    lhs = cust.map_batches(narrow, batch_format="pyarrow").materialize()
+    blocks = [b for b in (ray.get(r) for r in lhs.to_arrow_refs())
+              if b.num_rows]
+    rhs_ref = ray.put(pa.concat_tables(blocks))
+    pairs = lhs.map_batches(
+        BroadcastAttrPairJoin,
+        fn_constructor_kwargs={"rhs_ref": rhs_ref, "gate": 0.9},
+        batch_format="pyarrow", concurrency=(1, 4))
+    params, _ = fs_em(pairs, ["ind_name", "ind_nation", "ind_seg"])
+    out = {"n_pairs": [params["n_pairs"]],
+           "lambda": [round(params["lambda_"], 6)]}
+    for i, f in enumerate(["name", "nation", "seg"]):
+        out[f"m_{f}"] = [round(float(params["m"][i]), 6)]
+        out[f"u_{f}"] = [round(float(params["u"][i]), 6)]
+    return pd.DataFrame(out)
+
+
 def q_cluster_metrics(sf_dir: str):
     """Pairwise clustering precision/recall/F1 between two labelings
     (source blocks as the prediction, lang groups as the truth) from
@@ -3695,6 +3733,7 @@ QUERIES = {
     "kmeans_embed": q_kmeans_embed,
     "semdedup": q_semdedup,
     "pca_project": q_pca_project,
+    "fs_em": q_fs_em,
     "reconcile_flagship": q_reconcile_flagship,
     "incremental_link": q_incremental_link,
 }

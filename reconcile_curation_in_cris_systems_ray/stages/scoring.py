@@ -439,3 +439,68 @@ class BroadcastAttrPairJoin:
             """).arrow()
         self.con.unregister("lhs")
         return out
+
+
+def fs_em(pairs, indicator_cols, iters: int = 100, tol: float = 1e-12,
+          init_m: float = 0.8, init_u: float = 0.1,
+          init_lambda: float = 0.1):
+    """EM estimation of Fellegi-Sunter m/u/λ parameters (Winkler 1988;
+    the Splink-style public formulation) from boolean agreement
+    indicators.
+
+    Scale shape: the boolean-pattern likelihood depends on rows only
+    through their agreement PATTERN, so the sufficient statistic is the
+    2^k pattern histogram — ONE distributed combiner pass (per-batch
+    bincount partials, driver merge of ≤ 2^k × blocks tiny rows), then
+    EM iterates entirely on the k-field pattern table driver-side.
+    10^12 candidate pairs cost exactly one data pass.
+
+    Returns ``(params, patterns)``: params dict with ``m``, ``u``
+    (np.ndarray per field), ``lambda_``, ``n_pairs``, ``n_iter``;
+    patterns the (pattern_id, count) DataFrame.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .relational import partial_groupby_agg
+
+    k = len(indicator_cols)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        pid = np.zeros(len(df), dtype=np.int64)
+        for i, c in enumerate(indicator_cols):
+            pid |= df[c].to_numpy(dtype=bool).astype(np.int64) << i
+        counts = np.bincount(pid, minlength=2 ** k)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame({"pattern": nz, "n": counts[nz]})
+
+    patterns = partial_groupby_agg(pairs.map_batches(part,
+                                                     batch_format="pandas"),
+                                   ["pattern"], {"n": ("n", "sum")})
+    pid = patterns["pattern"].to_numpy(np.int64)
+    n_g = patterns["n"].to_numpy(np.float64)
+    bits = ((pid[:, None] >> np.arange(k)[None, :]) & 1).astype(np.float64)
+    n_total = n_g.sum()
+
+    m = np.full(k, init_m)
+    u = np.full(k, init_u)
+    lam = float(init_lambda)
+    it = 0
+    for it in range(1, iters + 1):
+        pm = np.prod(np.where(bits == 1, m[None, :], 1 - m[None, :]),
+                     axis=1)
+        pu = np.prod(np.where(bits == 1, u[None, :], 1 - u[None, :]),
+                     axis=1)
+        w = lam * pm / (lam * pm + (1 - lam) * pu)
+        wm = (n_g * w)
+        wu = (n_g * (1 - w))
+        new_lam = wm.sum() / n_total
+        new_m = (wm[:, None] * bits).sum(axis=0) / max(wm.sum(), 1e-300)
+        new_u = (wu[:, None] * bits).sum(axis=0) / max(wu.sum(), 1e-300)
+        delta = max(abs(new_lam - lam), np.abs(new_m - m).max(),
+                    np.abs(new_u - u).max())
+        lam, m, u = new_lam, new_m, new_u
+        if delta < tol:
+            break
+    return ({"m": m, "u": u, "lambda_": lam,
+             "n_pairs": int(n_total), "n_iter": it}, patterns)

@@ -55,3 +55,29 @@ def test_metrics_perfect_and_disjoint(ray_session):
         rd.from_pandas(singletons), "pred", "truth").iloc[0]
     assert row["tp_pairs"] == 0 and row["pred_pairs"] == 0
     assert row["precision"] == 1.0 and row["recall"] == 0.0
+
+
+def test_flagship_f1_via_distributed_metrics(ray_session):
+    """The distributed contingency-metric reproduces the flagship's
+    driver-side pairwise F1 gate (scale-path twin of the test oracle)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.pipelines.reconcile import (
+        run_reconcile,
+    )
+    from reconcile_curation_in_cris_systems_ray.sources.corpus import (
+        CorpusConfig, corpus_table,
+    )
+
+    tbl = corpus_table(CorpusConfig(n_families=40))
+    out = run_reconcile(rd.from_arrow(tbl))
+    truth = tbl.select(["url", "cluster_id"]).rename_columns(
+        ["url", "true_family"])
+    pred = out["assignments"].to_pandas()
+    joined = pred.merge(truth.to_pandas(), on="url")
+    assert len(joined) == tbl.num_rows
+    row = pairwise_cluster_metrics(
+        rd.from_pandas(joined.rename(columns={"cluster_id": "pred"})),
+        "pred", "true_family").iloc[0]
+    assert row["f1"] == 1.0

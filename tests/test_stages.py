@@ -600,3 +600,67 @@ def test_skew_join_hot_and_cold_paths(ray_session):
     got_u = got_u[key_cols].sort_values(key_cols).reset_index(drop=True)
     want_u = want_u[key_cols].sort_values(key_cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_u, want_u)
+
+
+def _row_level_em(ind: "np.ndarray", iters=100, tol=1e-12,
+                  init_m=0.8, init_u=0.1, init_lambda=0.1):
+    """Direct per-row EM (no pattern grouping) — the reference for
+    fs_em's sufficient-statistic claim."""
+    import numpy as np
+
+    n, k = ind.shape
+    b = ind.astype(np.float64)
+    m = np.full(k, init_m); u = np.full(k, init_u); lam = init_lambda
+    for _ in range(iters):
+        pm = np.prod(np.where(b == 1, m, 1 - m), axis=1)
+        pu = np.prod(np.where(b == 1, u, 1 - u), axis=1)
+        w = lam * pm / (lam * pm + (1 - lam) * pu)
+        new_lam = w.mean()
+        new_m = (w[:, None] * b).sum(axis=0) / w.sum()
+        new_u = ((1 - w)[:, None] * b).sum(axis=0) / (1 - w).sum()
+        delta = max(abs(new_lam - lam), np.abs(new_m - m).max(),
+                    np.abs(new_u - u).max())
+        lam, m, u = new_lam, new_m, new_u
+        if delta < tol:
+            break
+    return m, u, lam
+
+
+def test_fs_em_pattern_equals_row_level(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.scoring import fs_em
+
+    rng = np.random.default_rng(3)
+    ind = rng.random((5000, 3)) < np.array([0.5, 0.3, 0.7])
+    df = pd.DataFrame({f"i{j}": ind[:, j] for j in range(3)})
+    params, patterns = fs_em(rd.from_pandas(df), ["i0", "i1", "i2"])
+    m, u, lam = _row_level_em(ind)
+    np.testing.assert_allclose(params["m"], m, atol=1e-9)
+    np.testing.assert_allclose(params["u"], u, atol=1e-9)
+    assert abs(params["lambda_"] - lam) < 1e-9
+    assert params["n_pairs"] == 5000
+    assert patterns["n"].sum() == 5000
+
+
+def test_fs_em_recovers_planted_parameters(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.scoring import fs_em
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    true_lam, true_m, true_u = 0.2, np.array([0.95, 0.9, 0.8]), \
+        np.array([0.05, 0.1, 0.2])
+    is_match = rng.random(n) < true_lam
+    p = np.where(is_match[:, None], true_m[None, :], true_u[None, :])
+    ind = rng.random((n, 3)) < p
+    df = pd.DataFrame({f"i{j}": ind[:, j] for j in range(3)})
+    params, _ = fs_em(rd.from_pandas(df), ["i0", "i1", "i2"])
+    assert abs(params["lambda_"] - true_lam) < 0.03
+    np.testing.assert_allclose(params["m"], true_m, atol=0.05)
+    np.testing.assert_allclose(params["u"], true_u, atol=0.05)

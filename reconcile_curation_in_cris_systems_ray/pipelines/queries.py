@@ -3453,6 +3453,31 @@ def q_fs_em(sf_dir: str):
     return pd.DataFrame(out)
 
 
+def q_soundex_block(sf_dir: str):
+    """Phonetic blocking keys: American Soundex over part names
+    (map-only, pandas C string kernels + RE2-safe run collapse); the
+    oracle computes the identical recipe in DuckDB string/regexp ops.
+    Reference F5's key-derivation slot, phonetic variant — the classic
+    record-linkage blocking key."""
+    from ..functions.phonetic import soundex_series
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["sx"] = soundex_series(df["p_name"])
+        return out
+
+    return ds.map_batches(f, batch_format="pandas")
+
+
+def _soundex_sql() -> str:
+    from ..functions.phonetic import soundex_sql
+
+    return (f"SELECT p_partkey, p_name, {soundex_sql('p_name')} AS sx "
+            f"FROM part")
+
+
 def q_cluster_metrics(sf_dir: str):
     """Pairwise clustering precision/recall/F1 between two labelings
     (source blocks as the prediction, lang groups as the truth) from
@@ -3714,6 +3739,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "fs_score": q_fs_score,
     "cluster_metrics": q_cluster_metrics,
+    "soundex_block": q_soundex_block,
     "orc_roundtrip": q_orc_roundtrip,
     "ipc_roundtrip": q_ipc_roundtrip,
     # rows-only
@@ -3831,6 +3857,7 @@ ORACLES = {
     "connected_components": SQL_CONNECTED_COMPONENTS,
     "fs_score": _fs_sql(),
     "cluster_metrics": SQL_CLUSTER_METRICS,
+    "soundex_block": _soundex_sql(),
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "ipc_roundtrip": SQL_IPC_ROUNDTRIP,
 }

@@ -80,6 +80,7 @@ PINNED = [
     "ipc_roundtrip",
     "fs_score",
     "cluster_metrics",
+    "soundex_block",
 ]
 
 

@@ -3478,6 +3478,83 @@ def _soundex_sql() -> str:
             f"FROM part")
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact global triangle count over the hash-derived link graph:
+    canonical-undirected distinct edges, then the wedge-close plan (two
+    hash joins, ordered endpoints make each triangle count once)."""
+    from ..stages.graph import triangle_count
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    return pd.DataFrame({"n_triangles": [triangle_count(edges)]})
+
+
+SQL_TRIANGLE_COUNT = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM edges)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM und e1
+JOIN und e2 ON e2.lo = e1.hi
+JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+"""
+
+
+_SPLIT_FRACTIONS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test assignment by doc_id hash —
+    map-only, stable under repartition and corpus growth (a row's
+    split never changes when rows are appended)."""
+    from ..stages.sketch import dataset_split
+
+    return dataset_split(_rp(sf_dir, "documents", ["doc_id", "lang"]),
+                         "doc_id", _SPLIT_FRACTIONS)
+
+
+def _dataset_split_sql() -> str:
+    names = list(_SPLIT_FRACTIONS)
+    bounds = np.cumsum([_SPLIT_FRACTIONS[n] for n in names])
+    # embed the EXACT float boundaries the Ray side uses (np.cumsum of
+    # the fractions), not re-typed literals — 0.8 + 0.1 != 0.9 in IEEE
+    case = "CASE " + " ".join(
+        f"WHEN u < {bounds[i]!r} THEN '{names[i]}'"
+        for i in range(len(names) - 1)) + f" ELSE '{names[-1]}' END"
+    return f"""
+SELECT doc_id, lang, {case} AS split
+FROM (SELECT doc_id, lang,
+             hash(CAST(doc_id AS VARCHAR)) / 18446744073709551616.0 AS u
+      FROM documents)
+"""
+
+
+_WSAMPLE_WEIGHTS = {"en": 2.0, "zh": 1.0, "es": 0.5, "de": 1.5, "fr": 1.0}
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res, k=100, per-language weights, hash-derived uniforms): global
+    top-k by ln(u)/w via bounded per-batch partial top-k — no shuffle,
+    deterministic, SQL-reproducible."""
+    from ..stages.sketch import weighted_sample
+
+    return weighted_sample(_rp(sf_dir, "documents", ["doc_id", "lang"]),
+                           "doc_id", _WSAMPLE_WEIGHTS, k=100,
+                           group_col="lang")
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH w(lang, wt) AS (VALUES ('en', 2.0), ('zh', 1.0), ('es', 0.5),
+                            ('de', 1.5), ('fr', 1.0)),
+b AS (
+  SELECT doc_id, d.lang,
+         ln((hash(CAST(doc_id AS VARCHAR)) + 1)
+            / 18446744073709551616.0) / coalesce(wt, 1.0) AS pri
+  FROM documents d LEFT JOIN w USING (lang))
+SELECT doc_id, lang FROM b ORDER BY pri DESC LIMIT 100
+"""
+
+
 def q_cluster_metrics(sf_dir: str):
     """Pairwise clustering precision/recall/F1 between two labelings
     (source blocks as the prediction, lang groups as the truth) from
@@ -3740,6 +3817,9 @@ QUERIES = {
     "fs_score": q_fs_score,
     "cluster_metrics": q_cluster_metrics,
     "soundex_block": q_soundex_block,
+    "triangle_count": q_triangle_count,
+    "dataset_split": q_dataset_split,
+    "weighted_sample": q_weighted_sample,
     "orc_roundtrip": q_orc_roundtrip,
     "ipc_roundtrip": q_ipc_roundtrip,
     # rows-only
@@ -3858,6 +3938,9 @@ ORACLES = {
     "fs_score": _fs_sql(),
     "cluster_metrics": SQL_CLUSTER_METRICS,
     "soundex_block": _soundex_sql(),
+    "triangle_count": SQL_TRIANGLE_COUNT,
+    "dataset_split": _dataset_split_sql(),
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "ipc_roundtrip": SQL_IPC_ROUNDTRIP,
 }

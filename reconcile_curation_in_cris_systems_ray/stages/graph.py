@@ -281,3 +281,44 @@ def extract_links(ds, html_col: str = "html", url_col: str = "url"):
                              "href": pd.array(flat, dtype="string")})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def triangle_count(edges) -> int:
+    """Exact global triangle count: canonical (lo < hi) distinct
+    undirected edges, then the two-join wedge-close plan — E(a,b) ⋈
+    E(b,c) builds wedges with a < b < c for free (both edges ordered),
+    E(a,c) closes them.  Two hash-shuffle joins + a count; never an
+    all-pairs.  (For skewed degree distributions the standard
+    mitigation is degree-ordering before the join — the fixture's
+    hash-random graph does not need it; noted as the scale lever.)
+    """
+    import pandas as pd
+
+    from .relational import hash_join
+    from .shuffle import bucketed_map_groups
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[["src", "dst"]].min(axis=1)
+        hi = df[["src", "dst"]].max(axis=1)
+        out = pd.DataFrame({"lo": lo.to_numpy(np.int64),
+                            "hi": hi.to_numpy(np.int64)})
+        return out.drop_duplicates(ignore_index=True)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(ignore_index=True)
+
+    und = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi"], dedup).materialize()
+
+    e2 = und.map_batches(
+        lambda df: df.rename(columns={"lo": "mid", "hi": "hi2"}),
+        batch_format="pandas")
+    wedges = hash_join(und, e2, on=["hi"], right_on=["mid"])
+    # wedge (lo, hi, hi2) with lo < hi < hi2; close with edge (lo, hi2)
+    closing = und.map_batches(
+        lambda df: df.rename(columns={"lo": "lo", "hi": "hi2"}),
+        batch_format="pandas")
+    tri = hash_join(wedges.select_columns(["lo", "hi2"]), closing,
+                    on=["lo", "hi2"])
+    return tri.count()

@@ -504,3 +504,80 @@ def _heavy_hitters_shuffle(docs, text_col: str, k: int) -> pd.DataFrame:
            .limit(k).to_pandas())
     return pd.DataFrame({"term": out["term"].astype("string").to_numpy(),
                          "n": out["n"].astype("int64").to_numpy()})
+
+
+def dataset_split(ds, key_col: str, fractions: dict[str, float]):
+    """Deterministic train/val/test assignment by key hash: split s
+    with cumulative boundaries [c_{s-1}, c_s) claims rows whose
+    ``u = hash(key)/2^64`` lands in it.  Map-only, stable under
+    repartition/retry/appends (a row's split never changes when the
+    corpus grows — the property epoch-stable training pipelines need),
+    and exactly reproducible by a SQL oracle.  ``fractions`` must sum
+    to 1 (validated); iteration order fixes the boundary order."""
+    from ..functions.similarity import hash_strings_fast
+
+    names = list(fractions)
+    total = float(sum(fractions.values()))
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1")
+    bounds = np.cumsum([float(fractions[n]) for n in names])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        if len(df) == 0:
+            out["split"] = pd.Series([], dtype="string")
+            return out
+        u = (hash_strings_fast(df[key_col].astype(str)
+                               .to_numpy(dtype=object))
+             .astype(np.float64) / float(2 ** 64))
+        idx = np.searchsorted(bounds, u, side="right")
+        idx = np.minimum(idx, len(names) - 1)
+        out["split"] = pd.array(np.array(names, dtype=object)[idx],
+                                dtype="string")
+        return out
+
+    return ds.map_batches(tag, batch_format="pandas")
+
+
+def weighted_sample(ds, key_col: str, weight_col_or_map, k: int,
+                    group_col: str | None = None,
+                    default_weight: float = 1.0):
+    """Weighted sampling without replacement, k rows, deterministic
+    (Efraimidis & Spirakis 2006 A-Res, public algorithm): each row gets
+    priority ``ln(u)/w`` with ``u = (hash(key)+1)/2^64`` (monotone
+    transform of u^(1/w)); the global top-k by priority is the sample.
+
+    Scale shape: per-batch partial top-k (bounded k rows per block)
+    → driver merge of k × blocks rows — data-size independent, no
+    shuffle.  Reproducible by a SQL oracle (ORDER BY ln/pow LIMIT k);
+    the key hash makes the "randomness" stable under repartition.
+
+    ``weight_col_or_map``: a numeric column name, or (with
+    ``group_col``) a {group: weight} dict."""
+    from ..functions.similarity import hash_strings_fast
+
+    def pri(df: pd.DataFrame) -> np.ndarray:
+        u = ((hash_strings_fast(df[key_col].astype(str)
+                                .to_numpy(dtype=object))
+              .astype(np.float64) + 1.0) / float(2 ** 64))
+        if isinstance(weight_col_or_map, dict):
+            w = (df[group_col].map(weight_col_or_map)
+                 .fillna(default_weight).to_numpy(dtype=np.float64))
+        else:
+            w = df[weight_col_or_map].to_numpy(dtype=np.float64)
+        return np.log(u) / np.maximum(w, 1e-300)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return df
+        p = pri(df)
+        keep = np.argsort(-p, kind="stable")[:k]
+        out = df.iloc[np.sort(keep)].copy()
+        out["_pri"] = p[np.sort(keep)]
+        return out
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    if len(parts) == 0:
+        return parts
+    top = parts.nlargest(k, "_pri", keep="all").head(k)
+    return top.drop(columns=["_pri"]).reset_index(drop=True)

@@ -120,3 +120,72 @@ def test_extract_links(ray_session):
     pd.testing.assert_frame_equal(
         got.sort_values(["src", "href"]).reset_index(drop=True).astype(str),
         exp.sort_values(["src", "href"]).reset_index(drop=True).astype(str))
+
+
+def test_triangle_count_matches_brute_force(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.graph import (
+        triangle_count,
+    )
+
+    # K4 has exactly 4 triangles; add a disconnected edge (no effect)
+    k4 = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    edges = pd.DataFrame(k4 + [(10, 11)], columns=["src", "dst"])
+    assert triangle_count(rd.from_pandas(edges)) == 4
+
+    # random graph vs brute force (duplicates + reversed orientations)
+    rng = np.random.default_rng(5)
+    e = rng.integers(0, 25, size=(200, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+    und = {tuple(sorted(p)) for p in e.tolist()}
+    brute = sum(1 for a, b, c in itertools.combinations(range(25), 3)
+                if (a, b) in und and (b, c) in und and (a, c) in und)
+    assert triangle_count(rd.from_pandas(df)) == brute
+
+
+def test_dataset_split_stable_and_proportional(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        dataset_split,
+    )
+
+    frac = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = pd.DataFrame({"doc_id": np.arange(500)})
+    big = pd.DataFrame({"doc_id": np.arange(2000)})
+    s1 = dataset_split(rd.from_pandas(small), "doc_id", frac).to_pandas()
+    s2 = dataset_split(rd.from_pandas(big), "doc_id", frac).to_pandas()
+    merged = s1.merge(s2, on="doc_id", suffixes=("_small", "_big"))
+    # appending rows never moves an existing row's split
+    assert (merged["split_small"] == merged["split_big"]).all()
+    counts = s2["split"].value_counts(normalize=True)
+    assert abs(counts["train"] - 0.8) < 0.05
+    with pytest.raises(ValueError):
+        dataset_split(rd.from_pandas(small), "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        weighted_sample,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(4000),
+                       "grp": np.where(np.arange(4000) % 2 == 0,
+                                       "heavy", "light")})
+    w = {"heavy": 5.0, "light": 1.0}
+    s1 = weighted_sample(rd.from_pandas(df), "doc_id", w, k=200,
+                         group_col="grp")
+    s2 = weighted_sample(rd.from_pandas(df), "doc_id", w, k=200,
+                         group_col="grp")
+    assert len(s1) == 200
+    pd.testing.assert_frame_equal(
+        s1.sort_values("doc_id").reset_index(drop=True),
+        s2.sort_values("doc_id").reset_index(drop=True))
+    vc = s1["grp"].value_counts()
+    assert vc["heavy"] > 2.5 * vc.get("light", 0)

@@ -81,6 +81,9 @@ PINNED = [
     "fs_score",
     "cluster_metrics",
     "soundex_block",
+    "triangle_count",
+    "dataset_split",
+    "weighted_sample",
 ]
 
 

@@ -149,6 +149,16 @@ def pagerank(edges, nodes, n_nodes: int, node_col: str = "node",
 
     state = bucketed_map_groups(parts, ["node"], comb).materialize()
 
+    if edges.count() == 0:
+        # closed form: with every node dangling, total mass stays 1 and
+        # PR_t(v) = (1-d)/N + d/N = 1/N for every t
+        def uniform(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df[node_col].to_numpy(np.int64),
+                "pr": np.full(len(df), 1.0 / n_nodes),
+            })
+
+        return nodes.map_batches(uniform, batch_format="pandas")
     if n_nodes <= broadcast_limit:
         return _pagerank_broadcast(edges, state, n_nodes, n_iter, damping)
     return _pagerank_distributed(edges, state, n_nodes, n_iter, damping)
@@ -182,8 +192,11 @@ def _pagerank_broadcast(edges, state, n_nodes: int, n_iter: int,
         mapped = edges.map_batches(contrib_part, batch_format="pandas")
         contribs = partial_groupby_agg(mapped, ["node"],
                                        {"contrib": ("contrib", "sum")})
-        c = (contribs.set_index("node")["contrib"]
-             .reindex(node_idx).fillna(0.0))
+        if len(contribs) == 0:
+            c = pd.Series(0.0, index=node_idx)
+        else:
+            c = (contribs.set_index("node")["contrib"]
+                 .reindex(node_idx).fillna(0.0))
         rank = ((1.0 - damping) / n_nodes
                 + damping * (c + dangling / n_nodes))
 
@@ -309,7 +322,12 @@ def triangle_count(edges) -> int:
 
     und = bucketed_map_groups(
         edges.map_batches(canon, batch_format="pandas"),
-        ["lo", "hi"], dedup).materialize()
+        ["lo", "hi"], dedup,
+        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
+                                 "hi": np.empty(0, np.int64)})
+    ).materialize()
+    if und.count() == 0:
+        return 0
 
     e2 = und.map_batches(
         lambda df: df.rename(columns={"lo": "mid", "hi": "hi2"}),

@@ -189,3 +189,24 @@ def test_weighted_sample_deterministic_and_biased(ray_session):
         s2.sort_values("doc_id").reset_index(drop=True))
     vc = s1["grp"].value_counts()
     assert vc["heavy"] > 2.5 * vc.get("light", 0)
+
+
+def test_graph_ops_on_edgeless_graph(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.graph import (
+        triangle_count,
+    )
+
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)}))
+    nodes = rd.from_pandas(pd.DataFrame({"node": np.arange(3)}))
+    d = degree_stats(edges, nodes).to_pandas()
+    assert len(d) == 3 and (d["out_degree"] == 0).all()
+    p = pagerank(rd.from_pandas(pd.DataFrame(
+        {"src": np.empty(0, np.int64), "dst": np.empty(0, np.int64)})),
+        nodes, n_nodes=3, n_iter=3).to_pandas()
+    np.testing.assert_allclose(p["pr"].to_numpy(), 1 / 3, atol=1e-12)
+    assert triangle_count(rd.from_pandas(pd.DataFrame(
+        {"src": np.empty(0, np.int64),
+         "dst": np.empty(0, np.int64)}))) == 0

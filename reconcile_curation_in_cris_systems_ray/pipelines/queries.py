@@ -3725,6 +3725,140 @@ FROM documents GROUP BY source
 """
 
 
+_SNM_WINDOW = 4
+
+
+def q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo
+    1995) over part names: global (p_name, p_partkey) order via the
+    two-level-scan rank assignment, then every pair within a rank
+    window of 4 — linear pair volume, two narrow co-location shuffles,
+    no global sort materialization (stages/blocking.py::
+    sorted_neighborhood_pairs).  ASCII keys, so the pandas code-point
+    sort, the UTF-8 prefix ranges and DuckDB's binary collation agree."""
+    from ..stages.blocking import sorted_neighborhood_pairs
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+    return sorted_neighborhood_pairs(ds, "p_name", "p_partkey",
+                                     window=_SNM_WINDOW)
+
+
+SQL_SNM_PAIRS = f"""
+WITH ranked AS (
+  SELECT p_partkey AS id,
+         row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+  FROM part
+), offs AS (SELECT unnest(range(1, {_SNM_WINDOW})) AS d)
+SELECT a.id AS id_a, b.id AS id_b
+FROM ranked a CROSS JOIN offs CROSS JOIN ranked b
+WHERE b.rn = a.rn + offs.d
+"""
+
+
+def q_golden_record(sf_dir: str):
+    """Survivorship merge (golden record): one canonical row per
+    customer from their orders — deterministic mode of the priority,
+    longest priority string, status of the latest (date, orderkey)
+    order, first order date, max price.  One narrow co-location
+    shuffle, per-field policies vectorized per bucket
+    (stages/relational.py::golden_record)."""
+    from ..stages.relational import golden_record
+
+    ds = _rp(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+              "o_orderdate", "o_orderpriority"])
+    return golden_record(ds, "o_custkey", {
+        "priority_mode": ("mode", "o_orderpriority"),
+        "priority_longest": ("longest", "o_orderpriority"),
+        "status_latest": ("latest", "o_orderstatus", "o_orderdate",
+                          "o_orderkey"),
+        "first_order": ("min", "o_orderdate"),
+        "max_price": ("max", "o_totalprice"),
+    })
+
+
+SQL_GOLDEN_RECORD = """
+WITH pm AS (
+  SELECT o_custkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY cnt DESC, o_orderpriority) AS rk
+  FROM (SELECT o_custkey, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY 1, 2)
+), pl AS (
+  SELECT o_custkey, o_orderpriority,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY length(o_orderpriority) DESC, o_orderpriority) AS rk
+  FROM (SELECT DISTINCT o_custkey, o_orderpriority FROM orders)
+), st AS (
+  SELECT o_custkey, o_orderstatus,
+         row_number() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+  FROM orders
+), ag AS (
+  SELECT o_custkey, min(o_orderdate) AS first_order,
+         max(o_totalprice) AS max_price
+  FROM orders GROUP BY 1
+)
+SELECT ag.o_custkey, pm.o_orderpriority AS priority_mode,
+       pl.o_orderpriority AS priority_longest,
+       st.o_orderstatus AS status_latest,
+       ag.first_order, ag.max_price
+FROM ag
+JOIN (SELECT o_custkey, o_orderpriority FROM pm WHERE rk = 1) pm
+  USING (o_custkey)
+JOIN (SELECT o_custkey, o_orderpriority FROM pl WHERE rk = 1) pl
+  USING (o_custkey)
+JOIN (SELECT o_custkey, o_orderstatus FROM st WHERE rk = 1) st
+  USING (o_custkey)
+"""
+
+
+def q_blocking_quality(sf_dir: str):
+    """Blocking-scheme evaluation: Soundex of each document's first
+    word as the blocking key, language as the truth labeling —
+    reduction ratio, pairs completeness, pairs quality from the
+    Σ C(n,2) contingency identities (stages/metrics.py::
+    blocking_quality), zero pair enumeration."""
+    from ..functions.phonetic import soundex_series
+    from ..stages.metrics import blocking_quality
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        first = df["text"].astype("string").fillna("").str.strip() \
+            .str.extract(r"^(\S+)", expand=False).fillna("")
+        return pd.DataFrame({"blk": soundex_series(first),
+                             "lang": df["lang"].to_numpy()})
+
+    return blocking_quality(
+        ds.map_batches(derive, batch_format="pandas"), "blk", "lang")
+
+
+def _blocking_quality_sql() -> str:
+    from ..functions.phonetic import soundex_sql
+
+    blk = soundex_sql("regexp_extract(trim(coalesce(text, '')), '^\\S+')")
+    return f"""
+WITH cells AS (
+  SELECT {blk} AS blk, lang, count(*) AS n
+  FROM documents GROUP BY 1, 2),
+t AS (SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT) AS tp
+      FROM cells),
+p AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS BIGINT) AS cand
+      FROM (SELECT sum(n) AS s FROM cells GROUP BY blk)),
+r AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS BIGINT) AS tt
+      FROM (SELECT sum(n) AS s FROM cells GROUP BY lang)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM documents)
+SELECT nn.n_records, p.cand AS cand_pairs, r.tt AS true_pairs,
+       t.tp AS tp_pairs,
+       round(1 - p.cand / (nn.n_records * (nn.n_records - 1) / 2), 6)
+         AS reduction_ratio,
+       round(t.tp / r.tt, 6) AS pairs_completeness,
+       round(t.tp / p.cand, 6) AS pairs_quality
+FROM nn, t, p, r
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -3822,6 +3956,9 @@ QUERIES = {
     "weighted_sample": q_weighted_sample,
     "orc_roundtrip": q_orc_roundtrip,
     "ipc_roundtrip": q_ipc_roundtrip,
+    "snm_pairs": q_snm_pairs,
+    "golden_record": q_golden_record,
+    "blocking_quality": q_blocking_quality,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -3943,4 +4080,7 @@ ORACLES = {
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "orc_roundtrip": SQL_ORC_ROUNDTRIP,
     "ipc_roundtrip": SQL_IPC_ROUNDTRIP,
+    "snm_pairs": SQL_SNM_PAIRS,
+    "golden_record": SQL_GOLDEN_RECORD,
+    "blocking_quality": _blocking_quality_sql(),
 }

@@ -187,3 +187,136 @@ def exact_blocking_keys(ds, col: str, out_col: str = "block_key"):
         return df
 
     return ds.map_batches(derive, batch_format="pandas")
+
+
+def sorted_neighborhood_pairs(ds, key_col: str, id_col: str,
+                              window: int = 4, segment_len: int = 4096,
+                              num_buckets: int = 64):
+    """Sorted-neighborhood candidate generation (Hernandez & Stolfo
+    1995): order all records by ``(key, id)`` and emit every pair whose
+    global ranks differ by less than ``window`` — the classic
+    complement to exact-key blocking (F5 slot) for keys with
+    typos/prefix drift, where equal-key grouping misses near-sorted
+    neighbors.
+
+    Distributed plan (no global sort materialization, two bounded
+    co-location shuffles over NARROW rows):
+
+    1. order-preserving range bucket: ``rng`` = the key's first two
+       bytes as a big-endian int — lexicographic order on the key
+       implies non-decreasing ``rng``, so ranges are contiguous rank
+       spans.  (Production note: with a pathologically skewed key
+       distribution the 2-byte prefix can funnel rows into few ranges;
+       the fix is sample-quantile boundaries, same contract.)
+    2. per-range counts -> the driver's exclusive scan over <= 65536
+       scalars -> broadcast offsets (the pack_sequences two-level-scan
+       pattern).
+    3. shuffle #1 co-locates each range, sorts it by ``(key, id)``
+       locally and assigns the GLOBAL dense rank ``rn = offset + pos``.
+       Only ``(id, rn)`` — 16 B/row — leaves this stage; the key never
+       travels again.
+    4. map-only segment emit: ``seg = rn // segment_len``; the last
+       ``window-1`` rows of each segment are replicated to ``seg+1``
+       (marked non-native) so windows crossing the cut still see both
+       endpoints.
+    5. shuffle #2 co-locates segments; ranks inside a segment are
+       contiguous by construction, so after one local sort the pairs
+       at gap ``d`` are just ``(row[i], row[i+d])`` — emitted only when
+       the LARGER-rank row is native, which generates every qualifying
+       pair exactly once (the smaller endpoint is present natively or
+       via the replica band).
+
+    Output: ``(id_a, id_b)`` with ``id_a`` the smaller-rank record.
+    Pair volume is ~``N * (window-1)`` — linear, never quadratic.
+    """
+    import ray
+
+    from .shuffle import bucketed_map_groups
+
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    w = int(window)
+    L = max(int(segment_len), 4 * w)
+
+    def narrow(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_col].astype("string").fillna("")
+        b = key.str.slice(0, 2).str.encode("utf-8")
+        pref = np.array([int.from_bytes(x, "big") if len(x) >= 2
+                         else int.from_bytes(x + b"\x00" * (2 - len(x)),
+                                             "big")
+                         for x in b.to_numpy()], dtype=np.int64)
+        return pd.DataFrame({"id": df[id_col].to_numpy(),
+                             "key": key.to_numpy(dtype=object),
+                             "rng": pref})
+
+    nar = ds.map_batches(narrow, batch_format="pandas").materialize()
+
+    counts: dict[int, int] = {}
+    for r in nar.map_batches(
+            lambda df: df.groupby("rng", sort=False).size()
+            .rename("n").reset_index(), batch_format="pandas").take_all():
+        counts[r["rng"]] = counts.get(r["rng"], 0) + r["n"]
+    offsets, acc = {}, 0
+    for rng in sorted(counts):
+        offsets[rng] = acc
+        acc += counts[rng]
+    off_ref = ray.put(offsets)
+
+    def rank_range(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        outs = []
+        for rng, g in df.groupby("rng", sort=False):
+            g = g.sort_values(["key", "id"], kind="mergesort")
+            rn = offs[int(rng)] + np.arange(len(g), dtype=np.int64)
+            outs.append(pd.DataFrame({"id": g["id"].to_numpy(), "rn": rn}))
+        if not outs:
+            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "rn": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    empty_rank = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                               "rn": pd.Series([], dtype="int64")})
+    ranked = bucketed_map_groups(nar, ["rng"], rank_range,
+                                 num_buckets=num_buckets,
+                                 empty_like=empty_rank)
+
+    def emit_segments(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rn"].to_numpy()
+        seg = rn // L
+        native = pd.DataFrame({"id": df["id"].to_numpy(), "rn": rn,
+                               "seg": seg, "nat": True})
+        tail = (rn % L) >= L - (w - 1)
+        if tail.any():
+            rep = pd.DataFrame({"id": df["id"].to_numpy()[tail],
+                                "rn": rn[tail], "seg": seg[tail] + 1,
+                                "nat": False})
+            return pd.concat([native, rep], ignore_index=True)
+        return native
+
+    segged = ranked.map_batches(emit_segments, batch_format="pandas")
+
+    def pair_segment(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("seg", sort=False):
+            g = g.sort_values("rn", kind="mergesort") \
+                 .drop_duplicates("rn", keep="first")
+            rn = g["rn"].to_numpy()
+            ids = g["id"].to_numpy()
+            nat = g["nat"].to_numpy()
+            for d in range(1, w):
+                if len(rn) <= d:
+                    break
+                ok = (rn[d:] - rn[:-d] == d) & nat[d:]
+                if ok.any():
+                    outs.append(pd.DataFrame({"id_a": ids[:-d][ok],
+                                              "id_b": ids[d:][ok]}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    empty_pairs = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                "id_b": pd.Series([], dtype="int64")})
+    return bucketed_map_groups(segged, ["seg"], pair_segment,
+                               num_buckets=num_buckets,
+                               empty_like=empty_pairs)

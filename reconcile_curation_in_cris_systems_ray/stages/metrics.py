@@ -88,3 +88,29 @@ def pairwise_cluster_metrics(ds, pred_col: str, true_col: str) -> pd.DataFrame:
         "recall": [round(recall, 6)],
         "f1": [round(f1, 6)],
     })
+
+
+def blocking_quality(ds, block_col: str, label_col: str) -> pd.DataFrame:
+    """Blocking-scheme evaluation (the standard ER triple): candidate
+    pairs Σ C(n_block, 2), **reduction ratio** 1 - cand/C(N, 2),
+    **pairs completeness** (recall: fraction of true-match pairs that
+    share a block) and **pairs quality** (precision) — all from the
+    same contingency-count identities as
+    :func:`pairwise_cluster_metrics`, so 10^12 rows never enumerate a
+    single pair.  Single-key blocking contract: one block per record
+    (multi-key schemes need a distinct-pair correction this closed
+    form deliberately excludes)."""
+    m = pairwise_cluster_metrics(ds, block_col, label_col)
+    n = int(ds.count())
+    total_pairs = n * (n - 1) // 2
+    cand = int(m["pred_pairs"].iloc[0])
+    rr = 1.0 - cand / total_pairs if total_pairs else 1.0
+    return pd.DataFrame({
+        "n_records": [n],
+        "cand_pairs": [cand],
+        "true_pairs": [int(m["true_pairs"].iloc[0])],
+        "tp_pairs": [int(m["tp_pairs"].iloc[0])],
+        "reduction_ratio": [round(rr, 6)],
+        "pairs_completeness": [m["recall"].iloc[0]],
+        "pairs_quality": [m["precision"].iloc[0]],
+    })

@@ -534,3 +534,71 @@ def unpivot(ds, id_cols: Sequence[str], value_cols: Sequence[str],
 
     return ds.select_columns([*id_cols, *value_cols]).map_batches(
         melt, batch_format="pandas")
+
+
+def golden_record(ds, key: str, rules: dict[str, tuple[str, ...]],
+                  num_buckets: int = 64):
+    """Survivorship merge: collapse every ``key`` group to ONE canonical
+    record by per-field rules — the golden-record step that follows
+    cluster assembly in an ER pipeline (the reference's D1 priority
+    pick generalized from one global priority to per-field policies).
+
+    ``rules`` maps an output column to a policy tuple:
+
+    - ``("mode", col)`` — most frequent value, ties broken by the
+      smallest value (deterministic, unlike SQL ``mode()``),
+    - ``("longest", col)`` — longest string, ties by smallest value,
+    - ``("min", col)`` / ``("max", col)`` — plain extrema,
+    - ``("latest", col, ts_col, tie_col)`` — value of ``col`` on the
+      row with the greatest ``(ts_col, tie_col)``.
+
+    One co-location shuffle of the NARROW projection (key + referenced
+    columns only), vectorized pandas per bucket.  Scale note: ``mode``
+    is also expressible as a re-aggregable (key, value, count)
+    combiner when a single mode column dominates the payload; the
+    co-located form keeps all policies in one exchange, the same
+    contract as ``quantile_agg``/``outlier_filter`` (complete groups
+    per bucket)."""
+    from .shuffle import bucketed_map_groups
+
+    need = {key}
+    for pol in rules.values():
+        need.update(pol[1:])
+    cols = sorted(need)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        base = df[[key]].drop_duplicates().sort_values(key)
+        out = base.set_index(key)
+        for name, pol in rules.items():
+            kind, col = pol[0], pol[1]
+            if kind == "mode":
+                cnt = (df.groupby([key, col], sort=False)
+                       .size().rename("__n").reset_index()
+                       .sort_values(["__n", col],
+                                    ascending=[False, True],
+                                    kind="mergesort"))
+                pick = cnt.groupby(key, sort=False).first()[col]
+            elif kind == "longest":
+                t = df[[key, col]].copy()
+                t["__len"] = t[col].astype("string").fillna("").str.len()
+                t = t.sort_values(["__len", col],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+                pick = t.groupby(key, sort=False).first()[col]
+            elif kind in ("min", "max"):
+                g = df.groupby(key, sort=False)[col]
+                pick = g.min() if kind == "min" else g.max()
+            elif kind == "latest":
+                ts_col, tie_col = pol[2], pol[3]
+                t = df[[key, col, ts_col, tie_col]].sort_values(
+                    [ts_col, tie_col], ascending=[False, False],
+                    kind="mergesort")
+                pick = t.groupby(key, sort=False).first()[col]
+            else:
+                raise ValueError(f"unknown survivorship rule {kind!r}")
+            out[name] = pick
+        return out.reset_index()
+
+    narrow = ds.map_batches(lambda df: df[cols], batch_format="pandas")
+    return bucketed_map_groups(narrow, [key], merge,
+                               num_buckets=num_buckets)

@@ -84,6 +84,9 @@ PINNED = [
     "triangle_count",
     "dataset_split",
     "weighted_sample",
+    "snm_pairs",
+    "golden_record",
+    "blocking_quality",
 ]
 
 

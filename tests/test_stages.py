@@ -664,3 +664,94 @@ def test_fs_em_recovers_planted_parameters(ray_session):
     assert abs(params["lambda_"] - true_lam) < 0.03
     np.testing.assert_allclose(params["m"], true_m, atol=0.05)
     np.testing.assert_allclose(params["u"], true_u, atol=0.05)
+
+
+def _snm_expected(df: pd.DataFrame, key: str, idc: str, w: int):
+    """Brute-force SNM reference: full sort, all pairs within window."""
+    s = df.sort_values([key, idc], kind="mergesort").reset_index(drop=True)
+    out = []
+    for i in range(len(s)):
+        for j in range(i + 1, min(i + w, len(s))):
+            out.append((s[idc][i], s[idc][j]))
+    return sorted(out)
+
+
+def test_snm_pairs_matches_bruteforce_across_boundaries(ray_session):
+    """Tiny segment_len forces window pairs to cross segment cuts AND
+    range (first-2-byte prefix) boundaries; duplicate keys and empty
+    keys included."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.blocking import (
+        sorted_neighborhood_pairs)
+
+    rng = np.random.default_rng(7)
+    keys = ([""] * 3
+            + [f"a{chr(97 + i % 5)}x{i % 7}" for i in range(40)]
+            + ["zz"] * 4
+            + [f"{chr(98 + i % 20)}{i}" for i in range(40)])
+    ids = rng.permutation(len(keys)).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "i": ids})
+    ds = rd.from_pandas(df).repartition(5)
+    for w in (2, 4):
+        got = sorted_neighborhood_pairs(
+            ds, "k", "i", window=w, segment_len=8,
+            num_buckets=16).to_pandas()
+        got_pairs = sorted(zip(got["id_a"], got["id_b"]))
+        assert got_pairs == _snm_expected(df, "k", "i", w)
+        assert len(got_pairs) == len(set(got_pairs))
+
+
+def test_golden_record_policies(ray_session):
+    """Each survivorship rule against a hand-computed expectation,
+    including mode/longest tie-breaks."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        golden_record)
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2],
+        "v": ["bb", "aa", "bb", "aa", "ccc", "d"],
+        "ts": [5, 9, 9, 1, 3, 3],
+        "tie": [1, 2, 3, 4, 1, 2],
+        "x": [10.0, 2.0, 7.0, 4.0, 0.5, -1.0],
+    })
+    out = golden_record(
+        rd.from_pandas(df).repartition(3), "k",
+        {"v_mode": ("mode", "v"),
+         "v_long": ("longest", "v"),
+         "v_latest": ("latest", "v", "ts", "tie"),
+         "x_min": ("min", "x"),
+         "x_max": ("max", "x")},
+        num_buckets=4).to_pandas().sort_values("k").reset_index(drop=True)
+    # k=1: mode tie (aa x2, bb x2) -> smallest 'aa'; longest tie
+    # (both len 2) -> 'aa'; latest = max(ts, tie) = (9,3) -> 'bb'
+    assert out.loc[0, "v_mode"] == "aa"
+    assert out.loc[0, "v_long"] == "aa"
+    assert out.loc[0, "v_latest"] == "bb"
+    assert out.loc[0, "x_min"] == 2.0 and out.loc[0, "x_max"] == 10.0
+    # k=2: mode tie (ccc, d) -> 'ccc'; longest 'ccc';
+    # latest tie ts=3 -> tie 2 -> 'd'
+    assert out.loc[1, "v_mode"] == "ccc"
+    assert out.loc[1, "v_long"] == "ccc"
+    assert out.loc[1, "v_latest"] == "d"
+
+
+def test_blocking_quality_identities(ray_session):
+    """Metric identities on a hand-checkable labeling."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.metrics import (
+        blocking_quality)
+
+    # blocks: A={1,2,3}, B={4,5}; truth: X={1,2,4}, Y={3,5}
+    df = pd.DataFrame({"blk": list("AAABB"), "lab": list("XXYXY")})
+    out = blocking_quality(rd.from_pandas(df).repartition(2), "blk", "lab")
+    assert int(out["n_records"].iloc[0]) == 5
+    assert int(out["cand_pairs"].iloc[0]) == 4   # C(3,2)+C(2,2)=3+1
+    assert int(out["true_pairs"].iloc[0]) == 4   # C(3,2)+C(2,2)
+    assert int(out["tp_pairs"].iloc[0]) == 1     # only (1,2) co-blocked
+    assert float(out["reduction_ratio"].iloc[0]) == round(1 - 4 / 10, 6)
+    assert float(out["pairs_completeness"].iloc[0]) == 0.25
+    assert float(out["pairs_quality"].iloc[0]) == 0.25

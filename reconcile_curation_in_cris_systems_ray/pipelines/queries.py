@@ -3859,6 +3859,100 @@ FROM nn, t, p, r
 """
 
 
+def q_mutual_best_match(sf_dir: str):
+    """One-to-one linkage assignment: deterministic hash-derived
+    scored candidate pairs (DuckDB hash() parity, the link-graph
+    fixture discipline), then the mutual-argmax round — a pair
+    survives iff each side is the other's best match
+    (stages/relational.py::mutual_best_match).  Per-batch argmax
+    partials keep the co-location shuffles at one row per (batch,
+    key); the mutual check is an equi-join of the two best tables."""
+    from ..functions.similarity import hash_strings_fast
+    from ..stages.relational import mutual_best_match
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        k = ids % 5
+        total = int(k.sum())
+        if total == 0:
+            return pd.DataFrame({"a": np.empty(0, np.int64),
+                                 "b": np.empty(0, np.int64),
+                                 "score": np.empty(0, np.float64)})
+        a = np.repeat(ids, k)
+        starts = np.cumsum(k) - k
+        j = np.arange(total, dtype=np.int64) - np.repeat(starts, k) + 1
+        keys = (pd.Series(a).astype(str) + "~"
+                + pd.Series(j).astype(str)).tolist()
+        b = (hash_strings_fast(keys) % np.uint64(500)).astype(np.int64)
+        score = (hash_strings_fast(["s" + s for s in keys])
+                 % np.uint64(1000003)).astype(np.float64) / 1000003.0
+        return pd.DataFrame({"a": a, "b": b, "score": score})
+
+    pairs = docs.map_batches(gen, batch_format="pandas")
+    out = mutual_best_match(pairs, "a", "b", "score")
+    return out.map_batches(
+        lambda df: df.assign(score=df["score"].round(6)),
+        batch_format="pandas")
+
+
+SQL_MUTUAL_BEST_MATCH = """
+WITH raw AS (
+  SELECT CAST(d.doc_id AS BIGINT) AS a,
+         CAST(hash(CAST(d.doc_id AS VARCHAR) || '~'
+                   || CAST(t.j AS VARCHAR)) % 500 AS BIGINT) AS b,
+         CAST(hash('s' || CAST(d.doc_id AS VARCHAR) || '~'
+                   || CAST(t.j AS VARCHAR)) % 1000003 AS DOUBLE)
+             / 1000003 AS score
+  FROM documents d, unnest(generate_series(1, d.doc_id % 5)) AS t(j)),
+ba AS (SELECT a, b, score FROM (
+         SELECT a, b, score, row_number() OVER (
+             PARTITION BY a ORDER BY score DESC, b) AS rk FROM raw)
+       WHERE rk = 1),
+bb AS (SELECT a, b FROM (
+         SELECT a, b, row_number() OVER (
+             PARTITION BY b ORDER BY score DESC, a) AS rk FROM raw)
+       WHERE rk = 1)
+SELECT ba.a, ba.b, round(ba.score, 6) AS score
+FROM ba JOIN bb ON ba.a = bb.a AND ba.b = bb.b
+"""
+
+
+_SCD2_SENTINEL = pd.Timestamp("2100-01-01")
+
+
+def q_scd2_intervals(sf_dir: str):
+    """SCD type-2 history build over the event stream: per user,
+    consecutive events with an unchanged event_type collapse into one
+    validity interval [valid_from, valid_to), valid_to = next
+    version's start (sentinel 2100-01-01 for the current version) —
+    stages/temporal.py::scd2_intervals, one hash shuffle on the key."""
+    from ..stages.temporal import scd2_intervals
+
+    events = _rp(sf_dir, "events",
+                 ["event_id", "ts", "user_id", "event_type"])
+    return scd2_intervals(events, key="user_id", ts_col="ts",
+                          val_col="event_type", tie_col="event_id",
+                          fill_to=_SCD2_SENTINEL)
+
+
+SQL_SCD2_INTERVALS = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS pv
+  FROM events),
+chg AS (SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE pv IS NULL OR event_type <> pv)
+SELECT user_id, event_type AS value, ts AS valid_from,
+       coalesce(lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id),
+                TIMESTAMP '2100-01-01') AS valid_to
+FROM chg
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -3959,6 +4053,8 @@ QUERIES = {
     "snm_pairs": q_snm_pairs,
     "golden_record": q_golden_record,
     "blocking_quality": q_blocking_quality,
+    "mutual_best_match": q_mutual_best_match,
+    "scd2_intervals": q_scd2_intervals,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4083,4 +4179,6 @@ ORACLES = {
     "snm_pairs": SQL_SNM_PAIRS,
     "golden_record": SQL_GOLDEN_RECORD,
     "blocking_quality": _blocking_quality_sql(),
+    "mutual_best_match": SQL_MUTUAL_BEST_MATCH,
+    "scd2_intervals": SQL_SCD2_INTERVALS,
 }

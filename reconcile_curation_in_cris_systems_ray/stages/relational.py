@@ -602,3 +602,43 @@ def golden_record(ds, key: str, rules: dict[str, tuple[str, ...]],
     narrow = ds.map_batches(lambda df: df[cols], batch_format="pandas")
     return bucketed_map_groups(narrow, [key], merge,
                                num_buckets=num_buckets)
+
+
+def mutual_best_match(pairs, a_col: str, b_col: str, score_col: str,
+                      num_buckets: int = 64):
+    """One-to-one linkage assignment: from a scored candidate-pair
+    table keep exactly the pairs where ``b`` is ``a``'s best match AND
+    ``a`` is ``b``'s best match (ties broken by the smaller partner
+    id) — the mutual-argmax round that turns a many-to-many match
+    table into a 1:1 assignment, the standard post-scoring resolution
+    when each record may link to at most one partner.
+
+    Scale plan: each side's argmax is a re-aggregable per-batch
+    partial (max over (score, -partner) is associative), so only ONE
+    best-candidate row per (batch, key) enters the two tiny
+    co-location shuffles; the mutual check is then an equi-join of the
+    two best tables on the (a, b) pair — never a shuffle of the full
+    pair set beyond its batch partials."""
+    from .shuffle import bucketed_map_groups
+
+    def best_of(side: str, partner: str):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            t = df[[side, partner, score_col]].sort_values(
+                [side, score_col, partner],
+                ascending=[True, False, True], kind="mergesort")
+            return t.groupby(side, sort=False, as_index=False).first()
+
+        parts = pairs.map_batches(partial, batch_format="pandas")
+        # the trailing repartition coalesces away the schema-less
+        # empty blocks sparse buckets emit at tiny inputs (map_batches
+        # can't fix them — Ray skips the UDF on empty blocks), which
+        # acero's join rejects; it also right-sizes the join's input
+        return bucketed_map_groups(parts, [side], partial,
+                                   num_buckets=num_buckets) \
+            .repartition(_num_partitions())
+
+    best_a = best_of(a_col, b_col)                       # 1 row per a
+    best_b = best_of(b_col, a_col).map_batches(
+        lambda df: df[[a_col, b_col]], batch_format="pandas")
+
+    return hash_join(best_a, best_b, on=[a_col, b_col], how="inner")

@@ -375,3 +375,47 @@ def quantile_agg(ds, keys: Sequence[str], value_col: str,
 
     return bucketed_map_groups(ds.select_columns([*keys, value_col]),
                                keys, bucket_fn, num_buckets)
+
+
+def scd2_intervals(ds, key: str, ts_col: str, val_col: str,
+                   tie_col: str, fill_to=None, num_buckets: int = 64):
+    """Slowly-changing-dimension type-2 history build: collapse a
+    per-key change-event stream to one row per VERSION — consecutive
+    rows with an unchanged ``val_col`` merge into one validity
+    interval ``[valid_from, valid_to)``, where ``valid_to`` is the
+    next version's start (``fill_to`` for the still-current version,
+    matching a SQL ``COALESCE(lead(ts), sentinel)``).
+
+    The canonical warehouse curation step for reconciling mutable
+    entity attributes over time (the temporal complement of the
+    golden-record merge).  Same partitioning contract as the other
+    window ops: ONE hash shuffle on the key, then a vectorized
+    sort + shift per bucket; ``tie_col`` makes equal-timestamp
+    ordering deterministic.  Non-null ``val_col`` contract: SQL's
+    ``lag(v) <> v`` treats consecutive NULLs as unchanged while
+    pandas ``ne`` treats every NaN as a change — callers with
+    nullable values must fill a sentinel first."""
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({key: df[key].iloc[:0],
+                              "value": df[val_col].iloc[:0],
+                              "valid_from": df[ts_col].iloc[:0],
+                              "valid_to": df[ts_col].iloc[:0]})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values([key, ts_col, tie_col], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        changed = df[val_col].ne(g[val_col].shift(1)) \
+            | g.cumcount().eq(0)
+        kept = df[changed].copy()
+        if len(kept) == 0:
+            return empty
+        nxt = kept.groupby(key, sort=False)[ts_col].shift(-1)
+        if fill_to is not None:
+            nxt = nxt.fillna(fill_to)
+        return pd.DataFrame({key: kept[key].to_numpy(),
+                             "value": kept[val_col].to_numpy(),
+                             "valid_from": kept[ts_col].to_numpy(),
+                             "valid_to": nxt.to_numpy()})
+
+    return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)

@@ -87,6 +87,8 @@ PINNED = [
     "snm_pairs",
     "golden_record",
     "blocking_quality",
+    "mutual_best_match",
+    "scd2_intervals",
 ]
 
 

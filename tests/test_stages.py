@@ -755,3 +755,90 @@ def test_blocking_quality_identities(ray_session):
     assert float(out["reduction_ratio"].iloc[0]) == round(1 - 4 / 10, 6)
     assert float(out["pairs_completeness"].iloc[0]) == 0.25
     assert float(out["pairs_quality"].iloc[0]) == 0.25
+
+
+def test_mutual_best_match_hand_case(ray_session):
+    """Mutual argmax keeps only reciprocal bests; ties resolve to the
+    smaller partner id."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        mutual_best_match)
+
+    pairs = pd.DataFrame({
+        # a=1: best b=10 (0.9); b=10: best a=1 -> kept
+        # a=2: best b=10 (0.8) but b=10 prefers a=1 -> dropped
+        # a=3: tie 0.7 between b=20/b=30 -> b=20; b=20 best a=3 -> kept
+        "a": [1, 1, 2, 3, 3, 4],
+        "b": [10, 20, 10, 20, 30, 30],
+        "s": [0.9, 0.1, 0.8, 0.7, 0.7, 0.2],
+    })
+    got = mutual_best_match(rd.from_pandas(pairs).repartition(3),
+                            "a", "b", "s", num_buckets=4).to_pandas()
+    got = got.sort_values("a").reset_index(drop=True)
+    # (4, 30) must NOT appear: b=30's best is a=3 (0.7 > 0.2), even
+    # though a=3's own argmax went to b=20 on the tie-break
+    assert list(zip(got["a"], got["b"])) == [(1, 10), (3, 20)]
+
+
+def test_mutual_best_match_matches_bruteforce(ray_session):
+    """Randomized pin vs a pandas argmax/argmax reference."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        mutual_best_match)
+
+    rng = np.random.default_rng(11)
+    n = 400
+    df = pd.DataFrame({
+        "a": rng.integers(0, 60, n),
+        "b": rng.integers(100, 140, n),
+        "s": np.round(rng.random(n), 3),
+    }).drop_duplicates(["a", "b"], keep="first")
+    ba = df.sort_values(["a", "s", "b"], ascending=[True, False, True],
+                        kind="mergesort").groupby("a").first().reset_index()
+    bb = df.sort_values(["b", "s", "a"], ascending=[True, False, True],
+                        kind="mergesort").groupby("b").first().reset_index()
+    exp = ba.merge(bb[["a", "b"]], on=["a", "b"])
+    got = mutual_best_match(rd.from_pandas(df).repartition(5),
+                            "a", "b", "s", num_buckets=8).to_pandas()
+    assert (sorted(zip(got["a"], got["b"], got["s"]))
+            == sorted(zip(exp["a"], exp["b"], exp["s"])))
+
+
+def test_scd2_intervals_collapse_and_sentinel(ray_session):
+    """Consecutive duplicates collapse; valid_to chains to the next
+    version; the current version gets the sentinel; equal-ts rows
+    order by the tie column."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.temporal import (
+        scd2_intervals)
+
+    ts = pd.to_datetime(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04",
+         "2024-01-01", "2024-01-01", "2024-01-05"])
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2, 2],
+        "ts": ts,
+        "v": ["x", "x", "y", "x", "p", "q", "q"],
+        "tie": [1, 2, 3, 4, 2, 1, 3],  # k=2 same-ts: tie 1 ('q') first
+    })
+    sent = pd.Timestamp("2100-01-01")
+    got = scd2_intervals(rd.from_pandas(df).repartition(3), "k", "ts",
+                         "v", "tie", fill_to=sent, num_buckets=4) \
+        .to_pandas().sort_values(["k", "valid_from", "value"]) \
+        .reset_index(drop=True)
+    k1 = got[got["k"] == 1].reset_index(drop=True)
+    assert list(k1["value"]) == ["x", "y", "x"]
+    assert k1["valid_to"].iloc[0] == pd.Timestamp("2024-01-03")
+    assert k1["valid_to"].iloc[1] == pd.Timestamp("2024-01-04")
+    assert k1["valid_to"].iloc[2] == sent
+    # k=2: order at 01-01 is tie=1 ('q') then tie=2 ('p') -> versions
+    # q[01-01, 01-01), p[01-01, 01-05), q[01-05, sentinel)
+    k2 = got[got["k"] == 2].sort_values(["valid_from", "valid_to"]) \
+        .reset_index(drop=True)
+    assert list(k2["value"]) == ["q", "p", "q"]
+    assert k2["valid_to"].iloc[0] == pd.Timestamp("2024-01-01")
+    assert k2["valid_to"].iloc[1] == pd.Timestamp("2024-01-05")
+    assert k2["valid_to"].iloc[2] == sent

@@ -3953,6 +3953,65 @@ FROM chg
 """
 
 
+def q_standardize_values(sf_dir: str):
+    """Dictionary standardization with fuzzy fallback: supplier nation
+    names deterministically corrupted (suppkey-positioned char drop on
+    every 3rd supplier), then folded back onto the canonical nation
+    list via the per-worker DuckDB jaro_winkler argmax
+    (stages/scoring.py::ValueStandardizer — ST3 pattern, broadcast
+    canon).  The oracle reruns the identical kernel, so values match
+    bit-for-bit.  The corruption loop is fixture construction, not the
+    operator (the operator itself is one vectorized cross join)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.scoring import standardize_values
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    lookup = dict(zip(nat.column("n_nationkey").to_pylist(),
+                      nat.column("n_name").to_pylist()))
+    canon = sorted(lookup.values())
+
+    sup = _rp(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def corrupt(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["s_suppkey"].to_numpy(np.int64)
+        names = df["s_nationkey"].map(lookup)
+        raw = []
+        for k, s in zip(keys, names):
+            if k % 3 == 0:
+                p = int(k % len(s))
+                s = s[:p] + s[p + 1:]
+            raw.append(s)
+        return pd.DataFrame({"s_suppkey": keys, "raw": raw})
+
+    ds = sup.map_batches(corrupt, batch_format="pandas")
+    return standardize_values(ds, canon, col="raw", threshold=0.85)
+
+
+SQL_STANDARDIZE_VALUES = """
+WITH raw AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 3 = 0 THEN
+           substr(n_name, 1, CAST(s_suppkey % length(n_name) AS INT))
+           || substr(n_name, CAST(s_suppkey % length(n_name) AS INT) + 2)
+         ELSE n_name END AS raw
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey),
+canon AS (SELECT n_name AS canon FROM nation),
+best AS (
+  SELECT val, canon, jaro_winkler_similarity(val, canon) AS jw,
+         row_number() OVER (PARTITION BY val
+             ORDER BY jaro_winkler_similarity(val, canon) DESC, canon)
+             AS rk
+  FROM (SELECT DISTINCT raw AS val FROM raw) CROSS JOIN canon)
+SELECT r.s_suppkey, r.raw,
+       CASE WHEN b.jw >= 0.85 THEN b.canon ELSE r.raw END AS std,
+       round(b.jw, 6) AS std_jw,
+       b.jw >= 0.85 AS std_matched
+FROM raw r JOIN best b ON b.val = r.raw AND b.rk = 1
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4055,6 +4114,7 @@ QUERIES = {
     "blocking_quality": q_blocking_quality,
     "mutual_best_match": q_mutual_best_match,
     "scd2_intervals": q_scd2_intervals,
+    "standardize_values": q_standardize_values,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4181,4 +4241,5 @@ ORACLES = {
     "blocking_quality": _blocking_quality_sql(),
     "mutual_best_match": SQL_MUTUAL_BEST_MATCH,
     "scd2_intervals": SQL_SCD2_INTERVALS,
+    "standardize_values": SQL_STANDARDIZE_VALUES,
 }

@@ -504,3 +504,77 @@ def fs_em(pairs, indicator_cols, iters: int = 100, tol: float = 1e-12,
             break
     return ({"m": m, "u": u, "lambda_": lam,
              "n_pairs": int(n_total), "n_iter": it}, patterns)
+
+
+class ValueStandardizer:
+    """Attribute standardization against a canonical dictionary — the
+    classic ER preprocessing step (country/org/category names with
+    typos folded onto their canonical spelling before blocking).
+
+    The canonical list ships once via ``ray.put``; each actor loads it
+    into an in-process DuckDB table in ``__init__`` (the ST3
+    per-worker-state pattern) and resolves each batch's DISTINCT
+    values with one cross join + argmax on the C++
+    ``jaro_winkler_similarity`` kernel — ties by the smallest
+    canonical, values below ``threshold`` pass through unchanged.
+    Because the scorer IS DuckDB's kernel, a SQL oracle reproduces the
+    operator bit-for-bit.  Contract: ``col`` non-null (coalesce
+    upstream); canonical list config-scale (every distinct batch value
+    is compared to all of it).
+    """
+
+    def __init__(self, canon_ref, col: str = "val", out_col: str = "std",
+                 threshold: float = 0.85):
+        import duckdb
+        import ray
+
+        self.con = duckdb.connect()
+        self.con.execute("PRAGMA threads=1")
+        self.col = col
+        self.out_col = out_col
+        self.threshold = float(threshold)
+        canon = ray.get(canon_ref)
+        self.con.register(
+            "canon", pa.table({"canon": pa.array(canon, pa.string())}))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(
+                self.out_col, pa.array([], pa.string())).append_column(
+                "std_jw", pa.array([], pa.float64())).append_column(
+                "std_matched", pa.array([], pa.bool_()))
+        self.con.register("lhs", batch)
+        out = self.con.execute(f"""
+            WITH vals AS (SELECT DISTINCT {self.col} AS val FROM lhs),
+            best AS (
+              SELECT val, canon,
+                     jaro_winkler_similarity(val, canon) AS jw,
+                     row_number() OVER (PARTITION BY val
+                         ORDER BY jaro_winkler_similarity(val, canon)
+                             DESC, canon) AS rk
+              FROM vals CROSS JOIN canon)
+            SELECT l.*,
+                   CASE WHEN b.jw >= {self.threshold} THEN b.canon
+                        ELSE l.{self.col} END AS {self.out_col},
+                   round(b.jw, 6) AS std_jw,
+                   b.jw >= {self.threshold} AS std_matched
+            FROM lhs l JOIN best b ON b.val = l.{self.col} AND b.rk = 1
+            """).arrow()
+        self.con.unregister("lhs")
+        return out
+
+
+def standardize_values(ds, canon: list[str], col: str, out_col: str = "std",
+                       threshold: float = 0.85, batch_size: int = 8192,
+                       concurrency=(1, 8)):
+    """Actor-pool wrapper for :class:`ValueStandardizer` (canonical
+    list broadcast once, loaded per actor)."""
+    import ray
+
+    canon_ref = ray.put(list(canon))
+    return ds.map_batches(
+        ValueStandardizer,
+        fn_constructor_kwargs={"canon_ref": canon_ref, "col": col,
+                               "out_col": out_col, "threshold": threshold},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

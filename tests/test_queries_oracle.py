@@ -89,6 +89,7 @@ PINNED = [
     "blocking_quality",
     "mutual_best_match",
     "scd2_intervals",
+    "standardize_values",
 ]
 
 

@@ -842,3 +842,22 @@ def test_scd2_intervals_collapse_and_sentinel(ray_session):
     assert k2["valid_to"].iloc[0] == pd.Timestamp("2024-01-01")
     assert k2["valid_to"].iloc[1] == pd.Timestamp("2024-01-05")
     assert k2["valid_to"].iloc[2] == sent
+
+
+def test_standardize_values_folds_typos(ray_session):
+    """Typo'd values fold onto the canonical spelling; dissimilar
+    values pass through unchanged with std_matched False."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.scoring import (
+        standardize_values)
+
+    canon = ["GERMANY", "FRANCE", "JAPAN"]
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "v": ["GERMNY", "FRANCE", "JPAN", "XQZW"]})
+    out = standardize_values(rd.from_pandas(df).repartition(2), canon,
+                             col="v", threshold=0.85) \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(out["std"]) == ["GERMANY", "FRANCE", "JAPAN", "XQZW"]
+    assert list(out["std_matched"]) == [True, True, True, False]
+    assert out["std_jw"].iloc[1] == 1.0

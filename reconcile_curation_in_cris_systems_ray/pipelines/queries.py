@@ -4012,6 +4012,83 @@ FROM raw r JOIN best b ON b.val = r.raw AND b.rk = 1
 """
 
 
+def q_temporal_join(sf_dir: str):
+    """Temporal join of two SCD2 histories: per user, the event_type
+    history aligned against a derived value-band ('hi'/'lo' at 50)
+    history — one row per overlapping version pair with the
+    intersection interval, computed as a boundary SWEEP (O(|A|+|B|)
+    per key) instead of a per-key cross join
+    (stages/temporal.py::temporal_join)."""
+    from ..stages.temporal import scd2_intervals, temporal_join
+
+    events = _rp(sf_dir, "events",
+                 ["event_id", "ts", "user_id", "event_type", "value"])
+    hist_a = scd2_intervals(
+        events.select_columns(["event_id", "ts", "user_id",
+                               "event_type"]),
+        key="user_id", ts_col="ts", val_col="event_type",
+        tie_col="event_id", fill_to=_SCD2_SENTINEL).map_batches(
+        lambda df: df.rename(columns={"value": "type_val"}),
+        batch_format="pandas")
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "ts": df["ts"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "band": np.where(df["value"].fillna(0.0).to_numpy() >= 50.0,
+                             "hi", "lo")})
+
+    hist_b = scd2_intervals(
+        events.map_batches(band, batch_format="pandas"),
+        key="user_id", ts_col="ts", val_col="band",
+        tie_col="event_id", fill_to=_SCD2_SENTINEL).map_batches(
+        lambda df: df.rename(columns={"value": "band_val"}),
+        batch_format="pandas")
+
+    return temporal_join(hist_a, hist_b, "user_id",
+                         "type_val", "band_val")
+
+
+SQL_TEMPORAL_JOIN = """
+WITH ea AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS pv
+  FROM events),
+ca AS (SELECT user_id, event_type, ts, event_id FROM ea
+       WHERE pv IS NULL OR event_type <> pv),
+oa AS (SELECT user_id, event_type AS type_val, ts AS valid_from,
+              coalesce(lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id),
+                       TIMESTAMP '2100-01-01') AS valid_to
+       FROM ca),
+eb AS (
+  SELECT user_id,
+         CASE WHEN coalesce(value, 0) >= 50 THEN 'hi' ELSE 'lo' END
+             AS band, ts, event_id
+  FROM events),
+eb2 AS (SELECT user_id, band, ts, event_id,
+               lag(band) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS pv
+        FROM eb),
+cb AS (SELECT user_id, band, ts, event_id FROM eb2
+       WHERE pv IS NULL OR band <> pv),
+ob AS (SELECT user_id, band AS band_val, ts AS valid_from,
+              coalesce(lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id),
+                       TIMESTAMP '2100-01-01') AS valid_to
+       FROM cb)
+SELECT a.user_id, a.type_val, b.band_val,
+       greatest(a.valid_from, b.valid_from) AS valid_from,
+       least(a.valid_to, b.valid_to) AS valid_to
+FROM oa a JOIN ob b ON a.user_id = b.user_id
+ AND a.valid_from < b.valid_to AND b.valid_from < a.valid_to
+ AND greatest(a.valid_from, b.valid_from)
+     < least(a.valid_to, b.valid_to)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4115,6 +4192,7 @@ QUERIES = {
     "mutual_best_match": q_mutual_best_match,
     "scd2_intervals": q_scd2_intervals,
     "standardize_values": q_standardize_values,
+    "temporal_join": q_temporal_join,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4242,4 +4320,5 @@ ORACLES = {
     "mutual_best_match": SQL_MUTUAL_BEST_MATCH,
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "standardize_values": SQL_STANDARDIZE_VALUES,
+    "temporal_join": SQL_TEMPORAL_JOIN,
 }

@@ -419,3 +419,74 @@ def scd2_intervals(ds, key: str, ts_col: str, val_col: str,
                              "valid_to": nxt.to_numpy()})
 
     return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
+
+
+def temporal_join(a, b, key: str, val_a: str, val_b: str,
+                  from_col: str = "valid_from", to_col: str = "valid_to",
+                  num_buckets: int = 64):
+    """Temporal (interval-overlap) join of two validity-interval tables
+    on ``key``: one output row per overlapping version pair, carrying
+    both values and the INTERSECTION interval — the step that
+    reconciles two SCD2 attribute histories into combined validity
+    spans (SQL: join on key + ``a.from < b.to AND b.from < a.to``,
+    interval = ``[greatest(from), least(to))``, empty intersections
+    excluded).
+
+    Contract: each side's intervals are disjoint per key (what
+    :func:`scd2_intervals` emits).  Under it the join is computed as a
+    BOUNDARY SWEEP, not a cross join: per key, the union of endpoints
+    cuts the timeline into segments, and each segment covered by both
+    sides is exactly one overlapping pair's intersection — O(|A|+|B|)
+    work and output per key where the naive per-key cross join is
+    O(|A|x|B|).  One co-location shuffle of the tagged union."""
+    from .shuffle import bucketed_map_groups
+
+    def tag(ds, side: int, val: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({key: df[key].to_numpy(),
+                                 "__frm": df[from_col].to_numpy(),
+                                 "__to": df[to_col].to_numpy(),
+                                 "__val": df[val].to_numpy(dtype=object),
+                                 "__side": np.int8(side)})
+        return ds.map_batches(f, batch_format="pandas")
+
+    both = tag(a, 0, val_a).union(tag(b, 1, val_b))
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for k, g in df.groupby(key, sort=False):
+            ga = g[g["__side"] == 0].sort_values(["__frm", "__to"],
+                                                 kind="mergesort")
+            gb = g[g["__side"] == 1].sort_values(["__frm", "__to"],
+                                                 kind="mergesort")
+            if len(ga) == 0 or len(gb) == 0:
+                continue
+            aF, aT = ga["__frm"].to_numpy(), ga["__to"].to_numpy()
+            bF, bT = gb["__frm"].to_numpy(), gb["__to"].to_numpy()
+            pts = np.unique(np.concatenate([aF, aT, bF, bT]))
+            if len(pts) < 2:
+                continue
+            s, e = pts[:-1], pts[1:]
+            ia = np.searchsorted(aF, s, side="right") - 1
+            ib = np.searchsorted(bF, s, side="right") - 1
+            cov = (ia >= 0) & (ib >= 0)
+            cov[cov] &= (aT[ia[cov]] > s[cov]) & (bT[ib[cov]] > s[cov])
+            if not cov.any():
+                continue
+            outs.append(pd.DataFrame({
+                key: np.repeat(k, int(cov.sum())),
+                val_a: ga["__val"].to_numpy()[ia[cov]],
+                val_b: gb["__val"].to_numpy()[ib[cov]],
+                from_col: s[cov],
+                to_col: e[cov]}))
+        if not outs:
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 val_a: pd.Series([], dtype="string"),
+                                 val_b: pd.Series([], dtype="string"),
+                                 from_col: pd.Series([],
+                                                     dtype="datetime64[us]"),
+                                 to_col: pd.Series([],
+                                                   dtype="datetime64[us]")})
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_map_groups(both, [key], bucket_fn, num_buckets)

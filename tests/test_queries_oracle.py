@@ -90,6 +90,7 @@ PINNED = [
     "mutual_best_match",
     "scd2_intervals",
     "standardize_values",
+    "temporal_join",
 ]
 
 

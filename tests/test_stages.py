@@ -861,3 +861,46 @@ def test_standardize_values_folds_typos(ray_session):
     assert list(out["std"]) == ["GERMANY", "FRANCE", "JAPAN", "XQZW"]
     assert list(out["std_matched"]) == [True, True, True, False]
     assert out["std_jw"].iloc[1] == 1.0
+
+
+def test_temporal_join_matches_crossjoin_reference(ray_session):
+    """Boundary sweep == cross-join-with-overlap-filter on disjoint
+    per-key intervals, including gaps, aligned endpoints, and keys
+    present on only one side."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.temporal import (
+        temporal_join)
+
+    def iv(rows):
+        return pd.DataFrame(rows, columns=["k", "av", "valid_from",
+                                           "valid_to"])
+
+    a = pd.DataFrame({
+        "k": [1, 1, 1, 2, 3],
+        "av": ["x", "y", "z", "p", "q"],
+        "valid_from": [0, 10, 30, 0, 0],
+        "valid_to": [10, 20, 40, 50, 5],   # gap 20-30 on k=1
+    })
+    b = pd.DataFrame({
+        "k": [1, 1, 2, 4],
+        "bv": ["m", "n", "r", "s"],
+        "valid_from": [5, 15, 10, 0],
+        "valid_to": [15, 35, 20, 9],
+    })
+    got = temporal_join(rd.from_pandas(a).repartition(2),
+                        rd.from_pandas(b).repartition(2),
+                        "k", "av", "bv", num_buckets=4).to_pandas()
+    got = got.sort_values(["k", "valid_from", "av", "bv"]) \
+        .reset_index(drop=True)
+    # brute-force reference
+    m = a.merge(b, on="k", suffixes=("_a", "_b"))
+    m = m[(m["valid_from_a"] < m["valid_to_b"])
+          & (m["valid_from_b"] < m["valid_to_a"])]
+    m["valid_from"] = m[["valid_from_a", "valid_from_b"]].max(axis=1)
+    m["valid_to"] = m[["valid_to_a", "valid_to_b"]].min(axis=1)
+    m = m[m["valid_from"] < m["valid_to"]]
+    exp = m[["k", "av", "bv", "valid_from", "valid_to"]] \
+        .sort_values(["k", "valid_from", "av", "bv"]) \
+        .reset_index(drop=True)
+    assert (got.values.tolist() == exp.values.tolist()), (got, exp)

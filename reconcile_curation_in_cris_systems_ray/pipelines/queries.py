@@ -4089,6 +4089,118 @@ FROM oa a JOIN ob b ON a.user_id = b.user_id
 """
 
 
+def q_snm_multipass(sf_dir: str):
+    """Multi-pass sorted neighborhood (the Hernandez & Stolfo 1995
+    production variant): one SNM pass over p_name and one over the
+    REVERSED p_name (suffix order catches prefix typos the forward
+    sort separates), pairs canonicalized to (min_id, max_id) and
+    deduplicated — union of linear pair sets, still linear."""
+    from ..stages.blocking import sorted_neighborhood_pairs
+    from ..stages.relational import distinct
+
+    ds = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+    p1 = sorted_neighborhood_pairs(ds, "p_name", "p_partkey",
+                                   window=_SNM_WINDOW)
+    rev = ds.map_batches(
+        lambda df: df.assign(
+            rev=df["p_name"].astype("string").fillna("").str[::-1]),
+        batch_format="pandas")
+    p2 = sorted_neighborhood_pairs(rev, "rev", "p_partkey",
+                                   window=_SNM_WINDOW)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        return pd.DataFrame({"id_a": np.minimum(a, b),
+                             "id_b": np.maximum(a, b)})
+
+    both = p1.union(p2).map_batches(canon, batch_format="pandas")
+    return distinct(both)
+
+
+SQL_SNM_MULTIPASS = f"""
+WITH r1 AS (
+  SELECT p_partkey AS id,
+         row_number() OVER (ORDER BY p_name, p_partkey) - 1 AS rn
+  FROM part),
+r2 AS (
+  SELECT p_partkey AS id,
+         row_number() OVER (ORDER BY reverse(p_name), p_partkey) - 1
+             AS rn
+  FROM part),
+offs AS (SELECT unnest(range(1, {_SNM_WINDOW})) AS d),
+u AS (
+  SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b
+  FROM r1 a CROSS JOIN offs CROSS JOIN r1 b WHERE b.rn = a.rn + offs.d
+  UNION
+  SELECT least(a.id, b.id), greatest(a.id, b.id)
+  FROM r2 a CROSS JOIN offs CROSS JOIN r2 b WHERE b.rn = a.rn + offs.d)
+SELECT id_a, id_b FROM u
+"""
+
+
+def q_rare_collapse(sf_dir: str):
+    """Rare-category collapse over a deterministically skewed
+    categorical (digit-length of a DuckDB-parity hash gives geometric
+    category sizes): categories under 5% of rows fold into 'OTHER'
+    (stages/relational.py::rare_collapse — combiner counts, broadcast
+    rare set, map-only data pass)."""
+    from ..functions.similarity import hash_strings_fast
+    from ..stages.relational import rare_collapse
+
+    ds = _rp(sf_dir, "part", ["p_partkey"])
+
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["p_partkey"].to_numpy(np.int64)
+        h = hash_strings_fast([str(k) for k in keys]) \
+            % np.uint64(100000)
+        cat = np.char.add("c", np.char.str_len(
+            h.astype("U6")).astype("U1"))
+        return pd.DataFrame({"p_partkey": keys, "cat": cat})
+
+    return rare_collapse(ds.map_batches(derive, batch_format="pandas"),
+                         "cat", min_frac=0.05)
+
+
+SQL_RARE_COLLAPSE = """
+WITH d AS (
+  SELECT p_partkey,
+         'c' || CAST(length(CAST(hash(CAST(p_partkey AS VARCHAR))
+                                 % 100000 AS VARCHAR)) AS VARCHAR)
+             AS cat
+  FROM part),
+c AS (SELECT cat, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT count(*) AS tot FROM d)
+SELECT d.p_partkey, d.cat,
+       CASE WHEN c.n < 0.05 * t.tot THEN 'OTHER' ELSE d.cat END
+           AS cat_collapsed
+FROM d JOIN c USING (cat) CROSS JOIN t
+"""
+
+
+def q_group_entropy(sf_dir: str):
+    """Per-user Shannon entropy (base 2) of the event-type
+    distribution plus group size — the behavioral-diversity signal
+    (stages/relational.py::group_entropy; count partials, one
+    co-location shuffle of the counts, round-6 float parity)."""
+    from ..stages.relational import group_entropy
+
+    events = _rp(sf_dir, "events", ["user_id", "event_type"])
+    return group_entropy(events, "user_id", "event_type")
+
+
+SQL_GROUP_ENTROPY = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY 1)
+SELECT c.user_id,
+       round(-sum((n / tot) * log2(n / tot)), 6) AS entropy,
+       CAST(t.tot AS BIGINT) AS n_events
+FROM c JOIN t USING (user_id)
+GROUP BY c.user_id, t.tot
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4193,6 +4305,9 @@ QUERIES = {
     "scd2_intervals": q_scd2_intervals,
     "standardize_values": q_standardize_values,
     "temporal_join": q_temporal_join,
+    "snm_multipass": q_snm_multipass,
+    "rare_collapse": q_rare_collapse,
+    "group_entropy": q_group_entropy,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4321,4 +4436,7 @@ ORACLES = {
     "scd2_intervals": SQL_SCD2_INTERVALS,
     "standardize_values": SQL_STANDARDIZE_VALUES,
     "temporal_join": SQL_TEMPORAL_JOIN,
+    "snm_multipass": SQL_SNM_MULTIPASS,
+    "rare_collapse": SQL_RARE_COLLAPSE,
+    "group_entropy": SQL_GROUP_ENTROPY,
 }

@@ -642,3 +642,72 @@ def mutual_best_match(pairs, a_col: str, b_col: str, score_col: str,
         lambda df: df[[a_col, b_col]], batch_format="pandas")
 
     return hash_join(best_a, best_b, on=[a_col, b_col], how="inner")
+
+
+def rare_collapse(ds, col: str, min_frac: float, other: str = "OTHER",
+                  out_col: str | None = None):
+    """Rare-category collapse: values whose corpus frequency is below
+    ``min_frac`` of all rows fold into the ``other`` sentinel — the
+    standard long-tail cleanup before blocking keys or model features
+    (a rare category is usually a typo or a singleton that would
+    otherwise mint its own block).
+
+    Counts come from the shuffle-free combiner; the (category, count)
+    table is bounded by DISTINCT cardinality and is collected
+    driver-side here (config-scale contract — at web-scale
+    cardinality swap the broadcast for a distributed join on the
+    category, the unigram_logprob crossover pattern).  The data pass
+    is map-only."""
+    counts = partial_groupby_agg(ds, [col], {"n": (None, "count")})
+    tot = int(counts["n"].sum())
+    rare = frozenset(counts.loc[counts["n"] < min_frac * tot, col])
+    out_name = out_col or f"{col}_collapsed"
+    import ray
+
+    rare_ref = ray.put(rare)
+
+    def mapf(df: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(rare_ref)
+        out = df.copy()
+        out[out_name] = np.where(df[col].isin(r), other,
+                                 df[col].to_numpy(dtype=object))
+        return out
+
+    return ds.map_batches(mapf, batch_format="pandas")
+
+
+def group_entropy(ds, key: str, col: str, num_buckets: int = 64):
+    """Per-key Shannon entropy of a categorical column (base 2) plus
+    the group size — the diversity signal used to flag
+    over-homogeneous or over-noisy entities.  Per-batch (key, value)
+    count partials combine in ONE co-location shuffle of the COUNTS
+    (bounded by key x value cardinality x blocks, never the rows); the entropy
+    sum per key is computed over counts sorted by value so the float
+    accumulation order is deterministic (SQL parity at round-6, the
+    corr_agg discipline)."""
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby([key, col], sort=False).size() \
+            .rename("n").reset_index()
+
+    parts = ds.map_batches(part, batch_format="pandas")
+
+    def ent(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "entropy": pd.Series([],
+                                                      dtype="float64"),
+                                 "n_events": pd.Series([],
+                                                       dtype="int64")})
+        cells = df.groupby([key, col], sort=False, as_index=False)["n"] \
+            .sum().sort_values([key, col], kind="mergesort")
+        tot = cells.groupby(key, sort=False)["n"].transform("sum")
+        p = cells["n"].to_numpy(np.float64) / tot.to_numpy(np.float64)
+        term = -p * np.log2(p)
+        g = pd.DataFrame({key: cells[key].to_numpy(), "term": term,
+                          "n": cells["n"].to_numpy()}).groupby(
+            key, sort=False, as_index=False).agg(
+            entropy=("term", "sum"), n_events=("n", "sum"))
+        g["entropy"] = g["entropy"].round(6)
+        return g
+
+    return bucketed_map_groups(parts, [key], ent, num_buckets)

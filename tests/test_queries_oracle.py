@@ -91,6 +91,9 @@ PINNED = [
     "scd2_intervals",
     "standardize_values",
     "temporal_join",
+    "snm_multipass",
+    "rare_collapse",
+    "group_entropy",
 ]
 
 

@@ -904,3 +904,36 @@ def test_temporal_join_matches_crossjoin_reference(ray_session):
         .sort_values(["k", "valid_from", "av", "bv"]) \
         .reset_index(drop=True)
     assert (got.values.tolist() == exp.values.tolist()), (got, exp)
+
+
+def test_rare_collapse_threshold(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        rare_collapse)
+
+    df = pd.DataFrame({"id": range(10),
+                       "c": ["a"] * 6 + ["b"] * 3 + ["z"]})
+    out = rare_collapse(rd.from_pandas(df).repartition(3), "c",
+                        min_frac=0.2).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    # z (10%) collapses; b (30%) and a (60%) survive
+    assert list(out["c_collapsed"]) == ["a"] * 6 + ["b"] * 3 + ["OTHER"]
+
+
+def test_group_entropy_known_values(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        group_entropy)
+
+    df = pd.DataFrame({
+        "k": [1] * 4 + [2] * 3 + [3],
+        "v": ["a", "b", "c", "d", "x", "x", "x", "q"],
+    })
+    out = group_entropy(rd.from_pandas(df).repartition(3), "k", "v",
+                        num_buckets=4).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    # uniform over 4 -> log2(4)=2; constant -> 0; singleton -> 0
+    assert list(out["entropy"]) == [2.0, 0.0, 0.0]
+    assert list(out["n_events"]) == [4, 3, 1]

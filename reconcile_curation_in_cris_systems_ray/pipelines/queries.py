@@ -4201,6 +4201,73 @@ GROUP BY c.user_id, t.tot
 """
 
 
+def q_edge_support(sf_dir: str):
+    """Per-edge triangle support (common neighbors of the endpoints)
+    over the hash-derived link graph — the k-truss / collective-ER
+    corroboration signal (stages/graph.py::edge_support: wedge-close
+    joins, one co-location shuffle of the per-triangle edge
+    contributions, zero anchors keep support-0 edges)."""
+    from ..stages.graph import edge_support
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    return edge_support(edges)
+
+
+SQL_EDGE_SUPPORT = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM edges),
+tri AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        FROM und e1
+        JOIN und e2 ON e2.lo = e1.hi
+        JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+contrib AS (
+  SELECT a AS lo, b AS hi FROM tri
+  UNION ALL SELECT b, c FROM tri
+  UNION ALL SELECT a, c FROM tri),
+cnt AS (SELECT lo, hi, count(*) AS n FROM contrib GROUP BY 1, 2)
+SELECT u.lo, u.hi, CAST(coalesce(c.n, 0) AS BIGINT) AS support
+FROM und u LEFT JOIN cnt c ON c.lo = u.lo AND c.hi = u.hi
+"""
+
+
+def q_impute_median(sf_dir: str):
+    """Per-group median null imputation: event values deterministically
+    nulled (event_id % 7), then filled with the user's median of the
+    surviving values (stages/relational.py::impute_group_median — one
+    co-location shuffle, groupby().transform('median') per bucket,
+    round-6 float parity with DuckDB's interpolating median())."""
+    from ..stages.relational import impute_group_median
+
+    events = _rp(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "v": df["value"].where(df["event_id"] % 7 != 0).to_numpy()})
+
+    out = impute_group_median(events.map_batches(mask,
+                                                 batch_format="pandas"),
+                              "user_id", "v")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "v_imputed", "was_null"]],
+        batch_format="pandas")
+
+
+SQL_IMPUTE_MEDIAN = """
+WITH d AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+  FROM events),
+m AS (SELECT user_id, median(v) AS med FROM d GROUP BY 1)
+SELECT d.event_id, d.user_id,
+       round(coalesce(d.v, m.med), 6) AS v_imputed,
+       d.v IS NULL AS was_null
+FROM d JOIN m USING (user_id)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4308,6 +4375,8 @@ QUERIES = {
     "snm_multipass": q_snm_multipass,
     "rare_collapse": q_rare_collapse,
     "group_entropy": q_group_entropy,
+    "edge_support": q_edge_support,
+    "impute_median": q_impute_median,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4439,4 +4508,6 @@ ORACLES = {
     "snm_multipass": SQL_SNM_MULTIPASS,
     "rare_collapse": SQL_RARE_COLLAPSE,
     "group_entropy": SQL_GROUP_ENTROPY,
+    "edge_support": SQL_EDGE_SUPPORT,
+    "impute_median": SQL_IMPUTE_MEDIAN,
 }

@@ -340,3 +340,80 @@ def triangle_count(edges) -> int:
     tri = hash_join(wedges.select_columns(["lo", "hi2"]), closing,
                     on=["lo", "hi2"])
     return tri.count()
+
+
+def edge_support(edges):
+    """Per-edge triangle support: for every canonical undirected edge
+    (lo < hi), the number of triangles containing it — i.e. the common
+    neighbors of its endpoints (|N(lo) ∩ N(hi)|), the k-truss /
+    collective-ER signal that an observed link is corroborated by
+    shared structure.
+
+    Same two-join wedge-close plan as :func:`triangle_count` (each
+    triangle a<b<c found exactly once), then each triangle pays one
+    support count to each of its three edges and the counts co-locate
+    in ONE bucketed shuffle; zero-support edges survive via zero
+    anchors from the edge table itself (the degree_stats trick), so no
+    second join.  Output: ``(lo, hi, support)`` over ALL distinct
+    undirected edges."""
+    import pandas as pd
+
+    from .relational import hash_join
+    from .shuffle import bucketed_map_groups
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[["src", "dst"]].min(axis=1)
+        hi = df[["src", "dst"]].max(axis=1)
+        return pd.DataFrame({"lo": lo.to_numpy(np.int64),
+                             "hi": hi.to_numpy(np.int64)}) \
+            .drop_duplicates(ignore_index=True)
+
+    empty_e = pd.DataFrame({"lo": np.empty(0, np.int64),
+                            "hi": np.empty(0, np.int64)})
+    und = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
+        empty_like=empty_e).materialize()
+
+    zeros = und.map_batches(
+        lambda df: df.assign(n=np.int64(0)), batch_format="pandas")
+    if und.count() == 0:
+        return zeros.map_batches(
+            lambda df: df.rename(columns={"n": "support"}),
+            batch_format="pandas")
+
+    e2 = und.map_batches(
+        lambda df: df.rename(columns={"lo": "mid", "hi": "hi2"}),
+        batch_format="pandas")
+    wedges = hash_join(und, e2, on=["hi"], right_on=["mid"])
+    closing = und.map_batches(
+        lambda df: df.rename(columns={"hi": "hi2"}),
+        batch_format="pandas")
+    tri = hash_join(wedges.select_columns(["lo", "hi", "hi2"]), closing,
+                    on=["lo", "hi2"], right_on=["lo", "hi2"])
+
+    def explode_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"lo": np.empty(0, np.int64),
+                                 "hi": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64)})
+        a = df["lo"].to_numpy(np.int64)
+        b = df["hi"].to_numpy(np.int64)
+        c = df["hi2"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lo": np.concatenate([a, b, a]),
+            "hi": np.concatenate([b, c, c]),
+            "n": np.ones(3 * len(df), np.int64)})
+
+    contrib = tri.map_batches(explode_edges, batch_format="pandas")
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lo", "hi"], sort=False, as_index=False)["n"] \
+            .sum()
+        return g.rename(columns={"n": "support"})
+
+    empty_s = pd.DataFrame({"lo": np.empty(0, np.int64),
+                            "hi": np.empty(0, np.int64),
+                            "support": np.empty(0, np.int64)})
+    return bucketed_map_groups(zeros.union(contrib), ["lo", "hi"],
+                               total, empty_like=empty_s)

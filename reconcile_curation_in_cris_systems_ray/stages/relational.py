@@ -711,3 +711,31 @@ def group_entropy(ds, key: str, col: str, num_buckets: int = 64):
         return g
 
     return bucketed_map_groups(parts, [key], ent, num_buckets)
+
+
+def impute_group_median(ds, key: str, col: str,
+                        out_col: str | None = None,
+                        num_buckets: int = 64):
+    """Null imputation with the per-group median — the robust-center
+    fill used before numeric scoring/model features (a group's typical
+    value stands in for its gaps; the global-median fallback for
+    all-null groups is the caller's policy and deliberately NOT
+    applied here, matching SQL ``coalesce(v, median(v) OVER ...)``
+    semantics where an all-null group stays null).
+
+    One co-location shuffle on the key (the quantile_agg contract:
+    complete groups per bucket), vectorized ``groupby().transform``
+    per bucket.  Adds ``out_col`` (default ``col + '_imputed'``,
+    round-6 float parity) and a ``was_null`` flag."""
+    from .shuffle import bucketed_map_groups
+
+    out_name = out_col or f"{col}_imputed"
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        med = df.groupby(key, sort=False)[col].transform("median")
+        out["was_null"] = df[col].isna()
+        out[out_name] = df[col].fillna(med).round(6)
+        return out
+
+    return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)

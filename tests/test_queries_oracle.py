@@ -94,6 +94,8 @@ PINNED = [
     "snm_multipass",
     "rare_collapse",
     "group_entropy",
+    "edge_support",
+    "impute_median",
 ]
 
 

@@ -937,3 +937,42 @@ def test_group_entropy_known_values(ray_session):
     # uniform over 4 -> log2(4)=2; constant -> 0; singleton -> 0
     assert list(out["entropy"]) == [2.0, 0.0, 0.0]
     assert list(out["n_events"]) == [4, 3, 1]
+
+
+def test_edge_support_hand_graph(ray_session):
+    """K4 minus edge (2,3): edge (0,1) sits in 2 triangles, the four
+    others in 1 each; an isolated pendant edge has support 0."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.graph import (
+        edge_support)
+
+    e = pd.DataFrame({
+        "src": [0, 0, 0, 1, 1, 8],
+        "dst": [1, 2, 3, 2, 3, 9],
+    })
+    out = edge_support(rd.from_pandas(e).repartition(2)).to_pandas()
+    sup = {(r.lo, r.hi): r.support for r in out.itertuples()}
+    assert sup == {(0, 1): 2, (0, 2): 1, (0, 3): 1,
+                   (1, 2): 1, (1, 3): 1, (8, 9): 0}
+
+
+def test_impute_group_median_hand_case(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        impute_group_median)
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2, 2],
+        "v": [10.0, np.nan, 20.0, 40.0, np.nan, np.nan],
+    })
+    out = impute_group_median(rd.from_pandas(df).repartition(3),
+                              "k", "v", num_buckets=4).to_pandas()
+    out = out.sort_values(["k", "v"], na_position="last") \
+        .reset_index(drop=True)
+    k1 = out[out["k"] == 1]["v_imputed"].tolist()
+    assert sorted(k1) == [10.0, 20.0, 20.0, 40.0]  # median(10,20,40)=20
+    # all-null group stays null (caller's global-fallback policy)
+    assert out[out["k"] == 2]["v_imputed"].isna().all()
+    assert out["was_null"].sum() == 3

@@ -100,8 +100,13 @@ def blocking_quality(ds, block_col: str, label_col: str) -> pd.DataFrame:
     single pair.  Single-key blocking contract: one block per record
     (multi-key schemes need a distinct-pair correction this closed
     form deliberately excludes)."""
-    m = pairwise_cluster_metrics(ds, block_col, label_col)
     n = int(ds.count())
+    if n == 0:
+        return pd.DataFrame({
+            "n_records": [0], "cand_pairs": [0], "true_pairs": [0],
+            "tp_pairs": [0], "reduction_ratio": [1.0],
+            "pairs_completeness": [1.0], "pairs_quality": [1.0]})
+    m = pairwise_cluster_metrics(ds, block_col, label_col)
     total_pairs = n * (n - 1) // 2
     cand = int(m["pred_pairs"].iloc[0])
     rr = 1.0 - cand / total_pairs if total_pairs else 1.0

@@ -203,6 +203,11 @@ def partial_groupby_agg(ds, keys: Sequence[str],
         parts_ds = bucketed_map_groups(parts_ds, keys, comb,
                                        num_buckets=tree_fanin)
     parts = parts_ds.to_pandas()
+    if len(parts) == 0:
+        # a fully-empty input loses its schema through the empty
+        # blocks (Ray skips UDFs on them); return a typed-empty frame
+        return pd.DataFrame({**{k: [] for k in keys},
+                             **{c: [] for c in spec}})
     g = parts.groupby(keys, sort=False)
     final = pd.DataFrame(index=g.size().index)
     for col, (_, fn) in spec.items():
@@ -619,7 +624,12 @@ def mutual_best_match(pairs, a_col: str, b_col: str, score_col: str,
     co-location shuffles; the mutual check is then an equi-join of the
     two best tables on the (a, b) pair — never a shuffle of the full
     pair set beyond its batch partials."""
+    import pyarrow as pa
+
     from .shuffle import bucketed_map_groups
+
+    sch = pairs.schema()
+    types = dict(zip(sch.names, sch.types))
 
     def best_of(side: str, partner: str):
         def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -629,17 +639,35 @@ def mutual_best_match(pairs, a_col: str, b_col: str, score_col: str,
             return t.groupby(side, sort=False, as_index=False).first()
 
         parts = pairs.map_batches(partial, batch_format="pandas")
-        # the trailing repartition coalesces away the schema-less
-        # empty blocks sparse buckets emit at tiny inputs (map_batches
-        # can't fix them — Ray skips the UDF on empty blocks), which
-        # acero's join rejects; it also right-sizes the join's input
+        # empty_like anchors the output schema when every bucket is
+        # empty, and the trailing repartition coalesces away the
+        # schema-less empty blocks sparse buckets emit at tiny inputs
+        # (map_batches can't fix them — Ray skips the UDF on empty
+        # blocks), which acero's join rejects; it also right-sizes the
+        # join's input
+        anchor = pa.table({c: pa.array([], types[c])
+                           for c in (side, partner, score_col)}) \
+            .to_pandas()
         return bucketed_map_groups(parts, [side], partial,
-                                   num_buckets=num_buckets) \
+                                   num_buckets=num_buckets,
+                                   empty_like=anchor) \
             .repartition(_num_partitions())
 
-    best_a = best_of(a_col, b_col)                       # 1 row per a
+    # the best tables are bounded by key cardinality and feed straight
+    # into the join; materializing them makes the emptiness check free
+    # (an all-empty side defeats every schema anchor — repartition
+    # drops block schemas when total rows are zero — and acero rejects
+    # schema-less join inputs)
+    best_a = best_of(a_col, b_col).materialize()         # 1 row per a
     best_b = best_of(b_col, a_col).map_batches(
-        lambda df: df[[a_col, b_col]], batch_format="pandas")
+        lambda df: df[[a_col, b_col]], batch_format="pandas") \
+        .materialize()
+    if best_a.count() == 0 or best_b.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {c: pa.array([], types[c])
+             for c in (a_col, b_col, score_col)}))
 
     return hash_join(best_a, best_b, on=[a_col, b_col], how="inner")
 

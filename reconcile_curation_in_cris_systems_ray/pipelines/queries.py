@@ -4268,6 +4268,41 @@ FROM d JOIN m USING (user_id)
 """
 
 
+def q_global_rank(sf_dir: str):
+    """Global dense rank over the (o_totalprice, o_orderkey) total
+    order plus an equal-frequency decile (floor(rn*k/N), explicit
+    formula — NOT SQL ntile()'s big-groups-first remainder rule) —
+    the distributed row_number primitive
+    (stages/relational.py::global_dense_rank: order-preserving
+    numeric ranges, driver exclusive scan over range counts, one
+    co-location shuffle; no global sort materialization)."""
+    from ..stages.relational import global_dense_rank
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    ranked, n = global_dense_rank(orders, "o_totalprice", "o_orderkey")
+    k = 10
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rn"].to_numpy(np.int64)
+        return pd.DataFrame({"o_orderkey": df["id"].to_numpy(),
+                             "rn": rn,
+                             "tile": rn * k // max(n, 1)})
+
+    return ranked.map_batches(finish, batch_format="pandas")
+
+
+SQL_GLOBAL_RANK = """
+WITH r AS (
+  SELECT o_orderkey,
+         row_number() OVER (ORDER BY o_totalprice, o_orderkey) - 1
+             AS rn
+  FROM orders),
+n AS (SELECT count(*) AS tot FROM orders)
+SELECT o_orderkey, rn, CAST((rn * 10) // tot AS BIGINT) AS tile
+FROM r CROSS JOIN n
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4377,6 +4412,7 @@ QUERIES = {
     "group_entropy": q_group_entropy,
     "edge_support": q_edge_support,
     "impute_median": q_impute_median,
+    "global_rank": q_global_rank,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4510,4 +4546,5 @@ ORACLES = {
     "group_entropy": SQL_GROUP_ENTROPY,
     "edge_support": SQL_EDGE_SUPPORT,
     "impute_median": SQL_IMPUTE_MEDIAN,
+    "global_rank": SQL_GLOBAL_RANK,
 }

@@ -229,8 +229,7 @@ def sorted_neighborhood_pairs(ds, key_col: str, id_col: str,
     Output: ``(id_a, id_b)`` with ``id_a`` the smaller-rank record.
     Pair volume is ~``N * (window-1)`` — linear, never quadratic.
     """
-    import ray
-
+    from .relational import global_dense_rank
     from .shuffle import bucketed_map_groups
 
     if window < 2:
@@ -238,47 +237,11 @@ def sorted_neighborhood_pairs(ds, key_col: str, id_col: str,
     w = int(window)
     L = max(int(segment_len), 4 * w)
 
-    def narrow(df: pd.DataFrame) -> pd.DataFrame:
-        key = df[key_col].astype("string").fillna("")
-        b = key.str.slice(0, 2).str.encode("utf-8")
-        pref = np.array([int.from_bytes(x, "big") if len(x) >= 2
-                         else int.from_bytes(x + b"\x00" * (2 - len(x)),
-                                             "big")
-                         for x in b.to_numpy()], dtype=np.int64)
-        return pd.DataFrame({"id": df[id_col].to_numpy(),
-                             "key": key.to_numpy(dtype=object),
-                             "rng": pref})
-
-    nar = ds.map_batches(narrow, batch_format="pandas").materialize()
-
-    counts: dict[int, int] = {}
-    for r in nar.map_batches(
-            lambda df: df.groupby("rng", sort=False).size()
-            .rename("n").reset_index(), batch_format="pandas").take_all():
-        counts[r["rng"]] = counts.get(r["rng"], 0) + r["n"]
-    offsets, acc = {}, 0
-    for rng in sorted(counts):
-        offsets[rng] = acc
-        acc += counts[rng]
-    off_ref = ray.put(offsets)
-
-    def rank_range(df: pd.DataFrame) -> pd.DataFrame:
-        offs = ray.get(off_ref)
-        outs = []
-        for rng, g in df.groupby("rng", sort=False):
-            g = g.sort_values(["key", "id"], kind="mergesort")
-            rn = offs[int(rng)] + np.arange(len(g), dtype=np.int64)
-            outs.append(pd.DataFrame({"id": g["id"].to_numpy(), "rn": rn}))
-        if not outs:
-            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
-                                 "rn": pd.Series([], dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
-
-    empty_rank = pd.DataFrame({"id": pd.Series([], dtype="int64"),
-                               "rn": pd.Series([], dtype="int64")})
-    ranked = bucketed_map_groups(nar, ["rng"], rank_range,
-                                 num_buckets=num_buckets,
-                                 empty_like=empty_rank)
+    # steps 1-3 live in relational.global_dense_rank (shared with the
+    # global_rank / ntile operators); only (id, rn) comes back
+    ranked, _ = global_dense_rank(
+        ds.select_columns([key_col, id_col]), key_col, id_col,
+        num_buckets=num_buckets)
 
     def emit_segments(df: pd.DataFrame) -> pd.DataFrame:
         rn = df["rn"].to_numpy()

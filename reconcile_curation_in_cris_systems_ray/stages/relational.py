@@ -767,3 +767,106 @@ def impute_group_median(ds, key: str, col: str,
         return out
 
     return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
+
+
+def global_dense_rank(ds, order_col: str, tie_col: str,
+                      num_buckets: int = 64):
+    """Global dense rank 0..N-1 by ``(order_col, tie_col)`` WITHOUT a
+    global sort materialization (SQL ``row_number() OVER (ORDER BY
+    order_col, tie_col) - 1``) — the primitive under sorted-
+    neighborhood blocking, global ntile binning and rank-based
+    sampling.
+
+    Plan (the pack_sequences two-level scan): an ORDER-PRESERVING
+    range bucket per row — string keys take their first two UTF-8
+    bytes big-endian, numeric keys a uniform [min, max] split (one
+    tiny min/max combiner pass) — so ranges are contiguous rank spans;
+    per-range counts reduce to a driver exclusive scan over the range
+    ids; then ONE co-location shuffle sorts each range locally and
+    adds its broadcast offset.  Output: ``(tie_col, rn)`` — the order
+    key never travels past the rank stage.  Skew note: pathological
+    key distributions funnel rows into few ranges; the fix is
+    sample-quantile boundaries, same contract.  Non-null contract on
+    both columns (strings coalesce to '')."""
+    import pyarrow as pa_
+
+    from .shuffle import bucketed_map_groups
+
+    sch = ds.schema()
+    otype = dict(zip(sch.names, sch.types))[order_col]
+    # the schema carries pyarrow types for arrow blocks but
+    # numpy/pandas dtypes for pandas blocks — detect numeric either
+    # way; everything else takes the string path (timestamps: cast to
+    # int64 upstream)
+    if isinstance(otype, pa_.DataType):
+        is_num = (pa_.types.is_integer(otype)
+                  or pa_.types.is_floating(otype))
+    else:
+        is_num = pd.api.types.is_numeric_dtype(otype)
+    is_str = not is_num
+    n_ranges = 64
+
+    if is_str:
+        def add_rng(df: pd.DataFrame) -> pd.DataFrame:
+            key = df[order_col].astype("string").fillna("")
+            b = key.str.slice(0, 2).str.encode("utf-8")
+            pref = np.array(
+                [int.from_bytes(x, "big") if len(x) >= 2
+                 else int.from_bytes(x + b"\x00" * (2 - len(x)), "big")
+                 for x in b.to_numpy()], dtype=np.int64)
+            return pd.DataFrame({"id": df[tie_col].to_numpy(),
+                                 "key": key.to_numpy(dtype=object),
+                                 "rng": pref})
+    else:
+        lohi = ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"lo": [df[order_col].min()], "hi": [df[order_col].max()]})
+            if len(df) else pd.DataFrame({"lo": [], "hi": []}),
+            batch_format="pandas").to_pandas()
+        if len(lohi) == 0:
+            lo, hi = 0.0, 1.0
+        else:
+            lo = float(lohi["lo"].min())
+            hi = float(lohi["hi"].max())
+        width = max((hi - lo) / n_ranges, 1e-300)
+
+        def add_rng(df: pd.DataFrame) -> pd.DataFrame:
+            v = df[order_col].to_numpy(np.float64)
+            rng = np.clip(((v - lo) / width).astype(np.int64), 0,
+                          n_ranges - 1)
+            return pd.DataFrame({"id": df[tie_col].to_numpy(),
+                                 "key": df[order_col].to_numpy(),
+                                 "rng": rng})
+
+    nar = ds.map_batches(add_rng, batch_format="pandas").materialize()
+
+    counts: dict[int, int] = {}
+    for r in nar.map_batches(
+            lambda df: df.groupby("rng", sort=False).size()
+            .rename("n").reset_index(), batch_format="pandas").take_all():
+        counts[r["rng"]] = counts.get(r["rng"], 0) + r["n"]
+    offsets, acc = {}, 0
+    for rng in sorted(counts):
+        offsets[rng] = acc
+        acc += counts[rng]
+    off_ref = ray.put(offsets)
+
+    def rank_range(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        outs = []
+        for rng, g in df.groupby("rng", sort=False):
+            g = g.sort_values(["key", "id"], kind="mergesort")
+            rn = offs[int(rng)] + np.arange(len(g), dtype=np.int64)
+            outs.append(pd.DataFrame({"id": g["id"].to_numpy(),
+                                      "rn": rn}))
+        if not outs:
+            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "rn": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    empty_rank = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                               "rn": pd.Series([], dtype="int64")})
+    ranked = bucketed_map_groups(nar, ["rng"], rank_range,
+                                 num_buckets=num_buckets,
+                                 empty_like=empty_rank)
+    return ranked, acc

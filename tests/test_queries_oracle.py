@@ -96,6 +96,7 @@ PINNED = [
     "group_entropy",
     "edge_support",
     "impute_median",
+    "global_rank",
 ]
 
 

@@ -1029,3 +1029,23 @@ def test_new_er_ops_tolerate_empty_input(ray_session):
     bq = blocking_quality(kv, "v", "k")
     assert int(bq["n_records"].iloc[0]) == 0
     assert float(bq["reduction_ratio"].iloc[0]) == 1.0
+
+
+def test_global_dense_rank_numeric_matches_argsort(ray_session):
+    """Numeric-range path vs a plain argsort reference, with duplicate
+    order values tie-broken by id; returned total count is exact."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        global_dense_rank)
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"v": rng.integers(0, 50, 300).astype(float),
+                       "i": rng.permutation(300).astype(np.int64)})
+    ranked, n = global_dense_rank(rd.from_pandas(df).repartition(5),
+                                  "v", "i", num_buckets=8)
+    assert n == 300
+    got = ranked.to_pandas().sort_values("rn").reset_index(drop=True)
+    exp = df.sort_values(["v", "i"], kind="mergesort")["i"].to_numpy()
+    assert (got["id"].to_numpy() == exp).all()
+    assert (got["rn"].to_numpy() == np.arange(300)).all()

@@ -4303,6 +4303,44 @@ FROM r CROSS JOIN n
 """
 
 
+def q_pmi_bigrams(sf_dir: str):
+    """Top-20 bigram collocations by pointwise mutual information
+    (Church & Hanks 1990; min bigram count 5) — unigram/bigram count
+    cells via the ngram_top combiner, token-keyed hash-join
+    hydration (vocabulary never broadcast), PMI float expression
+    mirrored in the SQL oracle (stages/textstats.py::pmi_bigrams)."""
+    from ..stages.textstats import pmi_bigrams
+
+    return pmi_bigrams(_rp(sf_dir, "documents", ["text"]),
+                       text_col="text", min_count=5, k=20)
+
+
+SQL_PMI_BIGRAMS = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), uni AS (SELECT unnest(toks) AS tok FROM t),
+ucnt AS (SELECT tok, count(*) AS nu FROM uni GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM uni),
+pos AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2),
+bg AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS nb
+       FROM pos GROUP BY 1, 2),
+btot AS (SELECT CAST(sum(nb) AS DOUBLE) AS TB FROM bg)
+SELECT a || ' ' || b AS bigram, CAST(nb AS BIGINT) AS n,
+       round(log2((CAST(nb AS DOUBLE) / TB)
+                  / ((ua.nu / T) * (ub.nu / T))), 6) AS pmi
+FROM bg
+JOIN ucnt ua ON ua.tok = bg.a
+JOIN ucnt ub ON ub.tok = bg.b
+CROSS JOIN tot CROSS JOIN btot
+WHERE nb >= 5
+ORDER BY log2((CAST(nb AS DOUBLE) / TB)
+              / ((ua.nu / T) * (ub.nu / T))) DESC, bigram
+LIMIT 20
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4413,6 +4451,7 @@ QUERIES = {
     "edge_support": q_edge_support,
     "impute_median": q_impute_median,
     "global_rank": q_global_rank,
+    "pmi_bigrams": q_pmi_bigrams,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4547,4 +4586,5 @@ ORACLES = {
     "edge_support": SQL_EDGE_SUPPORT,
     "impute_median": SQL_IMPUTE_MEDIAN,
     "global_rank": SQL_GLOBAL_RANK,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
 }

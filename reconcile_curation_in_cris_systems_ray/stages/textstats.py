@@ -544,3 +544,106 @@ def _cnt_blocks_to_series(*blocks) -> pd.Series:
     allf = pd.concat(frames, ignore_index=True)
     return pd.Series(allf["cnt"].to_numpy(),
                      index=allf["term"].to_numpy())
+
+
+def pmi_bigrams(ds, text_col: str = "text", min_count: int = 5,
+                k: int = 20, num_buckets: int = 32):
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the classic phrase-mining signal:
+    ``PMI(a,b) = log2( (n_ab/TB) / ((n_a/T) * (n_b/T)) )`` over
+    whitespace tokens, bigrams below ``min_count`` dropped (PMI's
+    low-frequency instability).
+
+    Plan: unigram and bigram count cells via the ngram_top combiner
+    (per-batch partials, one bucketed shuffle each); the corpus
+    totals are two scalar reductions over the bounded cell tables;
+    per-bigram unigram counts hydrate through TWO distributed hash
+    joins on the token (vocabulary never broadcast — the
+    unigram_logprob discipline, here join-only); the PMI map, filter
+    and global top-k are then sort+limit over the surviving cells.
+    The float expression is written identically in the SQL oracle so
+    scores match bit-for-bit before the round."""
+    import ray
+
+    from .shuffle import bucketed_map_groups
+    from .relational import _num_partitions, hash_join
+
+    def tok_series(df: pd.DataFrame):
+        texts = df[text_col].astype("string").fillna("") \
+            .reset_index(drop=True)
+        toks = texts.str.lower().str.split()
+        return toks.explode().dropna()
+
+    def uni_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = tok_series(df)
+        if ex.empty:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "nu": pd.Series([], dtype="int64")})
+        c = ex.value_counts(sort=False)
+        return pd.DataFrame({"tok": c.index.to_numpy(dtype=object),
+                             "nu": c.to_numpy()})
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = tok_series(df)
+        if ex.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "nb": pd.Series([], dtype="int64")})
+        doc_idx = ex.index.to_numpy()
+        vals = ex.to_numpy(dtype=object)
+        same = doc_idx[:-1] == doc_idx[1:]
+        pairs = pd.DataFrame({"a": vals[:-1][same], "b": vals[1:][same]})
+        c = pairs.groupby(["a", "b"], sort=False).size().rename("nb")
+        return c.reset_index()
+
+    def sum_cells(col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby([c for c in df.columns if c != col],
+                           sort=False, as_index=False)[col].sum()
+            return g
+        return f
+
+    uni = bucketed_map_groups(
+        ds.map_batches(uni_partial, batch_format="pandas"),
+        ["tok"], sum_cells("nu"), num_buckets=num_buckets) \
+        .repartition(_num_partitions()).materialize()
+    bg = bucketed_map_groups(
+        ds.map_batches(bi_partial, batch_format="pandas"),
+        ["a", "b"], sum_cells("nb"), num_buckets=num_buckets) \
+        .repartition(_num_partitions()).materialize()
+
+    def scalar_sum(d, col):
+        parts = d.map_batches(
+            lambda df: pd.DataFrame({"v": [int(df[col].sum())]}),
+            batch_format="pandas").take_all()
+        return float(sum(r["v"] for r in parts))
+
+    T = scalar_sum(uni, "nu")
+    TB = scalar_sum(bg, "nb")
+
+    kept = bg.map_batches(
+        lambda df: df[df["nb"] >= min_count], batch_format="pandas")
+    ua = uni.map_batches(
+        lambda df: df.rename(columns={"tok": "a", "nu": "nua"}),
+        batch_format="pandas")
+    ub = uni.map_batches(
+        lambda df: df.rename(columns={"tok": "b", "nu": "nub"}),
+        batch_format="pandas")
+    j = hash_join(hash_join(kept, ua, on=["a"]), ub, on=["b"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        nb = df["nb"].to_numpy(np.float64)
+        nua = df["nua"].to_numpy(np.float64)
+        nub = df["nub"].to_numpy(np.float64)
+        pmi = np.log2((nb / TB) / ((nua / T) * (nub / T)))
+        return pd.DataFrame({
+            "bigram": (df["a"].astype(str) + " "
+                       + df["b"].astype(str)).to_numpy(dtype=object),
+            "n": df["nb"].to_numpy(np.int64),
+            "pmi": pmi})
+
+    scored = j.map_batches(score, batch_format="pandas")
+    top = scored.sort(["pmi", "bigram"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda df: df.assign(pmi=df["pmi"].round(6)),
+        batch_format="pandas")

@@ -97,6 +97,7 @@ PINNED = [
     "edge_support",
     "impute_median",
     "global_rank",
+    "pmi_bigrams",
 ]
 
 

@@ -172,15 +172,35 @@ GROUP BY o_orderpriority
 """
 
 
+def _typed_or_empty(ds, schema: dict[str, str]):
+    """Return ``ds`` unless its result is completely empty, in which
+    case return a typed pandas frame: Ray 2.49 strips the schema off
+    ANY 0-row Dataset (to_pandas -> zero columns, and typed 0-row
+    anchors don't survive from_arrow), so a query whose result can
+    legitimately drain to nothing at small scale must carry its own
+    output schema.  The materialize is bounded by the query's result
+    size (never the input)."""
+    out = ds.materialize()
+    if out.count() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in schema.items()})
+    return out
+
+
 def q_anti_join(sf_dir: str):
-    """J4/J5: exclusion anti-join via broadcast key set."""
+    """J4/J5: exclusion anti-join via broadcast key set.  At sf0.001
+    every customer has a recent order, so the result is legitimately
+    empty — routed through the typed-empty guard."""
     cust = _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"])
     recent = _rp(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
         lambda t: t.filter(pc.greater_equal(
             t["o_orderdate"], pa.scalar(pd.Timestamp("1997-06-01")))),
         batch_format="pyarrow")
     order_keys = set(recent.unique("o_custkey"))
-    return rel.broadcast_anti_join(cust, order_keys, on="c_custkey")
+    return _typed_or_empty(
+        rel.broadcast_anti_join(cust, order_keys, on="c_custkey"),
+        {"c_custkey": "int64", "c_name": "string",
+         "c_mktsegment": "string"})
 
 
 SQL_ANTI_JOIN = """

@@ -218,7 +218,13 @@ def partial_groupby_agg(ds, keys: Sequence[str],
 
 def broadcast_anti_join(ds, keys: set | frozenset, on: str):
     """Keep rows whose ``on`` value is NOT in the broadcast key set
-    (reference J4/J5 exclusion anti-joins)."""
+    (reference J4/J5 exclusion anti-joins).
+
+    Empty-result caveat: Ray 2.49 drops the schema of ANY 0-row
+    Dataset (``to_pandas`` returns zero columns; typed 0-row anchors
+    don't survive ``from_arrow`` either), so a caller whose result can
+    legitimately drain to nothing must fall back to a typed frame of
+    its own — see ``queries._typed_or_empty``."""
     ref = ray.put(frozenset(keys))
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:
@@ -238,7 +244,8 @@ def _typed_empty(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def broadcast_semi_join(ds, keys: set | frozenset, on: str):
-    """Keep rows whose ``on`` value IS in the broadcast key set."""
+    """Keep rows whose ``on`` value IS in the broadcast key set.
+    Same empty-result caveat as :func:`broadcast_anti_join`."""
     ref = ray.put(frozenset(keys))
 
     def flt(df: pd.DataFrame) -> pd.DataFrame:

@@ -98,6 +98,9 @@ PINNED = [
     "impute_median",
     "global_rank",
     "pmi_bigrams",
+    # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
+    # the query carries a typed-empty fallback)
+    "anti_join",
 ]
 
 

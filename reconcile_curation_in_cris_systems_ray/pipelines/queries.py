@@ -3871,10 +3871,13 @@ r AS (SELECT CAST(coalesce(sum((s * (s - 1)) // 2), 0) AS BIGINT) AS tt
 nn AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM documents)
 SELECT nn.n_records, p.cand AS cand_pairs, r.tt AS true_pairs,
        t.tp AS tp_pairs,
-       round(1 - p.cand / (nn.n_records * (nn.n_records - 1) / 2), 6)
-         AS reduction_ratio,
-       round(t.tp / r.tt, 6) AS pairs_completeness,
-       round(t.tp / p.cand, 6) AS pairs_quality
+       round(coalesce(
+           1 - p.cand / nullif(nn.n_records * (nn.n_records - 1) / 2,
+                               0), 1.0), 6) AS reduction_ratio,
+       round(coalesce(t.tp / nullif(r.tt, 0), 1.0), 6)
+           AS pairs_completeness,
+       round(coalesce(t.tp / nullif(p.cand, 0), 1.0), 6)
+           AS pairs_quality
 FROM nn, t, p, r
 """
 

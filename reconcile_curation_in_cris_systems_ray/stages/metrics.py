@@ -100,6 +100,9 @@ def blocking_quality(ds, block_col: str, label_col: str) -> pd.DataFrame:
     single pair.  Single-key blocking contract: one block per record
     (multi-key schemes need a distinct-pair correction this closed
     form deliberately excludes)."""
+    # consumed twice (count + metrics pass) — materialize so the
+    # upstream derivation runs once
+    ds = ds.materialize()
     n = int(ds.count())
     if n == 0:
         return pd.DataFrame({

@@ -605,7 +605,11 @@ def golden_record(ds, key: str, rules: dict[str, tuple[str, ...]],
                 t = df[[key, col, ts_col, tie_col]].sort_values(
                     [ts_col, tie_col], ascending=[False, False],
                     kind="mergesort")
-                pick = t.groupby(key, sort=False).first()[col]
+                # drop_duplicates, NOT groupby().first(): first() skips
+                # NaN per column, silently replacing a null value on
+                # the truly-latest row with an older row's value
+                pick = t.drop_duplicates(key, keep="first") \
+                    .set_index(key)[col]
             else:
                 raise ValueError(f"unknown survivorship rule {kind!r}")
             out[name] = pick
@@ -635,8 +639,18 @@ def mutual_best_match(pairs, a_col: str, b_col: str, score_col: str,
 
     from .shuffle import bucketed_map_groups
 
+    # consumed twice (one argmax per side) — materialize so the
+    # upstream pipeline runs once, not once per side
+    pairs = pairs.materialize()
     sch = pairs.schema()
     types = dict(zip(sch.names, sch.types))
+
+    def typed_empty_array(t):
+        # schema() carries pyarrow types for arrow blocks but
+        # numpy/pandas dtypes for pandas blocks
+        if isinstance(t, pa.DataType):
+            return pa.array([], t)
+        return pa.array(pd.Series([], dtype=t))
 
     def best_of(side: str, partner: str):
         def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -652,7 +666,7 @@ def mutual_best_match(pairs, a_col: str, b_col: str, score_col: str,
         # (map_batches can't fix them — Ray skips the UDF on empty
         # blocks), which acero's join rejects; it also right-sizes the
         # join's input
-        anchor = pa.table({c: pa.array([], types[c])
+        anchor = pa.table({c: typed_empty_array(types[c])
                            for c in (side, partner, score_col)}) \
             .to_pandas()
         return bucketed_map_groups(parts, [side], partial,
@@ -673,7 +687,7 @@ def mutual_best_match(pairs, a_col: str, b_col: str, score_col: str,
         import ray.data as rd
 
         return rd.from_arrow(pa.table(
-            {c: pa.array([], types[c])
+            {c: typed_empty_array(types[c])
              for c in (a_col, b_col, score_col)}))
 
     return hash_join(best_a, best_b, on=[a_col, b_col], how="inner")
@@ -728,7 +742,9 @@ def group_entropy(ds, key: str, col: str, num_buckets: int = 64):
 
     def ent(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
-            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+            ks = (df[key].iloc[:0] if key in df.columns
+                  else pd.Series([], dtype="int64"))
+            return pd.DataFrame({key: ks,
                                  "entropy": pd.Series([],
                                                       dtype="float64"),
                                  "n_events": pd.Series([],
@@ -816,11 +832,15 @@ def global_dense_rank(ds, order_col: str, tie_col: str,
     if is_str:
         def add_rng(df: pd.DataFrame) -> pd.DataFrame:
             key = df[order_col].astype("string").fillna("")
-            b = key.str.slice(0, 2).str.encode("utf-8")
+            # first two BYTES of the UTF-8 encoding (zero-padded) —
+            # byte (not character) prefixes keep the int comparison
+            # order-preserving for multi-byte codepoints, and UTF-8
+            # byte order equals codepoint order, which is what the
+            # in-range pandas sort uses
+            b = key.str.encode("utf-8").to_numpy()
             pref = np.array(
-                [int.from_bytes(x, "big") if len(x) >= 2
-                 else int.from_bytes(x + b"\x00" * (2 - len(x)), "big")
-                 for x in b.to_numpy()], dtype=np.int64)
+                [int.from_bytes((x[:2] + b"\x00\x00")[:2], "big")
+                 for x in b], dtype=np.int64)
             return pd.DataFrame({"id": df[tie_col].to_numpy(),
                                  "key": key.to_numpy(dtype=object),
                                  "rng": pref})

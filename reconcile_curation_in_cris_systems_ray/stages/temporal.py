@@ -453,6 +453,24 @@ def temporal_join(a, b, key: str, val_a: str, val_b: str,
     both = tag(a, 0, val_a).union(tag(b, 1, val_b))
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        def empty_out() -> pd.DataFrame:
+            # dtype-propagating empty (scd2's iloc[:0] form): a
+            # hardcoded-dtype empty would emit mixed-schema blocks for
+            # non-timestamp intervals or non-int keys
+            if set(df.columns) >= {key, "__frm", "__to", "__val"}:
+                return pd.DataFrame({key: df[key].iloc[:0],
+                                     val_a: df["__val"].iloc[:0],
+                                     val_b: df["__val"].iloc[:0],
+                                     from_col: df["__frm"].iloc[:0],
+                                     to_col: df["__to"].iloc[:0]})
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 val_a: pd.Series([], dtype="string"),
+                                 val_b: pd.Series([], dtype="string"),
+                                 from_col: pd.Series(
+                                     [], dtype="datetime64[us]"),
+                                 to_col: pd.Series(
+                                     [], dtype="datetime64[us]")})
+
         outs = []
         for k, g in df.groupby(key, sort=False):
             ga = g[g["__side"] == 0].sort_values(["__frm", "__to"],
@@ -480,13 +498,7 @@ def temporal_join(a, b, key: str, val_a: str, val_b: str,
                 from_col: s[cov],
                 to_col: e[cov]}))
         if not outs:
-            return pd.DataFrame({key: pd.Series([], dtype="int64"),
-                                 val_a: pd.Series([], dtype="string"),
-                                 val_b: pd.Series([], dtype="string"),
-                                 from_col: pd.Series([],
-                                                     dtype="datetime64[us]"),
-                                 to_col: pd.Series([],
-                                                   dtype="datetime64[us]")})
+            return empty_out()
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_map_groups(both, [key], bucket_fn, num_buckets)

@@ -1049,3 +1049,38 @@ def test_global_dense_rank_numeric_matches_argsort(ray_session):
     exp = df.sort_values(["v", "i"], kind="mergesort")["i"].to_numpy()
     assert (got["id"].to_numpy() == exp).all()
     assert (got["rn"].to_numpy() == np.arange(300)).all()
+
+
+def test_snm_pairs_non_ascii_keys(ray_session):
+    """Byte-prefix ranges must stay order-preserving for multi-byte
+    codepoints (the chars-vs-bytes trap: 'éz' < 'ê' by codepoint AND
+    by UTF-8 bytes, but not under variable-width char-prefix ints)."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.blocking import (
+        sorted_neighborhood_pairs)
+
+    keys = ["éz", "ê", "e", "éa", "êb", "zz", "ß1", "ßa", "á", "a"]
+    df = pd.DataFrame({"k": keys,
+                       "i": np.arange(len(keys), dtype=np.int64)})
+    got = sorted_neighborhood_pairs(
+        rd.from_pandas(df).repartition(3), "k", "i", window=3,
+        segment_len=4, num_buckets=8).to_pandas()
+    assert sorted(zip(got["id_a"], got["id_b"])) \
+        == _snm_expected(df, "k", "i", 3)
+
+
+def test_golden_record_latest_keeps_null(ray_session):
+    """'latest' must return the newest row's value even when it is
+    null (groupby.first would skip it)."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        golden_record)
+
+    df = pd.DataFrame({"k": [1, 1], "v": [None, "old"],
+                       "ts": [2, 1], "tie": [1, 1]})
+    out = golden_record(rd.from_pandas(df), "k",
+                        {"v_latest": ("latest", "v", "ts", "tie")},
+                        num_buckets=2).to_pandas()
+    assert out["v_latest"].isna().iloc[0]

@@ -4364,6 +4364,51 @@ LIMIT 20
 """
 
 
+def q_hits(sf_dir: str):
+    """HITS hubs/authorities (3 unrolled iterations from h=1,
+    end-only max-normalization) over the hash-derived link graph —
+    stages/graph.py::hits, pagerank's broadcast-contribution plan;
+    the oracle chains each half-iteration as a CTE."""
+    from ..stages.graph import hits
+
+    edges, nodes, _ = _link_graph_inputs(sf_dir)
+    return hits(edges, nodes, n_iter=3)
+
+
+def _hits_half_sql(prev: str, out: str, frm: str, to: str) -> str:
+    return f"""
+{out} AS (
+  SELECT n.node, coalesce(x.v, 0) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.{to} AS node, sum(p.v) AS v
+    FROM edges e JOIN {prev} p ON p.node = e.{frm}
+    GROUP BY 1) x ON x.node = n.node)"""
+
+
+SQL_HITS = f"""
+WITH {_SQL_EDGES_CTE},
+nodes AS (SELECT doc_id AS node FROM documents),
+h0 AS (SELECT node, 1.0 AS v FROM nodes),
+{_hits_half_sql('h0', 'a1', 'src', 'dst')},
+{_hits_half_sql('a1', 'h1', 'dst', 'src')},
+{_hits_half_sql('h1', 'a2', 'src', 'dst')},
+{_hits_half_sql('a2', 'h2', 'dst', 'src')},
+{_hits_half_sql('h2', 'a3', 'src', 'dst')},
+{_hits_half_sql('a3', 'h3', 'dst', 'src')},
+mh AS (SELECT max(v) AS m FROM h3),
+ma AS (SELECT max(v) AS m FROM a3)
+SELECT n.node,
+       round(CASE WHEN mh.m > 0 THEN h3.v / mh.m ELSE 0 END, 6)
+           AS hub,
+       round(CASE WHEN ma.m > 0 THEN a3.v / ma.m ELSE 0 END, 6)
+           AS authority
+FROM nodes n
+JOIN h3 ON h3.node = n.node
+JOIN a3 ON a3.node = n.node
+CROSS JOIN mh CROSS JOIN ma
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4475,6 +4520,7 @@ QUERIES = {
     "impute_median": q_impute_median,
     "global_rank": q_global_rank,
     "pmi_bigrams": q_pmi_bigrams,
+    "hits_scores": q_hits,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4610,4 +4656,5 @@ ORACLES = {
     "impute_median": SQL_IMPUTE_MEDIAN,
     "global_rank": SQL_GLOBAL_RANK,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "hits_scores": SQL_HITS,
 }

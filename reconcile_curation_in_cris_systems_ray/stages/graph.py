@@ -417,3 +417,61 @@ def edge_support(edges):
                             "support": np.empty(0, np.int64)})
     return bucketed_map_groups(zeros.union(contrib), ["lo", "hi"],
                                total, empty_like=empty_s)
+
+
+def hits(edges, nodes, node_col: str = "node", n_iter: int = 3):
+    """HITS hubs and authorities (Kleinberg 1999, public algorithm):
+    ``a_k(v) = Σ_{(u,v)} h_{k-1}(u)``, ``h_k(u) = Σ_{(u,v)} a_k(v)``,
+    starting from h=1.  Normalization happens ONCE at the end, by the
+    maximum score: per-iteration L2 normalization would compound the
+    float-sum-order noise of a distributed reduction into the next
+    iteration, while max-normalization is exact in both engines and
+    the unnormalized iterate stays bounded for small k (values <=
+    max_degree^(2k)).
+
+    Plan mirrors ``_pagerank_broadcast``: the O(nodes) score vector
+    ships once per half-iteration via ``ray.put``; each edge batch
+    emits grouped contribution partials into the combiner; edges are
+    materialized once and streamed per pass.  (Above the pagerank
+    ``broadcast_limit`` the distributed analogue is its two-hash-join
+    plan — same crossover, not duplicated here.)  Output: ``(node,
+    hub, authority)``, both max-normalized, round-6."""
+    from .relational import partial_groupby_agg
+
+    edges = edges.materialize()
+    nd = nodes.to_pandas()
+    node_idx = pd.Index(nd[node_col].to_numpy(np.int64))
+    h = pd.Series(np.ones(len(node_idx)), index=node_idx)
+    a = pd.Series(np.zeros(len(node_idx)), index=node_idx)
+
+    def push(scores: pd.Series, from_col: str, to_col: str) -> pd.Series:
+        ref = ray.put(scores)
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(ref)
+            c = df[from_col].map(w).to_numpy(np.float64)
+            return pd.DataFrame({
+                "node": df[to_col].to_numpy(np.int64),
+                "v": c}).groupby("node", sort=False,
+                                 as_index=False)["v"].sum()
+
+        mapped = edges.map_batches(part, batch_format="pandas")
+        sums = partial_groupby_agg(mapped, ["node"], {"v": ("v", "sum")})
+        if len(sums) == 0:
+            return pd.Series(np.zeros(len(node_idx)), index=node_idx)
+        return (sums.set_index("node")["v"]
+                .reindex(node_idx).fillna(0.0))
+
+    for _ in range(n_iter):
+        a = push(h, "src", "dst")
+        h = push(a, "dst", "src")
+
+    hm, am = float(h.max()), float(a.max())
+    hub = h / hm if hm > 0 else h * 0.0
+    auth = a / am if am > 0 else a * 0.0
+    out = pd.DataFrame({"node": node_idx.to_numpy(np.int64),
+                        "hub": hub.to_numpy(np.float64).round(6),
+                        "authority": auth.to_numpy(np.float64).round(6)})
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -98,6 +98,7 @@ PINNED = [
     "impute_median",
     "global_rank",
     "pmi_bigrams",
+    "hits_scores",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

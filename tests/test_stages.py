@@ -1084,3 +1084,45 @@ def test_golden_record_latest_keeps_null(ray_session):
                         {"v_latest": ("latest", "v", "ts", "tie")},
                         num_buckets=2).to_pandas()
     assert out["v_latest"].isna().iloc[0]
+
+
+def test_hits_matches_numpy_reference(ray_session):
+    """Distributed HITS vs a single-node numpy power iteration with
+    identical semantics (h=1 start, 3 iterations, end max-norm)."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.graph import hits
+
+    rng = np.random.default_rng(5)
+    n = 40
+    e = pd.DataFrame({"src": rng.integers(0, n, 120),
+                      "dst": rng.integers(0, n, 120)})
+    e = e[e["src"] != e["dst"]].drop_duplicates(ignore_index=True)
+    nodes = pd.DataFrame({"node": np.arange(n, dtype=np.int64)})
+    got = hits(rd.from_pandas(e).repartition(3),
+               rd.from_pandas(nodes), n_iter=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    A = np.zeros((n, n))
+    A[e["src"].to_numpy(), e["dst"].to_numpy()] = 1.0
+    h = np.ones(n)
+    for _ in range(3):
+        a = A.T @ h
+        h = A @ a
+    hub = h / h.max() if h.max() > 0 else h
+    auth = a / a.max() if a.max() > 0 else a
+    np.testing.assert_allclose(got["hub"].to_numpy(), np.round(hub, 6),
+                               atol=2e-6)
+    np.testing.assert_allclose(got["authority"].to_numpy(),
+                               np.round(auth, 6), atol=2e-6)
+
+
+def test_hits_edgeless_graph(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.graph import hits
+
+    e = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                      "dst": pd.Series([], dtype="int64")})
+    nodes = pd.DataFrame({"node": np.arange(5, dtype=np.int64)})
+    out = hits(rd.from_pandas(e), rd.from_pandas(nodes)).to_pandas()
+    assert (out["hub"] == 0).all() and (out["authority"] == 0).all()

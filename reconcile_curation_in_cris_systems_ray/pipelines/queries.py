@@ -4409,6 +4409,37 @@ CROSS JOIN mh CROSS JOIN ma
 """
 
 
+_PROFILE_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"]
+
+
+def q_profile_table(sf_dir: str):
+    """Column profiling of the customer table — n_rows / n_null /
+    exact n_distinct / min / max per column (the reference A5
+    verify_db audit generalized; stages/relational.py::
+    profile_columns: combiner stats partials + ONE co-location
+    shuffle of batch-deduplicated (col, value) cells for the exact
+    distinct counts)."""
+    from ..stages.relational import profile_columns
+
+    return profile_columns(_rp(sf_dir, "customer", _PROFILE_COLS),
+                           _PROFILE_COLS)
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(f"""
+SELECT '{c}' AS col, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS vmin,
+       CAST(max({c}) AS VARCHAR) AS vmax
+FROM customer""")
+    return "\nUNION ALL\n".join(parts)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4521,6 +4552,7 @@ QUERIES = {
     "global_rank": q_global_rank,
     "pmi_bigrams": q_pmi_bigrams,
     "hits_scores": q_hits,
+    "profile_table": q_profile_table,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4657,4 +4689,5 @@ ORACLES = {
     "global_rank": SQL_GLOBAL_RANK,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "hits_scores": SQL_HITS,
+    "profile_table": _profile_sql(),
 }

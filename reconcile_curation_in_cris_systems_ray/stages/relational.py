@@ -897,3 +897,68 @@ def global_dense_rank(ds, order_col: str, tie_col: str,
                                  num_buckets=num_buckets,
                                  empty_like=empty_rank)
     return ranked, acc
+
+
+def profile_columns(ds, cols: Sequence[str]):
+    """Column profiling (the reference A5 verify_db audit generalized):
+    one row per column with ``n_rows, n_null, n_distinct, vmin, vmax``
+    — the standard pre-linkage data-quality report.
+
+    Two bounded passes: (1) per-batch (count, null-count, min, max)
+    partials merged driver-side (cols x blocks rows); (2) exact
+    distinct counts for ALL columns in ONE co-location shuffle of
+    batch-deduplicated ``(col, value)`` cells — values ride
+    stringified so heterogeneous columns share the exchange, and each
+    batch contributes each distinct value once, so exchange volume is
+    bounded by batch-local cardinality, not row count.  (At web-scale
+    cardinalities swap pass 2 for the HLL sketch —
+    ``sketch.hll_per_group`` — accepting approximation.)  ``vmin`` /
+    ``vmax`` compare on the RAW type and stringify only for the
+    report, matching SQL ``CAST(min(col) AS VARCHAR)``."""
+    from .shuffle import bucketed_map_groups
+
+    cols = list(cols)
+
+    def stats_part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            valid = s.dropna()
+            rows.append({
+                "col": c, "n_rows": len(s),
+                "n_null": int(s.isna().sum()),
+                "vmin": None if valid.empty else valid.min(),
+                "vmax": None if valid.empty else valid.max()})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(stats_part, batch_format="pandas").to_pandas()
+
+    def dis_part(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({
+            "col": c,
+            "val": df[c].dropna().astype(str).unique()}) for c in cols]
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"col": "string", "val": "string"})
+
+    cells = bucketed_map_groups(
+        ds.map_batches(dis_part, batch_format="pandas"), ["col", "val"],
+        lambda d: d.drop_duplicates(ignore_index=True), num_buckets=64)
+    dcounts: dict[str, int] = {}
+    for r in cells.map_batches(
+            lambda d: d.groupby("col", sort=False).size()
+            .rename("n").reset_index(), batch_format="pandas").take_all():
+        dcounts[r["col"]] = dcounts.get(r["col"], 0) + r["n"]
+
+    out = []
+    for c in cols:
+        p = parts[parts["col"] == c]
+        vmin = p["vmin"].dropna()
+        vmax = p["vmax"].dropna()
+        out.append({
+            "col": c,
+            "n_rows": int(p["n_rows"].sum()),
+            "n_null": int(p["n_null"].sum()),
+            "n_distinct": int(dcounts.get(c, 0)),
+            "vmin": None if vmin.empty else str(vmin.min()),
+            "vmax": None if vmax.empty else str(vmax.max())})
+    return pd.DataFrame(out)

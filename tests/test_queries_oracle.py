@@ -99,6 +99,7 @@ PINNED = [
     "global_rank",
     "pmi_bigrams",
     "hits_scores",
+    "profile_table",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

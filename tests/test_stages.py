@@ -1126,3 +1126,20 @@ def test_hits_edgeless_graph(ray_session):
     nodes = pd.DataFrame({"node": np.arange(5, dtype=np.int64)})
     out = hits(rd.from_pandas(e), rd.from_pandas(nodes)).to_pandas()
     assert (out["hub"] == 0).all() and (out["authority"] == 0).all()
+
+
+def test_profile_columns_with_nulls(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        profile_columns)
+
+    df = pd.DataFrame({"a": [3, 1, None, 3, 2],
+                       "s": ["x", None, None, "y", "x"]})
+    out = profile_columns(rd.from_pandas(df).repartition(3),
+                          ["a", "s"]).set_index("col")
+    assert out.loc["a", "n_rows"] == 5 and out.loc["a", "n_null"] == 1
+    assert out.loc["a", "n_distinct"] == 3
+    assert out.loc["a", "vmin"] == "1.0" and out.loc["a", "vmax"] == "3.0"
+    assert out.loc["s", "n_null"] == 2 and out.loc["s", "n_distinct"] == 2
+    assert out.loc["s", "vmin"] == "x" and out.loc["s", "vmax"] == "y"

@@ -4440,6 +4440,64 @@ FROM customer""")
     return "\nUNION ALL\n".join(parts)
 
 
+def q_vocab_stats(sf_dir: str):
+    """Corpus vocabulary audit: total/distinct/hapax token counts,
+    max term frequency, type-token ratio (stages/textstats.py::
+    vocab_stats — one combiner pass, one cell shuffle, scalar
+    partials)."""
+    from ..stages.textstats import vocab_stats
+
+    return vocab_stats(_rp(sf_dir, "documents", ["text"]))
+
+
+SQL_VOCAB_STATS = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+uni AS (SELECT unnest(toks) AS tok FROM t),
+c AS (SELECT tok, count(*) AS n FROM uni GROUP BY 1)
+SELECT CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST(count(*) AS BIGINT) AS distinct_tokens,
+       CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax_tokens,
+       CAST(max(n) AS BIGINT) AS max_freq,
+       round(count(*) / CAST(sum(n) AS DOUBLE), 6) AS type_token_ratio
+FROM c
+"""
+
+
+def q_source_overlap(sf_dir: str):
+    """Cross-source duplicate-content matrix at 32-token chunk grain:
+    distinct shared chunk contents per source pair
+    (stages/chunks.py::source_overlap — digest-keyed shuffle, chunk
+    text never moves, bounded per-pair counts to the driver)."""
+    from ..stages.chunks import source_overlap
+
+    return source_overlap(
+        _rp(sf_dir, "documents", ["doc_id", "text", "source"]),
+        "doc_id", "text", "source", chunk_tokens=32)
+
+
+SQL_SOURCE_OVERLAP = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+chunks AS (
+  SELECT doc_id, string_agg(arr[g], ' ' ORDER BY g) AS chunk
+  FROM t, unnest(generate_series(1, len(arr))) AS u(g)
+  GROUP BY doc_id, CAST((g - 1) // 32 AS BIGINT)),
+dsrc AS (
+  SELECT DISTINCT c.chunk, d.source
+  FROM chunks c JOIN documents d USING (doc_id)),
+p AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM dsrc a JOIN dsrc b
+    ON a.chunk = b.chunk AND a.source < b.source)
+SELECT s1, s2, CAST(count(*) AS BIGINT) AS shared_chunks
+FROM p GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4553,6 +4611,8 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "hits_scores": q_hits,
     "profile_table": q_profile_table,
+    "vocab_stats": q_vocab_stats,
+    "source_overlap": q_source_overlap,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4690,4 +4750,6 @@ ORACLES = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "hits_scores": SQL_HITS,
     "profile_table": _profile_sql(),
+    "vocab_stats": SQL_VOCAB_STATS,
+    "source_overlap": SQL_SOURCE_OVERLAP,
 }

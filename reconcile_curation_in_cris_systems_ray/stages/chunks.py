@@ -201,3 +201,46 @@ def boilerplate_stats(docs, id_col: str, text_col: str,
     return joined.map_batches(
         lambda df: df[df["n_boiler"] > 0][[id_col, "n_chunks", "n_boiler"]],
         batch_format="pandas")
+
+
+def source_overlap(docs, id_col: str, text_col: str, source_col: str,
+                   chunk_tokens: int = 32, num_buckets: int = 64):
+    """Cross-source duplicate-content matrix: for every source pair
+    (s1 < s2), the number of DISTINCT chunk contents both sources
+    contain — the "which crawl duplicates which" curation report that
+    decides dedup ordering and source weights.
+
+    Same digest discipline as :func:`chunk_dedup` (chunk text never
+    enters an exchange, 128-bit digests do); each digest group lives
+    wholly in one bucket, so the per-bucket distinct (digest, source)
+    self-merge emits each (digest, pair) exactly once and only the
+    bounded per-pair counts reach the driver (<= |sources|^2 rows)."""
+    from .relational import partial_groupby_agg
+    from .shuffle import bucketed_map_groups
+
+    def digest_src(df: pd.DataFrame) -> pd.DataFrame:
+        d = _digest_frame(df, id_col, text_col, chunk_tokens)
+        src = dict(zip(df[id_col].to_numpy(), df[source_col].to_numpy()))
+        d["src"] = d[id_col].map(src)
+        return d[["h1", "h2", "src"]].drop_duplicates(ignore_index=True)
+
+    cells = docs.select_columns([id_col, text_col, source_col]) \
+        .map_batches(digest_src, batch_format="pandas")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["h1", "h2", "src"])
+        m = d.merge(d, on=["h1", "h2"])
+        m = m[m["src_x"] < m["src_y"]]
+        if len(m) == 0:
+            return pd.DataFrame({"s1": pd.Series([], dtype="string"),
+                                 "s2": pd.Series([], dtype="string"),
+                                 "n": pd.Series([], dtype="int64")})
+        g = m.groupby(["src_x", "src_y"], sort=False).size() \
+            .rename("n").reset_index()
+        return g.rename(columns={"src_x": "s1", "src_y": "s2"})
+
+    parts = bucketed_map_groups(cells, ["h1"], pairs,
+                                num_buckets=num_buckets)
+    out = partial_groupby_agg(parts, ["s1", "s2"], {"n": ("n", "sum")})
+    return out.rename(columns={"n": "shared_chunks"}) \
+        .sort_values(["s1", "s2"]).reset_index(drop=True)

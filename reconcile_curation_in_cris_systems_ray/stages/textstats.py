@@ -647,3 +647,48 @@ def pmi_bigrams(ds, text_col: str = "text", min_count: int = 5,
     return top.map_batches(
         lambda df: df.assign(pmi=df["pmi"].round(6)),
         batch_format="pandas")
+
+
+def vocab_stats(ds, text_col: str = "text", num_buckets: int = 32):
+    """Corpus vocabulary statistics: total tokens, distinct tokens,
+    hapax legomena (frequency-1 terms), max term frequency and the
+    type-token ratio — the Zipf/Heaps audit run before tokenizer and
+    LM decisions.  One combiner pass to (term, count) cells, one
+    bucketed shuffle of the cells, then per-bucket scalar partials
+    (V, hapax, max, Σn) reduced driver-side — the corpus never moves
+    twice and the driver holds O(buckets) scalars."""
+    from .shuffle import bucketed_map_groups
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype("string").fillna("") \
+            .reset_index(drop=True)
+        ex = texts.str.lower().str.split().explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        c = ex.value_counts(sort=False)
+        return pd.DataFrame({"tok": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy()})
+
+    cells = bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pandas"), ["tok"],
+        lambda df: df.groupby("tok", sort=False, as_index=False)["n"]
+        .sum(), num_buckets=num_buckets)
+
+    def scalars(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        return pd.DataFrame({"v": [len(n)], "hapax": [int((n == 1).sum())],
+                             "mx": [int(n.max()) if len(n) else 0],
+                             "tot": [int(n.sum())]})
+
+    parts = cells.map_batches(scalars, batch_format="pandas").take_all()
+    v = sum(r["v"] for r in parts)
+    hapax = sum(r["hapax"] for r in parts)
+    mx = max((r["mx"] for r in parts), default=0)
+    tot = sum(r["tot"] for r in parts)
+    return pd.DataFrame({
+        "total_tokens": [int(tot)],
+        "distinct_tokens": [int(v)],
+        "hapax_tokens": [int(hapax)],
+        "max_freq": [int(mx)],
+        "type_token_ratio": [round(v / tot, 6) if tot else 0.0]})

@@ -100,6 +100,8 @@ PINNED = [
     "pmi_bigrams",
     "hits_scores",
     "profile_table",
+    "vocab_stats",
+    "source_overlap",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -1143,3 +1143,37 @@ def test_profile_columns_with_nulls(ray_session):
     assert out.loc["a", "vmin"] == "1.0" and out.loc["a", "vmax"] == "3.0"
     assert out.loc["s", "n_null"] == 2 and out.loc["s", "n_distinct"] == 2
     assert out.loc["s", "vmin"] == "x" and out.loc["s", "vmax"] == "y"
+
+
+def test_vocab_stats_hand_corpus(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.textstats import (
+        vocab_stats)
+
+    df = pd.DataFrame({"text": ["a b a", "b c", "", None, "d"]})
+    out = vocab_stats(rd.from_pandas(df).repartition(3), "text")
+    assert int(out["total_tokens"].iloc[0]) == 6
+    assert int(out["distinct_tokens"].iloc[0]) == 4   # a b c d
+    assert int(out["hapax_tokens"].iloc[0]) == 2      # c d
+    assert int(out["max_freq"].iloc[0]) == 2
+    assert float(out["type_token_ratio"].iloc[0]) == round(4 / 6, 6)
+
+
+def test_source_overlap_hand_case(ray_session):
+    """Chunks shared across sources count once per distinct content;
+    within-source duplicates don't create pairs."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.chunks import (
+        source_overlap)
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x y", "x y", "x y", "q r", "q r"],
+        "src": ["A", "B", "A", "B", "C"],
+    })
+    out = source_overlap(rd.from_pandas(df).repartition(2), "doc_id",
+                         "text", "src", chunk_tokens=32)
+    got = {(r.s1, r.s2): r.shared_chunks for r in out.itertuples()}
+    assert got == {("A", "B"): 1, ("B", "C"): 1}

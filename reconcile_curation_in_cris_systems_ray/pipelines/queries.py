@@ -4498,6 +4498,80 @@ FROM p GROUP BY 1, 2
 """
 
 
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users bucketed by first-event month,
+    distinct active users per (cohort, month-offset) cell
+    (stages/temporal.py::cohort_retention — per-user first via one
+    co-location shuffle, hash-join cohort hydration, one dedup
+    shuffle of the triples, bounded cell counts)."""
+    from ..stages.temporal import cohort_retention
+
+    return cohort_retention(_rp(sf_dir, "events", ["user_id", "ts"]),
+                            "user_id", "ts")
+
+
+SQL_COHORT_RETENTION = """
+WITH f AS (SELECT user_id, min(ts) AS f0 FROM events GROUP BY 1),
+j AS (SELECT e.user_id,
+             CAST(EXTRACT(year FROM f.f0) * 12
+                  + EXTRACT(month FROM f.f0) AS BIGINT) AS cohort,
+             CAST(EXTRACT(year FROM e.ts) * 12
+                  + EXTRACT(month FROM e.ts) AS BIGINT) AS cm
+      FROM events e JOIN f USING (user_id)),
+d AS (SELECT DISTINCT cohort, cm - cohort AS month_offset, user_id
+      FROM j)
+SELECT cohort, month_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1, 2
+"""
+
+
+def q_table_diff(sf_dir: str):
+    """Snapshot reconciliation: the customer table diffed against a
+    deterministically perturbed copy (every 97th key removed, every
+    13th segment changed, every 101st key re-added under a shifted
+    id) — added/removed/changed per key via one full-outer hash join
+    with presence flags (stages/relational.py::table_diff)."""
+    from ..stages.relational import table_diff
+
+    base = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        seg = df["c_mktsegment"].to_numpy(dtype=object)
+        keep = k % 97 != 0
+        changed = np.where(k % 13 == 0, "CHANGED", seg)
+        kept = pd.DataFrame({"c_custkey": k[keep],
+                             "c_mktsegment": changed[keep]})
+        addm = k % 101 == 0
+        added = pd.DataFrame({"c_custkey": k[addm] + 10000000,
+                              "c_mktsegment": np.repeat("NEWSEG",
+                                                        int(addm.sum()))})
+        return pd.concat([kept, added], ignore_index=True)
+
+    new = _rp(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(perturb, batch_format="pandas")
+    return table_diff(base, new, "c_custkey", ["c_mktsegment"])
+
+
+SQL_TABLE_DIFF = """
+WITH new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 13 = 0 THEN 'CHANGED'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'NEWSEG'
+  FROM customer WHERE c_custkey % 101 = 0)
+SELECT coalesce(b.c_custkey, n.c_custkey) AS c_custkey,
+       CASE WHEN b.c_custkey IS NULL THEN 'added'
+            WHEN n.c_custkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS status
+FROM customer b FULL OUTER JOIN new n ON b.c_custkey = n.c_custkey
+WHERE b.c_custkey IS NULL OR n.c_custkey IS NULL
+   OR b.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4613,6 +4687,8 @@ QUERIES = {
     "profile_table": q_profile_table,
     "vocab_stats": q_vocab_stats,
     "source_overlap": q_source_overlap,
+    "cohort_retention": q_cohort_retention,
+    "table_diff": q_table_diff,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4752,4 +4828,6 @@ ORACLES = {
     "profile_table": _profile_sql(),
     "vocab_stats": SQL_VOCAB_STATS,
     "source_overlap": SQL_SOURCE_OVERLAP,
+    "cohort_retention": SQL_COHORT_RETENTION,
+    "table_diff": SQL_TABLE_DIFF,
 }

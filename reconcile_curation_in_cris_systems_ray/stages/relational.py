@@ -962,3 +962,58 @@ def profile_columns(ds, cols: Sequence[str]):
             "vmin": None if vmin.empty else str(vmin.min()),
             "vmax": None if vmax.empty else str(vmax.max())})
     return pd.DataFrame(out)
+
+
+def table_diff(base, new, key: str, compare_cols: Sequence[str]):
+    """Snapshot reconciliation: classify every key as ``added`` (new
+    only), ``removed`` (base only) or ``changed`` (present in both
+    with any compare column differing); unchanged keys are dropped —
+    the delta report that drives incremental reprocessing.
+
+    One full-outer distributed hash join on the key; presence flags
+    ride as literal columns so a genuinely-null attribute is never
+    mistaken for an absent row; NULL-safe comparison treats
+    null==null as equal (SQL ``IS DISTINCT FROM``)."""
+    cmp_cols = list(compare_cols)
+
+    def tag(flag: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.copy()
+            out[flag] = np.int8(1)
+            return out
+        return f
+
+    b = base.map_batches(tag("__b"), batch_format="pandas")
+
+    def prep_new(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={c: f"{c}__new" for c in cmp_cols})
+        # defensive key copy: Ray 2.49 coalesces the right key into the
+        # left key column on full_outer, but that is undocumented
+        # behavior (the q_outer_join caveat) — carry our own
+        out["__nk"] = df[key]
+        return out
+
+    n = new.map_batches(tag("__n"), batch_format="pandas").map_batches(
+        prep_new, batch_format="pandas")
+    j = hash_join(b, n, on=[key], how="full_outer")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        has_b = df["__b"].notna().to_numpy()
+        has_n = df["__n"].notna().to_numpy()
+        changed = np.zeros(len(df), dtype=bool)
+        for c in cmp_cols:
+            a = df[c]
+            z = df[f"{c}__new"]
+            # IS DISTINCT FROM: null == null is equal
+            changed |= (a.ne(z) & ~(a.isna() & z.isna())).to_numpy()
+        status = np.where(~has_b, "added",
+                          np.where(~has_n, "removed",
+                                   np.where(changed, "changed",
+                                            "unchanged")))
+        keys = df[key].fillna(df["__nk"]) if "__nk" in df.columns \
+            else df[key]
+        out = pd.DataFrame({key: keys.to_numpy(),
+                            "status": status})
+        return out[out["status"] != "unchanged"]
+
+    return j.map_batches(classify, batch_format="pandas")

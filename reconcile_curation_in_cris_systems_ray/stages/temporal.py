@@ -502,3 +502,67 @@ def temporal_join(a, b, key: str, val_a: str, val_b: str,
         return pd.concat(outs, ignore_index=True)
 
     return bucketed_map_groups(both, [key], bucket_fn, num_buckets)
+
+
+def cohort_retention(events, user_col: str, ts_col: str,
+                     num_buckets: int = 64):
+    """Cohort retention: users grouped by the month of their FIRST
+    event; for every (cohort, month-offset) cell, how many distinct
+    cohort members were active that many months later — the classic
+    engagement/retention matrix.
+
+    Plan: per-user first-event month via one co-location shuffle of
+    the narrow (user, ts) projection (min is computed per bucket, so
+    no driver-side user table); a distributed hash join hydrates each
+    event with its user's cohort; then ONE more bucketed shuffle
+    deduplicates (cohort, offset, user) triples and the bounded
+    per-cell counts combine driver-side.  Months ride as ``year*12 +
+    month`` integers — exact arithmetic, no date-formatting parity
+    hazards."""
+    from .relational import hash_join, partial_groupby_agg
+
+    narrow = events.map_batches(
+        lambda df: pd.DataFrame({
+            user_col: df[user_col].to_numpy(),
+            "__ym": (pd.DatetimeIndex(df[ts_col]).year * 12
+                     + pd.DatetimeIndex(df[ts_col]).month)
+            .to_numpy(np.int64)}),
+        batch_format="pandas")
+
+    def first_ym(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(user_col, sort=False, as_index=False)["__ym"] \
+            .min()
+        return g.rename(columns={"__ym": "cohort"})
+
+    from .relational import _num_partitions
+
+    # repartition scrubs the schema-less empty blocks sparse buckets
+    # emit at tiny inputs (acero's join rejects them), and right-sizes
+    # the join input — the mutual_best_match discipline
+    firsts = bucketed_map_groups(narrow, [user_col], first_ym,
+                                 num_buckets=num_buckets) \
+        .repartition(_num_partitions())
+
+    j = hash_join(narrow, firsts, on=[user_col])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "cohort": df["cohort"].to_numpy(np.int64),
+            "month_offset": (df["__ym"].to_numpy(np.int64)
+                             - df["cohort"].to_numpy(np.int64)),
+            user_col: df[user_col].to_numpy()})
+        return out.drop_duplicates(ignore_index=True)
+
+    trips = bucketed_map_groups(
+        j.map_batches(cells, batch_format="pandas"),
+        ["cohort", "month_offset", user_col],
+        lambda df: df.drop_duplicates(ignore_index=True),
+        num_buckets=num_buckets)
+    out = partial_groupby_agg(
+        trips.map_batches(
+            lambda df: df.groupby(["cohort", "month_offset"], sort=False)
+            .size().rename("n_users").reset_index(),
+            batch_format="pandas"),
+        ["cohort", "month_offset"], {"n_users": ("n_users", "sum")})
+    return out.sort_values(["cohort", "month_offset"]) \
+        .reset_index(drop=True)

@@ -102,6 +102,8 @@ PINNED = [
     "profile_table",
     "vocab_stats",
     "source_overlap",
+    "cohort_retention",
+    "table_diff",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -1177,3 +1177,42 @@ def test_source_overlap_hand_case(ray_session):
                          "text", "src", chunk_tokens=32)
     got = {(r.s1, r.s2): r.shared_chunks for r in out.itertuples()}
     assert got == {("A", "B"): 1, ("B", "C"): 1}
+
+
+def test_table_diff_classification(ray_session):
+    """added/removed/changed with nulls: null==null is unchanged,
+    null vs value is changed."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        table_diff)
+
+    base = pd.DataFrame({"k": [1, 2, 3, 4, 5],
+                         "v": ["a", "b", None, "d", None]})
+    new = pd.DataFrame({"k": [1, 3, 4, 5, 6],
+                        "v": ["a", None, "D", "x", "n"]})
+    # 1: unchanged (a==a); 2: removed; 3: unchanged (null==null);
+    # 4: changed; 5: changed (null -> x); 6: added
+    out = table_diff(rd.from_pandas(base).repartition(2),
+                     rd.from_pandas(new).repartition(2),
+                     "k", ["v"]).to_pandas()
+    got = dict(zip(out["k"].astype(int), out["status"]))
+    assert got == {2: "removed", 4: "changed", 5: "changed", 6: "added"}
+
+
+def test_cohort_retention_hand_case(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.temporal import (
+        cohort_retention)
+
+    ts = pd.to_datetime(["2024-01-05", "2024-02-10", "2024-03-01",
+                         "2024-02-02", "2024-02-20", "2024-04-01"])
+    df = pd.DataFrame({"u": [1, 1, 1, 2, 2, 2], "ts": ts})
+    out = cohort_retention(rd.from_pandas(df).repartition(2), "u", "ts")
+    cells = {(r.cohort, r.month_offset): r.n_users
+             for r in out.itertuples()}
+    jan = 2024 * 12 + 1
+    feb = 2024 * 12 + 2
+    assert cells == {(jan, 0): 1, (jan, 1): 1, (jan, 2): 1,
+                     (feb, 0): 1, (feb, 2): 1}

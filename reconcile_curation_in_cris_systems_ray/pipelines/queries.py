@@ -4572,6 +4572,71 @@ WHERE b.c_custkey IS NULL OR n.c_custkey IS NULL
 """
 
 
+def q_value_histogram(sf_dir: str):
+    """Fixed-width 20-bin histogram of order totals over [0, 500000)
+    with explicit under/overflow bins (stages/sketch.py::
+    value_histogram — pure combiner, deterministic literal edges)."""
+    from ..stages.sketch import value_histogram
+
+    out = value_histogram(_rp(sf_dir, "orders", ["o_totalprice"]),
+                          "o_totalprice", lo=0.0, hi=500000.0,
+                          n_bins=20)
+    return out[["bin", "n"]]
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH b AS (
+  SELECT CASE WHEN o_totalprice < 0 THEN -1
+              WHEN o_totalprice >= 500000 THEN 20
+              ELSE LEAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT),
+                         19) END AS bin
+  FROM orders WHERE o_totalprice IS NOT NULL),
+g AS (SELECT unnest(range(-1, 21)) AS bin)
+SELECT g.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n
+FROM g LEFT JOIN (SELECT bin, count(*) AS n FROM b GROUP BY 1) c
+  ON c.bin = g.bin
+"""
+
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_steps(sf_dir: str):
+    """Ordered conversion funnel view -> click -> purchase: users per
+    completed-step count, each step strictly after the user's
+    earliest previous-step time (stages/temporal.py::funnel_steps —
+    one co-location shuffle, per-bucket vectorized rounds)."""
+    from ..stages.temporal import funnel_steps
+
+    return funnel_steps(
+        _rp(sf_dir, "events", ["user_id", "event_type", "ts"]),
+        "user_id", "event_type", "ts", _FUNNEL_STEPS)
+
+
+SQL_FUNNEL_STEPS = """
+WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts2
+       FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts3
+       FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1),
+u AS (SELECT DISTINCT user_id FROM events),
+s AS (SELECT u.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS steps_completed
+      FROM u
+      LEFT JOIN t1 USING (user_id)
+      LEFT JOIN t2 USING (user_id)
+      LEFT JOIN t3 USING (user_id))
+SELECT steps_completed, CAST(count(*) AS BIGINT) AS n_users
+FROM s GROUP BY 1
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4689,6 +4754,8 @@ QUERIES = {
     "source_overlap": q_source_overlap,
     "cohort_retention": q_cohort_retention,
     "table_diff": q_table_diff,
+    "value_histogram": q_value_histogram,
+    "funnel_steps": q_funnel_steps,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4830,4 +4897,6 @@ ORACLES = {
     "source_overlap": SQL_SOURCE_OVERLAP,
     "cohort_retention": SQL_COHORT_RETENTION,
     "table_diff": SQL_TABLE_DIFF,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
+    "funnel_steps": SQL_FUNNEL_STEPS,
 }

@@ -581,3 +581,37 @@ def weighted_sample(ds, key_col: str, weight_col_or_map, k: int,
         return parts
     top = parts.nlargest(k, "_pri", keep="all").head(k)
     return top.drop(columns=["_pri"]).reset_index(drop=True)
+
+
+def value_histogram(ds, col: str, lo: float, hi: float, n_bins: int = 20):
+    """Fixed-width histogram of a numeric column over [lo, hi):
+    per-bin row counts plus underflow/overflow bins — the
+    distribution audit behind threshold choices.  Pure combiner
+    (per-batch np.histogram-style bincounts, driver sum of
+    (n_bins+2)-vectors); explicit [lo, hi) so the bin edges are
+    deterministic literals shared with the SQL oracle, not
+    data-dependent."""
+    width = (hi - lo) / n_bins
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].dropna().to_numpy(np.float64)
+        idx = np.floor((v - lo) / width).astype(np.int64)
+        idx = np.where(v < lo, -1, np.where(v >= hi, n_bins, idx))
+        # values in [lo, hi) that float-floor onto n_bins (hi-adjacent
+        # rounding) clamp into the last real bin
+        idx = np.clip(idx, -1, n_bins)
+        counts = np.bincount(idx + 1, minlength=n_bins + 2)
+        return pd.DataFrame({"bin": np.arange(-1, n_bins + 1,
+                                              dtype=np.int64),
+                             "n": counts.astype(np.int64)})
+
+    parts = ds.map_batches(part, batch_format="pandas").take_all()
+    agg: dict[int, int] = {}
+    for r in parts:
+        agg[r["bin"]] = agg.get(r["bin"], 0) + r["n"]
+    bins = np.arange(-1, n_bins + 1, dtype=np.int64)
+    return pd.DataFrame({
+        "bin": bins,
+        "bin_lo": np.where(bins < 0, -np.inf, lo + bins * width),
+        "n": np.array([agg.get(int(b), 0) for b in bins],
+                      dtype=np.int64)})

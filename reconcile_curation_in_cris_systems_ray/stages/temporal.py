@@ -566,3 +566,58 @@ def cohort_retention(events, user_col: str, ts_col: str,
         ["cohort", "month_offset"], {"n_users": ("n_users", "sum")})
     return out.sort_values(["cohort", "month_offset"]) \
         .reset_index(drop=True)
+
+
+def funnel_steps(events, user_col: str, type_col: str, ts_col: str,
+                 steps: Sequence[str], num_buckets: int = 64):
+    """Ordered funnel analysis: for each user, how many of the given
+    step types occur in strict timestamp order (step k+1 must happen
+    strictly after the user's EARLIEST qualifying step k); returns
+    (steps_completed, n_users) — the conversion report.
+
+    One co-location shuffle on the user key, then per-bucket
+    vectorized rounds: for each step, a groupby-min over that step's
+    events later than the user's previous-step time.  Rounds =
+    len(steps) (tiny); no per-user Python loop."""
+    from .relational import partial_groupby_agg
+
+    steps = list(steps)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame(
+            {user_col: df[user_col].drop_duplicates().to_numpy()})
+        if len(users) == 0:
+            return pd.DataFrame({"steps_completed": pd.Series(
+                [], dtype="int64"), "n": pd.Series([], dtype="int64")})
+        prev = pd.Series(pd.Timestamp.min,
+                         index=users[user_col].to_numpy())
+        done = pd.Series(0, index=prev.index)
+        for i, step in enumerate(steps):
+            # only users that completed step i are eligible for i+1 —
+            # otherwise a user skipping a middle step could still
+            # "convert" on a later one
+            elig = done.index[done.to_numpy() == i]
+            ev = df[(df[type_col] == step)
+                    & df[user_col].isin(elig)]
+            if len(ev) == 0:
+                break
+            ok = ev[ts_col] > ev[user_col].map(prev)
+            ev = ev[ok]
+            if len(ev) == 0:
+                break
+            t = ev.groupby(user_col, sort=False)[ts_col].min()
+            prev = prev.where(~prev.index.isin(t.index),
+                              t.reindex(prev.index))
+            done = done.where(~done.index.isin(t.index), i + 1)
+        g = done.value_counts()
+        return pd.DataFrame({"steps_completed": g.index.to_numpy(
+            np.int64), "n": g.to_numpy(np.int64)})
+
+    parts = bucketed_map_groups(
+        events.map_batches(
+            lambda df: df[[user_col, type_col, ts_col]],
+            batch_format="pandas"),
+        [user_col], bucket_fn, num_buckets)
+    out = partial_groupby_agg(parts, ["steps_completed"],
+                              {"n_users": ("n", "sum")})
+    return out.sort_values("steps_completed").reset_index(drop=True)

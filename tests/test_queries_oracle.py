@@ -104,6 +104,8 @@ PINNED = [
     "source_overlap",
     "cohort_retention",
     "table_diff",
+    "value_histogram",
+    "funnel_steps",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -1216,3 +1216,51 @@ def test_cohort_retention_hand_case(ray_session):
     feb = 2024 * 12 + 2
     assert cells == {(jan, 0): 1, (jan, 1): 1, (jan, 2): 1,
                      (feb, 0): 1, (feb, 2): 1}
+
+
+def test_funnel_steps_strict_order_and_skips(ray_session):
+    """A later-step event BEFORE the earlier step must not count, and
+    skipping a middle step blocks later conversion."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.temporal import (
+        funnel_steps)
+
+    ts = pd.to_datetime
+    df = pd.DataFrame({
+        # u1: view->click->purchase in order -> 3
+        # u2: click before view -> only view counts -> 1
+        # u3: view then purchase (no click) -> 1
+        # u4: no qualifying steps -> 0
+        "u": [1, 1, 1, 2, 2, 3, 3, 4],
+        "t": ["view", "click", "purchase",
+              "click", "view", "view", "purchase", "other"],
+        "ts": ts(["2024-01-01", "2024-01-02", "2024-01-03",
+                  "2024-01-01", "2024-01-02", "2024-01-01",
+                  "2024-01-02", "2024-01-01"]),
+    })
+    out = funnel_steps(rd.from_pandas(df).repartition(2), "u", "t",
+                       "ts", ["view", "click", "purchase"],
+                       num_buckets=4)
+    got = dict(zip(out["steps_completed"], out["n_users"]))
+    assert got == {0: 1, 1: 2, 3: 1}
+
+
+def test_value_histogram_bins(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        value_histogram)
+
+    df = pd.DataFrame({"v": [-5.0, 0.0, 9.9, 10.0, 55.0, 99.99,
+                             100.0, 250.0, None]})
+    out = value_histogram(rd.from_pandas(df).repartition(2), "v",
+                          lo=0.0, hi=100.0, n_bins=10)
+    got = dict(zip(out["bin"], out["n"]))
+    assert got[-1] == 1            # underflow
+    assert got[0] == 2             # 0.0, 9.9
+    assert got[1] == 1             # 10.0
+    assert got[5] == 1             # 55.0
+    assert got[9] == 1             # 99.99
+    assert got[10] == 2            # overflow: 100.0, 250.0
+    assert sum(got.values()) == 8  # null dropped

@@ -4637,6 +4637,40 @@ FROM s GROUP BY 1
 """
 
 
+def q_containment_sets(sf_dir: str):
+    """Exact asymmetric set-containment join (|A∩B|/|A| >= 0.8 over
+    word-3-gram sets): quotes/partial copies symmetric Jaccard misses
+    (stages/setsim.py::containment_sets_join — A-prefix vs full-index
+    candidates under the containment prefix lemma, exact verify via
+    two digest joins)."""
+    from ..stages.setsim import containment_sets_join
+
+    return containment_sets_join(
+        _rp(sf_dir, "documents", ["doc_id", "text"]),
+        "doc_id", "text", threshold=0.8, shingle_n=3)
+
+
+SQL_CONTAINMENT_SETS = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id,
+         arr[g] || ' ' || arr[g + 1] || ' ' || arr[g + 2] AS shingle
+  FROM t, unnest(generate_series(1, len(arr) - 2)) AS u(g)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS s
+  FROM sh a JOIN sh b ON a.shingle = b.shingle
+                     AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       round(CAST(s AS DOUBLE) / za.n, 6) AS containment
+FROM shared JOIN sz za ON za.doc_id = da
+WHERE CAST(s AS DOUBLE) / za.n >= 0.8
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4756,6 +4790,7 @@ QUERIES = {
     "table_diff": q_table_diff,
     "value_histogram": q_value_histogram,
     "funnel_steps": q_funnel_steps,
+    "containment_sets": q_containment_sets,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4899,4 +4934,5 @@ ORACLES = {
     "table_diff": SQL_TABLE_DIFF,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "funnel_steps": SQL_FUNNEL_STEPS,
+    "containment_sets": SQL_CONTAINMENT_SETS,
 }

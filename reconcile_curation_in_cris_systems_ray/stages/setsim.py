@@ -227,3 +227,104 @@ def setsim_join(docs, id_col: str, text_col: str, threshold: float = 0.6,
             "doc_a": pd.Series([], dtype="int64"),
             "doc_b": pd.Series([], dtype="int64"),
             "jaccard": pd.Series([], dtype="float64")}))
+
+
+def containment_sets_join(docs, id_col: str, text_col: str,
+                          threshold: float = 0.8, shingle_n: int = 3,
+                          num_buckets: int = 64):
+    """Exact set-CONTAINMENT join: all ordered pairs (a, b), a != b,
+    with ``|A ∩ B| / |A| >= threshold`` over word-n-gram sets — the
+    asymmetric complement of :func:`setsim_join` that finds quotes,
+    partial copies and supersets which symmetric Jaccard misses (a
+    200-gram page fully containing a 20-gram snippet scores J ~= 0.1
+    but containment 1.0).
+
+    Containment prefix lemma: if ``|A∩B| >= t|A|`` then A's first
+    ``|A| - ceil(t|A|) + 1`` shingles under ANY common total order
+    intersect B — so candidates come from joining A-prefix rows
+    against B's FULL digest rows (the index side cannot be prefix-
+    pruned; its emission is the corpus-scale digest table, the same
+    volume the verify joins already stream).  The hash total order is
+    used (no global rank state).  Size filter ``nb >= t * na``; exact
+    verify via the same two hash joins as setsim; same 128-bit digest
+    discipline (shingle text never enters an exchange).
+
+    Output: ``(doc_a, doc_b, containment)`` — doc_a's set is
+    t-contained in doc_b's."""
+    t = float(threshold)
+    project = docs.select_columns([id_col, text_col])
+    shingles = project.map_batches(
+        lambda df: _shingle_frame(df, id_col, text_col, shingle_n),
+        batch_format="pandas")
+
+    def prefixes(df: pd.DataFrame) -> pd.DataFrame:
+        p = _prefix_frame(df, id_col, text_col, shingle_n, t, None)
+        p["full"] = np.int8(0)
+        return p
+
+    def fulls(df: pd.DataFrame) -> pd.DataFrame:
+        d = _shingle_frame(df, id_col, text_col, shingle_n)
+        if not len(d):
+            return pd.DataFrame({"h1": pd.Series([], dtype="uint64"),
+                                 "h2": pd.Series([], dtype="uint64"),
+                                 "sid": pd.Series([], dtype="int64"),
+                                 "ssz": pd.Series([], dtype="int64"),
+                                 "full": pd.Series([], dtype="int8")})
+        sz = d.groupby(id_col, sort=False)["h1"].transform("size")
+        return pd.DataFrame({"h1": d["h1"].to_numpy(),
+                             "h2": d["h2"].to_numpy(),
+                             "sid": d[id_col].to_numpy(),
+                             "ssz": sz.to_numpy(np.int64),
+                             "full": np.int8(1)})
+
+    both = project.map_batches(prefixes, batch_format="pandas").union(
+        project.map_batches(fulls, batch_format="pandas"))
+
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["full"] == 0]
+        f = df[df["full"] == 1]
+        m = p.merge(f, on=["h1", "h2"], suffixes=("_a", "_b"))
+        m = m[(m["sid_a"] != m["sid_b"])
+              & (m["ssz_b"].to_numpy(np.float64)
+                 >= t * m["ssz_a"].to_numpy(np.float64))]
+        return (m[["sid_a", "sid_b", "ssz_a"]]
+                .rename(columns={"sid_a": "a", "sid_b": "b",
+                                 "ssz_a": "na"})
+                .drop_duplicates(["a", "b"]))
+
+    pair_schema = pd.DataFrame({c: pd.Series([], dtype="int64")
+                                for c in ("a", "b", "na")})
+    cand = bucketed_map_groups(both, ["h1"], pairgen, num_buckets,
+                               empty_like=pair_schema)
+    # repartition scrubs the schema-less empty blocks sparse buckets
+    # emit at tiny inputs — acero's join rejects them (the
+    # mutual_best_match discipline)
+    cand = bucketed_map_groups(
+        cand, ["a", "b"], lambda df: df.drop_duplicates(["a", "b"]),
+        num_buckets, empty_like=pair_schema) \
+        .repartition(rel._num_partitions())
+
+    sh_a = _rename(shingles, {id_col: "a"})
+    sh_b = _rename(shingles, {id_col: "b"})
+    e1 = rel.hash_join(cand, sh_a, on=("a",))
+    e2 = rel.hash_join(e1, sh_b, on=("b", "h1", "h2"))
+
+    def count_shared(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["a", "b", "na"], sort=False)
+             .size().reset_index(name="shared"))
+        c = g["shared"].to_numpy(np.float64) / g["na"].to_numpy(
+            np.float64)
+        g = g[c >= t]
+        return pd.DataFrame({
+            "doc_a": g["a"].to_numpy(dtype=np.int64),
+            "doc_b": g["b"].to_numpy(dtype=np.int64),
+            "containment": np.round(
+                g["shared"].to_numpy(np.float64)
+                / g["na"].to_numpy(np.float64), 6)})
+
+    return bucketed_map_groups(
+        e2, ["a", "b"], count_shared, num_buckets,
+        empty_like=pd.DataFrame({
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "containment": pd.Series([], dtype="float64")}))

@@ -106,6 +106,7 @@ PINNED = [
     "table_diff",
     "value_histogram",
     "funnel_steps",
+    "containment_sets",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

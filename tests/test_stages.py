@@ -1264,3 +1264,35 @@ def test_value_histogram_bins(ray_session):
     assert got[9] == 1             # 99.99
     assert got[10] == 2            # overflow: 100.0, 250.0
     assert sum(got.values()) == 8  # null dropped
+
+
+def test_containment_join_finds_asymmetric_quotes(ray_session):
+    """A short doc fully quoted inside a long one: containment 1.0
+    even though Jaccard is far below threshold; results match a
+    brute-force reference both directions."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.setsim import (
+        containment_sets_join)
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 30))  # inside long_doc
+    other = " ".join(f"z{i}" for i in range(40))
+    docs = pd.DataFrame({"doc_id": [1, 2, 3],
+                         "text": [long_doc, quote, other]})
+    got = containment_sets_join(rd.from_pandas(docs).repartition(2),
+                                "doc_id", "text", threshold=0.8,
+                                shingle_n=3, num_buckets=8).to_pandas()
+    pairs = {(r.doc_a, r.doc_b): r.containment
+             for r in got.itertuples()}
+    # quote (8 shingles) entirely within long_doc (58 shingles)
+    assert pairs == {(2, 1): 1.0}
+
+    def sets(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    for (a, b), c in pairs.items():
+        sa, sb = sets(docs.set_index("doc_id")["text"][a]), \
+            sets(docs.set_index("doc_id")["text"][b])
+        assert c == round(len(sa & sb) / len(sa), 6)

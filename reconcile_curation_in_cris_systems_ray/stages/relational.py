@@ -914,7 +914,13 @@ def profile_columns(ds, cols: Sequence[str]):
     cardinalities swap pass 2 for the HLL sketch —
     ``sketch.hll_per_group`` — accepting approximation.)  ``vmin`` /
     ``vmax`` compare on the RAW type and stringify only for the
-    report, matching SQL ``CAST(min(col) AS VARCHAR)``."""
+    report, matching SQL ``CAST(min(col) AS VARCHAR)``.
+
+    Distinct semantics caveat: ``n_distinct`` counts distinct
+    STRINGIFIED values (so heterogeneous columns can share one
+    exchange) — it diverges from SQL ``count(DISTINCT col)`` exactly
+    where str() and the raw type disagree on identity (0.0 vs -0.0
+    count as two; an object column's 1 vs '1' collide)."""
     from .shuffle import bucketed_map_groups
 
     cols = list(cols)
@@ -943,11 +949,8 @@ def profile_columns(ds, cols: Sequence[str]):
     cells = bucketed_map_groups(
         ds.map_batches(dis_part, batch_format="pandas"), ["col", "val"],
         lambda d: d.drop_duplicates(ignore_index=True), num_buckets=64)
-    dcounts: dict[str, int] = {}
-    for r in cells.map_batches(
-            lambda d: d.groupby("col", sort=False).size()
-            .rename("n").reset_index(), batch_format="pandas").take_all():
-        dcounts[r["col"]] = dcounts.get(r["col"], 0) + r["n"]
+    dc = partial_groupby_agg(cells, ["col"], {"n": (None, "count")})
+    dcounts = dict(zip(dc["col"], dc["n"]))
 
     out = []
     for c in cols:
@@ -975,6 +978,10 @@ def table_diff(base, new, key: str, compare_cols: Sequence[str]):
     mistaken for an absent row; NULL-safe comparison treats
     null==null as equal (SQL ``IS DISTINCT FROM``)."""
     cmp_cols = list(compare_cols)
+    bsch = base.schema()
+    bt = dict(zip(bsch.names, bsch.types))[key]
+    key_dtype = bt.to_pandas_dtype() if hasattr(bt, "to_pandas_dtype") \
+        else bt
 
     def tag(flag: str):
         def f(df: pd.DataFrame) -> pd.DataFrame:
@@ -1012,6 +1019,11 @@ def table_diff(base, new, key: str, compare_cols: Sequence[str]):
                                             "unchanged")))
         keys = df[key].fillna(df["__nk"]) if "__nk" in df.columns \
             else df[key]
+        if len(keys) and keys.dtype != key_dtype:
+            # the nullable join widened an int key to float; after the
+            # coalesce no nulls remain, so restore the original dtype
+            # (else added/removed rows report keys like '6.0')
+            keys = keys.astype(key_dtype)
         out = pd.DataFrame({key: keys.to_numpy(),
                             "status": status})
         return out[out["status"] != "unchanged"]

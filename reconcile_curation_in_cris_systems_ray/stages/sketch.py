@@ -596,10 +596,12 @@ def value_histogram(ds, col: str, lo: float, hi: float, n_bins: int = 20):
     def part(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].dropna().to_numpy(np.float64)
         idx = np.floor((v - lo) / width).astype(np.int64)
+        # in-range values that float-floor onto n_bins (hi-adjacent
+        # rounding with a non-exact width) clamp into the last REAL
+        # bin FIRST; only then do the under/overflow overrides apply —
+        # clamping after would misroute them to overflow (SQL LEAST)
+        idx = np.minimum(idx, n_bins - 1)
         idx = np.where(v < lo, -1, np.where(v >= hi, n_bins, idx))
-        # values in [lo, hi) that float-floor onto n_bins (hi-adjacent
-        # rounding) clamp into the last real bin
-        idx = np.clip(idx, -1, n_bins)
         counts = np.bincount(idx + 1, minlength=n_bins + 2)
         return pd.DataFrame({"bin": np.arange(-1, n_bins + 1,
                                               dtype=np.int64),

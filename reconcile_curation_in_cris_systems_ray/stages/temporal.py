@@ -521,13 +521,16 @@ def cohort_retention(events, user_col: str, ts_col: str,
     hazards."""
     from .relational import hash_join, partial_groupby_agg
 
-    narrow = events.map_batches(
-        lambda df: pd.DataFrame({
+    def derive(df: pd.DataFrame) -> pd.DataFrame:
+        di = pd.DatetimeIndex(df[ts_col])
+        return pd.DataFrame({
             user_col: df[user_col].to_numpy(),
-            "__ym": (pd.DatetimeIndex(df[ts_col]).year * 12
-                     + pd.DatetimeIndex(df[ts_col]).month)
-            .to_numpy(np.int64)}),
-        batch_format="pandas")
+            "__ym": (di.year * 12 + di.month).to_numpy(np.int64)})
+
+    # consumed twice (firsts pipeline + the hash join) — materialize
+    # so the read + datetime conversion run once
+    narrow = events.map_batches(derive,
+                                batch_format="pandas").materialize()
 
     def first_ym(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(user_col, sort=False, as_index=False)["__ym"] \
@@ -589,8 +592,13 @@ def funnel_steps(events, user_col: str, type_col: str, ts_col: str,
         if len(users) == 0:
             return pd.DataFrame({"steps_completed": pd.Series(
                 [], dtype="int64"), "n": pd.Series([], dtype="int64")})
-        prev = pd.Series(pd.Timestamp.min,
-                         index=users[user_col].to_numpy())
+        # sentinel matches the ts column's tz-awareness — a naive
+        # Timestamp.min against a tz-aware column raises TypeError
+        sentinel = pd.Timestamp.min + pd.Timedelta(days=1)
+        ts_dtype = df[ts_col].dtype
+        if isinstance(ts_dtype, pd.DatetimeTZDtype):
+            sentinel = sentinel.tz_localize(ts_dtype.tz)
+        prev = pd.Series(sentinel, index=users[user_col].to_numpy())
         done = pd.Series(0, index=prev.index)
         for i, step in enumerate(steps):
             # only users that completed step i are eligible for i+1 —

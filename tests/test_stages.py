@@ -1296,3 +1296,34 @@ def test_containment_join_finds_asymmetric_quotes(ray_session):
         sa, sb = sets(docs.set_index("doc_id")["text"][a]), \
             sets(docs.set_index("doc_id")["text"][b])
         assert c == round(len(sa & sb) / len(sa), 6)
+
+
+def test_value_histogram_inexact_width_clamps_to_last_bin(ray_session):
+    """hi-adjacent values that float-floor onto n_bins must land in
+    the last REAL bin (SQL LEAST semantics), not overflow."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        value_histogram)
+
+    v = 3.2999999999999994          # < hi, but floors to bin 10
+    assert v < 3.3
+    df = pd.DataFrame({"v": [v, 3.3]})
+    out = value_histogram(rd.from_pandas(df), "v", lo=0.0, hi=3.3,
+                          n_bins=10)
+    got = dict(zip(out["bin"], out["n"]))
+    assert got[9] == 1 and got[10] == 1
+
+
+def test_funnel_steps_tz_aware(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.temporal import (
+        funnel_steps)
+
+    ts = pd.to_datetime(["2024-01-01", "2024-01-02"]).tz_localize("UTC")
+    df = pd.DataFrame({"u": [1, 1], "t": ["view", "click"], "ts": ts})
+    out = funnel_steps(rd.from_pandas(df), "u", "t", "ts",
+                       ["view", "click", "purchase"], num_buckets=2)
+    got = dict(zip(out["steps_completed"], out["n_users"]))
+    assert got == {2: 1}

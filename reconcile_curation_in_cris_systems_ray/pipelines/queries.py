@@ -4671,6 +4671,93 @@ WHERE CAST(s AS DOUBLE) / za.n >= 0.8
 """
 
 
+_RESAMPLE_GRID = pd.date_range("2024-01-02", periods=30, freq="D")
+
+
+def q_resample_ffill(sf_dir: str):
+    """Regular-grid resampling with forward fill: each user's value
+    series sampled at daily grid points (last observation at or
+    before the grid time) — distinct users crossed with the literal
+    grid map-side, then the tagged-union as-of join
+    (stages/temporal.py::asof_join; right side pre-deduped per
+    (user, ts) so the pick is tie-free).  Grid points before a
+    user's first event drop (inner ASOF semantics)."""
+    from ..stages.temporal import asof_join
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id",
+                                    "value"])
+    users = rel.distinct(events.map_batches(
+        lambda df: df[["user_id"]], batch_format="pandas"))
+
+    def cross(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy()
+        return pd.DataFrame({
+            "user_id": np.repeat(u, len(_RESAMPLE_GRID)),
+            "gts": np.tile(_RESAMPLE_GRID.to_numpy(), len(u))})
+
+    left = users.map_batches(cross, batch_format="pandas")
+    right = rel.priority_dedup(
+        events, ["user_id", "ts"], ["value", "event_id"],
+        ascending=[False, True]).map_batches(
+        lambda df: df[["user_id", "ts", "value"]],
+        batch_format="pandas")
+    return asof_join(left, right, on="user_id", left_ts="gts",
+                     right_ts="ts")
+
+
+SQL_RESAMPLE_FFILL = """
+WITH grid AS (
+  SELECT unnest(generate_series(TIMESTAMP '2024-01-02',
+                                TIMESTAMP '2024-01-31',
+                                INTERVAL 1 DAY)) AS gts),
+u AS (SELECT DISTINCT user_id FROM events),
+l AS (SELECT u.user_id, grid.gts FROM u CROSS JOIN grid),
+r AS (SELECT user_id, ts, max(value) AS value
+      FROM events GROUP BY user_id, ts)
+SELECT l.user_id, l.gts, e.value
+FROM l ASOF JOIN r e
+  ON e.user_id = l.user_id AND e.ts <= l.gts
+"""
+
+
+def q_transition_counts(sf_dir: str):
+    """Markov transition counts over per-user event streams:
+    corpus-wide (from_type, to_type) frequencies of consecutive
+    events ordered by (ts, event_id) — lag via the window machinery
+    (stages/temporal.py::lag_lead), then the combiner aggregate."""
+    from ..stages.temporal import lag_lead
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id",
+                                    "event_type"])
+    lagged = lag_lead(events, key="user_id",
+                      order_cols=["ts", "event_id"],
+                      value_col="event_type", lag_out="from_type",
+                      lead_out="__next")
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["from_type"].notna()]
+        return out[["from_type", "event_type"]].rename(
+            columns={"event_type": "to_type"})
+
+    out = rel.partial_groupby_agg(
+        lagged.map_batches(keep, batch_format="pandas"),
+        ["from_type", "to_type"], {"n": (None, "count")})
+    return out.sort_values(["from_type", "to_type"]) \
+        .reset_index(drop=True)
+
+
+SQL_TRANSITION_COUNTS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS pv
+  FROM events)
+SELECT pv AS from_type, event_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM o WHERE pv IS NOT NULL GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4791,6 +4878,8 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "funnel_steps": q_funnel_steps,
     "containment_sets": q_containment_sets,
+    "resample_ffill": q_resample_ffill,
+    "transition_counts": q_transition_counts,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -4935,4 +5024,6 @@ ORACLES = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "funnel_steps": SQL_FUNNEL_STEPS,
     "containment_sets": SQL_CONTAINMENT_SETS,
+    "resample_ffill": SQL_RESAMPLE_FFILL,
+    "transition_counts": SQL_TRANSITION_COUNTS,
 }

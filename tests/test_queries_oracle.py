@@ -107,6 +107,8 @@ PINNED = [
     "value_histogram",
     "funnel_steps",
     "containment_sets",
+    "resample_ffill",
+    "transition_counts",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -4758,6 +4758,63 @@ FROM o WHERE pv IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_hamming_pairs(sf_dir: str):
+    """Exact Hamming-distance pair join over the fixed-format
+    customer names (ids differing in at most 2 positions) — the
+    identifier-typo case: pigeonhole segment blocking (max_dist+1
+    contiguous segments; close pairs must agree on one whole
+    segment), vectorized byte-matrix verify
+    (stages/pairs.py::hamming_pairs)."""
+    from ..stages.pairs import hamming_pairs
+
+    return hamming_pairs(
+        _rp(sf_dir, "customer", ["c_custkey", "c_name"]),
+        "c_custkey", "c_name", max_dist=2)
+
+
+SQL_HAMMING_PAIRS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(hamming(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND length(a.c_name) = length(b.c_name)
+WHERE hamming(a.c_name, b.c_name) <= 2
+"""
+
+
+def q_trend_agg(sf_dir: str):
+    """Per-user OLS trend of event values against whole seconds since
+    2024-01-01 (slope/intercept via re-aggregable moments, the
+    corr_agg discipline; stages/temporal.py::trend_agg).  The
+    closed-form moment expression is written identically in the SQL
+    oracle."""
+    from ..stages.temporal import trend_agg
+
+    return trend_agg(_rp(sf_dir, "events",
+                         ["user_id", "ts", "value"]),
+                     "user_id", "ts", "value", epoch="2024-01-01")
+
+
+SQL_TREND_AGG = """
+WITH x AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
+              AS DOUBLE) AS xs
+  FROM events),
+m AS (
+  SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+         sum(xs) AS sx, sum(value) AS sy,
+         sum(xs * value) AS sxy, sum(xs * xs) AS sxx
+  FROM x GROUP BY user_id HAVING count(*) >= 2)
+SELECT user_id,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 6) AS intercept,
+       CAST(n AS BIGINT) AS n_events
+FROM m
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4880,6 +4937,8 @@ QUERIES = {
     "containment_sets": q_containment_sets,
     "resample_ffill": q_resample_ffill,
     "transition_counts": q_transition_counts,
+    "hamming_pairs": q_hamming_pairs,
+    "trend_agg": q_trend_agg,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -5026,4 +5085,6 @@ ORACLES = {
     "containment_sets": SQL_CONTAINMENT_SETS,
     "resample_ffill": SQL_RESAMPLE_FFILL,
     "transition_counts": SQL_TRANSITION_COUNTS,
+    "hamming_pairs": SQL_HAMMING_PAIRS,
+    "trend_agg": SQL_TREND_AGG,
 }

@@ -403,3 +403,103 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                                num_buckets=dedup_buckets,
                                num_blocks_hint=blocking.num_buckets,
                                empty_like=_empty_pairs)
+
+
+def hamming_pairs(ds, id_col: str, key_col: str, max_dist: int = 2,
+                  num_buckets: int = 64):
+    """Exact Hamming-distance pair join for FIXED-LENGTH keys: all
+    pairs whose strings differ in at most ``max_dist`` positions —
+    the identifier-typo case (account numbers, zero-padded ids,
+    fixed-format codes) where edit distance degenerates to position
+    flips.
+
+    Pigeonhole blocking (the SimHash-band trick on raw strings): the
+    key splits into ``max_dist + 1`` contiguous segments; two keys
+    within distance d <= max_dist must agree on at least one WHOLE
+    segment, so candidates come from grouping on (segment_index,
+    segment_bytes) — one co-location shuffle — and are then verified
+    with a vectorized byte-matrix comparison.  Pairs found via
+    several agreeing segments dedup in a second bounded exchange.
+    Mixed-length inputs never pair (a length difference is not a
+    Hamming relation); self-pairs excluded; output
+    ``(id_a, id_b, dist)`` with id_a < id_b."""
+    from .shuffle import bucketed_map_groups
+
+    n_seg = int(max_dist) + 1
+
+    def segments(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_col].astype("string").fillna("")
+        ln = key.str.len().to_numpy(np.int64)
+        frames = []
+        for L in np.unique(ln):
+            if L < n_seg:
+                continue
+            sub = key[ln == L]
+            ids = df[id_col].to_numpy()[ln == L]
+            bounds = np.linspace(0, L, n_seg + 1, dtype=np.int64)
+            for s in range(n_seg):
+                frames.append(pd.DataFrame({
+                    "seg": np.int64(s),
+                    "L": np.int64(L),
+                    "piece": sub.str.slice(int(bounds[s]),
+                                           int(bounds[s + 1]))
+                    .to_numpy(dtype=object),
+                    "id": ids,
+                    "key": sub.to_numpy(dtype=object)}))
+        if not frames:
+            return pd.DataFrame({
+                "seg": pd.Series([], dtype="int64"),
+                "L": pd.Series([], dtype="int64"),
+                "piece": pd.Series([], dtype="string"),
+                "id": pd.Series([], dtype="int64"),
+                "key": pd.Series([], dtype="string")})
+        return pd.concat(frames, ignore_index=True)
+
+    segged = ds.map_batches(segments, batch_format="pandas")
+
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby(["seg", "L", "piece"], sort=False):
+            if len(g) < 2:
+                continue
+            m = g.merge(g, on=["seg", "L", "piece"],
+                        suffixes=("_a", "_b"))
+            m = m[m["id_a"] < m["id_b"]]
+            if len(m) == 0:
+                continue
+            L = int(g["L"].iloc[0])
+            ba = "".join(m["key_a"]).encode("utf-8")
+            bb = "".join(m["key_b"]).encode("utf-8")
+            if len(ba) == len(m) * L and len(bb) == len(m) * L:
+                # pure-ASCII fast path: byte matrix compare
+                ka = np.frombuffer(ba, dtype=np.uint8).reshape(len(m),
+                                                               L)
+                kb = np.frombuffer(bb, dtype=np.uint8).reshape(len(m),
+                                                               L)
+                dist = (ka != kb).sum(axis=1)
+            else:
+                # multibyte codepoints: character-wise distance
+                dist = np.array(
+                    [sum(x != y for x, y in zip(a, b))
+                     for a, b in zip(m["key_a"], m["key_b"])],
+                    dtype=np.int64)
+            keep = dist <= max_dist
+            outs.append(pd.DataFrame({
+                "id_a": m["id_a"].to_numpy()[keep],
+                "id_b": m["id_b"].to_numpy()[keep],
+                "dist": dist[keep].astype(np.int64)}))
+        if not outs:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "dist": pd.Series([], dtype="int64")})
+    cand = bucketed_map_groups(segged, ["seg", "piece"], pairgen,
+                               num_buckets, empty_like=empty)
+    return bucketed_map_groups(
+        cand, ["id_a", "id_b"],
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        num_buckets, empty_like=empty)

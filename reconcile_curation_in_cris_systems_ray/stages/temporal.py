@@ -629,3 +629,48 @@ def funnel_steps(events, user_col: str, type_col: str, ts_col: str,
     out = partial_groupby_agg(parts, ["steps_completed"],
                               {"n_users": ("n", "sum")})
     return out.sort_values("steps_completed").reset_index(drop=True)
+
+
+def trend_agg(ds, key: str, ts_col: str, val_col: str,
+              epoch: str = "2024-01-01"):
+    """Per-key OLS trend: slope and intercept of ``val`` against
+    whole seconds since a LITERAL epoch — the drift detector for
+    per-entity metrics (the corr_agg sibling, same re-aggregable
+    moment discipline: per-batch (n, Σx, Σy, Σxy, Σx²) partials, the
+    shuffle-free combiner, closed form on the bounded result).
+    The literal epoch shift keeps x small enough that the integer
+    moments stay exact in float64 (the catastrophic-cancellation
+    guard the round-2 advice demanded of corr); the closed-form
+    expression is written identically in the SQL oracle.  Keys with
+    fewer than 2 observations are dropped (undefined slope)."""
+    from .relational import partial_groupby_agg
+
+    e0 = pd.Timestamp(epoch)
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        # Timedelta floor-division is unit-independent (asi8 returns
+        # ns for ns-backed indexes but us for us-backed ones)
+        x = ((df[ts_col] - e0) // pd.Timedelta(seconds=1)) \
+            .to_numpy(np.float64)
+        y = df[val_col].to_numpy(np.float64)
+        t = pd.DataFrame({key: df[key].to_numpy(), "n": 1.0, "sx": x,
+                          "sy": y, "sxy": x * y, "sxx": x * x})
+        return t.groupby(key, sort=False, as_index=False).sum()
+
+    m = partial_groupby_agg(
+        ds.map_batches(moments, batch_format="pandas"), [key],
+        {"n": ("n", "sum"), "sx": ("sx", "sum"), "sy": ("sy", "sum"),
+         "sxy": ("sxy", "sum"), "sxx": ("sxx", "sum")})
+    m = m[m["n"] >= 2].reset_index(drop=True)
+    n = m["n"].to_numpy(np.float64)
+    sx = m["sx"].to_numpy(np.float64)
+    sy = m["sy"].to_numpy(np.float64)
+    sxy = m["sxy"].to_numpy(np.float64)
+    sxx = m["sxx"].to_numpy(np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame({key: m[key].to_numpy(),
+                         "slope": np.round(slope, 6),
+                         "intercept": np.round(intercept, 6),
+                         "n_events": n.astype(np.int64)}) \
+        .sort_values(key).reset_index(drop=True)

@@ -109,6 +109,8 @@ PINNED = [
     "containment_sets",
     "resample_ffill",
     "transition_counts",
+    "hamming_pairs",
+    "trend_agg",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

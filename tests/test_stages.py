@@ -1327,3 +1327,54 @@ def test_funnel_steps_tz_aware(ray_session):
                        ["view", "click", "purchase"], num_buckets=2)
     got = dict(zip(out["steps_completed"], out["n_users"]))
     assert got == {2: 1}
+
+
+def test_hamming_pairs_matches_bruteforce(ray_session):
+    """Segment blocking + verify vs an all-pairs reference, with
+    mixed lengths (never pair) and duplicates (distance 0)."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.pairs import (
+        hamming_pairs)
+
+    keys = ["abcde", "abcdX", "aXcdX", "XXXde", "abcde",
+            "abcd", "abXd", "zzzzz"]
+    df = pd.DataFrame({"i": np.arange(len(keys), dtype=np.int64),
+                       "k": keys})
+    got = hamming_pairs(rd.from_pandas(df).repartition(3), "i", "k",
+                        max_dist=2, num_buckets=8).to_pandas()
+    got_pairs = {(r.id_a, r.id_b): r.dist for r in got.itertuples()}
+    exp = {}
+    for a in range(len(keys)):
+        for b in range(a + 1, len(keys)):
+            if len(keys[a]) != len(keys[b]):
+                continue
+            d = sum(x != y for x, y in zip(keys[a], keys[b]))
+            if d <= 2:
+                exp[(a, b)] = d
+    assert got_pairs == exp
+
+
+def test_trend_agg_matches_lstsq(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.temporal import (
+        trend_agg)
+
+    rng = np.random.default_rng(9)
+    base = pd.Timestamp("2024-01-01")
+    secs = rng.integers(0, 10**6, 200)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 200),
+        "ts": base + pd.to_timedelta(secs, unit="s"),
+        "v": secs * 1e-5 + rng.normal(0, 1, 200).round(3),
+    })
+    out = trend_agg(rd.from_pandas(df).repartition(3), "k", "ts", "v") \
+        .set_index("k")
+    for k, g in df.groupby("k"):
+        x = secs[df["k"] == k].astype(float)
+        A = np.vstack([x, np.ones(len(x))]).T
+        slope, intercept = np.linalg.lstsq(A, g["v"].to_numpy(),
+                                           rcond=None)[0]
+        assert abs(out.loc[k, "slope"] - slope) < 1e-6
+        assert abs(out.loc[k, "intercept"] - intercept) < 1e-3

@@ -4815,6 +4815,58 @@ FROM m
 """
 
 
+def q_monge_elkan(sf_dir: str):
+    """Monge-Elkan token-alignment similarity: each part name scored
+    against its word-REORDERED, first-token-corrupted twin — the case
+    whole-string JW collapses on but token alignment survives
+    (stages/scoring.py::MongeElkanScorer, per-worker DuckDB JW
+    kernel, bit-for-bit oracle parity; the corruption loop is fixture
+    construction)."""
+    from ..stages.scoring import monge_elkan_scores
+
+    parts = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        arr = df["p_name"].astype("string").str.split(" ")
+        w1 = arr.str[0].fillna("")
+        w2 = arr.str[1].fillna("")
+        k = df["p_partkey"].to_numpy(np.int64)
+        pos = (k % w1.str.len().replace(0, 1).to_numpy(np.int64))
+        w1c = [s[:p] + s[p + 1:] for s, p in zip(w1.to_numpy(), pos)]
+        return pd.DataFrame({
+            "pair_id": k,
+            "name_a": df["p_name"].to_numpy(dtype=object),
+            "name_b": (w2 + " " + pd.Series(w1c, index=w2.index))
+            .to_numpy(dtype=object)})
+
+    return monge_elkan_scores(parts.map_batches(mk,
+                                                batch_format="pandas"))
+
+
+SQL_MONGE_ELKAN = """
+WITH base AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ') AS arr
+  FROM part),
+p AS (
+  SELECT p_partkey AS pair_id, p_name AS name_a,
+         arr[2] || ' ' ||
+         substr(arr[1], 1,
+                CAST(p_partkey % length(arr[1]) AS INT)) ||
+         substr(arr[1],
+                CAST(p_partkey % length(arr[1]) AS INT) + 2) AS name_b
+  FROM base),
+ta AS (SELECT pair_id, unnest(string_split(name_a, ' ')) AS tok FROM p),
+tb AS (SELECT pair_id, unnest(string_split(name_b, ' ')) AS tok FROM p),
+best AS (
+  SELECT ta.pair_id, ta.tok,
+         max(jaro_winkler_similarity(ta.tok, tb.tok)) AS b
+  FROM ta JOIN tb ON tb.pair_id = ta.pair_id
+  GROUP BY 1, 2)
+SELECT pair_id, round(avg(b), 6) AS monge_elkan
+FROM best GROUP BY 1
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4939,6 +4991,7 @@ QUERIES = {
     "transition_counts": q_transition_counts,
     "hamming_pairs": q_hamming_pairs,
     "trend_agg": q_trend_agg,
+    "monge_elkan": q_monge_elkan,
     # rows-only
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
@@ -5087,4 +5140,5 @@ ORACLES = {
     "transition_counts": SQL_TRANSITION_COUNTS,
     "hamming_pairs": SQL_HAMMING_PAIRS,
     "trend_agg": SQL_TREND_AGG,
+    "monge_elkan": SQL_MONGE_ELKAN,
 }

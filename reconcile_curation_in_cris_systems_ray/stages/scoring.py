@@ -578,3 +578,60 @@ def standardize_values(ds, canon: list[str], col: str, out_col: str = "std",
                                "out_col": out_col, "threshold": threshold},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+class MongeElkanScorer:
+    """Monge-Elkan token-level name similarity (Monge & Elkan 1996):
+    ``ME(A, B) = mean over A's tokens of max_b JW(tok_a, tok_b)`` —
+    the token-alignment scorer that survives word reorder and partial
+    corruption where whole-string JW collapses.  Distinct-token
+    semantics (duplicate tokens in A collapse before the mean — the
+    same GROUP BY the oracle uses).
+
+    ST3 pattern: per-worker in-process DuckDB; each batch registers
+    once and one SQL pass does split -> unnest -> per-token max JW ->
+    per-pair mean on the C++ kernel, so the oracle reproduces scores
+    bit-for-bit (same engine)."""
+
+    def __init__(self, a_col: str = "name_a", b_col: str = "name_b",
+                 id_col: str = "pair_id"):
+        import duckdb
+
+        self.con = duckdb.connect()
+        self.con.execute("PRAGMA threads=1")
+        self.a, self.b, self.id = a_col, b_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({self.id: pa.array([], pa.int64()),
+                             "monge_elkan": pa.array([], pa.float64())})
+        self.con.register("lhs", batch)
+        out = self.con.execute(f"""
+            WITH ta AS (SELECT {self.id} AS pid,
+                               unnest(string_split({self.a}, ' ')) AS tok
+                        FROM lhs),
+            tb AS (SELECT {self.id} AS pid,
+                          unnest(string_split({self.b}, ' ')) AS tok
+                   FROM lhs),
+            best AS (SELECT ta.pid, ta.tok,
+                            max(jaro_winkler_similarity(ta.tok, tb.tok))
+                                AS b
+                     FROM ta JOIN tb ON tb.pid = ta.pid
+                     GROUP BY 1, 2)
+            SELECT pid AS {self.id}, round(avg(b), 6) AS monge_elkan
+            FROM best GROUP BY 1
+            """).arrow()
+        self.con.unregister("lhs")
+        return out
+
+
+def monge_elkan_scores(pairs, a_col: str = "name_a",
+                       b_col: str = "name_b", id_col: str = "pair_id",
+                       batch_size: int = 8192, concurrency=(1, 8)):
+    """Actor-pool wrapper for :class:`MongeElkanScorer`."""
+    return pairs.map_batches(
+        MongeElkanScorer,
+        fn_constructor_kwargs={"a_col": a_col, "b_col": b_col,
+                               "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -111,6 +111,7 @@ PINNED = [
     "transition_counts",
     "hamming_pairs",
     "trend_agg",
+    "monge_elkan",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -1378,3 +1378,27 @@ def test_trend_agg_matches_lstsq(ray_session):
                                            rcond=None)[0]
         assert abs(out.loc[k, "slope"] - slope) < 1e-6
         assert abs(out.loc[k, "intercept"] - intercept) < 1e-3
+
+
+def test_monge_elkan_token_alignment(ray_session):
+    """Reordered identical tokens score 1.0; a disjoint name scores
+    low; hand-computed mean-of-max for a partial match."""
+    import duckdb
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.scoring import (
+        monge_elkan_scores)
+
+    df = pd.DataFrame({
+        "pair_id": [1, 2, 3],
+        "name_a": ["alpha beta", "alpha beta", "alpha beta"],
+        "name_b": ["beta alpha", "zzz qqq", "alpha bexa"],
+    })
+    out = monge_elkan_scores(rd.from_pandas(df).repartition(2)) \
+        .to_pandas().set_index("pair_id")
+    assert out.loc[1, "monge_elkan"] == 1.0
+    assert out.loc[2, "monge_elkan"] < 0.6
+    con = duckdb.connect()
+    jw = con.execute(
+        "SELECT jaro_winkler_similarity('beta', 'bexa')").fetchone()[0]
+    assert out.loc[3, "monge_elkan"] == round((1.0 + jw) / 2, 6)

@@ -4686,8 +4686,7 @@ def q_resample_ffill(sf_dir: str):
 
     events = _rp(sf_dir, "events", ["event_id", "ts", "user_id",
                                     "value"])
-    users = rel.distinct(events.map_batches(
-        lambda df: df[["user_id"]], batch_format="pandas"))
+    users = rel.distinct(events, ["user_id"])
 
     def cross(df: pd.DataFrame) -> pd.DataFrame:
         u = df["user_id"].to_numpy()
@@ -4732,10 +4731,13 @@ def q_transition_counts(sf_dir: str):
     lagged = lag_lead(events, key="user_id",
                       order_cols=["ts", "event_id"],
                       value_col="event_type", lag_out="from_type",
-                      lead_out="__next")
+                      lead_out=None)
 
     def keep(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[df["from_type"].notna()]
+        # both endpoints non-null: pandas groupby would silently drop
+        # NULL to_type groups the SQL GROUP BY keeps, so the non-null
+        # filter is applied symmetrically on both engines
+        out = df[df["from_type"].notna() & df["event_type"].notna()]
         return out[["from_type", "event_type"]].rename(
             columns={"event_type": "to_type"})
 
@@ -4754,7 +4756,8 @@ WITH o AS (
   FROM events)
 SELECT pv AS from_type, event_type AS to_type,
        CAST(count(*) AS BIGINT) AS n
-FROM o WHERE pv IS NOT NULL GROUP BY 1, 2
+FROM o WHERE pv IS NOT NULL AND event_type IS NOT NULL
+GROUP BY 1, 2
 """
 
 

@@ -406,7 +406,7 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
 
 
 def hamming_pairs(ds, id_col: str, key_col: str, max_dist: int = 2,
-                  num_buckets: int = 64):
+                  num_buckets: int = 64, leaf_cap: int = 512):
     """Exact Hamming-distance pair join for FIXED-LENGTH keys: all
     pairs whose strings differ in at most ``max_dist`` positions —
     the identifier-typo case (account numbers, zero-padded ids,
@@ -417,15 +417,116 @@ def hamming_pairs(ds, id_col: str, key_col: str, max_dist: int = 2,
     key splits into ``max_dist + 1`` contiguous segments; two keys
     within distance d <= max_dist must agree on at least one WHOLE
     segment, so candidates come from grouping on (segment_index,
-    segment_bytes) — one co-location shuffle — and are then verified
-    with a vectorized byte-matrix comparison.  Pairs found via
-    several agreeing segments dedup in a second bounded exchange.
-    Mixed-length inputs never pair (a length difference is not a
-    Hamming relation); self-pairs excluded; output
-    ``(id_a, id_b, dist)`` with id_a < id_b."""
+    segment_bytes) — one co-location shuffle.  Fixed-format keys
+    defeat a single level (a constant prefix puts the whole table in
+    one group), so oversized groups recurse MULTI-INDEX style (Liu et
+    al.'s multi-index Hamming idea): the pigeonhole lemma holds for
+    ANY position partition, so each level re-partitions under a
+    rotated segmentation until groups fit ``leaf_cap``; leaves verify
+    with a vectorized byte-matrix comparison.  Groups whose keys are
+    ALL equal stop recursing and emit their (distance-0) pairs
+    directly — the one case where quadratic output is the exact
+    answer.  A pair found via several agreeing segments dedups in a
+    second bounded exchange.  Mixed-length inputs never pair (a
+    length difference is not a Hamming relation); self-pairs
+    excluded; output ``(id_a, id_b, dist)`` with id_a < id_b."""
     from .shuffle import bucketed_map_groups
 
     n_seg = int(max_dist) + 1
+    sch = ds.schema()
+    id_t = dict(zip(sch.names, sch.types))[id_col]
+    id_dtype = id_t.to_pandas_dtype() if hasattr(id_t, "to_pandas_dtype") \
+        else id_t
+
+    def empty_pairs() -> pd.DataFrame:
+        return pd.DataFrame({
+            "id_a": pd.Series([], dtype=id_dtype),
+            "id_b": pd.Series([], dtype=id_dtype),
+            "dist": pd.Series([], dtype="int64")})
+
+    def pieces_of(keys: pd.Series, L: int):
+        """Level-0 contiguous segmentation."""
+        bounds = np.linspace(0, L, n_seg + 1, dtype=np.int64)
+        return [keys.str.slice(int(bounds[s]), int(bounds[s + 1]))
+                for s in range(n_seg)]
+
+    def verify(m: pd.DataFrame, L: int, outs: list) -> None:
+        ba = "".join(m["key_a"]).encode("utf-8")
+        bb = "".join(m["key_b"]).encode("utf-8")
+        if len(ba) == len(m) * L and len(bb) == len(m) * L:
+            ka = np.frombuffer(ba, dtype=np.uint8).reshape(len(m), L)
+            kb = np.frombuffer(bb, dtype=np.uint8).reshape(len(m), L)
+            dist = (ka != kb).sum(axis=1)
+        else:
+            dist = np.array(
+                [sum(x != y for x, y in zip(a, b))
+                 for a, b in zip(m["key_a"], m["key_b"])],
+                dtype=np.int64)
+        keep = dist <= max_dist
+        if keep.any():
+            outs.append(pd.DataFrame({
+                "id_a": m["id_a"].to_numpy()[keep],
+                "id_b": m["id_b"].to_numpy()[keep],
+                "dist": dist[keep].astype(np.int64)}))
+
+    def emit_group(g: pd.DataFrame, L: int, depth: int,
+                   outs: list) -> None:
+        n = len(g)
+        if n < 2:
+            return
+        if n <= leaf_cap or depth > 32:
+            # small group (or the pathological depth cap): direct
+            # quadratic merge + vectorized verify
+            m = g.merge(g, on="__one", suffixes=("_a", "_b"))
+            m = m[m["id_a"] < m["id_b"]]
+            if len(m):
+                verify(m, L, outs)
+            return
+        # multi-index recursion (Liu et al.): within the group, all
+        # <= max_dist diffs of a qualifying pair lie in the VARIABLE
+        # positions, so partitioning those into max_dist+1 parts
+        # guarantees agreement on one whole part — and every part is
+        # non-constant, so every subgroup strictly shrinks
+        # (termination).  Needs the uniform-byte-length fast path;
+        # multibyte groups this large fall back to the direct merge.
+        ba = "".join(g["key"]).encode("utf-8")
+        if len(ba) != n * L:
+            m = g.merge(g, on="__one", suffixes=("_a", "_b"))
+            m = m[m["id_a"] < m["id_b"]]
+            if len(m):
+                verify(m, L, outs)
+            return
+        mat = np.frombuffer(ba, dtype=np.uint8).reshape(n, L)
+        var_cols = np.where((mat != mat[0]).any(axis=0))[0]
+        if len(var_cols) <= max_dist:
+            # diffs are confined to <= max_dist positions, so EVERY
+            # pair in the group qualifies (incl. the all-equal /
+            # duplicate-clique case) — the quadratic output IS the
+            # exact answer; distances come from the variable columns
+            ia, ib = np.triu_indices(n, k=1)
+            ids = g["id"].to_numpy()
+            if len(var_cols):
+                sub = mat[:, var_cols]
+                dist = (sub[ia] != sub[ib]).sum(axis=1).astype(
+                    np.int64)
+            else:
+                dist = np.zeros(len(ia), np.int64)
+            a, b = ids[ia], ids[ib]
+            outs.append(pd.DataFrame({
+                "id_a": np.minimum(a, b), "id_b": np.maximum(a, b),
+                "dist": dist}))
+            return
+        # |V| >= max_dist+1: pigeonhole over exactly n_seg parts of
+        # the variable positions — a qualifying pair agrees on one
+        # whole part, and every part is non-constant so every
+        # subgroup strictly shrinks
+        for part in np.array_split(var_cols, n_seg):
+            if len(part) == 0:
+                continue
+            sub = np.ascontiguousarray(mat[:, part])
+            _, labels = np.unique(sub, axis=0, return_inverse=True)
+            for lab in np.unique(labels):
+                emit_group(g.iloc[labels == lab], L, depth + 1, outs)
 
     def segments(df: pd.DataFrame) -> pd.DataFrame:
         key = df[key_col].astype("string").fillna("")
@@ -436,14 +537,11 @@ def hamming_pairs(ds, id_col: str, key_col: str, max_dist: int = 2,
                 continue
             sub = key[ln == L]
             ids = df[id_col].to_numpy()[ln == L]
-            bounds = np.linspace(0, L, n_seg + 1, dtype=np.int64)
-            for s in range(n_seg):
+            for s, piece in enumerate(pieces_of(sub, int(L))):
                 frames.append(pd.DataFrame({
                     "seg": np.int64(s),
                     "L": np.int64(L),
-                    "piece": sub.str.slice(int(bounds[s]),
-                                           int(bounds[s + 1]))
-                    .to_numpy(dtype=object),
+                    "piece": piece.to_numpy(dtype=object),
                     "id": ids,
                     "key": sub.to_numpy(dtype=object)}))
         if not frames:
@@ -451,52 +549,24 @@ def hamming_pairs(ds, id_col: str, key_col: str, max_dist: int = 2,
                 "seg": pd.Series([], dtype="int64"),
                 "L": pd.Series([], dtype="int64"),
                 "piece": pd.Series([], dtype="string"),
-                "id": pd.Series([], dtype="int64"),
+                "id": df[id_col].iloc[:0],
                 "key": pd.Series([], dtype="string")})
         return pd.concat(frames, ignore_index=True)
 
     segged = ds.map_batches(segments, batch_format="pandas")
 
     def pairgen(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _, g in df.groupby(["seg", "L", "piece"], sort=False):
-            if len(g) < 2:
-                continue
-            m = g.merge(g, on=["seg", "L", "piece"],
-                        suffixes=("_a", "_b"))
-            m = m[m["id_a"] < m["id_b"]]
-            if len(m) == 0:
-                continue
-            L = int(g["L"].iloc[0])
-            ba = "".join(m["key_a"]).encode("utf-8")
-            bb = "".join(m["key_b"]).encode("utf-8")
-            if len(ba) == len(m) * L and len(bb) == len(m) * L:
-                # pure-ASCII fast path: byte matrix compare
-                ka = np.frombuffer(ba, dtype=np.uint8).reshape(len(m),
-                                                               L)
-                kb = np.frombuffer(bb, dtype=np.uint8).reshape(len(m),
-                                                               L)
-                dist = (ka != kb).sum(axis=1)
-            else:
-                # multibyte codepoints: character-wise distance
-                dist = np.array(
-                    [sum(x != y for x, y in zip(a, b))
-                     for a, b in zip(m["key_a"], m["key_b"])],
-                    dtype=np.int64)
-            keep = dist <= max_dist
-            outs.append(pd.DataFrame({
-                "id_a": m["id_a"].to_numpy()[keep],
-                "id_b": m["id_b"].to_numpy()[keep],
-                "dist": dist[keep].astype(np.int64)}))
+        outs: list = []
+        for (_, L, _), g in df.groupby(["seg", "L", "piece"],
+                                       sort=False):
+            gg = g[["id", "key"]].assign(__one=np.int8(1))
+            # recurse from depth 1 (depth 0 produced this group)
+            emit_group(gg, int(L), 1, outs)
         if not outs:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64"),
-                                 "dist": pd.Series([], dtype="int64")})
+            return empty_pairs()
         return pd.concat(outs, ignore_index=True)
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "dist": pd.Series([], dtype="int64")})
+    empty = empty_pairs()
     cand = bucketed_map_groups(segged, ["seg", "piece"], pairgen,
                                num_buckets, empty_like=empty)
     return bucketed_map_groups(

@@ -230,7 +230,7 @@ def rolling_agg(ds, key: str, order_cols: Sequence[str], value_col: str,
 
 
 def lag_lead(ds, key: str, order_cols: Sequence[str], value_col: str,
-             lag_out: str = "prev", lead_out: str = "next",
+             lag_out: str | None = "prev", lead_out: str | None = "next",
              fill=None, num_buckets: int = 64):
     """Per-key lag/lead (SQL ``lag(value) OVER (PARTITION BY key ORDER
     BY ...)`` and ``lead(...)``): each row gains the previous and next
@@ -241,21 +241,26 @@ def lag_lead(ds, key: str, order_cols: Sequence[str], value_col: str,
     nulls to a sentinel, matching a SQL ``COALESCE``.
     """
     order_cols = list(order_cols)
+    # pass None for lag_out/lead_out to skip that shift entirely (a
+    # lag-only caller shouldn't pay for the lead column)
+    shifts = [(lag_out, 1), (lead_out, -1)]
 
     def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
             out = df.copy()
-            out[lag_out] = pd.Series([], dtype="float64")
-            out[lead_out] = pd.Series([], dtype="float64")
+            for name, _ in shifts:
+                if name is not None:
+                    out[name] = pd.Series([], dtype="float64")
             return out
         df = df.sort_values([key, *order_cols], kind="mergesort")
         g = df.groupby(key, sort=False)[value_col]
         out = df.copy()
-        out[lag_out] = g.shift(1)
-        out[lead_out] = g.shift(-1)
-        if fill is not None:
-            out[lag_out] = out[lag_out].fillna(fill)
-            out[lead_out] = out[lead_out].fillna(fill)
+        for name, step in shifts:
+            if name is None:
+                continue
+            out[name] = g.shift(step)
+            if fill is not None:
+                out[name] = out[name].fillna(fill)
         return out
 
     return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)

@@ -52,7 +52,8 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
             if not (np.isclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0)
                     | both_nan).all():
                 bad = pd.Series(
-                    ~np.isclose(av.fillna(0), bv.fillna(0)),
+                    ~(np.isclose(av.fillna(0), bv.fillna(0),
+                                 rtol=0, atol=0) | both_nan),
                     index=av.index).idxmax()
                 return (f"VALUES mismatch col={c} row={bad}: "
                         f"ray={av[bad]!r} sql={bv[bad]!r}")

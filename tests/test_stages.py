@@ -1402,3 +1402,31 @@ def test_monge_elkan_token_alignment(ray_session):
     jw = con.execute(
         "SELECT jaro_winkler_similarity('beta', 'bexa')").fetchone()[0]
     assert out.loc[3, "monge_elkan"] == round((1.0 + jw) / 2, 6)
+
+
+def test_hamming_pairs_constant_prefix_recursion(ray_session):
+    """Fixed-format keys with a constant prefix (the degenerate case
+    for one-level pigeonhole blocking): a tiny leaf_cap forces the
+    rotated-segmentation recursion, and the pair set still matches
+    brute force; an all-equal duplicate block emits its distance-0
+    clique."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.pairs import (
+        hamming_pairs)
+
+    keys = [f"Customer#{i:09d}" for i in range(80)]
+    keys += ["Customer#000000007"] * 4        # duplicate clique
+    df = pd.DataFrame({"i": np.arange(len(keys), dtype=np.int64),
+                       "k": keys})
+    got = hamming_pairs(rd.from_pandas(df).repartition(3), "i", "k",
+                        max_dist=2, num_buckets=8,
+                        leaf_cap=8).to_pandas()
+    got_pairs = {(r.id_a, r.id_b): r.dist for r in got.itertuples()}
+    exp = {}
+    for a in range(len(keys)):
+        for b in range(a + 1, len(keys)):
+            d = sum(x != y for x, y in zip(keys[a], keys[b]))
+            if d <= 2:
+                exp[(a, b)] = d
+    assert got_pairs == exp

@@ -4870,6 +4870,119 @@ FROM best GROUP BY 1
 """
 
 
+_ER_DUP_OFFSET = 10_000_000
+
+
+def q_er_match_pipeline(sf_dir: str):
+    """End-to-end ER capstone over planted duplicates: every 10th
+    customer gets a typo'd twin (one char REPLACED with 'x' at a
+    key-derived position within the LETTER prefix — replacement keeps
+    the Hamming relation, and restricting the typo to the non-digit
+    region keeps each twin strictly closest to its own original: a
+    digit-position typo scores an exact JW tie against every customer
+    differing only in that digit), id shifted by 10^7.  The pipeline chains this round's operators —
+    three-channel blocking (forward + reversed sorted-neighborhood
+    passes plus the pigeonhole Hamming join, whose max_dist=1
+    guarantee covers every typo position) -> name hydration by two
+    hash joins -> Monge-Elkan
+    scoring on the per-worker JW kernel -> threshold ->
+    mutual-best-match 1:1 assignment — and returns (orig_id, dup_id,
+    score) matches.  Rows-only driver check; matching accuracy vs the
+    planted truth is pinned >= 0.95 in pytest."""
+    import pyarrow.compute as pc_  # noqa: F401
+
+    from ..stages.blocking import sorted_neighborhood_pairs
+    from ..stages.relational import distinct, hash_join, \
+        mutual_best_match
+    from ..stages.scoring import monge_elkan_scores
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def with_dups(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        names = df["c_name"].astype("string").fillna("").to_numpy(
+            dtype=object)
+        dupm = k % 10 == 0
+        dk = k[dupm]
+        dn = []
+        for kk, s in zip(dk, names[dupm]):
+            p = int(kk % max(min(len(s), 8), 1))
+            dn.append(s[:p] + "x" + s[p + 1:])
+        return pd.concat([
+            pd.DataFrame({"rid": k, "name": names}),
+            pd.DataFrame({"rid": dk + _ER_DUP_OFFSET,
+                          "name": np.array(dn, dtype=object)})],
+            ignore_index=True)
+
+    recs = cust.map_batches(with_dups, batch_format="pandas") \
+        .materialize()
+
+    p1 = sorted_neighborhood_pairs(recs, "name", "rid",
+                                   window=_SNM_WINDOW)
+    rev = recs.map_batches(
+        lambda df: df.assign(
+            rev=df["name"].astype("string").fillna("").str[::-1]),
+        batch_format="pandas")
+    p2 = sorted_neighborhood_pairs(rev, "rev", "rid",
+                                   window=_SNM_WINDOW)
+
+    # third channel: the pigeonhole Hamming join — a one-char
+    # REPLACEMENT twin is Hamming distance 1 from its original, so
+    # max_dist=1 blocking finds every planted pair by construction
+    # (SNM's two sorted orders lose mid/tail typo positions on
+    # id-style names; this channel closes the gap provably)
+    from ..stages.pairs import hamming_pairs
+
+    p3 = hamming_pairs(recs, "rid", "name", max_dist=1).map_batches(
+        lambda df: df[["id_a", "id_b"]], batch_format="pandas")
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        a = np.minimum(df["id_a"], df["id_b"])
+        b = np.maximum(df["id_a"], df["id_b"])
+        keep = (a < _ER_DUP_OFFSET) & (b >= _ER_DUP_OFFSET)
+        return pd.DataFrame({"orig_id": a[keep], "dup_id": b[keep]})
+
+    pairs = distinct(p1.union(p2).union(p3).map_batches(
+        orient, batch_format="pandas"))
+
+    na = recs.map_batches(
+        lambda df: df.rename(columns={"rid": "orig_id",
+                                      "name": "name_a"}),
+        batch_format="pandas")
+    nb = recs.map_batches(
+        lambda df: df.rename(columns={"rid": "dup_id",
+                                      "name": "name_b"}),
+        batch_format="pandas")
+    hyd = hash_join(hash_join(pairs, na, on=["orig_id"]), nb,
+                    on=["dup_id"])
+
+    def as_pair_id(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "pair_id": (df["orig_id"].to_numpy(np.int64)
+                        * (2 * _ER_DUP_OFFSET)
+                        + df["dup_id"].to_numpy(np.int64)),
+            "name_a": df["name_a"].to_numpy(dtype=object),
+            "name_b": df["name_b"].to_numpy(dtype=object)})
+
+    scored = monge_elkan_scores(
+        hyd.map_batches(as_pair_id, batch_format="pandas"))
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        pid = df["pair_id"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "a": pid // (2 * _ER_DUP_OFFSET),
+            "b": pid % (2 * _ER_DUP_OFFSET),
+            "s": df["monge_elkan"].to_numpy(np.float64)})
+        return out[out["s"] >= 0.85]
+
+    cand = scored.map_batches(decode, batch_format="pandas")
+    out = mutual_best_match(cand, "a", "b", "s")
+    return out.map_batches(
+        lambda df: df.rename(columns={"a": "orig_id", "b": "dup_id",
+                                      "s": "score"}),
+        batch_format="pandas")
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -4996,6 +5109,7 @@ QUERIES = {
     "trend_agg": q_trend_agg,
     "monge_elkan": q_monge_elkan,
     # rows-only
+    "er_match_pipeline": q_er_match_pipeline,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
     "compression_ratio": q_compression_ratio,

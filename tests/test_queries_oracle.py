@@ -239,3 +239,24 @@ def test_rows_only_query_smoke(ray_session, name):
     df = _to_pandas(QUERIES[name](SF))
     assert len(df.columns) > 0
     assert df is not None
+
+
+def test_er_match_pipeline_accuracy(ray_session):
+    """Capstone composition (3-channel blocking -> ME scoring ->
+    mutual best match) recovers the planted one-typo duplicates;
+    rows-only driver check, accuracy pinned here."""
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import (
+        _ER_DUP_OFFSET, QUERIES)
+
+    out = _to_pandas(QUERIES["er_match_pipeline"](SF))
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{SF}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    planted = set(cust[cust["c_custkey"] % 10 == 0]["c_custkey"])
+    correct = sum(1 for r in out.itertuples()
+                  if r.dup_id - _ER_DUP_OFFSET == r.orig_id)
+    wrong = len(out) - correct
+    assert len(planted) > 0
+    assert correct / len(planted) >= 0.9, (correct, len(planted))
+    assert wrong <= max(1, len(planted) // 10), wrong

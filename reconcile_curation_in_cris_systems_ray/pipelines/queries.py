@@ -4983,6 +4983,19 @@ def q_er_match_pipeline(sf_dir: str):
         batch_format="pandas")
 
 
+def q_kcore(sf_dir: str):
+    """2-core of the hash-derived link graph: iterative peeling until
+    every surviving node keeps undirected degree >= 2
+    (stages/graph.py::kcore — per-round combiner degrees + broadcast
+    sub-k set, edges materialized once and filtered map-side, never
+    re-shuffled).  Rows-only driver check; peeling is pinned against
+    a single-node reference in pytest."""
+    from ..stages.graph import kcore
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    return kcore(edges, k=2)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -5110,6 +5123,7 @@ QUERIES = {
     "monge_elkan": q_monge_elkan,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
+    "kcore": q_kcore,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
     "compression_ratio": q_compression_ratio,

@@ -475,3 +475,73 @@ def hits(edges, nodes, node_col: str = "node", n_iter: int = 3):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def kcore(edges, k: int = 2, max_rounds: int = 64):
+    """k-core decomposition: the maximal subgraph in which every node
+    has undirected degree >= k (Seidman 1983, public algorithm) — the
+    spam-farm / dense-community filter of the link-graph family.
+
+    Iterative peeling: each round counts degrees over the surviving
+    canonical undirected edges (per-batch count partials + the
+    combiner — at web scale swap for the bucketed count, same
+    contract as degree_stats), broadcasts the sub-k node set via one
+    ``ray.put``, and filters the edge stream map-side; rounds stop at
+    the fixpoint (no removals) or ``max_rounds``.  Edges are
+    materialized once and re-filtered per round — the edge payload
+    never re-shuffles.  Returns the surviving (node, degree) table.
+    Driver state is O(nodes) per round (the degree map), the
+    pagerank-broadcast contract."""
+    import pandas as pd
+
+    from .relational import partial_groupby_agg
+    from .shuffle import bucketed_map_groups
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[["src", "dst"]].min(axis=1)
+        hi = df[["src", "dst"]].max(axis=1)
+        out = pd.DataFrame({"lo": lo.to_numpy(np.int64),
+                            "hi": hi.to_numpy(np.int64)})
+        return out[out["lo"] != out["hi"]].drop_duplicates(
+            ignore_index=True)
+
+    und = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
+        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
+                                 "hi": np.empty(0, np.int64)})
+    ).materialize()
+
+    def degrees(ds) -> pd.DataFrame:
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            c = pd.concat([df["lo"], df["hi"]]).value_counts(sort=False)
+            return pd.DataFrame({"node": c.index.to_numpy(np.int64),
+                                 "deg": c.to_numpy(np.int64)})
+
+        return partial_groupby_agg(
+            ds.map_batches(part, batch_format="pandas"),
+            ["node"], {"deg": ("deg", "sum")})
+
+    cur = und
+    deg = degrees(cur)
+    for _ in range(max_rounds):
+        drop = frozenset(deg.loc[deg["deg"] < k, "node"])
+        if not drop:
+            break
+        ref = ray.put(drop)
+
+        def flt(df: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(ref)
+            out = df[~df["lo"].isin(d) & ~df["hi"].isin(d)]
+            return out
+
+        cur = cur.map_batches(flt, batch_format="pandas").materialize()
+        deg = degrees(cur)
+        if len(deg) == 0:
+            break
+    if len(deg) == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                             "degree": pd.Series([], dtype="int64")})
+    out = deg.rename(columns={"deg": "degree"})
+    return out[out["degree"] >= k].sort_values("node") \
+        .reset_index(drop=True)

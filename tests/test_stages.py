@@ -1430,3 +1430,38 @@ def test_hamming_pairs_constant_prefix_recursion(ray_session):
             if d <= 2:
                 exp[(a, b)] = d
     assert got_pairs == exp
+
+
+def test_kcore_matches_peeling_reference(ray_session):
+    """Distributed peeling vs a single-node reference, including the
+    cascade case (removing a leaf drops its neighbor below k)."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.graph import kcore
+
+    # triangle 0-1-2 (2-core) + chain 2-3-4 (peels away in cascade)
+    e = pd.DataFrame({"src": [0, 1, 2, 2, 3],
+                      "dst": [1, 2, 0, 3, 4]})
+    out = kcore(rd.from_pandas(e).repartition(2), k=2)
+    assert list(out["node"]) == [0, 1, 2]
+    assert list(out["degree"]) == [2, 2, 2]
+
+    rng = np.random.default_rng(4)
+    er = pd.DataFrame({"src": rng.integers(0, 60, 150),
+                       "dst": rng.integers(0, 60, 150)})
+    got = kcore(rd.from_pandas(er).repartition(3), k=3)
+    # single-node reference peeling
+    edges = {tuple(sorted((a, b))) for a, b in
+             zip(er["src"], er["dst"]) if a != b}
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {n for n, d in deg.items() if d < 3}
+        if not drop:
+            break
+        edges = {(a, b) for a, b in edges
+                 if a not in drop and b not in drop}
+    want = sorted(deg) if edges else []
+    assert list(got["node"]) == want

@@ -4996,6 +4996,44 @@ def q_kcore(sf_dir: str):
     return kcore(edges, k=2)
 
 
+def q_dup_spans(sf_dir: str):
+    """Exact-substring duplicate-span coverage (ExactSubstr shape, Lee
+    et al. 2022, token-8-gram variant): per doc with >= 8 tokens,
+    (doc_id, n_grams, n_dup_grams, dup_ratio) where a gram position is
+    duplicated iff its 8-gram occurs >= 2 times anywhere in the corpus.
+    Gram hash = DuckDB hash(), so the whole transform is SQL-oracled.
+    Plan: per-batch (gram_hash, doc, n_pos) combiner -> ONE bucketed
+    shuffle on gram_hash -> tiny per-doc sum + hash-join hydration."""
+    from ..stages.textstats import dup_span_stats_stage
+
+    return dup_span_stats_stage(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), pos AS (
+  SELECT doc_id, t, len(t) - 7 AS n_grams,
+         unnest(generate_series(1, len(t) - 7)) AS i
+  FROM toks WHERE len(t) >= 8
+), grams AS (
+  SELECT doc_id, n_grams,
+         hash(array_to_string(t[i:i+7], ' ')) AS h
+  FROM pos
+), cnt AS (
+  SELECT h, count(*) AS n FROM grams GROUP BY h
+)
+SELECT g.doc_id,
+       any_value(g.n_grams) AS n_grams,
+       count(*) FILTER (WHERE c.n > 1) AS n_dup_grams,
+       count(*) FILTER (WHERE c.n > 1) * 1.0 / any_value(g.n_grams)
+         AS dup_ratio
+FROM grams g JOIN cnt c ON g.h = c.h
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -5124,6 +5162,7 @@ QUERIES = {
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
+    "dup_spans": q_dup_spans,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
     "compression_ratio": q_compression_ratio,
@@ -5197,6 +5236,7 @@ ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "unpivot": SQL_UNPIVOT,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
+    "dup_spans": SQL_DUP_SPANS,
     "lang_id": SQL_LANG_ID,
     "url_canonical": SQL_URL_CANONICAL,
     "left_join": SQL_LEFT_JOIN,

@@ -692,3 +692,108 @@ def vocab_stats(ds, text_col: str = "text", num_buckets: int = 32):
         "hapax_tokens": [int(hapax)],
         "max_freq": [int(mx)],
         "type_token_ratio": [round(v / tot, 6) if tot else 0.0]})
+
+
+def dup_span_stats_stage(ds, id_col: str = "doc_id", text_col: str = "text",
+                         k: int = 8, num_buckets: int = 32):
+    """Exact-substring duplicate-span coverage (the ExactSubstr shape of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", token-gram variant): a token k-gram position is DUPLICATED
+    iff its gram occurs >= 2 times anywhere in the corpus (cross-doc or
+    within-doc).  Per document with >= k tokens, emit
+
+        (doc_id, n_grams, n_dup_grams, dup_ratio)
+
+    where n_grams = n_toks - k + 1 sliding positions and dup_ratio =
+    n_dup_grams / n_grams (IEEE double).  Docs with < k tokens carry no
+    gram and are dropped (mirroring the SQL oracle's WHERE clause).
+
+    Physical plan (the 10^12-doc shape):
+
+    1. per-batch combiner map: gram strings are hashed in ONE DuckDB
+       ``hash()`` call (:func:`..functions.similarity.hash_strings_fast`
+       — oracle parity with SQL ``hash(array_to_string(...))``), then
+       collapsed to (gram_hash, doc_id, n_pos) within the batch, so
+       repeated grams never reach the shuffle more than once per
+       (batch, doc);
+    2. ONE bucketed shuffle on gram_hash: a gram qualifies when its
+       global position count > 1; qualifying groups re-emit per-doc
+       partial dup counts — output is O(docs x buckets), tiny;
+    3. a second small bucketed groupby on doc_id sums the partials,
+       then a hash join hydrates them onto the per-doc gram totals
+       (left outer; docs with no duplicated gram get 0).
+
+    No stage materializes the gram set; driver state is zero.  At true
+    web scale the gram emission is the dominant bytes (64-bit hash +
+    doc id per distinct gram per doc) — the same order as the MinHash
+    band exchange the flagship already sizes for."""
+    from .relational import hash_join
+    from .shuffle import bucketed_map_groups
+    from ..functions.similarity import hash_strings_fast
+
+    def grams_partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype("string").fillna("")
+        ids, per_doc, grams = [], [], []
+        for doc_id, t in zip(df[id_col].to_numpy(), texts):
+            toks = t.split()
+            if len(toks) < k:
+                continue
+            ids.append(doc_id)
+            per_doc.append(len(toks) - k + 1)
+            grams.extend(" ".join(toks[i:i + k])
+                         for i in range(len(toks) - k + 1))
+        if not ids:
+            return pd.DataFrame({"gh": pd.Series([], dtype="uint64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "n_pos": pd.Series([], dtype="int64")})
+        h = hash_strings_fast(grams)
+        doc_rep = np.repeat(np.asarray(ids, dtype=np.int64),
+                            np.asarray(per_doc, dtype=np.int64))
+        c = (pd.DataFrame({"gh": h, id_col: doc_rep})
+             .groupby(["gh", id_col], sort=False).size())
+        out = c.rename("n_pos").reset_index()
+        out["n_pos"] = out["n_pos"].astype("int64")
+        return out
+
+    partials = ds.map_batches(grams_partial, batch_format="pandas")
+
+    def dup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("gh", sort=False)["n_pos"].transform("sum")
+        d = df[tot > 1]
+        s = d.groupby(id_col, sort=False)["n_pos"].sum()
+        return pd.DataFrame({id_col: s.index.to_numpy(dtype=np.int64),
+                             "n_dup_grams": s.to_numpy(dtype=np.int64)})
+
+    dup_partials = bucketed_map_groups(partials, ["gh"], dup_bucket,
+                                       num_buckets=num_buckets)
+
+    def doc_sum(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.groupby(id_col, sort=False)["n_dup_grams"].sum()
+        return pd.DataFrame({id_col: s.index.to_numpy(dtype=np.int64),
+                             "n_dup_grams": s.to_numpy(dtype=np.int64)})
+
+    dups = bucketed_map_groups(dup_partials, [id_col], doc_sum,
+                               num_buckets=min(8, num_buckets))
+
+    def doc_totals(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype("string").fillna("")
+        n_toks = t.str.split().str.len().fillna(0).astype("int64")
+        keep = n_toks >= k
+        return pd.DataFrame({
+            id_col: df.loc[keep, id_col].to_numpy(dtype=np.int64),
+            "n_grams": (n_toks[keep] - k + 1).to_numpy(dtype=np.int64)})
+
+    totals = ds.map_batches(doc_totals, batch_format="pandas")
+    joined = hash_join(totals, dups, on=[id_col], how="left_outer")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        nd = df["n_dup_grams"].fillna(0).astype("int64")
+        ng = df["n_grams"].astype("int64")
+        return pd.DataFrame({
+            id_col: df[id_col].astype("int64"),
+            "n_grams": ng,
+            "n_dup_grams": nd,
+            "dup_ratio": nd.to_numpy(np.float64) / ng.to_numpy(np.float64),
+        })
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -112,6 +112,7 @@ PINNED = [
     "hamming_pairs",
     "trend_agg",
     "monge_elkan",
+    "dup_spans",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

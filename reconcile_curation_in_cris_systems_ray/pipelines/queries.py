@@ -5034,6 +5034,54 @@ GROUP BY g.doc_id
 """
 
 
+def q_dup_span_removal(sf_dir: str):
+    """ExactSubstr removal (Lee et al. 2022 output side): strip every
+    token covered by a corpus-duplicated 8-gram; per non-empty doc emit
+    (doc_id, clean_text, n_kept, n_removed).  Position vectors travel
+    the gram shuffle as packed-int32 binary cells; span subtraction is
+    map-side after a hash join back onto the documents."""
+    from ..stages.textstats import dup_span_removal_stage
+
+    return dup_span_removal_stage(
+        _rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_DUP_SPAN_REMOVAL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+  FROM toks WHERE len(t) >= 8
+), grams AS (
+  SELECT doc_id, i, hash(array_to_string(t[i:i+7], ' ')) AS h
+  FROM pos
+), cnt AS (
+  SELECT h, count(*) AS n FROM grams GROUP BY h
+), dup AS (
+  SELECT g.doc_id, g.i FROM grams g JOIN cnt c ON g.h = c.h
+  WHERE c.n > 1
+), cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 7)) AS j
+  FROM dup
+), tok_rows AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t))) AS j
+  FROM toks
+), marked AS (
+  SELECT tr.doc_id, tr.j, tr.t[tr.j] AS tok,
+         (c.j IS NOT NULL) AS covered
+  FROM tok_rows tr
+  LEFT JOIN cov c ON tr.doc_id = c.doc_id AND tr.j = c.j
+)
+SELECT doc_id,
+       coalesce(string_agg(tok, ' ' ORDER BY j)
+                  FILTER (WHERE NOT covered), '') AS clean_text,
+       count(*) FILTER (WHERE NOT covered) AS n_kept,
+       count(*) FILTER (WHERE covered) AS n_removed
+FROM marked GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -5163,6 +5211,7 @@ QUERIES = {
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
     "dup_spans": q_dup_spans,
+    "dup_span_removal": q_dup_span_removal,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
     "compression_ratio": q_compression_ratio,
@@ -5237,6 +5286,7 @@ ORACLES = {
     "unpivot": SQL_UNPIVOT,
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "dup_spans": SQL_DUP_SPANS,
+    "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "lang_id": SQL_LANG_ID,
     "url_canonical": SQL_URL_CANONICAL,
     "left_join": SQL_LEFT_JOIN,

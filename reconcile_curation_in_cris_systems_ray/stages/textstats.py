@@ -797,3 +797,113 @@ def dup_span_stats_stage(ds, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def dup_span_removal_stage(ds, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           num_buckets: int = 32):
+    """ExactSubstr REMOVAL (the output side of Lee et al. 2022): strip
+    every token covered by a corpus-duplicated k-gram and emit
+
+        (doc_id, clean_text, n_kept, n_removed)
+
+    per non-empty document.  A token j is covered iff some duplicated
+    gram starts at i with i <= j <= i+k-1; clean_text is the kept
+    tokens joined by single spaces (whitespace-normalized, matching
+    the SQL oracle's regexp_split/trim tokenization).  Docs shorter
+    than k tokens carry no gram and pass through untouched.
+
+    Physical plan: like :func:`dup_span_stats_stage` but the gram
+    exchange carries the int32 POSITION VECTOR per (gram, doc) packed
+    as a binary cell (no list columns — Dataset.join/acero constraint),
+    so qualifying grams can re-emit their exact spans: ONE bucketed
+    shuffle on gram_hash -> per-doc position union (second small
+    bucketed groupby) -> hash-join back onto the documents -> map-side
+    span subtraction.  Bytes through the big shuffle are O(total gram
+    positions x 12B), the same order as the stats variant."""
+    from .relational import hash_join
+    from .shuffle import bucketed_map_groups
+    from ..functions.similarity import hash_strings_fast
+
+    def grams_partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype("string").fillna("")
+        ids, per_doc, grams = [], [], []
+        for doc_id, t in zip(df[id_col].to_numpy(), texts):
+            toks = t.split()
+            if len(toks) < k:
+                continue
+            ids.append(doc_id)
+            per_doc.append(len(toks) - k + 1)
+            grams.extend(" ".join(toks[i:i + k])
+                         for i in range(len(toks) - k + 1))
+        if not ids:
+            return pd.DataFrame({"gh": pd.Series([], dtype="uint64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype=object)})
+        h = hash_strings_fast(grams)
+        per_doc = np.asarray(per_doc, dtype=np.int64)
+        doc_rep = np.repeat(np.asarray(ids, dtype=np.int64), per_doc)
+        # 1-based gram start positions (SQL-oracle parity)
+        pos = np.concatenate([np.arange(1, n + 1, dtype=np.int32)
+                              for n in per_doc])
+        dfp = pd.DataFrame({"gh": h, id_col: doc_rep, "p": pos})
+        g = dfp.groupby(["gh", id_col], sort=False)["p"].apply(
+            lambda s: s.to_numpy(dtype=np.int32).tobytes())
+        out = g.rename("pos").reset_index()
+        return out
+
+    partials = ds.map_batches(grams_partial, batch_format="pandas")
+
+    def dup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        npos = df["pos"].map(len).to_numpy(np.int64) // 4
+        tot = pd.Series(npos).groupby(df["gh"].to_numpy(),
+                                      sort=False).transform("sum")
+        d = df[(tot > 1).to_numpy()]
+        return pd.DataFrame({id_col: d[id_col].to_numpy(dtype=np.int64),
+                             "pos": d["pos"].to_numpy(object)})
+
+    dup_pos = bucketed_map_groups(partials, ["gh"], dup_bucket,
+                                  num_buckets=num_buckets)
+
+    def doc_union(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, pos_out = [], []
+        for doc_id, grp in df.groupby(id_col, sort=False)["pos"]:
+            arr = np.unique(np.concatenate(
+                [np.frombuffer(b, dtype=np.int32) for b in grp]))
+            ids_out.append(doc_id)
+            pos_out.append(arr.tobytes())
+        return pd.DataFrame({id_col: pd.Series(ids_out, dtype="int64"),
+                             "dup_pos": pd.Series(pos_out, dtype=object)})
+
+    per_doc_pos = bucketed_map_groups(dup_pos, [id_col], doc_union,
+                                      num_buckets=min(8, num_buckets))
+
+    docs = ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow")
+    joined = hash_join(docs, per_doc_pos, on=[id_col], how="left_outer")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ids_out, clean, n_kept, n_removed = [], [], [], []
+        texts = df[text_col].astype("string").fillna("")
+        for doc_id, t, pb in zip(df[id_col].to_numpy(), texts,
+                                 df["dup_pos"].to_numpy(object)):
+            toks = t.split()
+            if not toks:
+                continue
+            covered = np.zeros(len(toks), dtype=bool)
+            if isinstance(pb, (bytes, bytearray)):
+                starts = np.frombuffer(pb, dtype=np.int32)
+                for s in starts:          # spans overlap heavily; small
+                    covered[s - 1:s - 1 + k] = True
+            kept = [tok for tok, c in zip(toks, covered) if not c]
+            ids_out.append(doc_id)
+            clean.append(" ".join(kept))
+            n_kept.append(len(kept))
+            n_removed.append(int(covered.sum()))
+        return pd.DataFrame({
+            id_col: pd.Series(ids_out, dtype="int64"),
+            "clean_text": pd.Series(clean, dtype=object),
+            "n_kept": pd.Series(n_kept, dtype="int64"),
+            "n_removed": pd.Series(n_removed, dtype="int64")})
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -113,6 +113,7 @@ PINNED = [
     "trend_agg",
     "monge_elkan",
     "dup_spans",
+    "dup_span_removal",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -5082,6 +5082,95 @@ FROM marked GROUP BY doc_id
 """
 
 
+def q_meta_blocking(sf_dir: str):
+    """Meta-blocking (Papadakis et al.): multi-channel blocking keys ->
+    block purging (drop singleton and oversized blocks, |b| > 50) ->
+    within-block pair emission -> common-block-scheme edge weighting
+    (w = number of kept blocks a pair co-occurs in) -> weight pruning
+    (keep w >= 2).  Output (i, j, w), i < j.
+
+    The 10^12-doc shape: key emission is a narrow map (4 rows/doc);
+    purging happens INSIDE the one bucketed shuffle on block key (an
+    oversized block never emits pairs, so no quadratic blowup — the
+    same role the flagship's hot-key salting plays for blocks that
+    must be kept); edge weights are a second bucketed groupby on the
+    pair key, the same exchange the LSH pair dedup uses."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype("string").fillna("").str.strip()
+        d = df[t != ""]
+        if d.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "bk": pd.Series([], dtype=object)})
+        toks = d["text"].astype("string").str.strip().str.split()
+        ids = d["doc_id"].to_numpy(np.int64)
+        src = ("c1:" + d["source"].astype("string").fillna("")
+               .str.strip().str.lower())
+        first2 = "c2:" + toks.str[:2].str.join(" ")
+        lenbkt = "c3:" + (toks.str.len().astype("int64") // 10).astype(str)
+        last = "c4:" + toks.str[-1].astype("string")
+        frames = [pd.DataFrame({"doc_id": ids,
+                                "bk": s.to_numpy(dtype=object)})
+                  for s in (src, first2, lenbkt, last)]
+        return pd.concat(frames, ignore_index=True)
+
+    key_rows = ds.map_batches(keys, batch_format="pandas")
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_i, out_j = [], []
+        for _, grp in df.groupby("bk", sort=False)["doc_id"]:
+            n = len(grp)
+            if n < 2 or n > 50:  # block purging
+                continue
+            a = np.sort(grp.to_numpy(np.int64))
+            iu, ju = np.triu_indices(n, k=1)
+            out_i.append(a[iu])
+            out_j.append(a[ju])
+        if not out_i:
+            return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                 "j": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"i": np.concatenate(out_i),
+                             "j": np.concatenate(out_j)})
+
+    pairs = bucketed_map_groups(key_rows, ["bk"], block_pairs,
+                                num_buckets=32)
+
+    def weight(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["i", "j"], sort=False).size().rename("w")
+        out = g.reset_index()
+        out = out[out["w"] >= 2]
+        out["w"] = out["w"].astype("int64")
+        return out
+
+    return bucketed_map_groups(pairs, ["i", "j"], weight, num_buckets=16)
+
+
+SQL_META_BLOCKING = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+         lower(trim(coalesce(source, ''))) AS src
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), keys AS (
+  SELECT doc_id, 'c1:' || src AS bk FROM d
+  UNION ALL SELECT doc_id, 'c2:' || array_to_string(t[1:2], ' ') FROM d
+  UNION ALL SELECT doc_id, 'c3:' || CAST(len(t) // 10 AS VARCHAR) FROM d
+  UNION ALL SELECT doc_id, 'c4:' || t[len(t)] FROM d
+), sz AS (
+  SELECT bk, count(*) AS n FROM keys GROUP BY bk
+), kept AS (
+  SELECT k.doc_id, k.bk FROM keys k JOIN sz USING (bk)
+  WHERE sz.n BETWEEN 2 AND 50
+)
+SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS w
+FROM kept a JOIN kept b ON a.bk = b.bk AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -5212,6 +5301,7 @@ QUERIES = {
     "kcore": q_kcore,
     "dup_spans": q_dup_spans,
     "dup_span_removal": q_dup_span_removal,
+    "meta_blocking": q_meta_blocking,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
     "compression_ratio": q_compression_ratio,
@@ -5287,6 +5377,7 @@ ORACLES = {
     "winnow_fingerprint": SQL_WINNOW_FINGERPRINT,
     "dup_spans": SQL_DUP_SPANS,
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
+    "meta_blocking": SQL_META_BLOCKING,
     "lang_id": SQL_LANG_ID,
     "url_canonical": SQL_URL_CANONICAL,
     "left_join": SQL_LEFT_JOIN,

@@ -114,6 +114,7 @@ PINNED = [
     "monge_elkan",
     "dup_spans",
     "dup_span_removal",
+    "meta_blocking",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

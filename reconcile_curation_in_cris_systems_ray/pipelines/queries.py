@@ -5171,6 +5171,114 @@ HAVING count(*) >= 2
 """
 
 
+def q_dsir_sample(sf_dir: str):
+    """DSIR importance resampling (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed-unigram
+    bag-of-words models for a TARGET distribution (docs from source
+    'src0') and the RAW corpus, per-doc log importance weight
+    sum(ln p_tgt(b) - ln p_raw(b)) over the doc's token buckets
+    (hash % 8192, add-one smoothing), deterministic top-100 selection
+    (weight desc, doc_id asc).
+
+    The 10^12-doc shape: the hashing trick BOUNDS the feature space
+    (V = 8192), so both models fit one driver combine
+    (partial_groupby_agg over per-batch bucket counts — no shuffle of
+    the data) and the log-ratio table broadcasts as one 64 KiB numpy
+    array (ray.put once, zero-copy in every scoring task) — exactly
+    the bounded-vocabulary contrast to raw-vocab TF-IDF, which must
+    hash-join instead.  Scoring emits per-batch partial top-k, so the
+    final sort sees <= 100 x batches rows."""
+    import ray
+
+    from ..functions.similarity import hash_strings_fast
+    from ..stages.relational import partial_groupby_agg
+
+    V = 8192
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype("string").fillna("").str.strip()
+        d = df[t != ""]
+        if d.empty:
+            return pd.DataFrame({"bk": pd.Series([], dtype="int64"),
+                                 "n_raw": pd.Series([], dtype="int64"),
+                                 "n_tgt": pd.Series([], dtype="int64")})
+        toks = d["text"].astype("string").str.strip().str.split()
+        ex = toks.explode()
+        bk = (hash_strings_fast(ex.to_numpy(dtype=object)) % V).astype(
+            np.int64)
+        is_tgt = (d["source"].astype("string") == "src0").loc[
+            ex.index].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"bk": bk, "tgt": is_tgt}).groupby(
+            "bk", sort=False)["tgt"]
+        return pd.DataFrame({"bk": g.size().index.to_numpy(np.int64),
+                             "n_raw": g.size().to_numpy(np.int64),
+                             "n_tgt": g.sum().to_numpy(np.int64)})
+
+    parts = ds.map_batches(count_partial, batch_format="pandas")
+    counts = partial_groupby_agg(parts, ["bk"],
+                                 {"n_raw": ("n_raw", "sum"),
+                                  "n_tgt": ("n_tgt", "sum")})
+    t_raw = int(counts["n_raw"].sum())
+    t_tgt = int(counts["n_tgt"].sum())
+    lw_full = np.zeros(V, dtype=np.float64)
+    bks = counts["bk"].to_numpy(np.int64)
+    lw_full[bks] = (
+        np.log((counts["n_tgt"].to_numpy(np.float64) + 1.0) / (t_tgt + V))
+        - np.log((counts["n_raw"].to_numpy(np.float64) + 1.0) / (t_raw + V)))
+    lw_ref = ray.put(lw_full)
+
+    def weigh(df: pd.DataFrame) -> pd.DataFrame:
+        lw = ray.get(lw_ref)
+        t = df["text"].astype("string").fillna("").str.strip()
+        d = df[t != ""]
+        if d.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "logw": pd.Series([], dtype="float64")})
+        toks = d["text"].astype("string").str.strip().str.split()
+        ntok = toks.str.len().to_numpy(np.int64)
+        ex = toks.explode()
+        bk = (hash_strings_fast(ex.to_numpy(dtype=object)) % V).astype(
+            np.int64)
+        offs = np.zeros(ntok.size, dtype=np.int64)
+        np.cumsum(ntok[:-1], out=offs[1:])
+        logw = np.round(np.add.reduceat(lw[bk], offs), 6)
+        ids = d["doc_id"].to_numpy(np.int64)
+        # per-batch partial top-k (weight desc, doc_id asc)
+        order = np.lexsort((ids, -logw))[:100]
+        return pd.DataFrame({"doc_id": ids[order], "logw": logw[order]})
+
+    topk = ds.map_batches(weigh, batch_format="pandas")
+    return topk.sort(["logw", "doc_id"],
+                     descending=[True, False]).limit(100)
+
+
+SQL_DSIR_SAMPLE = r"""
+WITH d AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), tok AS (
+  SELECT doc_id, source, unnest(t) AS tok FROM d
+), b AS (
+  SELECT doc_id, source, hash(tok) % 8192 AS bk FROM tok
+), cnt AS (
+  SELECT bk, count(*) AS n_raw,
+         count(*) FILTER (WHERE source = 'src0') AS n_tgt
+  FROM b GROUP BY bk
+), tot AS (
+  SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM cnt
+), lr AS (
+  SELECT bk, ln((n_tgt + 1.0) / (t_tgt + 8192))
+             - ln((n_raw + 1.0) / (t_raw + 8192)) AS lw
+  FROM cnt, tot
+), w AS (
+  SELECT b.doc_id, round(sum(lr.lw), 6) AS logw
+  FROM b JOIN lr USING (bk) GROUP BY b.doc_id
+)
+SELECT doc_id, logw FROM w ORDER BY logw DESC, doc_id LIMIT 100
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -5302,6 +5410,7 @@ QUERIES = {
     "dup_spans": q_dup_spans,
     "dup_span_removal": q_dup_span_removal,
     "meta_blocking": q_meta_blocking,
+    "dsir_sample": q_dsir_sample,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
     "compression_ratio": q_compression_ratio,
@@ -5378,6 +5487,7 @@ ORACLES = {
     "dup_spans": SQL_DUP_SPANS,
     "dup_span_removal": SQL_DUP_SPAN_REMOVAL,
     "meta_blocking": SQL_META_BLOCKING,
+    "dsir_sample": SQL_DSIR_SAMPLE,
     "lang_id": SQL_LANG_ID,
     "url_canonical": SQL_URL_CANONICAL,
     "left_join": SQL_LEFT_JOIN,

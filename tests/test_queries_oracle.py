@@ -116,6 +116,7 @@ PINNED = [
     "dup_span_removal",
     "meta_blocking",
     "dsir_sample",
+    "edit_join",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -5400,6 +5400,59 @@ WHERE levenshtein(a.n, b.n) <= 1
 """
 
 
+def _pareto_min_max(df: pd.DataFrame, lo: str, hi: str) -> pd.DataFrame:
+    """Skyline rows minimizing ``lo`` and maximizing ``hi``: a row is
+    dominated iff another row has lo <= and hi >= with one strict.
+    Vectorized: per-lo-level max of hi, shifted running max over lo
+    ascending, keep levels strictly improving, then the rows at each
+    kept level whose hi equals the level max."""
+    pm = df.groupby(lo, sort=True)[hi].max()
+    prev = pm.cummax().shift(1)
+    kept_levels = pm[prev.isna() | (pm > prev)]
+    m = df.merge(kept_levels.rename("__mx").reset_index(), on=lo,
+                 how="inner")
+    return m[m[hi] == m["__mx"]].drop(columns="__mx")
+
+
+def q_skyline(sf_dir: str):
+    """Skyline / Pareto-frontier query (Borzsony, Kossmann, Stocker
+    2001): orders not dominated on (minimize o_totalprice, maximize
+    o_orderdate).  The textbook distributed plan: the skyline operator
+    DISTRIBUTES over union, so each batch computes its local skyline
+    (a combiner — output is O(frontier), tiny) and one bounded driver
+    finish re-runs the same kernel over the union of local frontiers;
+    no shuffle, no sort of the full table, scale-safe at any row
+    count (driver state = frontier x batches)."""
+    import ray.data as rd
+
+    ds = _rp(sf_dir, "orders",
+             ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    local = ds.map_batches(
+        lambda df: _pareto_min_max(df, "o_totalprice", "o_orderdate"),
+        batch_format="pandas")
+    cand = local.to_pandas()  # bounded: local frontiers only
+    return _pareto_min_max(cand, "o_totalprice", "o_orderdate")[
+        ["o_orderkey", "o_totalprice", "o_orderdate"]].reset_index(
+        drop=True)
+
+
+SQL_SKYLINE = r"""
+WITH pm AS (
+  SELECT o_totalprice AS p, max(o_orderdate) AS mq
+  FROM orders GROUP BY p
+), w AS (
+  SELECT p, mq, max(mq) OVER (ORDER BY p
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mprev
+  FROM pm
+), sk AS (
+  SELECT p, mq FROM w WHERE mprev IS NULL OR mq > mprev
+)
+SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+FROM orders o JOIN sk ON o.o_totalprice = sk.p AND o.o_orderdate = sk.mq
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -5533,6 +5586,7 @@ QUERIES = {
     "meta_blocking": q_meta_blocking,
     "dsir_sample": q_dsir_sample,
     "edit_join": q_edit_join,
+    "skyline": q_skyline,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
     "compression_ratio": q_compression_ratio,
@@ -5611,6 +5665,7 @@ ORACLES = {
     "meta_blocking": SQL_META_BLOCKING,
     "dsir_sample": SQL_DSIR_SAMPLE,
     "edit_join": SQL_EDIT_JOIN,
+    "skyline": SQL_SKYLINE,
     "lang_id": SQL_LANG_ID,
     "url_canonical": SQL_URL_CANONICAL,
     "left_join": SQL_LEFT_JOIN,

@@ -117,6 +117,7 @@ PINNED = [
     "meta_blocking",
     "dsir_sample",
     "edit_join",
+    "skyline",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -2365,6 +2365,112 @@ LIMIT 20
 """
 
 
+_BM25_TERMS = ("filter", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25-ranked keyword search (Robertson & Walker 1994; the
+    Lucene idf variant ln(1 + (N - df + 0.5)/(df + 0.5))) for the
+    two-term query 'filter merge': top 20 docs by summed term score.
+
+    The 100 TB plan: per-doc term stats (dl, tf per query term) are a
+    NARROW map materialized once (3 ints/doc — the kmeans narrow-
+    projection discipline, so the text is read exactly once); corpus
+    scalars (N, avgdl, df per term) come from a one-row-per-batch
+    combiner partial (no shuffle — the query has a bounded term count,
+    so stats are O(terms), the contrast to raw-vocab top_tfidf);
+    scoring is map-only over the narrow stats with per-batch partial
+    top-k, so the final sort sees <= 20 x batches rows.  The float
+    expression (idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    summed in term order) is mirrored in the SQL oracle bit-for-bit
+    (corr_agg round-6 discipline)."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    k1, b = _BM25_K1, _BM25_B
+    t1, t2 = _BM25_TERMS
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("").str.strip()
+        keep = texts != ""
+        texts = texts[keep].str.lower().reset_index(drop=True)
+        ids = df["doc_id"][keep.to_numpy()].reset_index(drop=True)
+        toks = texts.str.split()
+        ex = toks.explode()
+        dl = toks.str.len().fillna(0).astype("int64")
+        tf1 = (ex == t1).groupby(level=0).sum().reindex(
+            texts.index, fill_value=0).astype("int64")
+        tf2 = (ex == t2).groupby(level=0).sum().reindex(
+            texts.index, fill_value=0).astype("int64")
+        return pd.DataFrame({"doc_id": ids.to_numpy(),
+                             "dl": dl.to_numpy(),
+                             "tf1": tf1.to_numpy(), "tf2": tf2.to_numpy()})
+
+    narrow = ds.map_batches(stats, batch_format="pandas").materialize()
+
+    def corpus_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": [len(df)], "sum_dl": [int(df["dl"].sum())],
+            "df1": [int((df["tf1"] > 0).sum())],
+            "df2": [int((df["tf2"] > 0).sum())]})
+
+    parts = narrow.map_batches(
+        corpus_partial, batch_format="pandas").to_pandas()
+    n = float(parts["n"].sum())
+    avgdl = float(parts["sum_dl"].sum()) / n
+    idf = [float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+           for d in (parts["df1"].sum(), parts["df2"].sum())]
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dl = df["dl"].to_numpy(dtype=np.float64)
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = np.zeros(len(df))
+        for w, col in zip(idf, ("tf1", "tf2")):
+            tf = df[col].to_numpy(dtype=np.float64)
+            s = s + w * (tf * (k1 + 1.0)) / (tf + norm)
+        # round-6 BEFORE the sort so the top-20 cut is decided on the
+        # same values in both engines (numpy/DuckDB ln differ by 1 ULP)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "bm25": np.round(s, 6)})
+        out = out[out["bm25"] > 0.0]
+        # partial top-k: only each batch's best 20 reach the sort
+        return out.sort_values(["bm25", "doc_id"],
+                               ascending=[False, True]).head(20)
+
+    return narrow.map_batches(score, batch_format="pandas").sort(
+        ["bm25", "doc_id"], descending=[True, False]).limit(20)
+
+
+SQL_BM25_SEARCH = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), s AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'filter')) AS tf1,
+         len(list_filter(toks, x -> x = 'merge')) AS tf2
+  FROM t
+), g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+  FROM s
+), sc AS (
+  SELECT s.doc_id,
+         round(
+         ln(1.0 + (g.n - g.df1 + 0.5) / (g.df1 + 0.5))
+           * (s.tf1 * 2.2) / (s.tf1 + 1.2 * (0.25 + 0.75 * s.dl / g.avgdl))
+         + ln(1.0 + (g.n - g.df2 + 0.5) / (g.df2 + 0.5))
+           * (s.tf2 * 2.2) / (s.tf2 + 1.2 * (0.25 + 0.75 * s.dl / g.avgdl))
+         , 6) AS bm25
+  FROM s, g
+)
+SELECT doc_id, bm25 FROM sc WHERE bm25 > 0.0
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_repetition_ratio(sf_dir: str):
     """Gopher-style intra-document repetition filter: per-doc duplicate
     word fraction (1 - distinct/total tokens) and duplicate bigram
@@ -5519,6 +5625,7 @@ QUERIES = {
     "regex_extract": q_regex_extract,
     "star_join": q_star_join,
     "keyword_search": q_keyword_search,
+    "bm25_search": q_bm25_search,
     "ngram_top": q_ngram_top,
     "heavy_hitters": q_heavy_hitters,
     "repetition_ratio": q_repetition_ratio,
@@ -5683,6 +5790,7 @@ ORACLES = {
     "regex_extract": SQL_REGEX_EXTRACT,
     "star_join": SQL_STAR_JOIN,
     "keyword_search": SQL_KEYWORD_SEARCH,
+    "bm25_search": SQL_BM25_SEARCH,
     "ngram_top": SQL_NGRAM_TOP,
     "repetition_ratio": SQL_REPETITION_RATIO,
     "heavy_hitters": SQL_HEAVY_HITTERS,

@@ -2471,6 +2471,85 @@ LIMIT 20
 """
 
 
+def q_gopher_filter(sf_dir: str):
+    """Gopher quality-rule filter (Rae et al. 2021 App. A1.1): per-doc
+    rule signals — word count, mean word length, alpha-word fraction,
+    stop-word hits, symbol-to-word ratio — and the composite pass
+    decision (word count in [25, 100k] — floor scaled from the paper's
+    50 for the short synthetic docs — mean word length in [3, 10],
+    alpha fraction >= 0.8, symbol ratio <= 0.1, >= 2 distinct stop
+    words from an adapted {the, a, of} list).  Map-only, fully
+    vectorized (explode + level-0 groupbys per batch), no shuffle at
+    any scale — the canonical cheap-signal gate that runs BEFORE the
+    expensive dedup stages in a web-corpus curation DAG."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("").str.strip()
+        keep = texts != ""
+        texts = texts[keep].str.lower().reset_index(drop=True)
+        ids = df["doc_id"][keep.to_numpy()].reset_index(drop=True)
+        toks = texts.str.split()
+        n = toks.str.len().fillna(0).to_numpy(dtype=np.int64)
+        ex = toks.explode()
+        idx = texts.index
+        total = (ex.str.len().groupby(level=0).sum()
+                 .reindex(idx, fill_value=0).to_numpy(dtype=np.float64))
+        nn = np.maximum(n, 1)
+        mwl = np.round(total / nn, 6)
+        n_alpha = (ex.str.contains("[a-z]", regex=True)
+                   .groupby(level=0).sum()
+                   .reindex(idx, fill_value=0).to_numpy(dtype=np.float64))
+        alpha_frac = np.round(n_alpha / nn, 6)
+        n_stop = np.zeros(len(texts), dtype=np.int64)
+        for w in ("the", "a", "of"):
+            n_stop += ((ex == w).groupby(level=0).any()
+                       .reindex(idx, fill_value=False)
+                       .to_numpy().astype(np.int64))
+        n_sym = ((ex.str.startswith("#") | ex.str.contains("...",
+                                                           regex=False))
+                 .groupby(level=0).sum()
+                 .reindex(idx, fill_value=0).to_numpy(dtype=np.float64))
+        sym_ratio = np.round(n_sym / nn, 6)
+        passes = ((n >= 25) & (n <= 100000) & (mwl >= 3.0) & (mwl <= 10.0)
+                  & (alpha_frac >= 0.8) & (sym_ratio <= 0.1)
+                  & (n_stop >= 2))
+        return pd.DataFrame({
+            "doc_id": ids.to_numpy(), "n_words": n, "mean_word_len": mwl,
+            "alpha_frac": alpha_frac, "n_stop": n_stop, "passes": passes})
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_GOPHER_FILTER = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), s AS (
+  SELECT doc_id, len(toks) AS n_words,
+         round(list_sum(list_transform(toks,
+               x -> CAST(length(x) AS DOUBLE))) / len(toks), 6)
+           AS mean_word_len,
+         round(CAST(len(list_filter(toks,
+               x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks), 6)
+           AS alpha_frac,
+         CAST(list_contains(toks, 'the') AS INT)
+           + CAST(list_contains(toks, 'a') AS INT)
+           + CAST(list_contains(toks, 'of') AS INT) AS n_stop,
+         round(CAST(len(list_filter(toks,
+               x -> starts_with(x, '#') OR contains(x, '...')))
+               AS DOUBLE) / len(toks), 6) AS sym_ratio
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+       (n_words BETWEEN 25 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND alpha_frac >= 0.8 AND sym_ratio <= 0.1
+        AND n_stop >= 2) AS passes
+FROM s
+"""
+
+
 def q_repetition_ratio(sf_dir: str):
     """Gopher-style intra-document repetition filter: per-doc duplicate
     word fraction (1 - distinct/total tokens) and duplicate bigram
@@ -5102,6 +5181,19 @@ def q_kcore(sf_dir: str):
     return kcore(edges, k=2)
 
 
+def q_cc_pivot(sf_dir: str):
+    """KwikCluster correlation clustering of the hash-derived link
+    graph (stages/graph.py::cc_pivot — parallel greedy-MIS pivot
+    rounds + one attachment pass; the ER clustering that refuses
+    transitive chaining).  Rows-only driver check; exact equality
+    with the sequential KwikCluster reference is pinned in pytest
+    (test_graph.py)."""
+    from ..stages.graph import cc_pivot
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    return cc_pivot(edges)
+
+
 def q_dup_spans(sf_dir: str):
     """Exact-substring duplicate-span coverage (ExactSubstr shape, Lee
     et al. 2022, token-8-gram variant): per doc with >= 8 tokens,
@@ -5626,6 +5718,7 @@ QUERIES = {
     "star_join": q_star_join,
     "keyword_search": q_keyword_search,
     "bm25_search": q_bm25_search,
+    "gopher_filter": q_gopher_filter,
     "ngram_top": q_ngram_top,
     "heavy_hitters": q_heavy_hitters,
     "repetition_ratio": q_repetition_ratio,
@@ -5688,6 +5781,7 @@ QUERIES = {
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
+    "cc_pivot": q_cc_pivot,
     "dup_spans": q_dup_spans,
     "dup_span_removal": q_dup_span_removal,
     "meta_blocking": q_meta_blocking,
@@ -5791,6 +5885,7 @@ ORACLES = {
     "star_join": SQL_STAR_JOIN,
     "keyword_search": SQL_KEYWORD_SEARCH,
     "bm25_search": SQL_BM25_SEARCH,
+    "gopher_filter": SQL_GOPHER_FILTER,
     "ngram_top": SQL_NGRAM_TOP,
     "repetition_ratio": SQL_REPETITION_RATIO,
     "heavy_hitters": SQL_HEAVY_HITTERS,

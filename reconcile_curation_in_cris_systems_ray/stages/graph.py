@@ -545,3 +545,187 @@ def kcore(edges, k: int = 2, max_rounds: int = 64):
     out = deg.rename(columns={"deg": "degree"})
     return out[out["degree"] >= k].sort_values("node") \
         .reset_index(drop=True)
+
+
+def _pivot_rank(nodes: np.ndarray) -> np.ndarray:
+    """Deterministic pseudo-random permutation rank pi(v) for the
+    pivot algorithm: the DuckDB uint64 hash of the decimal id.  A
+    collision would merely tie two nodes (broken deterministically
+    downstream) — it cannot produce an invalid clustering, only a
+    different valid one."""
+    from ..functions.similarity import hash_strings_fast
+
+    return hash_strings_fast(pd.Series(nodes).astype(str).tolist())
+
+
+def cc_pivot(edges, max_rounds: int = 64) -> pd.DataFrame:
+    """Correlation clustering by pivot (KwikCluster — Ailon, Charikar
+    & Newman 2008; parallel rounds per Chierichetti, Dalvi & Kumar,
+    KDD 2014): pivots are the greedy MIS in pseudo-random order pi,
+    each non-pivot joins its min-pi pivot neighbor.  The ER
+    alternative to transitive closure: where connected components
+    chain A-B-C into one entity, pivot clustering only groups nodes
+    a single pivot witnesses — the standard guard against
+    hub-contaminated clusters (3-approximation in expectation).
+
+    Two phases, both exactly equivalent to the sequential greedy
+    (pinned in tests):
+
+    1. MIS rounds (expected O(log n)): the round's pivots are the
+       active local pi-minima among active neighbors — the classic
+       parallel simulation of greedy MIS (Blelloch, Fineman & Shun
+       2012) — then pivots AND their active neighbors deactivate and
+       the materialized edge stream is filtered map-side (the edge
+       payload never re-shuffles).  Per round: one edge pass for
+       min-neighbor-rank combiner partials (O(active nodes) out) and
+       one ``ray.put`` broadcast of the round's pivot set.
+    2. Attachment: one pass over the ORIGINAL canonical edges with
+       the full pivot-rank table broadcast; each non-pivot node picks
+       argmin-(pi, id) among its pivot neighbors via the bucketed
+       groupby — which IS the sequential assignment (a node's
+       earliest-processed pivot neighbor is its min-pi pivot
+       neighbor; maximality guarantees one exists).  Nodes isolated
+       mid-rounds (all neighbors deactivated first) are MIS members
+       and emit as singleton pivots.
+
+    Driver/broadcast state is O(nodes) — the pagerank broadcast
+    contract, with the same documented distributed-hash-join swap
+    above BROADCAST_MAX_NODES.  Returns (node, cluster) with
+    cluster = pivot id, one row per node that appears in any edge."""
+    from .relational import partial_groupby_agg
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[["src", "dst"]].min(axis=1)
+        hi = df[["src", "dst"]].max(axis=1)
+        out = pd.DataFrame({"lo": lo.to_numpy(np.int64),
+                            "hi": hi.to_numpy(np.int64)})
+        return out[out["lo"] != out["hi"]].drop_duplicates(
+            ignore_index=True)
+
+    und = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
+        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
+                                 "hi": np.empty(0, np.int64)})
+    ).materialize()
+
+    def min_nbr_rank(ds) -> pd.DataFrame:
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            lo = df["lo"].to_numpy(np.int64)
+            hi = df["hi"].to_numpy(np.int64)
+            node = np.concatenate([lo, hi])
+            nbr = np.concatenate([hi, lo])
+            # rank ties broken by id: compare (rank, id) lexicographically
+            r = _pivot_rank(nbr)
+            p = pd.DataFrame({"node": node, "r": r, "rid": nbr})
+            p = p.sort_values(["node", "r", "rid"], kind="mergesort")
+            return p.drop_duplicates("node", ignore_index=True)
+
+        parts = ds.map_batches(part, batch_format="pandas")
+        got = partial_groupby_agg(parts, ["node"],
+                                  {"r": ("r", "min")})
+        # re-derive the id tie-break driver-side is unnecessary: ties
+        # only matter for pivot selection, handled with (r, id) below,
+        # and a (r-equal, different-id) min is astronomically unlikely;
+        # keep the exact min-r per node.
+        return got
+
+    mnr0 = min_nbr_rank(und)
+    all_nodes = mnr0["node"].to_numpy(np.int64)
+    deactivated: set[int] = set()
+    pivots: dict[int, int] = {}   # node -> uint64 rank (as int)
+
+    cur = und
+    mnr = mnr0
+    for _ in range(max_rounds):
+        if len(mnr) == 0:
+            break
+        nodes = mnr["node"].to_numpy(np.int64)
+        own = _pivot_rank(nodes)
+        nbr_min = mnr["r"].to_numpy()
+        is_piv = own < nbr_min
+        if not is_piv.any():
+            # all-tie corner (hash collision): pick the min id among
+            # rank-tied nodes as the round's single pivot
+            tie = nodes[own == nbr_min]
+            is_piv = np.isin(nodes, tie.min())
+        round_piv = nodes[is_piv]
+        for n, r in zip(round_piv.tolist(),
+                        own[is_piv].astype(np.uint64).tolist()):
+            pivots[n] = r
+        pref = ray.put(frozenset(round_piv.tolist()))
+
+        def dead(df: pd.DataFrame) -> pd.DataFrame:
+            pv = ray.get(pref)
+            lo = df["lo"].to_numpy(np.int64)
+            hi = df["hi"].to_numpy(np.int64)
+            lo_p = pd.Series(lo).isin(pv).to_numpy()
+            hi_p = pd.Series(hi).isin(pv).to_numpy()
+            gone = np.unique(np.concatenate(
+                [lo[lo_p], hi[hi_p], lo[hi_p], hi[lo_p]]))
+            return pd.DataFrame({"node": gone})
+
+        gone = set(np.unique(np.concatenate([
+            b["node"].to_numpy(np.int64) for b in
+            cur.map_batches(dead, batch_format="pandas")
+            .iter_batches(batch_format="pandas")] or
+            [np.empty(0, np.int64)])).tolist())
+        deactivated |= gone
+        dref = ray.put(frozenset(gone))
+
+        def flt(df: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(dref)
+            return df[~df["lo"].isin(d) & ~df["hi"].isin(d)]
+
+        cur = cur.map_batches(flt, batch_format="pandas").materialize()
+        if cur.count() == 0:
+            break
+        mnr = min_nbr_rank(cur)
+
+    # nodes never deactivated are isolated MIS singletons
+    for n in all_nodes.tolist():
+        if n not in deactivated:
+            pivots.setdefault(int(n), int(_pivot_rank(
+                np.asarray([n], np.int64))[0]))
+
+    pvref = ray.put(pivots)
+
+    def cand(df: pd.DataFrame) -> pd.DataFrame:
+        pv = ray.get(pvref)
+        lo = df["lo"].to_numpy(np.int64)
+        hi = df["hi"].to_numpy(np.int64)
+        lo_p = pd.Series(lo).isin(pv).to_numpy()
+        hi_p = pd.Series(hi).isin(pv).to_numpy()
+        n1, p1 = lo[~lo_p & hi_p], hi[~lo_p & hi_p]
+        n2, p2 = hi[~hi_p & lo_p], lo[~hi_p & lo_p]
+        node = np.concatenate([n1, n2])
+        piv = np.concatenate([p1, p2])
+        pr = (pd.Series(piv).map(pv).to_numpy(dtype=np.uint64)
+              if len(piv) else np.empty(0, np.uint64))
+        out = pd.DataFrame({"node": node, "pr": pr, "piv": piv})
+        out = out.sort_values(["node", "pr", "piv"], kind="mergesort")
+        return out.drop_duplicates("node", ignore_index=True)
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["node", "pr", "piv"], kind="mergesort")
+        return df.drop_duplicates("node", ignore_index=True)
+
+    cands = bucketed_map_groups(
+        und.map_batches(cand, batch_format="pandas"),
+        ["node"], best,
+        empty_like=pd.DataFrame({"node": np.empty(0, np.int64),
+                                 "pr": np.empty(0, np.uint64),
+                                 "piv": np.empty(0, np.int64)})
+    ).to_pandas()
+
+    assign = {int(n): int(p) for n, p in
+              zip(cands["node"].to_numpy(np.int64),
+                  cands["piv"].to_numpy(np.int64))}
+    for p in pivots:
+        assign[int(p)] = int(p)
+    node_arr = np.fromiter(assign, np.int64, len(assign))
+    out = pd.DataFrame({"node": node_arr,
+                        "cluster": np.fromiter(
+                            (assign[int(n)] for n in node_arr),
+                            np.int64, len(assign))})
+    return out.sort_values("node").reset_index(drop=True)

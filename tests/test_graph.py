@@ -210,3 +210,77 @@ def test_graph_ops_on_edgeless_graph(ray_session):
     assert triangle_count(rd.from_pandas(pd.DataFrame(
         {"src": np.empty(0, np.int64),
          "dst": np.empty(0, np.int64)}))) == 0
+
+
+def _kwikcluster_reference(edges: pd.DataFrame) -> dict[int, int]:
+    """Sequential KwikCluster (Ailon et al. 2008): process nodes in
+    (pi, id) order; an unassigned node becomes a pivot and claims all
+    its unassigned neighbors."""
+    from reconcile_curation_in_cris_systems_ray.stages.graph import (
+        _pivot_rank,
+    )
+
+    lo = edges[["src", "dst"]].min(axis=1).to_numpy(np.int64)
+    hi = edges[["src", "dst"]].max(axis=1).to_numpy(np.int64)
+    keep = lo != hi
+    pairs = set(zip(lo[keep].tolist(), hi[keep].tolist()))
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nodes = sorted(adj)
+    order = sorted(nodes, key=lambda n: (int(_pivot_rank(
+        np.asarray([n], np.int64))[0]), n))
+    assign: dict[int, int] = {}
+    for u in order:
+        if u in assign:
+            continue
+        assign[u] = u
+        for v in adj[u]:
+            if v not in assign:
+                assign[v] = u
+    return assign
+
+
+def test_cc_pivot_equals_sequential_kwikcluster(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.graph import (
+        cc_pivot, derive_link_edges,
+    )
+
+    n = 300
+    docs = _docs_ds(n)
+    edges_df = _edges_df(docs, n)
+    got = cc_pivot(derive_link_edges(docs, n_nodes=n))
+    want = _kwikcluster_reference(edges_df)
+    got_map = dict(zip(got["node"].astype(int), got["cluster"].astype(int)))
+    assert got_map == want
+    # sanity: clustering is non-trivial (neither all-singletons nor one blob)
+    sizes = got.groupby("cluster").size()
+    assert len(sizes) > 1 and sizes.max() > 1
+
+
+def test_cc_pivot_refuses_transitive_chain(ray_session):
+    """A path a-b-c with pi(b) smallest: pivot b claims both ends (one
+    cluster); with pi(b) largest the ends are separate pivots and b
+    joins the min-pi one — unlike connected components, the chain
+    never merges a and c without a witness."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.graph import (
+        _pivot_rank, cc_pivot,
+    )
+
+    # find ids so that the middle node has the LARGEST rank
+    ranks = {i: int(_pivot_rank(np.asarray([i], np.int64))[0])
+             for i in (0, 1, 2)}
+    trip = sorted([0, 1, 2], key=lambda n: ranks[n])
+    lo_r, mid_r, hi_r = trip  # lo_r has smallest rank
+    edges = rd.from_pandas(pd.DataFrame(
+        {"src": [hi_r, hi_r], "dst": [lo_r, mid_r]}))
+    out = cc_pivot(edges)
+    m = dict(zip(out["node"].astype(int), out["cluster"].astype(int)))
+    # ends are pivots (both have smaller rank than the middle), middle
+    # joins the smaller-rank end; the two ends stay separate clusters
+    assert m[lo_r] == lo_r and m[mid_r] == mid_r
+    assert m[hi_r] == lo_r
+    assert m[lo_r] != m[mid_r]

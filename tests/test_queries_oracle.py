@@ -118,6 +118,8 @@ PINNED = [
     "dsir_sample",
     "edit_join",
     "skyline",
+    "bm25_search",
+    "gopher_filter",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

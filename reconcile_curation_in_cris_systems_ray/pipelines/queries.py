@@ -3324,6 +3324,76 @@ WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.6
 """
 
 
+def q_nearest_dup(sf_dir: str):
+    """Nearest-duplicate report: for every doc with at least one
+    word-3-gram Jaccard >= 0.5 neighbor, its argmax-(jaccard desc,
+    id asc) neighbor — the per-document "closest duplicate" diagnostic
+    behind dedup threshold tuning.  EXACT by construction: pairs come
+    from the prefix-filtered exact set-similarity join (never the
+    approximate LSH path), so the SQL oracle reproduces it
+    bit-for-bit; the argmax is a re-aggregable per-batch partial
+    (batch-best rows only enter the one bucketed exchange — the
+    mutual_best_match discipline)."""
+    from ..stages.setsim import setsim_join
+    from ..stages.shuffle import bucketed_map_groups
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    pairs = setsim_join(ds, "doc_id", "text", threshold=0.5, shingle_n=3)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": np.concatenate([df["doc_a"].to_numpy(np.int64),
+                                      df["doc_b"].to_numpy(np.int64)]),
+            "nbr": np.concatenate([df["doc_b"].to_numpy(np.int64),
+                                   df["doc_a"].to_numpy(np.int64)]),
+            "jaccard": np.concatenate([df["jaccard"].to_numpy(),
+                                       df["jaccard"].to_numpy()])})
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "jaccard", "nbr"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.drop_duplicates("doc_id", ignore_index=True)
+
+    partials = pairs.map_batches(sym, batch_format="pandas") \
+        .map_batches(best, batch_format="pandas")
+    return bucketed_map_groups(
+        partials, ["doc_id"], best,
+        empty_like=pd.DataFrame({"doc_id": np.empty(0, np.int64),
+                                 "nbr": np.empty(0, np.int64),
+                                 "jaccard": np.empty(0, np.float64)}))
+
+
+SQL_NEAREST_DUP = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+sh AS (
+  SELECT DISTINCT doc_id,
+         arr[g] || ' ' || arr[g + 1] || ' ' || arr[g + 2] AS shingle
+  FROM t, unnest(generate_series(1, len(arr) - 2)) AS u(g)),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS s
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT da, db, round(CAST(s AS DOUBLE) / (sa.n + sb.n - s), 6) AS j
+  FROM shared
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+  WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.5),
+sym AS (
+  SELECT da AS doc_id, db AS nbr, j FROM pairs
+  UNION ALL
+  SELECT db AS doc_id, da AS nbr, j FROM pairs)
+SELECT doc_id, nbr, j AS jaccard
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY j DESC, nbr) AS rn FROM sym)
+WHERE rn = 1
+"""
+
+
 def q_unigram_logprob(sf_dir: str):
     """CCNet-style LM quality score: per-doc mean negative log-prob
     under an add-one unigram model trained on the doc_id%10==0 slice."""
@@ -5736,6 +5806,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "boilerplate": q_boilerplate,
     "setsim_join": q_setsim_join,
+    "nearest_dup": q_nearest_dup,
     "unigram_logprob": q_unigram_logprob,
     "mixture_resample": q_mixture_resample,
     "warc_ingest": q_warc_ingest,
@@ -5902,6 +5973,7 @@ ORACLES = {
     "chunk_dedup": SQL_CHUNK_DEDUP,
     "boilerplate": SQL_BOILERPLATE,
     "setsim_join": SQL_SETSIM_JOIN,
+    "nearest_dup": SQL_NEAREST_DUP,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "warc_ingest": SQL_WARC_INGEST,

@@ -120,6 +120,7 @@ PINNED = [
     "skyline",
     "bm25_search",
     "gopher_filter",
+    "nearest_dup",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

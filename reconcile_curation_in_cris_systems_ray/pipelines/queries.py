@@ -3324,6 +3324,51 @@ WHERE CAST(s AS DOUBLE) / (sa.n + sb.n - s) >= 0.6
 """
 
 
+def q_cms_counts(sf_dir: str):
+    """Count-Min sketch frequency estimates (Cormode & Muthukrishnan
+    2005) for a fixed probe-term list over the corpus token stream —
+    the bounded-memory answer to point-frequency queries when the key
+    space dwarfs memory (sketch.py::count_min_estimates: per-batch
+    cell partials bounded by the SKETCH size, one combiner merge,
+    driver min over depth rows).  Row hash = DuckDB hash(), so the
+    whole sketch — including collision overestimates — is reproduced
+    by the SQL oracle bit-for-bit."""
+    from ..stages.sketch import count_min_estimates
+
+    ds = _rp(sf_dir, "documents", ["text"])
+    probes = ["filter", "merge", "the", "data", "spark", "vector",
+              "zzz_absent"]
+    return count_min_estimates(ds, "text", probes)
+
+
+SQL_CMS_COUNTS = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), cnt AS (
+  SELECT term, count(*) AS n FROM toks GROUP BY term
+), rows_ AS (
+  SELECT unnest(generate_series(0, 3)) AS r
+), cells AS (
+  SELECT r, CAST(hash(CAST(r AS VARCHAR) || ':' || term) % 2048
+                AS BIGINT) AS c,
+         sum(n) AS cell
+  FROM cnt CROSS JOIN rows_ GROUP BY r, c
+), probes AS (
+  SELECT unnest(['filter', 'merge', 'the', 'data', 'spark', 'vector',
+                 'zzz_absent']) AS term
+), lu AS (
+  SELECT p.term, r.r,
+         CAST(hash(CAST(r.r AS VARCHAR) || ':' || p.term) % 2048
+              AS BIGINT) AS c
+  FROM probes p CROSS JOIN rows_ r
+)
+SELECT lu.term, CAST(min(coalesce(cells.cell, 0)) AS BIGINT) AS est
+FROM lu LEFT JOIN cells ON cells.r = lu.r AND cells.c = lu.c
+GROUP BY lu.term
+"""
+
+
 def q_nearest_dup(sf_dir: str):
     """Nearest-duplicate report: for every doc with at least one
     word-3-gram Jaccard >= 0.5 neighbor, its argmax-(jaccard desc,
@@ -5807,6 +5852,7 @@ QUERIES = {
     "boilerplate": q_boilerplate,
     "setsim_join": q_setsim_join,
     "nearest_dup": q_nearest_dup,
+    "cms_counts": q_cms_counts,
     "unigram_logprob": q_unigram_logprob,
     "mixture_resample": q_mixture_resample,
     "warc_ingest": q_warc_ingest,
@@ -5974,6 +6020,7 @@ ORACLES = {
     "boilerplate": SQL_BOILERPLATE,
     "setsim_join": SQL_SETSIM_JOIN,
     "nearest_dup": SQL_NEAREST_DUP,
+    "cms_counts": SQL_CMS_COUNTS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "mixture_resample": SQL_MIXTURE_RESAMPLE,
     "warc_ingest": SQL_WARC_INGEST,

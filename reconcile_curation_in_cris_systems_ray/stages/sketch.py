@@ -617,3 +617,62 @@ def value_histogram(ds, col: str, lo: float, hi: float, n_bins: int = 20):
         "bin_lo": np.where(bins < 0, -np.inf, lo + bins * width),
         "n": np.array([agg.get(int(b), 0) for b in bins],
                       dtype=np.int64)})
+
+
+def count_min_estimates(ds, text_col: str, probes: list[str],
+                        depth: int = 4, width: int = 2048) -> pd.DataFrame:
+    """Count-Min sketch term-frequency estimates (Cormode &
+    Muthukrishnan 2005): depth x width counter matrix, row r hashes
+    a term with DuckDB ``hash(f"{r}:{term}")`` % width; the estimate
+    is the min over rows — always >= the true count, and <= true +
+    eps*N (eps = e/width) with probability 1 - (1/2)^depth.  The
+    shuffle-free answer to "how frequent is key X" when the key space
+    is too large for an exact count shuffle.
+
+    Plan: each batch folds its token counts into <= depth*width
+    (r, c, n) CELLS (the combiner discipline — cell count is bounded
+    by the SKETCH size, never the vocabulary), one
+    ``partial_groupby_agg`` merges them (hierarchical above its
+    fan-in), and the probe lookups are a driver-side min over depth
+    bounded rows.  Because the row hash is the DuckDB kernel, the
+    entire sketch is reproduced by the SQL oracle bit-for-bit."""
+    from ..functions.similarity import hash_strings_fast
+    from .relational import partial_groupby_agg
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        texts = (df[text_col].astype("string").fillna("").str.strip()
+                 .str.lower())
+        toks = texts[texts != ""].str.split().explode()
+        if toks.empty:
+            return pd.DataFrame({"r": np.empty(0, np.int64),
+                                 "c": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64)})
+        cnt = toks.value_counts(sort=False)
+        terms = cnt.index.to_numpy(dtype=object)
+        n = cnt.to_numpy(np.int64)
+        frames = []
+        for r in range(depth):
+            keys = [f"{r}:{t}" for t in terms]
+            c = (hash_strings_fast(keys) % np.uint64(width)) \
+                .astype(np.int64)
+            p = pd.DataFrame({"r": np.full(len(terms), r,
+                                           dtype=np.int64),
+                              "c": c, "n": n})
+            frames.append(p.groupby(["r", "c"], sort=False)["n"]
+                          .sum().reset_index())
+        return pd.concat(frames, ignore_index=True)
+
+    merged = partial_groupby_agg(
+        ds.map_batches(cells, batch_format="pandas"),
+        ["r", "c"], {"n": ("n", "sum")})
+    mat = np.zeros((depth, width), dtype=np.int64)
+    mat[merged["r"].to_numpy(np.int64),
+        merged["c"].to_numpy(np.int64)] = merged["n"].to_numpy(np.int64)
+    from ..functions.similarity import hash_strings_fast as hsf
+    est = []
+    for t in probes:
+        cs = (hsf([f"{r}:{t}" for r in range(depth)])
+              % np.uint64(width)).astype(np.int64)
+        est.append(int(mat[np.arange(depth), cs].min()))
+    return pd.DataFrame({"term": pd.Series(probes, dtype=object),
+                         "est": np.asarray(est, np.int64)})

@@ -121,6 +121,7 @@ PINNED = [
     "bm25_search",
     "gopher_filter",
     "nearest_dup",
+    "cms_counts",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -324,3 +324,28 @@ def test_hll_per_group_accuracy_vs_exact(ray_session):
     for grp in exact.index:
         e, a = int(exact[grp]), int(got[grp])
         assert abs(a - e) <= max(0.05 * e, 2), (grp, a, e)
+
+
+def test_count_min_overestimate_and_accuracy(ray_session):
+    """CMS hard guarantee: est >= exact for every probe; and on this
+    fixture (vocab << width) the estimates are exact."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        count_min_estimates,
+    )
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(50)]
+    docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(200)]
+    df = pd.DataFrame({"text": docs})
+    exact = pd.Series(" ".join(docs).split()).value_counts()
+    probes = ["w0", "w7", "w49", "absent_term"]
+    got = count_min_estimates(rd.from_pandas(df), "text", probes)
+    m = dict(zip(got["term"], got["est"].astype(int)))
+    for t in probes:
+        e = int(exact.get(t, 0))
+        assert m[t] >= e, (t, m[t], e)
+        # 50 distinct terms x 4 rows into 2048 columns: collisions
+        # possible but overestimate bounded by eps*N = e/2048 * 6000
+        assert m[t] <= e + 8, (t, m[t], e)

@@ -5170,6 +5170,115 @@ FROM best GROUP BY 1
 """
 
 
+def q_soft_tfidf(sf_dir: str):
+    """Soft TF-IDF hybrid name similarity (Cohen, Ravikumar &
+    Fienberg 2003) over the monge_elkan fixture pairs (name vs
+    word-reordered, one-char-corrupted twin): JW-gated (theta=0.9)
+    token alignment weighted by L2-normalized log-TF x log-IDF over
+    the part-name corpus — the published hybrid that beats both pure
+    TF-IDF cosine and pure edit distance on noisy names.
+
+    The 10^12-row shape: the per-token document-frequency table is a
+    combiner pass over per-name DISTINCT tokens (integers — exact),
+    broadcast ONCE via ray.put and registered into each scoring
+    actor's in-process DuckDB (ST3; above the 2M-token broadcast cap
+    the same table hydrates by hash join, the unigram_logprob
+    crossover); scoring is one SQL pass per batch on DuckDB's C++ JW
+    kernel with a totally-ordered argmax window, so the oracle
+    reproduces it bit-for-bit."""
+    import ray
+
+    from ..stages.relational import partial_groupby_agg
+    from ..stages.scoring import soft_tfidf_scores
+
+    parts = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+    n_names = parts.count()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["p_name"].astype("string").fillna("")
+                .str.split().explode().reset_index())
+        toks.columns = ["row", "tok"]
+        d = toks.drop_duplicates()
+        c = d.groupby("tok", sort=False).size()
+        return pd.DataFrame({"tok": c.index.to_numpy(dtype=object),
+                             "dfn": c.to_numpy(np.int64)})
+
+    dfn = partial_groupby_agg(
+        parts.map_batches(df_partial, batch_format="pandas"),
+        ["tok"], {"dfn": ("dfn", "sum")})
+    df_ref = ray.put(dfn)
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        arr = df["p_name"].astype("string").str.split(" ")
+        w1 = arr.str[0].fillna("")
+        w2 = arr.str[1].fillna("")
+        k = df["p_partkey"].to_numpy(np.int64)
+        pos = (k % w1.str.len().replace(0, 1).to_numpy(np.int64))
+        w1c = [s[:p] + s[p + 1:] for s, p in zip(w1.to_numpy(), pos)]
+        return pd.DataFrame({
+            "pair_id": k,
+            "name_a": df["p_name"].to_numpy(dtype=object),
+            "name_b": (w2 + " " + pd.Series(w1c, index=w2.index))
+            .to_numpy(dtype=object)})
+
+    pairs = parts.map_batches(mk, batch_format="pandas")
+    return soft_tfidf_scores(pairs, df_ref, n_names, theta=0.9)
+
+
+SQL_SOFT_TFIDF = """
+WITH base AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ') AS arr
+  FROM part),
+p AS (
+  SELECT p_partkey AS pid, p_name AS name_a,
+         arr[2] || ' ' ||
+         substr(arr[1], 1,
+                CAST(p_partkey % length(arr[1]) AS INT)) ||
+         substr(arr[1],
+                CAST(p_partkey % length(arr[1]) AS INT) + 2) AS name_b
+  FROM base),
+nn AS (SELECT count(*) AS n FROM part),
+idf AS (
+  SELECT tok, count(*) AS dfn FROM (
+    SELECT DISTINCT p_partkey, unnest(string_split(p_name, ' ')) AS tok
+    FROM part) GROUP BY tok),
+ta AS (
+  SELECT pid, tok, count(*) AS tf FROM (
+    SELECT pid, unnest(string_split(name_a, ' ')) AS tok FROM p)
+  GROUP BY 1, 2),
+tb AS (
+  SELECT pid, tok, count(*) AS tf FROM (
+    SELECT pid, unnest(string_split(name_b, ' ')) AS tok FROM p)
+  GROUP BY 1, 2),
+va AS (SELECT pid, tok,
+              ln(tf + 1.0) * ln(1.0 + (SELECT CAST(n AS DOUBLE)
+                                       FROM nn) / coalesce(i.dfn, 1))
+                AS w
+       FROM ta LEFT JOIN idf i USING (tok)),
+vb AS (SELECT pid, tok,
+              ln(tf + 1.0) * ln(1.0 + (SELECT CAST(n AS DOUBLE)
+                                       FROM nn) / coalesce(i.dfn, 1))
+                AS w
+       FROM tb LEFT JOIN idf i USING (tok)),
+na AS (SELECT pid, sqrt(sum(w * w)) AS nrm FROM va GROUP BY pid),
+nb AS (SELECT pid, sqrt(sum(w * w)) AS nrm FROM vb GROUP BY pid),
+jw AS (SELECT va.pid, va.tok AS atok, va.w AS wa,
+              vb.tok AS btok, vb.w AS wb,
+              jaro_winkler_similarity(va.tok, vb.tok) AS s
+       FROM va JOIN vb ON vb.pid = va.pid),
+best AS (SELECT *, row_number() OVER (
+           PARTITION BY pid, atok
+           ORDER BY s DESC, wb DESC, btok) AS rn FROM jw)
+SELECT b.pid AS pair_id,
+       round(coalesce(sum((b.wa / na.nrm) * (b.wb / nb.nrm) * b.s)
+               FILTER (WHERE b.s >= 0.9), 0.0), 6) AS soft_tfidf
+FROM best b
+JOIN na ON na.pid = b.pid
+JOIN nb ON nb.pid = b.pid
+WHERE b.rn = 1 GROUP BY b.pid
+"""
+
+
 _ER_DUP_OFFSET = 10_000_000
 
 
@@ -5895,6 +6004,7 @@ QUERIES = {
     "hamming_pairs": q_hamming_pairs,
     "trend_agg": q_trend_agg,
     "monge_elkan": q_monge_elkan,
+    "soft_tfidf": q_soft_tfidf,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -6063,4 +6173,5 @@ ORACLES = {
     "hamming_pairs": SQL_HAMMING_PAIRS,
     "trend_agg": SQL_TREND_AGG,
     "monge_elkan": SQL_MONGE_ELKAN,
+    "soft_tfidf": SQL_SOFT_TFIDF,
 }

@@ -635,3 +635,102 @@ def monge_elkan_scores(pairs, a_col: str = "name_a",
                                "id_col": id_col},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+class SoftTfidfScorer:
+    """Soft TF-IDF hybrid name similarity (Cohen, Ravikumar &
+    Fienberg 2003): ``sum over a in A with max-JW partner >= theta of
+    V(a,A) * V(b*,B) * JW(a,b*)`` where V are L2-normalized
+    log-TF x log-IDF token weights over the NAME CORPUS — the hybrid
+    scorer that beats both pure-token (TF-IDF cosine) and pure-edit
+    (JW) metrics on noisy person/org names in the published ER
+    comparisons.
+
+    ST3 pattern with a BROADCAST model: the per-token document
+    frequency table (integers — exact) is computed distributedly by a
+    combiner pass, ``ray.put`` once, and registered into each
+    worker's in-process DuckDB at construction; each batch is one SQL
+    pass (split -> TF -> weight -> per-token argmax JW with a fully
+    ordered window -> normalized dot) on DuckDB's C++ kernels, so the
+    oracle — the same SQL over the same integer inputs — reproduces
+    scores bit-for-bit.  The argmax tie-break is total
+    (s DESC, wb DESC, btok) so actor-vs-oracle row order cannot
+    diverge."""
+
+    def __init__(self, df_ref, n_names: int, theta: float = 0.9,
+                 a_col: str = "name_a", b_col: str = "name_b",
+                 id_col: str = "pair_id"):
+        import duckdb
+        import pandas as pd
+        import ray
+
+        self.con = duckdb.connect()
+        self.con.execute("PRAGMA threads=1")
+        df_tbl = ray.get(df_ref) if not isinstance(df_ref,
+                                                   pd.DataFrame) else df_ref
+        self.con.register("idf", pa.Table.from_pandas(df_tbl))
+        self.n = int(n_names)
+        self.theta = float(theta)
+        self.a, self.b, self.id = a_col, b_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({self.id: pa.array([], pa.int64()),
+                             "soft_tfidf": pa.array([], pa.float64())})
+        self.con.register("lhs", batch)
+        out = self.con.execute(f"""
+            WITH ta AS (
+              SELECT pid, tok, count(*) AS tf FROM (
+                SELECT {self.id} AS pid,
+                       unnest(string_split({self.a}, ' ')) AS tok
+                FROM lhs) GROUP BY 1, 2),
+            tb AS (
+              SELECT pid, tok, count(*) AS tf FROM (
+                SELECT {self.id} AS pid,
+                       unnest(string_split({self.b}, ' ')) AS tok
+                FROM lhs) GROUP BY 1, 2),
+            va AS (SELECT pid, tok,
+                          ln(tf + 1.0) * ln(1.0 + {self.n}.0
+                              / coalesce(i.dfn, 1)) AS w
+                   FROM ta LEFT JOIN idf i USING (tok)),
+            vb AS (SELECT pid, tok,
+                          ln(tf + 1.0) * ln(1.0 + {self.n}.0
+                              / coalesce(i.dfn, 1)) AS w
+                   FROM tb LEFT JOIN idf i USING (tok)),
+            na AS (SELECT pid, sqrt(sum(w * w)) AS nrm FROM va
+                   GROUP BY pid),
+            nb AS (SELECT pid, sqrt(sum(w * w)) AS nrm FROM vb
+                   GROUP BY pid),
+            jw AS (SELECT va.pid, va.tok AS atok, va.w AS wa,
+                          vb.tok AS btok, vb.w AS wb,
+                          jaro_winkler_similarity(va.tok, vb.tok) AS s
+                   FROM va JOIN vb ON vb.pid = va.pid),
+            best AS (SELECT *, row_number() OVER (
+                       PARTITION BY pid, atok
+                       ORDER BY s DESC, wb DESC, btok) AS rn FROM jw)
+            SELECT b.pid AS {self.id},
+                   round(coalesce(sum((b.wa / na.nrm) * (b.wb / nb.nrm)
+                                      * b.s)
+                           FILTER (WHERE b.s >= {self.theta}), 0.0), 6)
+                     AS soft_tfidf
+            FROM best b
+            JOIN na ON na.pid = b.pid
+            JOIN nb ON nb.pid = b.pid
+            WHERE b.rn = 1 GROUP BY b.pid
+            """).arrow()
+        self.con.unregister("lhs")
+        return out
+
+
+def soft_tfidf_scores(pairs, df_ref, n_names: int, theta: float = 0.9,
+                      a_col: str = "name_a", b_col: str = "name_b",
+                      id_col: str = "pair_id", batch_size: int = 8192,
+                      concurrency=(1, 8)):
+    """Actor-pool wrapper for :class:`SoftTfidfScorer`."""
+    return pairs.map_batches(
+        SoftTfidfScorer,
+        fn_constructor_kwargs={"df_ref": df_ref, "n_names": n_names,
+                               "theta": theta, "a_col": a_col,
+                               "b_col": b_col, "id_col": id_col},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

@@ -122,6 +122,7 @@ PINNED = [
     "gopher_filter",
     "nearest_dup",
     "cms_counts",
+    "soft_tfidf",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -5728,14 +5728,21 @@ def q_edit_join(sf_dir: str):
     q, d = 2, 1
     ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
 
+    # overlapping q-grams in one vectorized findall (lookahead keeps
+    # the window sliding); per-name DISTINCT via drop_duplicates —
+    # no Python loop over names in either corpus pass
+    _GRAM_RE = "(?=(" + "." * q + "))"
+
     def gram_counts(df: pd.DataFrame) -> pd.DataFrame:
-        cnt: dict = {}
-        for s in df["c_name"].astype("string").fillna(""):
-            for g in {s[i:i + q] for i in range(max(len(s) - q + 1, 0))}:
-                cnt[g] = cnt.get(g, 0) + 1
-        return pd.DataFrame({"g": pd.Series(list(cnt), dtype=object),
-                             "n": pd.Series(list(cnt.values()),
-                                            dtype="int64")})
+        s = (df["c_name"].astype("string").fillna("")
+             .reset_index(drop=True))
+        ex = s.str.findall(_GRAM_RE).explode().dropna()
+        d = pd.DataFrame({"row": ex.index.to_numpy(),
+                          "g": ex.to_numpy(dtype=object)}
+                         ).drop_duplicates()
+        c = d.groupby("g", sort=False).size()
+        return pd.DataFrame({"g": c.index.to_numpy(dtype=object),
+                             "n": c.to_numpy(np.int64)})
 
     freq = partial_groupby_agg(
         ds.map_batches(gram_counts, batch_format="pandas"),
@@ -5744,15 +5751,19 @@ def q_edit_join(sf_dir: str):
 
     def prefixes(df: pd.DataFrame) -> pd.DataFrame:
         fr = ray.get(freq_ref)
-        ks, gs = [], []
-        for k, s in zip(df["c_custkey"].to_numpy(np.int64),
-                        df["c_name"].astype("string").fillna("")):
-            dg = sorted({s[i:i + q] for i in range(max(len(s) - q + 1, 0))},
-                        key=lambda x: (fr[x], x))[:q * d + 1]
-            ks.extend([k] * len(dg))
-            gs.extend(dg)
-        return pd.DataFrame({"g": pd.Series(gs, dtype=object),
-                             "k": pd.Series(ks, dtype="int64")})
+        s = (df["c_name"].astype("string").fillna("")
+             .reset_index(drop=True))
+        keys = df["c_custkey"].to_numpy(np.int64)
+        ex = s.str.findall(_GRAM_RE).explode().dropna()
+        t = pd.DataFrame({"row": ex.index.to_numpy(),
+                          "g": ex.to_numpy(dtype=object)}
+                         ).drop_duplicates()
+        t["n"] = t["g"].map(fr).to_numpy(np.int64)
+        # rarest-first (n, g) order, keep each name's q*d+1 prefix
+        t = t.sort_values(["row", "n", "g"], kind="mergesort")
+        t = t[t.groupby("row", sort=False).cumcount() < q * d + 1]
+        return pd.DataFrame({"g": t["g"].to_numpy(dtype=object),
+                             "k": keys[t["row"].to_numpy()]})
 
     pref = ds.map_batches(prefixes, batch_format="pandas")
 

@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     "groupby_agg", "hash_join", "priority_dedup", "window_hourly",
     "dedup_exact", "near_dup_docs", "knn_bruteforce",
     "chunk_dedup", "unigram_logprob", "pagerank",
-    "snm_pairs", "golden_record",
+    "snm_pairs", "golden_record", "cc_pivot", "soft_tfidf",
 ]
 
 

@@ -1373,6 +1373,44 @@ def q_frame_sample(sf_dir: str):
     return out.select_columns(["media_id", "frame_idx"])
 
 
+def q_phash_dups(sf_dir: str):
+    """Perceptual-hash near-duplicate pairs over the media fixture:
+    actor-pool pHash stage (REAL 32x32 DCT-II -> 8x8 low-frequency
+    block -> median threshold -> 64 bits; only the image decode is
+    the documented stub boundary) -> pigeonhole Hamming pair join on
+    the 16-nibble hex hash (max_dist=2 nibbles).  With the fake
+    decoder only exact payload duplicates collide (distance 0); a
+    real Pillow decode slots in behind the same (B, 32, 32) pixel
+    contract, at which point visually-near images land within a few
+    bits — locality of the hash math is pinned on synthetic pixel
+    images in test_multimodal.py."""
+    from ..stages.multimodal import phash_media
+    from ..stages.pairs import hamming_pairs
+
+    media = _media_ds(sf_dir)
+
+    def plant(t: pa.Table) -> pa.Table:
+        # deterministic duplicate planting (the corpus has no exact
+        # payload dups): every media row whose trailing id digits are
+        # divisible by 50 is re-emitted under a "<id>dup" id
+        import pyarrow.compute as pc
+
+        ids = t.column("media_id").to_pylist()
+        take = [i for i, m in enumerate(ids) if int(m[1:]) % 50 == 0]
+        if not take:
+            return t
+        dup = t.take(take)
+        dup = dup.set_column(
+            0, "media_id",
+            pa.array([f"{m}dup" for m in dup.column("media_id")
+                      .to_pylist()], pa.string()))
+        return pa.concat_tables([t, dup])
+
+    hashed = phash_media(media.map_batches(plant, batch_format="pyarrow"),
+                         backend="fake")
+    return hamming_pairs(hashed, "media_id", "phash", max_dist=2)
+
+
 def q_winnow_fingerprint(sf_dir: str):
     """Winnowing document fingerprints (Schleimer et al. 2003):
     (doc_id, n_fingerprints, min_fp) per non-empty document.  Gram
@@ -6031,6 +6069,7 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,
+    "phash_dups": q_phash_dups,
     "frame_sample": q_frame_sample,
     "winnow_fingerprint": q_winnow_fingerprint,
     "url_canonical": q_url_canonical,

@@ -5443,6 +5443,19 @@ def q_kcore(sf_dir: str):
     return kcore(edges, k=2)
 
 
+def q_label_prop(sf_dir: str):
+    """Synchronous label-propagation communities over the
+    hash-derived link graph (stages/graph.py::label_propagation —
+    deterministic sync variant, 5 rounds, min-label tie-break;
+    broadcast label state + combiner contribution cells, edges
+    materialized once).  Rows-only driver check; equality with a
+    single-node reference is pinned in test_graph.py."""
+    from ..stages.graph import label_propagation
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    return label_propagation(edges, n_iter=5)
+
+
 def q_cc_pivot(sf_dir: str):
     """KwikCluster correlation clustering of the hash-derived link
     graph (stages/graph.py::cc_pivot — parallel greedy-MIS pivot
@@ -6058,6 +6071,7 @@ QUERIES = {
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
     "cc_pivot": q_cc_pivot,
+    "label_prop": q_label_prop,
     "dup_spans": q_dup_spans,
     "dup_span_removal": q_dup_span_removal,
     "meta_blocking": q_meta_blocking,

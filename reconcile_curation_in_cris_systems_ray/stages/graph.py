@@ -729,3 +729,80 @@ def cc_pivot(edges, max_rounds: int = 64) -> pd.DataFrame:
                             (assign[int(n)] for n in node_arr),
                             np.int64, len(assign))})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def label_propagation(edges, n_iter: int = 5) -> pd.DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007), made DETERMINISTIC: labels start as node
+    ids; each round every node adopts the most frequent label among
+    its neighbors, ties broken by the SMALLEST label; fixed
+    ``n_iter`` rounds (the async random-order variant is not
+    reproducible across partitionings — the sync + total tie-break
+    formulation is, and is pinned against a single-node reference).
+
+    Plan per round (pagerank's broadcast-contribution contract): the
+    O(nodes) label state is one ``ray.put`` broadcast (documented
+    hash-join swap above BROADCAST_MAX_NODES), one pass over the
+    materialized undirected edge stream emits per-batch
+    (node, nbr_label, cnt) combiner partials — bounded by nodes x
+    distinct-neighbor-labels, which shrinks every round as
+    communities form — and the per-node argmax-(cnt, -label) finishes
+    on the bounded partial table.  Edges never re-shuffle.  Returns
+    (node, label)."""
+    from .relational import partial_groupby_agg
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[["src", "dst"]].min(axis=1)
+        hi = df[["src", "dst"]].max(axis=1)
+        out = pd.DataFrame({"lo": lo.to_numpy(np.int64),
+                            "hi": hi.to_numpy(np.int64)})
+        return out[out["lo"] != out["hi"]].drop_duplicates(
+            ignore_index=True)
+
+    und = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
+        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
+                                 "hi": np.empty(0, np.int64)})
+    ).materialize()
+
+    nodes_df = partial_groupby_agg(
+        und.map_batches(
+            lambda df: pd.DataFrame({
+                "node": np.concatenate([df["lo"].to_numpy(np.int64),
+                                        df["hi"].to_numpy(np.int64)]),
+                "one": 1}),
+            batch_format="pandas"),
+        ["node"], {"one": ("one", "min")})
+    nodes = np.sort(nodes_df["node"].to_numpy(np.int64))
+    labels = {int(n): int(n) for n in nodes}
+
+    for _ in range(n_iter):
+        ref = ray.put(labels)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            lab = ray.get(ref)
+            lo = df["lo"].to_numpy(np.int64)
+            hi = df["hi"].to_numpy(np.int64)
+            node = np.concatenate([lo, hi])
+            nbr = np.concatenate([hi, lo])
+            nl = pd.Series(nbr).map(lab).to_numpy(np.int64)
+            p = pd.DataFrame({"node": node, "lab": nl})
+            c = p.groupby(["node", "lab"], sort=False).size()
+            return c.reset_index(name="cnt")
+
+        cells = partial_groupby_agg(
+            und.map_batches(contrib, batch_format="pandas"),
+            ["node", "lab"], {"cnt": ("cnt", "sum")})
+        # argmax count, tie -> smallest label (deterministic)
+        cells = cells.sort_values(["node", "cnt", "lab"],
+                                  ascending=[True, False, True],
+                                  kind="mergesort")
+        best = cells.drop_duplicates("node")
+        labels = dict(zip(best["node"].astype(int),
+                          best["lab"].astype(int)))
+
+    return pd.DataFrame({"node": nodes,
+                         "label": np.fromiter(
+                             (labels[int(n)] for n in nodes),
+                             np.int64, len(nodes))})

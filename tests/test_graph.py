@@ -284,3 +284,41 @@ def test_cc_pivot_refuses_transitive_chain(ray_session):
     assert m[lo_r] == lo_r and m[mid_r] == mid_r
     assert m[hi_r] == lo_r
     assert m[lo_r] != m[mid_r]
+
+
+def _lpa_reference(edges: pd.DataFrame, n_iter: int = 5) -> dict[int, int]:
+    """Single-node synchronous LPA, min-label tie-break."""
+    lo = edges[["src", "dst"]].min(axis=1).to_numpy(np.int64)
+    hi = edges[["src", "dst"]].max(axis=1).to_numpy(np.int64)
+    keep = lo != hi
+    pairs = sorted(set(zip(lo[keep].tolist(), hi[keep].tolist())))
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    lab = {n: n for n in adj}
+    for _ in range(n_iter):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt: dict[int, int] = {}
+            for v in nbrs:
+                cnt[lab[v]] = cnt.get(lab[v], 0) + 1
+            new[n] = min(cnt, key=lambda k: (-cnt[k], k))
+        lab = new
+    return lab
+
+
+def test_label_propagation_equals_reference(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.graph import (
+        derive_link_edges, label_propagation,
+    )
+
+    n = 300
+    docs = _docs_ds(n)
+    edges_df = _edges_df(docs, n)
+    got = label_propagation(derive_link_edges(docs, n_nodes=n), n_iter=5)
+    want = _lpa_reference(edges_df, n_iter=5)
+    got_map = dict(zip(got["node"].astype(int), got["label"].astype(int)))
+    assert got_map == want
+    sizes = got.groupby("label").size()
+    assert sizes.max() > 1

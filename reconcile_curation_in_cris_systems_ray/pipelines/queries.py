@@ -2740,6 +2740,20 @@ def q_approx_distinct_group(sf_dir: str):
                          out_col="approx_users")
 
 
+def q_quantile_sketch_group(sf_dir: str):
+    """Per-event-type approximate p50/p95 via grouped mergeable
+    t-digests (sketch.py::tdigest_per_group): each batch compresses
+    each group to bounded centroid cells, ONE co-location shuffle
+    moves sketches — never raw values — the web-scale complement to
+    the exact `quantile_agg` value co-location.  Rows-only driver
+    check; accuracy pinned in tests/test_sketch.py."""
+    from ..stages.sketch import tdigest_per_group
+
+    ds = _rp(sf_dir, "events", ["event_type", "value"])
+    return tdigest_per_group(ds, ["event_type"], "value",
+                             {"p50": 0.5, "p95": 0.95})
+
+
 def q_quantile_sketch(sf_dir: str):
     """Mergeable t-digest approximate global quantiles over event
     values (combiner pattern: per-batch centroid digests, no shuffle).
@@ -6080,6 +6094,7 @@ QUERIES = {
     "skyline": q_skyline,
     "approx_distinct": q_approx_distinct,
     "approx_distinct_group": q_approx_distinct_group,
+    "quantile_sketch_group": q_quantile_sketch_group,
     "compression_ratio": q_compression_ratio,
     "near_dup_keep": q_near_dup_keep,
     "media_decode": q_media_decode,

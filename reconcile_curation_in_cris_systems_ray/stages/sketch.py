@@ -676,3 +676,76 @@ def count_min_estimates(ds, text_col: str, probes: list[str],
         est.append(int(mat[np.arange(depth), cs].min()))
     return pd.DataFrame({"term": pd.Series(probes, dtype=object),
                          "est": np.asarray(est, np.int64)})
+
+
+def tdigest_per_group(ds, keys, col: str, qs: dict[str, float],
+                      delta: int = 200,
+                      num_buckets: int = 64) -> "object":
+    """Per-group approximate quantiles via mergeable t-digests — the
+    100-TB path when the GROUP count is web-scale and per-group exact
+    quantiles (`quantile_agg`'s value co-location) would shuffle every
+    raw value: each batch compresses each group it contains to
+    <= ~2*delta (value, weight) centroid pairs plus (min, max), packed
+    as one binary cell; ONE co-location shuffle moves the bounded
+    sketches, and a per-group merge (concat -> value-sort ->
+    re-compress -> interpolate) emits the quantile columns.  Same
+    contract as `hll_per_group`; accuracy pinned vs exact quantiles
+    in tests/test_sketch.py."""
+    import io
+
+    from .shuffle import bucketed_map_groups
+
+    keys = list(keys)
+    names = list(qs)
+
+    def pack(cv, cw, vmin, vmax) -> bytes:
+        buf = io.BytesIO()
+        np.save(buf, np.concatenate(
+            [[vmin, vmax], cv.astype(np.float64), cw.astype(np.float64)]))
+        return buf.getvalue()
+
+    def unpack(b: bytes):
+        arr = np.load(io.BytesIO(b))
+        n = (len(arr) - 2) // 2
+        return arr[2:2 + n], arr[2 + n:], float(arr[0]), float(arr[1])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows, blobs = [], []
+        d = df[[*keys, col]].dropna(subset=[col])
+        for k, g in d.groupby(keys, sort=False):
+            v = np.sort(g[col].to_numpy(dtype=np.float64))
+            cv, cw = _tdigest_compress(v, np.ones_like(v), delta)
+            rows.append(k if isinstance(k, tuple) else (k,))
+            blobs.append(pack(cv, cw, float(v[0]), float(v[-1])))
+        kdf = pd.DataFrame(rows, columns=keys) if rows else \
+            pd.DataFrame({k: pd.Series([], dtype="object") for k in keys})
+        kdf["td"] = pd.Series(blobs, dtype="object")
+        return kdf
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for k, g in df.groupby(keys, sort=False):
+            cvs, cws, lo, hi = [], [], np.inf, -np.inf
+            for b in g["td"]:
+                cv, cw, vmin, vmax = unpack(b)
+                cvs.append(cv)
+                cws.append(cw)
+                lo, hi = min(lo, vmin), max(hi, vmax)
+            v = np.concatenate(cvs)
+            w = np.concatenate(cws)
+            order = np.argsort(v, kind="mergesort")
+            cv, cw = _tdigest_compress(v[order], w[order], delta)
+            kt = k if isinstance(k, tuple) else (k,)
+            rows.append((*kt, *[_tdigest_quantile(cv, cw, qs[n], lo, hi)
+                                for n in names]))
+        if not rows:
+            out = pd.DataFrame({k: pd.Series([], dtype="object")
+                                for k in keys})
+            for n in names:
+                out[n] = pd.Series([], dtype="float64")
+            return out
+        return pd.DataFrame(rows, columns=[*keys, *names])
+
+    return bucketed_map_groups(partials, keys, merge, num_buckets)

@@ -349,3 +349,28 @@ def test_count_min_overestimate_and_accuracy(ray_session):
         # 50 distinct terms x 4 rows into 2048 columns: collisions
         # possible but overestimate bounded by eps*N = e/2048 * 6000
         assert m[t] <= e + 8, (t, m[t], e)
+
+
+def test_tdigest_per_group_accuracy(ray_session):
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        tdigest_per_group,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for g, (mu, sd, n) in {"a": (0.0, 1.0, 4000), "b": (10.0, 3.0, 6000),
+                           "c": (-5.0, 0.5, 2500)}.items():
+        v = rng.normal(mu, sd, n)
+        rows.append(pd.DataFrame({"g": g, "v": v}))
+    df = pd.concat(rows, ignore_index=True)
+    got = tdigest_per_group(
+        rd.from_pandas(df), ["g"], "v",
+        {"p50": 0.5, "p95": 0.95}).to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        spread = sub["v"].quantile(0.95) - sub["v"].quantile(0.05)
+        for name, q in (("p50", 0.5), ("p95", 0.95)):
+            exact = sub["v"].quantile(q)
+            assert abs(got.loc[g, name] - exact) <= 0.02 * spread, (
+                g, name, got.loc[g, name], exact)

@@ -5951,6 +5951,178 @@ FROM orders o JOIN sk ON o.o_totalprice = sk.p AND o.o_orderdate = sk.mq
 """
 
 
+def q_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS — the generalization ROLLUP/CUBE are
+    shorthands for: explicit level list ((rf, ls), (shipmode), ()).
+    ONE shuffle-free finest-level combiner aggregate over the union
+    of set keys; every requested set derives from that small frame
+    (see relational.grouping_sets_agg)."""
+    ds = _rp(sf_dir, "orders",
+             ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    df = rel.grouping_sets_agg(
+        ds,
+        [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+        {"sum_price": ("o_totalprice", "sum"), "n": (None, "count")})
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
+SQL_GROUPING_SETS = """
+SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       round(sum(o_totalprice), 2) AS sum_price, count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                        (o_orderpriority), ())
+"""
+
+
+def q_mode_agg(sf_dir: str):
+    """Per-group MODE with pinned ties (count DESC, value ASC): the
+    dominant ship mode per (returnflag, linestatus).  Only the
+    bounded (keys x values) count cells ever move — the combiner
+    two-level plan of relational.group_mode; the row stream never
+    shuffles."""
+    ds = _rp(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    return rel.group_mode(ds, ["o_orderstatus"], "o_orderpriority")
+
+
+SQL_MODE_AGG = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM c)
+SELECT o_orderstatus, o_orderpriority AS mode_val,
+       CAST(cnt AS BIGINT) AS mode_n
+FROM r WHERE rn = 1
+"""
+
+
+def q_first_last(sf_dir: str):
+    """first_value/last_value window functions per user over the
+    (ts, event_id) total order — completes the window family next to
+    lag_lead / rank_window / percent_rank.  One hash shuffle, then a
+    vectorized groupby-transform per bucket."""
+    from ..stages.temporal import first_last_window
+
+    events = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = first_last_window(events, key="user_id",
+                            order_cols=["ts", "event_id"],
+                            value_col="value")
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "first_val", "last_val"]],
+        batch_format="pandas")
+
+
+SQL_FIRST_LAST = """
+SELECT event_id, user_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER w AS last_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_bfs_levels(sf_dir: str):
+    """Multi-source directed BFS hop distance (4 hops) from the
+    doc_id%97==0 seed set over the hash-derived link graph — the
+    iterative-frontier graph primitive next to pagerank / CC /
+    label_prop.  Per hop: frontier broadcast + one edge-stream pass +
+    bounded combiner merge; edges never shuffle (stages/graph.bfs_levels).
+    Oracle unrolls the hops as chained min-merge CTEs."""
+    from ..stages.graph import bfs_levels
+
+    edges, nodes, _ = _link_graph_inputs(sf_dir)
+    return bfs_levels(edges, nodes, seed_mod=97, max_hops=4)
+
+
+def _bfs_sql(seed_mod: int = 97, max_hops: int = 4) -> str:
+    parts = [f"""WITH {_SQL_EDGES_CTE},
+k0 AS (SELECT doc_id AS node, 0 AS lvl FROM documents
+       WHERE doc_id % {seed_mod} = 0)"""]
+    for t in range(1, max_hops + 1):
+        parts.append(f"""
+k{t} AS (SELECT node, min(lvl) AS lvl FROM (
+    SELECT node, lvl FROM k{t - 1}
+    UNION ALL
+    SELECT e.dst AS node, {t} AS lvl
+    FROM edges e JOIN k{t - 1} f ON f.node = e.src AND f.lvl = {t - 1}
+  ) u GROUP BY node)""")
+    return (",".join(parts) + f"""
+SELECT d.doc_id AS node, CAST(coalesce(k.lvl, -1) AS BIGINT) AS lvl
+FROM documents d LEFT JOIN k{max_hops} k ON k.node = d.doc_id""")
+
+
+SQL_BFS_LEVELS = _bfs_sql()
+
+
+def q_ppl_bucket(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every doc under the reference-slice unigram LM (unigram_logprob's
+    plan), split the corpus into head/middle/tail at the exact p25 /
+    p75 nll quantiles, and report per-bucket doc counts + mean nll.
+    The quantile thresholds here are the exact quantile_cont kernel
+    (oracle-matched); at 10^12 docs the documented swap is the
+    mergeable t-digest (quantile_sketch) — bucket BOUNDARIES are the
+    only thing the sketch changes, the bucketing pass is identical."""
+    from ..stages.temporal import quantile_agg
+    from ..stages.textstats import unigram_logprob
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    scored = unigram_logprob(ds, "doc_id", "text", ref_mod=10)
+    scored = scored.materialize()
+
+    qdf = quantile_agg(
+        scored.map_batches(lambda df: df.assign(g=0),
+                           batch_format="pandas"),
+        ["g"], "nll", {"p25": 0.25, "p75": 0.75}).to_pandas()
+    p25 = float(qdf["p25"].iloc[0])
+    p75 = float(qdf["p75"].iloc[0])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        nll = df["nll"].to_numpy(np.float64)
+        lab = np.where(nll <= p25, "head",
+                       np.where(nll <= p75, "middle", "tail"))
+        return pd.DataFrame({"bucket": lab, "n_docs": 1, "s_nll": nll})
+
+    cells = rel.partial_groupby_agg(
+        scored.map_batches(bucket, batch_format="pandas"),
+        ["bucket"], {"n_docs": (None, "count"), "s_nll": ("s_nll", "sum")})
+    cells["avg_nll"] = (cells["s_nll"] / cells["n_docs"]).round(6)
+    return cells[["bucket", "n_docs", "avg_nll"]]
+
+
+SQL_PPL_BUCKET = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+ref AS (
+  SELECT term, count(*) AS cnt FROM toks WHERE doc_id % 10 = 0
+  GROUP BY term),
+tot AS (
+  SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE)
+         + CAST(count(*) AS DOUBLE) + 1.0 AS denom
+  FROM ref),
+scored AS (
+  SELECT doc_id, round(-avg(ln((coalesce(cnt, 0) + 1.0) / denom)), 6) AS nll
+  FROM toks LEFT JOIN ref USING (term), tot
+  GROUP BY doc_id),
+th AS (
+  SELECT quantile_cont(nll, 0.25) AS p25, quantile_cont(nll, 0.75) AS p75
+  FROM scored)
+SELECT CASE WHEN nll <= p25 THEN 'head'
+            WHEN nll <= p75 THEN 'middle' ELSE 'tail' END AS bucket,
+       count(*) AS n_docs, round(avg(nll), 6) AS avg_nll
+FROM scored, th
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -6111,6 +6283,11 @@ QUERIES = {
     "semdedup": q_semdedup,
     "pca_project": q_pca_project,
     "fs_em": q_fs_em,
+    "grouping_sets": q_grouping_sets,
+    "mode_agg": q_mode_agg,
+    "first_last": q_first_last,
+    "bfs_levels": q_bfs_levels,
+    "ppl_bucket": q_ppl_bucket,
     "reconcile_flagship": q_reconcile_flagship,
     "incremental_link": q_incremental_link,
 }
@@ -6253,4 +6430,9 @@ ORACLES = {
     "trend_agg": SQL_TREND_AGG,
     "monge_elkan": SQL_MONGE_ELKAN,
     "soft_tfidf": SQL_SOFT_TFIDF,
+    "grouping_sets": SQL_GROUPING_SETS,
+    "mode_agg": SQL_MODE_AGG,
+    "first_last": SQL_FIRST_LAST,
+    "bfs_levels": SQL_BFS_LEVELS,
+    "ppl_bucket": SQL_PPL_BUCKET,
 }

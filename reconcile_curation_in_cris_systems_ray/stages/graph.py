@@ -806,3 +806,61 @@ def label_propagation(edges, n_iter: int = 5) -> pd.DataFrame:
                          "label": np.fromiter(
                              (labels[int(n)] for n in nodes),
                              np.int64, len(nodes))})
+
+
+def bfs_levels(edges, nodes, seed_mod: int = 97,
+               max_hops: int = 4) -> pd.DataFrame:
+    """Multi-source directed BFS hop distance: every node whose id is
+    divisible by ``seed_mod`` is a level-0 seed; level t+1 = nodes
+    first reachable by following one edge from the level-t frontier.
+    Unreached nodes within ``max_hops`` carry level -1.
+
+    Physical plan per hop (the label_propagation broadcast contract):
+    the CURRENT FRONTIER — not the whole level map — ships once as a
+    ``ray.put`` set; one pass over the edge stream emits the batch's
+    frontier-successor dst ids (deduped in-batch), and a combiner
+    min-merge dedupes globally.  The edge stream itself never
+    shuffles and is re-streamed at most ``max_hops`` times; frontier
+    bytes shrink as the reachable set saturates.  Above
+    BROADCAST_MAX_NODES per frontier the broadcast swaps for the
+    bucketed hash-join on src (same swap as pagerank's documented
+    contract).  Returns (node, lvl) for ALL nodes.
+    """
+    from .relational import partial_groupby_agg
+
+    node_ids = np.sort(partial_groupby_agg(
+        nodes.map_batches(
+            lambda df: pd.DataFrame(
+                {"node": df["node"].to_numpy(np.int64), "one": 1}),
+            batch_format="pandas"),
+        ["node"], {"one": ("one", "min")})["node"].to_numpy(np.int64))
+    levels: dict[int, int] = {int(n): 0 for n in node_ids
+                              if int(n) % seed_mod == 0}
+    frontier = set(levels)
+    edges = edges.materialize()
+
+    for hop in range(1, max_hops + 1):
+        if not frontier:
+            break
+        ref = ray.put(np.fromiter(frontier, np.int64, len(frontier)))
+
+        def succ(df: pd.DataFrame) -> pd.DataFrame:
+            fr = ray.get(ref)
+            src = df["src"].to_numpy(np.int64)
+            dst = df["dst"].to_numpy(np.int64)
+            hit = np.isin(src, fr)
+            return pd.DataFrame({"node": np.unique(dst[hit])})
+
+        reached = partial_groupby_agg(
+            edges.map_batches(succ, batch_format="pandas"),
+            ["node"], {"node2": ("node", "min")})
+        new = [int(n) for n in reached["node"].to_numpy(np.int64)
+               if int(n) not in levels]
+        for n in new:
+            levels[n] = hop
+        frontier = set(new)
+
+    return pd.DataFrame({
+        "node": node_ids,
+        "lvl": np.fromiter((levels.get(int(n), -1) for n in node_ids),
+                           np.int64, len(node_ids))})

@@ -497,6 +497,72 @@ def cube_agg(ds, keys: Sequence[str],
     return pd.concat(levels, ignore_index=True)
 
 
+def grouping_sets_agg(ds, sets: Sequence[Sequence[str]],
+                      spec: dict[str, tuple[str | None, str]],
+                      total_label: str = "ALL") -> pd.DataFrame:
+    """GROUP BY GROUPING SETS(sets): aggregates at each explicitly
+    requested key subset — the generalization that ROLLUP and CUBE
+    are shorthands for (reference A1-A5 only ever need fixed level
+    lists; at 10^12 rows the physical plan matters more than the
+    spelling).  Same plan as :func:`rollup_agg`: ONE shuffle-free
+    finest-level combiner aggregate over the UNION of all set keys,
+    every requested set derived from that small frame on the driver
+    (valid because spec fns are re-aggregable).  Absent key columns
+    carry ``total_label`` (source keys non-null by contract).
+    """
+    sets = [list(s) for s in sets]
+    all_keys: list[str] = []
+    for s in sets:
+        for k in s:
+            if k not in all_keys:
+                all_keys.append(k)
+    finest = partial_groupby_agg(ds, all_keys, spec)
+    comb = {col: ("sum" if fn == "count" else fn)
+            for col, (_, fn) in spec.items()}
+    out_cols = all_keys + list(spec)
+    levels = []
+    for s in sets:
+        if sorted(s) == sorted(all_keys):
+            rolled = finest.copy()
+        elif s:
+            rolled = finest.groupby(s, sort=False).agg(comb).reset_index()
+        else:
+            rolled = pd.DataFrame({col: [getattr(finest[col], how)()]
+                                   for col, how in comb.items()})
+        for k in all_keys:
+            if k not in s:
+                rolled[k] = total_label
+        levels.append(rolled[out_cols])
+    return pd.concat(levels, ignore_index=True)
+
+
+def group_mode(ds, keys: Sequence[str], val_col: str,
+               out_col: str = "mode_val") -> pd.DataFrame:
+    """Per-group MODE (most frequent value, ties -> smallest value):
+    the classic two-level plan — per-batch exact (keys, value) counts
+    collapse inside ``map_batches`` (combiner; the only thing that
+    ever moves is the bounded keys x distinct-values partial table,
+    never the row stream), then a deterministic argmax-(count, -value)
+    on the merged cells.  Matches SQL
+    ``row_number() OVER (PARTITION BY keys ORDER BY count(*) DESC,
+    value)`` = 1, which is how the oracle spells it (DuckDB's
+    ``mode()`` leaves ties unspecified — this formulation pins them).
+    """
+    keys = list(keys)
+    cells = partial_groupby_agg(
+        ds.map_batches(
+            lambda df: (df.groupby(keys + [val_col], sort=False)
+                        .size().reset_index(name="cnt")),
+            batch_format="pandas"),
+        keys + [val_col], {"cnt": ("cnt", "sum")})
+    cells = cells.sort_values(keys + ["cnt", val_col],
+                              ascending=[True] * len(keys) + [False, True],
+                              kind="mergesort")
+    best = cells.drop_duplicates(keys)[keys + [val_col, "cnt"]]
+    return (best.rename(columns={val_col: out_col, "cnt": "mode_n"})
+            .reset_index(drop=True))
+
+
 def pivot_wide(ds, key: str, pivot_col: str, categories: Sequence[str],
                prefix: str = "n_", num_buckets: int = 64):
     """Long -> wide PIVOT (count per category): one output row per

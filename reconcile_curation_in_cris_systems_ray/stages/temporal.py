@@ -266,6 +266,35 @@ def lag_lead(ds, key: str, order_cols: Sequence[str], value_col: str,
     return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
 
 
+def first_last_window(ds, key: str, order_cols: Sequence[str],
+                      value_col: str, first_out: str = "first_val",
+                      last_out: str = "last_val",
+                      num_buckets: int = 64):
+    """SQL ``first_value(v)`` / ``last_value(v)`` OVER (PARTITION BY
+    key ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING): every row gains its partition's first and last value
+    in the total order.  Same physical contract as the sibling window
+    ops — ONE hash shuffle on the key co-locates each partition, then
+    a vectorized ``groupby().transform('first'/'last')`` per bucket.
+    """
+    order_cols = list(order_cols)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            out = df.copy()
+            out[first_out] = pd.Series([], dtype="float64")
+            out[last_out] = pd.Series([], dtype="float64")
+            return out
+        df = df.sort_values([key, *order_cols], kind="mergesort")
+        g = df.groupby(key, sort=False)[value_col]
+        out = df.copy()
+        out[first_out] = g.transform("first")
+        out[last_out] = g.transform("last")
+        return out
+
+    return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)
+
+
 def cumulative_agg(ds, key: str, order_cols: Sequence[str], value_col: str,
                    agg: str = "sum", out_col: str = "running",
                    num_buckets: int = 64):

@@ -322,3 +322,40 @@ def test_label_propagation_equals_reference(ray_session):
     assert got_map == want
     sizes = got.groupby("label").size()
     assert sizes.max() > 1
+
+
+def _bfs_reference(edges: pd.DataFrame, n: int, seed_mod: int,
+                   max_hops: int) -> dict[int, int]:
+    """Single-node frontier BFS, identical semantics."""
+    adj: dict[int, list[int]] = {}
+    for s, d in zip(edges["src"].astype(int), edges["dst"].astype(int)):
+        adj.setdefault(s, []).append(d)
+    lvl = {v: 0 for v in range(n) if v % seed_mod == 0}
+    frontier = set(lvl)
+    for hop in range(1, max_hops + 1):
+        nxt = set()
+        for v in frontier:
+            for w in adj.get(v, ()):
+                if w not in lvl:
+                    lvl[w] = hop
+                    nxt.add(w)
+        frontier = nxt
+    return {v: lvl.get(v, -1) for v in range(n)}
+
+
+def test_bfs_levels_equals_reference(ray_session):
+    from reconcile_curation_in_cris_systems_ray.stages.graph import (
+        bfs_levels, derive_link_edges,
+    )
+
+    n = 400
+    docs = _docs_ds(n)
+    edges_df = _edges_df(docs, n)
+    got = bfs_levels(derive_link_edges(docs, n_nodes=n), _nodes(docs),
+                     seed_mod=29, max_hops=4)
+    want = _bfs_reference(edges_df, n, seed_mod=29, max_hops=4)
+    got_map = dict(zip(got["node"].astype(int), got["lvl"].astype(int)))
+    assert got_map == want
+    lv = got["lvl"].to_numpy()
+    # multi-hop structure actually exercised
+    assert (lv == 0).sum() >= 10 and (lv >= 2).any() and (lv == -1).any()

@@ -123,6 +123,11 @@ PINNED = [
     "nearest_dup",
     "cms_counts",
     "soft_tfidf",
+    "grouping_sets",
+    "mode_agg",
+    "first_last",
+    "bfs_levels",
+    "ppl_bucket",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -41,8 +41,12 @@ def main(argv=None) -> int:
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False,
-                 logging_level="ERROR")
+        # No explicit address: Ray resolves RAY_ADDRESS (set inside a
+        # `ray job submit` container to the running cluster) and only
+        # falls back to a local session when unset — the same script
+        # therefore drives both the single-node dev loop and the
+        # N-node / 4N-node cluster runs of the north rule.
+        ray.init(include_dashboard=False, logging_level="ERROR")
     import ray.data as rd
 
     from .config import ReconcileConfig, tune_data_context

@@ -5170,6 +5170,33 @@ FROM m
 """
 
 
+def _corrupted_twin_pairs(df: pd.DataFrame,
+                          id_out: str = "pair_id") -> pd.DataFrame:
+    """Fixture builder shared by monge_elkan / soft_tfidf: each part
+    name paired with its word-REORDERED, first-token-one-char-
+    corrupted twin.  Names with fewer than two space-separated words
+    or an empty first word are dropped — mirrored by the
+    ``len(arr) >= 2 AND length(arr[1]) > 0`` WHERE in both SQL twins —
+    so the pair set is engine-independent for ANY input corpus, not
+    just multi-word TPC-H part names (review finding: the unguarded
+    variants diverged on one-word names, where SQL's NULL arr[2]
+    nulls the whole concat while Python emitted a row)."""
+    arr = df["p_name"].astype("string").str.split(" ")
+    ok = ((arr.str.len() >= 2) & (arr.str[0].str.len() > 0)).fillna(False)
+    df = df[ok.to_numpy(bool)]
+    arr = arr[ok]
+    w1 = arr.str[0]
+    w2 = arr.str[1]
+    k = df["p_partkey"].to_numpy(np.int64)
+    pos = k % w1.str.len().to_numpy(np.int64)
+    w1c = [s[:p] + s[p + 1:] for s, p in zip(w1.to_numpy(), pos)]
+    return pd.DataFrame({
+        id_out: k,
+        "name_a": df["p_name"].to_numpy(dtype=object),
+        "name_b": (w2 + " " + pd.Series(w1c, index=w2.index))
+        .to_numpy(dtype=object)})
+
+
 def q_monge_elkan(sf_dir: str):
     """Monge-Elkan token-alignment similarity: each part name scored
     against its word-REORDERED, first-token-corrupted twin — the case
@@ -5181,21 +5208,8 @@ def q_monge_elkan(sf_dir: str):
 
     parts = _rp(sf_dir, "part", ["p_partkey", "p_name"])
 
-    def mk(df: pd.DataFrame) -> pd.DataFrame:
-        arr = df["p_name"].astype("string").str.split(" ")
-        w1 = arr.str[0].fillna("")
-        w2 = arr.str[1].fillna("")
-        k = df["p_partkey"].to_numpy(np.int64)
-        pos = (k % w1.str.len().replace(0, 1).to_numpy(np.int64))
-        w1c = [s[:p] + s[p + 1:] for s, p in zip(w1.to_numpy(), pos)]
-        return pd.DataFrame({
-            "pair_id": k,
-            "name_a": df["p_name"].to_numpy(dtype=object),
-            "name_b": (w2 + " " + pd.Series(w1c, index=w2.index))
-            .to_numpy(dtype=object)})
-
-    return monge_elkan_scores(parts.map_batches(mk,
-                                                batch_format="pandas"))
+    return monge_elkan_scores(parts.map_batches(
+        _corrupted_twin_pairs, batch_format="pandas"))
 
 
 SQL_MONGE_ELKAN = """
@@ -5209,7 +5223,8 @@ p AS (
                 CAST(p_partkey % length(arr[1]) AS INT)) ||
          substr(arr[1],
                 CAST(p_partkey % length(arr[1]) AS INT) + 2) AS name_b
-  FROM base),
+  FROM base
+  WHERE len(arr) >= 2 AND length(arr[1]) > 0),
 ta AS (SELECT pair_id, unnest(string_split(name_a, ' ')) AS tok FROM p),
 tb AS (SELECT pair_id, unnest(string_split(name_b, ' ')) AS tok FROM p),
 best AS (
@@ -5247,8 +5262,11 @@ def q_soft_tfidf(sf_dir: str):
     n_names = parts.count()
 
     def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # split on single space, matching the oracle's
+        # string_split(p_name, ' ') exactly (str.split() would merge
+        # runs of whitespace and diverge on multi-space names)
         toks = (df["p_name"].astype("string").fillna("")
-                .str.split().explode().reset_index())
+                .str.split(" ").explode().reset_index())
         toks.columns = ["row", "tok"]
         d = toks.drop_duplicates()
         c = d.groupby("tok", sort=False).size()
@@ -5261,17 +5279,7 @@ def q_soft_tfidf(sf_dir: str):
     df_ref = ray.put(dfn)
 
     def mk(df: pd.DataFrame) -> pd.DataFrame:
-        arr = df["p_name"].astype("string").str.split(" ")
-        w1 = arr.str[0].fillna("")
-        w2 = arr.str[1].fillna("")
-        k = df["p_partkey"].to_numpy(np.int64)
-        pos = (k % w1.str.len().replace(0, 1).to_numpy(np.int64))
-        w1c = [s[:p] + s[p + 1:] for s, p in zip(w1.to_numpy(), pos)]
-        return pd.DataFrame({
-            "pair_id": k,
-            "name_a": df["p_name"].to_numpy(dtype=object),
-            "name_b": (w2 + " " + pd.Series(w1c, index=w2.index))
-            .to_numpy(dtype=object)})
+        return _corrupted_twin_pairs(df, id_out="pair_id")
 
     pairs = parts.map_batches(mk, batch_format="pandas")
     return soft_tfidf_scores(pairs, df_ref, n_names, theta=0.9)
@@ -5288,7 +5296,8 @@ p AS (
                 CAST(p_partkey % length(arr[1]) AS INT)) ||
          substr(arr[1],
                 CAST(p_partkey % length(arr[1]) AS INT) + 2) AS name_b
-  FROM base),
+  FROM base
+  WHERE len(arr) >= 2 AND length(arr[1]) > 0),
 nn AS (SELECT count(*) AS n FROM part),
 idf AS (
   SELECT tok, count(*) AS dfn FROM (
@@ -5795,8 +5804,11 @@ def q_edit_join(sf_dir: str):
 
     # overlapping q-grams in one vectorized findall (lookahead keeps
     # the window sliding); per-name DISTINCT via drop_duplicates —
-    # no Python loop over names in either corpus pass
-    _GRAM_RE = "(?=(" + "." * q + "))"
+    # no Python loop over names in either corpus pass.  (?s) so '.'
+    # crosses newlines: a dropped gram would shrink a name's gram set
+    # below the q*d+1 bound the prefix filter's no-false-negative
+    # guarantee assumes
+    _GRAM_RE = "(?s)(?=(" + "." * q + "))"
 
     def gram_counts(df: pd.DataFrame) -> pd.DataFrame:
         s = (df["c_name"].astype("string").fillna("")

@@ -79,6 +79,35 @@ def derive_link_edges(docs, n_nodes: int, id_col: str = "doc_id",
     return docs.map_batches(gen, batch_format="pandas")
 
 
+def undirected_edges(edges, drop_self: bool = True):
+    """Canonical DISTINCT undirected (lo <= hi) edge stream from a
+    (src, dst) stream — the shared front door of the whole link-graph
+    family (triangles, trusses, k-core, pivot clustering, LPA).
+    Per-batch canonicalize + local dedup is a combiner (bounded by
+    batch distincts); ONE bucketed exchange dedupes globally; the
+    result is materialized because every caller re-streams it.
+    ``drop_self``: filter self-loops (graph ops where a self-edge is
+    meaningless); triangle/support counting keeps them (lo == hi rows
+    cannot form a wedge, so they are inert there)."""
+    from .shuffle import bucketed_map_groups
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df[["src", "dst"]].min(axis=1)
+        hi = df[["src", "dst"]].max(axis=1)
+        out = pd.DataFrame({"lo": lo.to_numpy(np.int64),
+                            "hi": hi.to_numpy(np.int64)})
+        if drop_self:
+            out = out[out["lo"] != out["hi"]]
+        return out.drop_duplicates(ignore_index=True)
+
+    return bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
+        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
+                                 "hi": np.empty(0, np.int64)})
+    ).materialize()
+
+
 def _degree_partials(edges, nodes, node_col: str):
     """Edge-count partials + zero anchors for every node (so isolated
     nodes appear with degree 0 without a second join)."""
@@ -308,24 +337,8 @@ def triangle_count(edges) -> int:
     import pandas as pd
 
     from .relational import hash_join
-    from .shuffle import bucketed_map_groups
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        lo = df[["src", "dst"]].min(axis=1)
-        hi = df[["src", "dst"]].max(axis=1)
-        out = pd.DataFrame({"lo": lo.to_numpy(np.int64),
-                            "hi": hi.to_numpy(np.int64)})
-        return out.drop_duplicates(ignore_index=True)
-
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(ignore_index=True)
-
-    und = bucketed_map_groups(
-        edges.map_batches(canon, batch_format="pandas"),
-        ["lo", "hi"], dedup,
-        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
-                                 "hi": np.empty(0, np.int64)})
-    ).materialize()
+    und = undirected_edges(edges, drop_self=False)
     if und.count() == 0:
         return 0
 
@@ -361,19 +374,7 @@ def edge_support(edges):
     from .relational import hash_join
     from .shuffle import bucketed_map_groups
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        lo = df[["src", "dst"]].min(axis=1)
-        hi = df[["src", "dst"]].max(axis=1)
-        return pd.DataFrame({"lo": lo.to_numpy(np.int64),
-                             "hi": hi.to_numpy(np.int64)}) \
-            .drop_duplicates(ignore_index=True)
-
-    empty_e = pd.DataFrame({"lo": np.empty(0, np.int64),
-                            "hi": np.empty(0, np.int64)})
-    und = bucketed_map_groups(
-        edges.map_batches(canon, batch_format="pandas"),
-        ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
-        empty_like=empty_e).materialize()
+    und = undirected_edges(edges, drop_self=False)
 
     zeros = und.map_batches(
         lambda df: df.assign(n=np.int64(0)), batch_format="pandas")
@@ -495,22 +496,8 @@ def kcore(edges, k: int = 2, max_rounds: int = 64):
     import pandas as pd
 
     from .relational import partial_groupby_agg
-    from .shuffle import bucketed_map_groups
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        lo = df[["src", "dst"]].min(axis=1)
-        hi = df[["src", "dst"]].max(axis=1)
-        out = pd.DataFrame({"lo": lo.to_numpy(np.int64),
-                            "hi": hi.to_numpy(np.int64)})
-        return out[out["lo"] != out["hi"]].drop_duplicates(
-            ignore_index=True)
-
-    und = bucketed_map_groups(
-        edges.map_batches(canon, batch_format="pandas"),
-        ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
-        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
-                                 "hi": np.empty(0, np.int64)})
-    ).materialize()
+    und = undirected_edges(edges)
 
     def degrees(ds) -> pd.DataFrame:
         def part(df: pd.DataFrame) -> pd.DataFrame:
@@ -578,7 +565,13 @@ def cc_pivot(edges, max_rounds: int = 64) -> pd.DataFrame:
        the materialized edge stream is filtered map-side (the edge
        payload never re-shuffles).  Per round: one edge pass for
        min-neighbor-rank combiner partials (O(active nodes) out) and
-       one ``ray.put`` broadcast of the round's pivot set.
+       one ``ray.put`` broadcast of the round's pivot set.  pi is a
+       TRUE permutation — the node universe is densely re-ranked
+       ONCE by (DuckDB-hash, id), the exact (pi, id) order the
+       sequential greedy processes — so rank comparisons can never
+       tie (a raw-hash collision previously stalled tied neighbors
+       until the all-tie corner fired) and the per-round passes map
+       integer ranks instead of re-hashing id strings.
     2. Attachment: one pass over the ORIGINAL canonical edges with
        the full pivot-rank table broadcast; each non-pivot node picks
        argmin-(pi, id) among its pivot neighbors via the bucketed
@@ -594,64 +587,61 @@ def cc_pivot(edges, max_rounds: int = 64) -> pd.DataFrame:
     cluster = pivot id, one row per node that appears in any edge."""
     from .relational import partial_groupby_agg
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        lo = df[["src", "dst"]].min(axis=1)
-        hi = df[["src", "dst"]].max(axis=1)
-        out = pd.DataFrame({"lo": lo.to_numpy(np.int64),
-                            "hi": hi.to_numpy(np.int64)})
-        return out[out["lo"] != out["hi"]].drop_duplicates(
-            ignore_index=True)
+    und = undirected_edges(edges)
 
-    und = bucketed_map_groups(
-        edges.map_batches(canon, batch_format="pandas"),
-        ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
-        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
-                                 "hi": np.empty(0, np.int64)})
-    ).materialize()
+    # node universe + collision-free DENSE permutation rank: sort the
+    # O(nodes) id array by (hash, id) once — exactly the (pi, id)
+    # total order the sequential reference processes in — and use the
+    # position as pi.  One driver array, the pagerank O(nodes)
+    # broadcast contract; no per-round string re-hashing.
+    nodes_df = partial_groupby_agg(
+        und.map_batches(
+            lambda df: pd.DataFrame({
+                "node": np.concatenate([df["lo"].to_numpy(np.int64),
+                                        df["hi"].to_numpy(np.int64)]),
+                "one": 1}),
+            batch_format="pandas"),
+        ["node"], {"one": ("one", "min")})
+    all_nodes = np.sort(nodes_df["node"].to_numpy(np.int64))
+    hr = _pivot_rank(all_nodes)
+    order = np.lexsort((all_nodes, hr))
+    dense = np.empty(len(all_nodes), np.int64)
+    dense[order] = np.arange(len(all_nodes), dtype=np.int64)
+    rank_of = dict(zip(all_nodes.tolist(), dense.tolist()))
+    rkref = ray.put(rank_of)
 
     def min_nbr_rank(ds) -> pd.DataFrame:
         def part(df: pd.DataFrame) -> pd.DataFrame:
+            rk = ray.get(rkref)
             lo = df["lo"].to_numpy(np.int64)
             hi = df["hi"].to_numpy(np.int64)
             node = np.concatenate([lo, hi])
             nbr = np.concatenate([hi, lo])
-            # rank ties broken by id: compare (rank, id) lexicographically
-            r = _pivot_rank(nbr)
-            p = pd.DataFrame({"node": node, "r": r, "rid": nbr})
-            p = p.sort_values(["node", "r", "rid"], kind="mergesort")
-            return p.drop_duplicates("node", ignore_index=True)
+            r = pd.Series(nbr).map(rk).to_numpy(np.int64)
+            p = pd.DataFrame({"node": node, "r": r})
+            g = p.groupby("node", sort=False)["r"].min()
+            return pd.DataFrame({"node": g.index.to_numpy(np.int64),
+                                 "r": g.to_numpy(np.int64)})
 
         parts = ds.map_batches(part, batch_format="pandas")
-        got = partial_groupby_agg(parts, ["node"],
-                                  {"r": ("r", "min")})
-        # re-derive the id tie-break driver-side is unnecessary: ties
-        # only matter for pivot selection, handled with (r, id) below,
-        # and a (r-equal, different-id) min is astronomically unlikely;
-        # keep the exact min-r per node.
-        return got
+        return partial_groupby_agg(parts, ["node"], {"r": ("r", "min")})
 
-    mnr0 = min_nbr_rank(und)
-    all_nodes = mnr0["node"].to_numpy(np.int64)
     deactivated: set[int] = set()
-    pivots: dict[int, int] = {}   # node -> uint64 rank (as int)
+    pivots: dict[int, int] = {}   # node -> dense permutation rank
 
     cur = und
-    mnr = mnr0
+    mnr = min_nbr_rank(und)
     for _ in range(max_rounds):
         if len(mnr) == 0:
             break
         nodes = mnr["node"].to_numpy(np.int64)
-        own = _pivot_rank(nodes)
-        nbr_min = mnr["r"].to_numpy()
+        own = pd.Series(nodes).map(rank_of).to_numpy(np.int64)
+        nbr_min = mnr["r"].to_numpy(np.int64)
+        # dense ranks are a true permutation: strict local minima
+        # always exist, no tie corner
         is_piv = own < nbr_min
-        if not is_piv.any():
-            # all-tie corner (hash collision): pick the min id among
-            # rank-tied nodes as the round's single pivot
-            tie = nodes[own == nbr_min]
-            is_piv = np.isin(nodes, tie.min())
         round_piv = nodes[is_piv]
-        for n, r in zip(round_piv.tolist(),
-                        own[is_piv].astype(np.uint64).tolist()):
+        for n, r in zip(round_piv.tolist(), own[is_piv].tolist()):
             pivots[n] = r
         pref = ray.put(frozenset(round_piv.tolist()))
 
@@ -685,8 +675,7 @@ def cc_pivot(edges, max_rounds: int = 64) -> pd.DataFrame:
     # nodes never deactivated are isolated MIS singletons
     for n in all_nodes.tolist():
         if n not in deactivated:
-            pivots.setdefault(int(n), int(_pivot_rank(
-                np.asarray([n], np.int64))[0]))
+            pivots.setdefault(int(n), rank_of[int(n)])
 
     pvref = ray.put(pivots)
 
@@ -700,8 +689,8 @@ def cc_pivot(edges, max_rounds: int = 64) -> pd.DataFrame:
         n2, p2 = hi[~hi_p & lo_p], lo[~hi_p & lo_p]
         node = np.concatenate([n1, n2])
         piv = np.concatenate([p1, p2])
-        pr = (pd.Series(piv).map(pv).to_numpy(dtype=np.uint64)
-              if len(piv) else np.empty(0, np.uint64))
+        pr = (pd.Series(piv).map(pv).to_numpy(dtype=np.int64)
+              if len(piv) else np.empty(0, np.int64))
         out = pd.DataFrame({"node": node, "pr": pr, "piv": piv})
         out = out.sort_values(["node", "pr", "piv"], kind="mergesort")
         return out.drop_duplicates("node", ignore_index=True)
@@ -714,7 +703,7 @@ def cc_pivot(edges, max_rounds: int = 64) -> pd.DataFrame:
         und.map_batches(cand, batch_format="pandas"),
         ["node"], best,
         empty_like=pd.DataFrame({"node": np.empty(0, np.int64),
-                                 "pr": np.empty(0, np.uint64),
+                                 "pr": np.empty(0, np.int64),
                                  "piv": np.empty(0, np.int64)})
     ).to_pandas()
 
@@ -751,20 +740,7 @@ def label_propagation(edges, n_iter: int = 5) -> pd.DataFrame:
     (node, label)."""
     from .relational import partial_groupby_agg
 
-    def canon(df: pd.DataFrame) -> pd.DataFrame:
-        lo = df[["src", "dst"]].min(axis=1)
-        hi = df[["src", "dst"]].max(axis=1)
-        out = pd.DataFrame({"lo": lo.to_numpy(np.int64),
-                            "hi": hi.to_numpy(np.int64)})
-        return out[out["lo"] != out["hi"]].drop_duplicates(
-            ignore_index=True)
-
-    und = bucketed_map_groups(
-        edges.map_batches(canon, batch_format="pandas"),
-        ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
-        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
-                                 "hi": np.empty(0, np.int64)})
-    ).materialize()
+    und = undirected_edges(edges)
 
     nodes_df = partial_groupby_agg(
         und.map_batches(

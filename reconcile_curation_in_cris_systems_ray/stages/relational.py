@@ -430,6 +430,21 @@ def set_op(left, right, cols: Sequence[str], op: str = "intersect",
     return bucketed_map_groups(tagged, cols, pick, num_buckets)
 
 
+def _grand_total_row(finest: pd.DataFrame,
+                     spec: dict[str, tuple[str | None, str]],
+                     comb: dict[str, str]) -> pd.DataFrame:
+    """The () grouping-set row with SQL empty-input semantics: count
+    aggregates are 0 on empty input but sum/min/max are NULL (pandas'
+    empty-Series sum() would say 0.0 — the tracked empty-at-small-sf
+    oracle-divergence class)."""
+    if len(finest) == 0:
+        return pd.DataFrame(
+            {col: [0 if spec[col][1] == "count" else np.nan]
+             for col in comb})
+    return pd.DataFrame({col: [getattr(finest[col], how)()]
+                         for col, how in comb.items()})
+
+
 def rollup_agg(ds, keys: Sequence[str],
                spec: dict[str, tuple[str | None, str]],
                total_label: str = "ALL") -> pd.DataFrame:
@@ -454,9 +469,7 @@ def rollup_agg(ds, keys: Sequence[str],
         if gb_keys:
             rolled = cur.groupby(gb_keys, sort=False).agg(comb).reset_index()
         else:
-            rolled = pd.DataFrame(
-                {col: [getattr(cur[col], how)()]
-                 for col, how in comb.items()})
+            rolled = _grand_total_row(cur, spec, comb)
         for k in keys[depth:]:
             rolled[k] = total_label
         levels.append(rolled[finest.columns])
@@ -487,9 +500,7 @@ def cube_agg(ds, keys: Sequence[str],
                 rolled = (finest.groupby(list(subset), sort=False)
                                 .agg(comb).reset_index())
             else:
-                rolled = pd.DataFrame(
-                    {col: [getattr(finest[col], how)()]
-                     for col, how in comb.items()})
+                rolled = _grand_total_row(finest, spec, comb)
             for k in keys:
                 if k not in subset:
                     rolled[k] = total_label
@@ -527,8 +538,7 @@ def grouping_sets_agg(ds, sets: Sequence[Sequence[str]],
         elif s:
             rolled = finest.groupby(s, sort=False).agg(comb).reset_index()
         else:
-            rolled = pd.DataFrame({col: [getattr(finest[col], how)()]
-                                   for col, how in comb.items()})
+            rolled = _grand_total_row(finest, spec, comb)
         for k in all_keys:
             if k not in s:
                 rolled[k] = total_label

@@ -286,10 +286,19 @@ def first_last_window(ds, key: str, order_cols: Sequence[str],
             out[last_out] = pd.Series([], dtype="float64")
             return out
         df = df.sort_values([key, *order_cols], kind="mergesort")
-        g = df.groupby(key, sort=False)[value_col]
+        # positional first/last ROW per contiguous group — NOT pandas
+        # transform('first'/'last'), which skip nulls and would
+        # silently diverge from SQL first_value/last_value when a
+        # partition's edge row carries NULL
+        keys_arr = df[key].to_numpy()
+        new_grp = np.r_[True, keys_arr[1:] != keys_arr[:-1]]
+        gid = np.cumsum(new_grp) - 1
+        first_idx = np.flatnonzero(new_grp)
+        last_idx = np.r_[first_idx[1:] - 1, len(keys_arr) - 1]
+        vals = df[value_col].reset_index(drop=True)
         out = df.copy()
-        out[first_out] = g.transform("first")
-        out[last_out] = g.transform("last")
+        out[first_out] = vals.iloc[first_idx[gid]].to_numpy()
+        out[last_out] = vals.iloc[last_idx[gid]].to_numpy()
         return out
 
     return bucketed_map_groups(ds, [key], bucket_fn, num_buckets)

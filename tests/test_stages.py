@@ -1465,3 +1465,23 @@ def test_kcore_matches_peeling_reference(ray_session):
                  if a not in drop and b not in drop}
     want = sorted(deg) if edges else []
     assert list(got["node"]) == want
+
+
+def test_grand_total_empty_input_sql_semantics(ray_session):
+    """The () grouping set over EMPTY input: count is 0 but sum is NULL
+    (SQL), not pandas' 0.0 — the tracked empty-at-small-sf class."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages import relational as rel
+
+    empty = rd.from_pandas(pd.DataFrame(
+        {"k": pd.Series([], dtype="string"),
+         "v": pd.Series([], dtype="float64")}))
+    spec = {"s": ("v", "sum"), "n": (None, "count")}
+    for out in (rel.rollup_agg(empty, ["k"], spec),
+                rel.cube_agg(empty, ["k"], spec),
+                rel.grouping_sets_agg(empty, [["k"], []], spec)):
+        total = out[out["k"] == "ALL"]
+        assert len(total) == 1
+        assert total["n"].iloc[0] == 0
+        assert pd.isna(total["s"].iloc[0])

@@ -6135,6 +6135,163 @@ GROUP BY 1
 """
 
 
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency audit (X -> Y constraint check, the
+    data-curation counterpart of profile_table): nations whose
+    customers span more than one market segment, with the violating
+    value- and row-counts.  Only the bounded (X, Y) distinct-cell
+    table ever moves (combiner + one tiny driver finish) — the row
+    stream never shuffles, so the audit costs one narrow pass at any
+    scale."""
+    ds = _rp(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    cells = rel.partial_groupby_agg(
+        ds.map_batches(
+            lambda df: (df.groupby(["c_nationkey", "c_mktsegment"],
+                                   sort=False).size().reset_index(name="n")),
+            batch_format="pandas"),
+        ["c_nationkey", "c_mktsegment"], {"n": ("n", "sum")})
+    g = cells.groupby("c_nationkey", sort=False)
+    out = pd.DataFrame({"n_vals": g["c_mktsegment"].nunique(),
+                        "n_rows": g["n"].sum()}).reset_index()
+    return out[out["n_vals"] > 1].reset_index(drop=True)
+
+
+SQL_FD_VIOLATIONS = """
+SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_vals,
+       count(*) AS n_rows
+FROM customer GROUP BY 1
+HAVING count(DISTINCT c_mktsegment) > 1
+"""
+
+
+def q_burst_dedup(sf_dir: str):
+    """Windowed burst dedup (D1 at event-stream scale): within each
+    (user, event_type), drop an event arriving within 600 s of its
+    predecessor in (ts, event_id) order — the standard lag-window
+    formulation (each row compares to its immediate predecessor,
+    dropped or not).  ONE hash shuffle on the composite key, then a
+    vectorized groupby-shift per bucket."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    gap = pd.Timedelta(seconds=600)
+
+    def bucket_fn(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = ["event_id", "user_id"]
+        if len(df) == 0:
+            return df[out_cols]
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                            kind="mergesort")
+        prev = df.groupby(["user_id", "event_type"], sort=False)["ts"] \
+                 .shift(1)
+        keep = prev.isna() | ((df["ts"] - prev) > gap)
+        return df.loc[keep, out_cols]
+
+    return bucketed_map_groups(
+        ev, ["user_id", "event_type"], bucket_fn,
+        empty_like=pd.DataFrame({"event_id": np.empty(0, np.int64),
+                                 "user_id": np.empty(0, np.int64)}))
+
+
+SQL_BURST_DEDUP = """
+WITH w AS (
+  SELECT event_id, user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS pts
+  FROM events)
+SELECT event_id, user_id FROM w
+WHERE pts IS NULL OR ts - pts > INTERVAL 600 SECOND
+"""
+
+
+def q_ppr(sf_dir: str):
+    """Personalized PageRank: 5 damped power iterations restarting to
+    the doc_id%101==0 seed set, dangling mass restarting to the seeds
+    — the topic-conditioned relevance prior next to global pagerank
+    (stages/graph.personalized_pagerank; identical IEEE expression
+    order vs the unrolled-CTE oracle, round(8) both sides)."""
+    from ..stages.graph import personalized_pagerank
+
+    edges, nodes, n = _link_graph_inputs(sf_dir)
+    ranks = personalized_pagerank(edges, nodes, n_nodes=n, seed_mod=101,
+                                  n_iter=5, damping=0.85)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node"]].copy()
+        out["ppr"] = df["ppr"].to_numpy(np.float64).round(8)
+        return out
+
+    return ranks.map_batches(finish, batch_format="pandas")
+
+
+def _ppr_sql(seed_mod: int = 101, n_iter: int = 5,
+             damping: float = 0.85) -> str:
+    """Unrolled power-iteration SQL matching personalized_pagerank."""
+    ev = (f"(CASE WHEN nd.node % {seed_mod} = 0 "
+          f"THEN 1.0 / ks.k ELSE 0.0 END)")
+    parts = [f"""WITH {_SQL_EDGES_CTE},
+nodes AS (SELECT d.doc_id AS node, coalesce(o.c, 0) AS outdeg
+          FROM documents d LEFT JOIN outd o ON o.node = d.doc_id),
+ks AS (SELECT count(*) AS k FROM documents WHERE doc_id % {seed_mod} = 0),
+r0 AS (SELECT nd.node,
+              CASE WHEN nd.node % {seed_mod} = 0
+                   THEN 1.0 / ks.k ELSE 0.0 END AS pr
+       FROM nodes nd CROSS JOIN ks)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+dg{t - 1} AS (SELECT coalesce(sum(r.pr), 0) AS dsum
+            FROM r{t - 1} r JOIN nodes nd ON nd.node = r.node
+            WHERE nd.outdeg = 0),
+r{t} AS (
+  SELECT nd.node,
+         (1 - {damping}) * {ev}
+         + {damping} * (coalesce(s.contrib, 0) + dg.dsum * {ev}) AS pr
+  FROM nodes nd CROSS JOIN ks CROSS JOIN dg{t - 1} dg
+  LEFT JOIN (SELECT e.dst AS node, sum(r.pr / nd2.outdeg) AS contrib
+             FROM edges e
+             JOIN r{t - 1} r ON r.node = e.src
+             JOIN nodes nd2 ON nd2.node = e.src
+             GROUP BY e.dst) s ON s.node = nd.node)""")
+    return (",".join(parts)
+            + f"\nSELECT node, round(pr, 8) AS ppr FROM r{n_iter}")
+
+
+SQL_PPR = _ppr_sql()
+
+
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """Exact weighted all-pairs: part-name pairs with TF-IDF cosine
+    >= 0.5 via the inverted-index posting join
+    (stages/setsim.tfidf_cosine_pairs — Bayardo et al. 2007's
+    weighted problem; prefix filter is the documented skew lever)."""
+    from ..stages.setsim import tfidf_cosine_pairs
+
+    parts = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+    return tfidf_cosine_pairs(parts, "p_partkey", "p_name",
+                              threshold=0.5)
+
+
+SQL_TFIDF_COSINE_PAIRS = """
+WITH toks AS (
+  SELECT p_partkey AS id, unnest(string_split(p_name, ' ')) AS tok
+  FROM part),
+tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM part),
+dfn AS (SELECT tok, CAST(count(DISTINCT id) AS DOUBLE) AS dfn
+        FROM toks GROUP BY tok),
+w AS (SELECT id, tok,
+             ln(tf + 1.0) * ln(1.0 + (SELECT n FROM nn) / dfn) AS w
+      FROM tf JOIN dfn USING (tok)),
+nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id),
+wn AS (SELECT id, tok, w / nrm AS wn FROM w JOIN nrm USING (id)),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, sum(a.wn * b.wn) AS sim
+  FROM wn a JOIN wn b ON b.tok = a.tok AND b.id > a.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= 0.5
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -6295,6 +6452,10 @@ QUERIES = {
     "semdedup": q_semdedup,
     "pca_project": q_pca_project,
     "fs_em": q_fs_em,
+    "fd_violations": q_fd_violations,
+    "burst_dedup": q_burst_dedup,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
     "mode_agg": q_mode_agg,
     "first_last": q_first_last,
@@ -6442,6 +6603,10 @@ ORACLES = {
     "trend_agg": SQL_TREND_AGG,
     "monge_elkan": SQL_MONGE_ELKAN,
     "soft_tfidf": SQL_SOFT_TFIDF,
+    "fd_violations": SQL_FD_VIOLATIONS,
+    "burst_dedup": SQL_BURST_DEDUP,
+    "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,
     "mode_agg": SQL_MODE_AGG,
     "first_last": SQL_FIRST_LAST,

@@ -148,17 +148,10 @@ def degree_stats(edges, nodes, node_col: str = "node"):
                                ["node"], comb)
 
 
-def pagerank(edges, nodes, n_nodes: int, node_col: str = "node",
-             n_iter: int = 5, damping: float = 0.85,
-             broadcast_limit: int = BROADCAST_MAX_NODES):
-    """PageRank by power iteration; returns a Dataset of (node, pr).
-
-    ``PR_t(v) = (1-d)/N + d * (Σ_{(u,v)} PR_{t-1}(u)/outdeg(u) + D/N)``
-    with ``D`` the total rank held by dangling nodes.  Plan notes in the
-    module docstring; ``broadcast_limit`` picks broadcast vs distributed
-    rank hydration (tests pin both paths equal).
-    """
-    edges = edges.materialize()  # iterated over n_iter times
+def _outdeg_state(edges, nodes, node_col: str = "node"):
+    """(node, outdeg) over the full node universe — per-batch degree
+    partials unioned with zero anchors from the node table, merged in
+    one bucketed combine.  Shared by pagerank / personalized_pagerank."""
 
     def out_part(df: pd.DataFrame) -> pd.DataFrame:
         o = df.groupby("src", sort=False).size()
@@ -176,7 +169,21 @@ def pagerank(edges, nodes, n_nodes: int, node_col: str = "node",
         g = df.groupby("node", sort=False, as_index=False)
         return g.agg(outdeg=("outdeg", "sum"))
 
-    state = bucketed_map_groups(parts, ["node"], comb).materialize()
+    return bucketed_map_groups(parts, ["node"], comb).materialize()
+
+
+def pagerank(edges, nodes, n_nodes: int, node_col: str = "node",
+             n_iter: int = 5, damping: float = 0.85,
+             broadcast_limit: int = BROADCAST_MAX_NODES):
+    """PageRank by power iteration; returns a Dataset of (node, pr).
+
+    ``PR_t(v) = (1-d)/N + d * (Σ_{(u,v)} PR_{t-1}(u)/outdeg(u) + D/N)``
+    with ``D`` the total rank held by dangling nodes.  Plan notes in the
+    module docstring; ``broadcast_limit`` picks broadcast vs distributed
+    rank hydration (tests pin both paths equal).
+    """
+    edges = edges.materialize()  # iterated over n_iter times
+    state = _outdeg_state(edges, nodes, node_col)
 
     if edges.count() == 0:
         # closed form: with every node dangling, total mass stays 1 and
@@ -299,6 +306,68 @@ def _pagerank_distributed(edges, state, n_nodes: int, n_iter: int,
                                      batch_format="pandas").materialize()
 
     return ranks.select_columns(["node", "pr"])
+
+
+def personalized_pagerank(edges, nodes, n_nodes: int,
+                          seed_mod: int = 101, node_col: str = "node",
+                          n_iter: int = 5, damping: float = 0.85):
+    """Personalized PageRank (random walk with restart to a SEED set —
+    the topic-/entity-conditioned variant of :func:`pagerank`, the
+    standard relevance prior in collective entity resolution):
+
+    ``PPR_t(v) = (1-d)*e(v) + d * (Σ_{(u,v)} PPR_{t-1}(u)/outdeg(u)
+    + D*e(v))`` with restart distribution ``e(v) = 1/|S|`` for seeds
+    (``v % seed_mod == 0``) else 0, and dangling mass ``D`` restarting
+    to the seeds (not spread uniformly).  ``r0 = e``.
+
+    Same physical plan and float discipline as the pagerank broadcast
+    path (O(nodes) rank vector shipped once per iteration, per-batch
+    contribution combiner; identical IEEE expression order vs the
+    unrolled-CTE oracle, only groupby-sum reduction order differs —
+    round(8) on both sides).  Returns a Dataset of (node, ppr)."""
+    from .relational import partial_groupby_agg
+
+    edges = edges.materialize()
+    state = _outdeg_state(edges, nodes, node_col)
+
+    st = state.to_pandas()
+    node_idx = pd.Index(st["node"].to_numpy(np.int64))
+    outdeg = pd.Series(st["outdeg"].to_numpy(np.float64), index=node_idx)
+    seeds = (node_idx.to_numpy() % seed_mod) == 0
+    k = int(seeds.sum())
+    e = pd.Series(np.where(seeds, 1.0 / k if k else 0.0, 0.0),
+                  index=node_idx)
+    rank = e.copy()
+    dangling_mask = outdeg.to_numpy() == 0.0
+
+    for _ in range(n_iter):
+        dangling = float(rank.to_numpy()[dangling_mask].sum())
+        weight = rank / outdeg.where(outdeg > 0, np.nan)
+        ref = ray.put(weight.dropna())
+
+        def contrib_part(df: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(ref)
+            c = df["src"].map(w).to_numpy(np.float64)
+            g = pd.DataFrame({"node": df["dst"].to_numpy(np.int64),
+                              "contrib": c}).groupby(
+                "node", sort=False, as_index=False)["contrib"].sum()
+            return g
+
+        mapped = edges.map_batches(contrib_part, batch_format="pandas")
+        contribs = partial_groupby_agg(mapped, ["node"],
+                                       {"contrib": ("contrib", "sum")})
+        if len(contribs) == 0:
+            c = pd.Series(0.0, index=node_idx)
+        else:
+            c = (contribs.set_index("node")["contrib"]
+                 .reindex(node_idx).fillna(0.0))
+        rank = (1.0 - damping) * e + damping * (c + dangling * e)
+
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(
+        {"node": node_idx.to_numpy(np.int64),
+         "ppr": rank.to_numpy(np.float64)}))
 
 
 def extract_links(ds, html_col: str = "html", url_col: str = "url"):

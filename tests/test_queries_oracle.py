@@ -123,6 +123,10 @@ PINNED = [
     "nearest_dup",
     "cms_counts",
     "soft_tfidf",
+    "fd_violations",
+    "burst_dedup",
+    "tfidf_cosine_pairs",
+    "ppr",
     "grouping_sets",
     "mode_agg",
     "first_last",

@@ -3957,6 +3957,35 @@ FROM t, p, r
 """
 
 
+def q_bcubed(sf_dir: str):
+    """B-Cubed precision/recall/F between the source-block labeling
+    and the lang truth — the item-weighted ER metric complementing
+    pairwise F1 (stages/metrics.bcubed_metrics; one contingency
+    shuffle, bounded driver finish, zero pair enumeration)."""
+    from ..stages.metrics import bcubed_metrics
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "source", "lang"])
+    return bcubed_metrics(ds, "source", "lang")
+
+
+SQL_BCUBED = """
+WITH cells AS (
+  SELECT source AS pred, lang AS truth, count(*) AS n
+  FROM documents GROUP BY 1, 2),
+np AS (SELECT pred, sum(n) AS np FROM cells GROUP BY pred),
+nt AS (SELECT truth, sum(n) AS nt FROM cells GROUP BY truth),
+tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cells),
+s AS (SELECT sum(n * n / CAST(np AS DOUBLE)) AS sp,
+             sum(n * n / CAST(nt AS DOUBLE)) AS sr
+      FROM cells JOIN np USING (pred) JOIN nt USING (truth))
+SELECT round(sp / nn, 6) AS bcubed_precision,
+       round(sr / nn, 6) AS bcubed_recall,
+       round(2 * (sp / nn) * (sr / nn) / ((sp / nn) + (sr / nn)), 6)
+         AS bcubed_f1
+FROM s, tot
+"""
+
+
 def q_connected_components(sf_dir: str):
     """Standalone SQL-checkable path through the flagship's transitive
     clustering (stages/cluster.py large/small-star + union-find): the
@@ -6455,6 +6484,7 @@ QUERIES = {
     "fd_violations": q_fd_violations,
     "burst_dedup": q_burst_dedup,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
     "mode_agg": q_mode_agg,
@@ -6606,6 +6636,7 @@ ORACLES = {
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,
     "mode_agg": SQL_MODE_AGG,

@@ -35,9 +35,10 @@ def _c2(n: np.ndarray) -> np.ndarray:
     return n * (n - 1) // 2
 
 
-def pairwise_cluster_metrics(ds, pred_col: str, true_col: str) -> pd.DataFrame:
-    """One-row DataFrame: tp_pairs, pred_pairs, true_pairs, precision,
-    recall, f1 (ratios rounded to 6, SQL-oracle discipline)."""
+def _contingency_cells(ds, pred_col: str, true_col: str):
+    """Exact (pred, truth, n) contingency cells: per-batch count
+    partials + ONE co-location shuffle.  Bounded by cluster overlap,
+    never row count — shared by pairwise and B-Cubed metrics."""
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby([pred_col, true_col], sort=False).size()
@@ -51,8 +52,14 @@ def pairwise_cluster_metrics(ds, pred_col: str, true_col: str) -> pd.DataFrame:
         g = df.groupby(["pred", "truth"], sort=False, as_index=False)["n"].sum()
         return g
 
-    cells = bucketed_map_groups(parts, ["pred", "truth"],
-                                cell_sum).materialize()
+    return bucketed_map_groups(parts, ["pred", "truth"],
+                               cell_sum).materialize()
+
+
+def pairwise_cluster_metrics(ds, pred_col: str, true_col: str) -> pd.DataFrame:
+    """One-row DataFrame: tp_pairs, pred_pairs, true_pairs, precision,
+    recall, f1 (ratios rounded to 6, SQL-oracle discipline)."""
+    cells = _contingency_cells(ds, pred_col, true_col)
 
     def tp_part(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"v": [_c2(df["n"].to_numpy()).sum()]})
@@ -88,6 +95,39 @@ def pairwise_cluster_metrics(ds, pred_col: str, true_col: str) -> pd.DataFrame:
         "recall": [round(recall, 6)],
         "f1": [round(f1, 6)],
     })
+
+
+def bcubed_metrics(ds, pred_col: str, true_col: str) -> pd.DataFrame:
+    """B-Cubed precision/recall/F (Bagga & Baldwin 1998; the
+    extrinsic clustering metric Amigó et al. 2009 show uniquely
+    satisfies all four formal constraints — the standard ER
+    complement to pairwise F1, insensitive to its quadratic
+    large-cluster bias).  Same zero-pair-enumeration discipline via
+    the item-weighted identity:
+
+        P = (1/N) Σ_cells n_pt^2 / n_p      (n_p = pred-cluster size)
+        R = (1/N) Σ_cells n_pt^2 / n_t      (n_t = true-cluster size)
+
+    One contingency shuffle (shared :func:`_contingency_cells`), then
+    a driver finish over the BOUNDED cell table.  Ratios rounded to 6
+    (SQL-oracle discipline)."""
+    cells = _contingency_cells(ds, pred_col, true_col).to_pandas()
+    if len(cells) == 0:
+        return pd.DataFrame({"bcubed_precision": [1.0],
+                             "bcubed_recall": [1.0],
+                             "bcubed_f1": [1.0]})
+    n = cells["n"].to_numpy(np.float64)
+    n_p = cells.groupby("pred")["n"].sum()
+    n_t = cells.groupby("truth")["n"].sum()
+    total = float(n.sum())
+    sp = float((n * n / cells["pred"].map(n_p).to_numpy(np.float64)).sum())
+    sr = float((n * n / cells["truth"].map(n_t).to_numpy(np.float64)).sum())
+    prec = sp / total
+    rec = sr / total
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+    return pd.DataFrame({"bcubed_precision": [round(prec, 6)],
+                         "bcubed_recall": [round(rec, 6)],
+                         "bcubed_f1": [round(f1, 6)]})
 
 
 def blocking_quality(ds, block_col: str, label_col: str) -> pd.DataFrame:

@@ -126,6 +126,7 @@ PINNED = [
     "fd_violations",
     "burst_dedup",
     "tfidf_cosine_pairs",
+    "bcubed",
     "ppr",
     "grouping_sets",
     "mode_agg",

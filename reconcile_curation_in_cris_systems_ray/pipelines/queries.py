@@ -6321,6 +6321,234 @@ SELECT id_a, id_b, round(sim, 6) AS sim FROM pairs WHERE sim >= 0.5
 """
 
 
+def q_phrase_search(sf_dir: str):
+    """Positional phrase search (P3 family beyond bag-of-words): docs
+    containing the exact token sequence 'the data', with occurrence
+    counts — ref query_db search workflow, extended to phrase grain.
+
+    The 100 TB shape: a phrase never spans rows, so the adjacency scan
+    is MAP-ONLY — each batch explodes its token stream once (vectorized
+    findall + explode), compares the stream against its own 1-shifted
+    self under a same-row guard, and bincounts hits back to rows.  No
+    shuffle, no index materialization, no driver state.  A persisted
+    positional index would replace the batch scan with a postings probe
+    but keeps the identical (pos, pos+1, same-doc) adjacency join."""
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+    w1, w2 = "the", "data"
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "n_hits": pd.Series([], dtype="int64")})
+        texts = (df["text"].astype("string").fillna("")
+                 .str.lower().reset_index(drop=True))
+        toks = texts.str.findall(r"[a-z0-9]+").explode().dropna()
+        if len(toks) < 2:
+            return empty
+        row = toks.index.to_numpy(dtype=np.int64)
+        val = toks.to_numpy(dtype=object)
+        hit = ((val[:-1] == w1) & (val[1:] == w2)
+               & (row[:-1] == row[1:]))
+        n = np.bincount(row[:-1][hit], minlength=len(df))
+        keep = n > 0
+        if not keep.any():
+            return empty
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy()[keep],
+                             "n_hits": n[keep].astype(np.int64)})
+
+    return ds.map_batches(scan, batch_format="pandas")
+
+
+SQL_PHRASE_SEARCH = r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+  FROM documents),
+u AS (
+  SELECT doc_id, unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS pos
+  FROM t)
+SELECT a.doc_id, count(*) AS n_hits
+FROM u a JOIN u b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+WHERE a.tok = 'the' AND b.tok = 'data'
+GROUP BY 1
+"""
+
+
+def q_threshold_sweep(sf_dir: str):
+    """North-rule evaluation operator: pairwise precision / recall / F1
+    as a function of the match threshold, in ONE pass over scored
+    candidate pairs.  Candidates are within-source pairs (source = the
+    blocking key), score is token-set Jaccard, truth is same-lang —
+    the threshold-tuning sweep every record-linkage deployment runs
+    before committing to a match cutoff (ref linkage-status classifier,
+    SURVEY §2.2 M14, evaluated across its operating range).
+
+    Scale plan: each blocking group scores its pairs vectorized (boolean
+    token-incidence matrix -> one BLAS matmul) and immediately collapses
+    them to a 7-row (threshold, tp, fp, fn) partial — raw pairs never
+    leave the group, so the post-shuffle exchange is O(groups x grid),
+    not O(pairs).  The driver finish computes P/R/F1 on 7 rows.  (Like
+    every evaluation operator here, meant to run on a labeled sample,
+    but nothing in the plan degrades if the sample is the corpus.)"""
+    from ..stages.shuffle import bucketed_map_groups
+
+    grid = np.array([0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875])
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("source", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            texts = (g["text"].astype("string").fillna("")
+                     .str.lower().reset_index(drop=True))
+            toks = texts.str.findall(r"[a-z0-9]+").explode().dropna()
+            rt = pd.DataFrame({"r": toks.index.to_numpy(),
+                               "t": toks.to_numpy()}).drop_duplicates()
+            X = np.zeros((m, 1), dtype=np.float64)
+            if len(rt):
+                codes, _ = pd.factorize(rt["t"])
+                X = np.zeros((m, int(codes.max()) + 1), dtype=np.float64)
+                X[rt["r"].to_numpy(), codes] = 1.0
+            inter = X @ X.T
+            sizes = X.sum(axis=1)
+            iu, ju = np.triu_indices(m, 1)
+            inter_p = inter[iu, ju]
+            union_p = sizes[iu] + sizes[ju] - inter_p
+            ok = union_p > 0          # SQL drops empty-union pairs too
+            score = inter_p[ok] / union_p[ok]
+            lang = g["lang"].to_numpy()
+            same = (lang[iu] == lang[ju])[ok]
+            ge = score[:, None] >= grid[None, :]
+            parts.append(pd.DataFrame({
+                "threshold": grid,
+                "tp": (ge & same[:, None]).sum(axis=0).astype(np.int64),
+                "fp": (ge & ~same[:, None]).sum(axis=0).astype(np.int64),
+                "fn": (~ge & same[:, None]).sum(axis=0).astype(np.int64)}))
+        if not parts:
+            return pd.DataFrame({"threshold": pd.Series([], dtype="float64"),
+                                 "tp": pd.Series([], dtype="int64"),
+                                 "fp": pd.Series([], dtype="int64"),
+                                 "fn": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    partials = bucketed_map_groups(ds, ["source"], block, num_buckets=32)
+    out = rel.partial_groupby_agg(partials, ["threshold"],
+                                  {"tp": ("tp", "sum"),
+                                   "fp": ("fp", "sum"),
+                                   "fn": ("fn", "sum")})
+    out = out.sort_values("threshold").reset_index(drop=True)
+    tp = out["tp"].to_numpy(dtype=np.float64)
+    fp = out["fp"].to_numpy(dtype=np.float64)
+    fn = out["fn"].to_numpy(dtype=np.float64)
+    p0 = np.where(tp + fp > 0, tp / np.maximum(tp + fp, 1), 0.0)
+    r0 = np.where(tp + fn > 0, tp / np.maximum(tp + fn, 1), 0.0)
+    out["prec"] = np.round(p0, 6)
+    out["rec"] = np.round(r0, 6)
+    out["f1"] = np.where(p0 + r0 > 0,
+                         np.round(2 * p0 * r0 / np.maximum(p0 + r0, 1e-300), 6),
+                         0.0)
+    return out
+
+
+SQL_THRESHOLD_SWEEP = r"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+')) AS toks
+  FROM documents),
+p AS (
+  SELECT len(list_intersect(a.toks, b.toks))::DOUBLE
+           / len(list_distinct(list_concat(a.toks, b.toks))) AS score,
+         (a.lang = b.lang) AS same
+  FROM t a JOIN t b ON b.source = a.source AND b.doc_id > a.doc_id
+  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0),
+g AS (SELECT unnest([0.125, 0.25, 0.375, 0.5, 0.625, 0.75,
+                     0.875]::DOUBLE[]) AS threshold),
+c AS (
+  SELECT threshold,
+         count(*) FILTER (WHERE score >= threshold AND same) AS tp,
+         count(*) FILTER (WHERE score >= threshold AND NOT same) AS fp,
+         count(*) FILTER (WHERE score < threshold AND same) AS fn
+  FROM g CROSS JOIN p GROUP BY 1),
+r AS (
+  SELECT threshold, tp, fp, fn,
+         CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE ELSE 0.0 END AS p0,
+         CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE ELSE 0.0 END AS r0
+  FROM c)
+SELECT threshold, tp, fp, fn, round(p0, 6) AS prec, round(r0, 6) AS rec,
+       CASE WHEN p0 + r0 > 0 THEN round(2 * p0 * r0 / (p0 + r0), 6)
+            ELSE 0.0 END AS f1
+FROM r
+"""
+
+
+def q_ncd_pairs(sf_dir: str):
+    """Normalized compression distance near-dup pairs (Cilibrasi &
+    Vitanyi 2005; the parameter-free similarity used in curation
+    literature when token models fail): within-source pairs whose
+    n_chars differ by <= 2, NCD = (C(xy) - min(Cx, Cy)) / max(Cx, Cy)
+    under zlib level 9.  Rows-only driver check (SQL has no
+    compressor); brute-force-pinned in tests/test_ncd.py.
+
+    Scale plan: blocking (source) + the length-band candidate filter
+    bound per-group pairs (NCD of very different-length strings is
+    meaningless, so the band is semantic, not just cheap); per-member
+    compressed sizes are computed once, and the O(band-pairs) concat
+    compressions are single C calls.  Group output is final — no
+    driver state, no second shuffle."""
+    import zlib
+
+    from ..stages.shuffle import bucketed_map_groups
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source", "n_chars"])
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "ncd": pd.Series([], dtype="float64")})
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("source", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            g = g.sort_values(["n_chars", "doc_id"],
+                              kind="mergesort").reset_index(drop=True)
+            nc = g["n_chars"].to_numpy(dtype=np.int64)
+            hi = np.searchsorted(nc, nc + 2, side="right")
+            cnt = np.maximum(hi - np.arange(m) - 1, 0)
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            i_idx = np.repeat(np.arange(m), cnt)
+            j_idx = (np.arange(total)
+                     - np.repeat(cnt.cumsum() - cnt, cnt)
+                     + i_idx + 1)
+            raw = [s.encode("utf-8", "surrogatepass")
+                   for s in g["text"].astype("string").fillna("")]
+            cx = np.array([len(zlib.compress(b, 9)) for b in raw],
+                          dtype=np.float64)
+            cxy = np.array([len(zlib.compress(raw[i] + raw[j], 9))
+                            for i, j in zip(i_idx, j_idx)],
+                           dtype=np.float64)
+            ncd = ((cxy - np.minimum(cx[i_idx], cx[j_idx]))
+                   / np.maximum(cx[i_idx], cx[j_idx]))
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            a, b = ids[i_idx], ids[j_idx]
+            parts.append(pd.DataFrame({"id_a": np.minimum(a, b),
+                                       "id_b": np.maximum(a, b),
+                                       "ncd": np.round(ncd, 6)}))
+        if not parts:
+            return empty
+        return pd.concat(parts, ignore_index=True)
+
+    return bucketed_map_groups(ds, ["source"], block, num_buckets=32,
+                               empty_like=empty)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -6484,6 +6712,9 @@ QUERIES = {
     "fd_violations": q_fd_violations,
     "burst_dedup": q_burst_dedup,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "phrase_search": q_phrase_search,
+    "threshold_sweep": q_threshold_sweep,
+    "ncd_pairs": q_ncd_pairs,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -6636,6 +6867,8 @@ ORACLES = {
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "phrase_search": SQL_PHRASE_SEARCH,
+    "threshold_sweep": SQL_THRESHOLD_SWEEP,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -57,6 +57,8 @@ PINNED = [
     "ngram_top",
     "group_concat",
     "repetition_ratio",
+    "phrase_search",
+    "threshold_sweep",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -6549,6 +6549,284 @@ def q_ncd_pairs(sf_dir: str):
                                empty_like=empty)
 
 
+def _md5_lower64(s: bytes) -> int:
+    """DuckDB md5_number_lower twin: lower 8 digest bytes, little-endian."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s).digest()[8:16], "little")
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash similarity estimate with an EXACT cross-engine oracle:
+    16-component md5 MinHash signatures per document, within-source
+    pairs whose matching-component count >= 8 (est >= 0.5).
+
+    This pins the MinHash *math* itself under the driver's value-hash
+    gate — the flagship's signatures use a faster numpy 64-bit mixer
+    (stages/blocking.py) whose estimates are checked statistically;
+    here the hash is md5 so DuckDB reproduces every component
+    bit-for-bit (md5_number_lower twin above).
+
+    Scale plan: signatures are MAP-ONLY (a doc's tokens live in its
+    row; md5 is one C call per unique-token x seed, k=16); only the
+    m x 16 signature matrix enters the blocking-group shuffle — text
+    never moves.  Per group the component-match count is a vectorized
+    (m x m x 16) broadcast compare.  The real system replaces the
+    within-block all-pairs with LSH banding (stages/pairs.py); this
+    query is the banding's ground-truth twin at block grain."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    k = 16
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def sign(df: pd.DataFrame) -> pd.DataFrame:
+        texts = (df["text"].astype("string").fillna("")
+                 .str.lower().reset_index(drop=True))
+        toks = texts.str.findall(r"[a-z0-9]+").explode().dropna()
+        rt = pd.DataFrame({"r": toks.index.to_numpy(),
+                           "t": toks.to_numpy()}).drop_duplicates()
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "source": df["source"].to_numpy()})
+        if not len(rt):
+            return out.iloc[:0].assign(**{f"mh{s}": np.uint64(0)
+                                          for s in range(k)})
+        uniq, codes = np.unique(rt["t"].to_numpy(dtype=object),
+                                return_inverse=True)
+        # one md5 per unique token per seed — mirrors the oracle's
+        # md5_number_lower(tok || '#' || seed) exactly
+        hs = np.array([[_md5_lower64(f"{t}#{s}".encode())
+                        for s in range(k)] for t in uniq],
+                      dtype=np.uint64)
+        sig = np.full((len(df), k), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        np.minimum.at(sig, rt["r"].to_numpy(), hs[codes])
+        has = np.zeros(len(df), dtype=bool)
+        has[rt["r"].to_numpy()] = True
+        out = out[has].reset_index(drop=True)
+        for s in range(k):
+            out[f"mh{s}"] = sig[has, s]
+        return out
+
+    sigs = ds.map_batches(sign, batch_format="pandas")
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "eq": pd.Series([], dtype="int64"),
+                          "est": pd.Series([], dtype="float64")})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("source", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            sig = g[[f"mh{s}" for s in range(k)]].to_numpy(dtype=np.uint64)
+            iu, ju = np.triu_indices(m, 1)
+            eq = (sig[iu] == sig[ju]).sum(axis=1).astype(np.int64)
+            keep = eq >= k // 2
+            if not keep.any():
+                continue
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            parts.append(pd.DataFrame({
+                "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                "eq": eq[keep],
+                "est": np.round(eq[keep] / float(k), 6)}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return bucketed_map_groups(sigs, ["source"], pairs, num_buckets=32,
+                               empty_like=empty)
+
+
+SQL_MINHASH_PAIRS = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+'))) AS tok
+  FROM documents),
+s AS (SELECT unnest(range(16)) AS seed),
+m AS (SELECT doc_id, source, seed,
+             min(md5_number_lower(tok || '#' || seed)) AS mh
+      FROM t CROSS JOIN s GROUP BY 1, 2, 3),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) FILTER (WHERE a.mh = b.mh) AS eq
+      FROM m a JOIN m b ON b.source = a.source AND b.seed = a.seed
+                        AND b.doc_id > a.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, eq, round(eq / 16.0, 6) AS est FROM p WHERE eq >= 8
+"""
+
+
+def q_kmv_overlap(sf_dir: str):
+    """KMV (k-minimum-values) distinct-set sketch with set-operation
+    estimates (Beyer et al. 2007): |distinct click users|, |distinct
+    view users|, and their union / intersection estimated from the 64
+    smallest md5 hashes of the union — deterministic, so the oracle
+    reproduces the sketch bit-for-bit (the HLL route estimates the
+    same quantities non-reproducibly; this is the exactly-pinned twin).
+
+    Scale plan: each batch contributes its <= k smallest distinct
+    (hash, in_click, in_view) rows per side — O(k) per batch, no
+    shuffle; the driver merge is a <= k x batches concat + dedup.
+    Estimator: union ~= (k-1)/kth_min_normalized, intersection ~=
+    (|both among k| / k) x union (mirrored float-op-for-float-op in
+    the SQL)."""
+    k = 64
+    ds = _rp(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "view"])]
+        if not len(df):
+            return pd.DataFrame({"h": pd.Series([], dtype="uint64"),
+                                 "in_c": pd.Series([], dtype=bool),
+                                 "in_v": pd.Series([], dtype=bool)})
+        flags = (df.assign(in_c=df["event_type"].eq("click"),
+                           in_v=df["event_type"].eq("view"))
+                 .groupby("user_id", sort=False)[["in_c", "in_v"]].any()
+                 .reset_index())
+        hs = np.array([_md5_lower64(str(int(u)).encode())
+                       for u in flags["user_id"]], dtype=np.uint64)
+        out = pd.DataFrame({"h": hs, "in_c": flags["in_c"].to_numpy(),
+                            "in_v": flags["in_v"].to_numpy()})
+        return out.nsmallest(k, "h")
+
+    rows = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # same user across batches: OR the side flags, then take the k min
+    merged = rows.groupby("h", sort=False)[["in_c", "in_v"]].any() \
+        .reset_index().nsmallest(k, "h")
+    kth = np.uint64(merged["h"].max())
+    n_both = int((merged["in_c"] & merged["in_v"]).sum())
+    union_est = 63.0 / (np.float64(kth) / 18446744073709551616.0)
+    return pd.DataFrame({
+        "k": np.array([k], dtype=np.int32),
+        "kth": np.array([kth], dtype=np.uint64),
+        "n_both": np.array([n_both], dtype=np.int64),
+        "union_est": [np.round(union_est, 6)],
+        "inter_est": [np.round((n_both / 64.0) * union_est, 6)]})
+
+
+SQL_KMV_OVERLAP = r"""
+WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+u AS (SELECT user_id FROM c UNION SELECT user_id FROM v),
+h AS (SELECT md5_number_lower(user_id::VARCHAR) AS h,
+             user_id IN (SELECT user_id FROM c) AS in_c,
+             user_id IN (SELECT user_id FROM v) AS in_v
+      FROM u),
+k AS (SELECT * FROM h ORDER BY h LIMIT 64),
+agg AS (SELECT max(h) AS kth,
+               count(*) FILTER (WHERE in_c AND in_v) AS n_both
+        FROM k)
+SELECT 64 AS k, kth, n_both,
+       round(63.0 / (kth::DOUBLE / 18446744073709551616.0), 6) AS union_est,
+       round((n_both / 64.0)
+             * (63.0 / (kth::DOUBLE / 18446744073709551616.0)), 6) AS inter_est
+FROM agg
+"""
+
+
+_Z_BITS = 21  # covers key domains up to 2M; zval fits int64 (42 bits)
+
+
+def q_zorder_sort(sf_dir: str):
+    """Z-order (Morton) space-filling-curve sort — the multi-column
+    data-layout operator behind clustered Parquet writes: rows close
+    in (l_partkey, l_suppkey) land close in the output order, so both
+    columns get effective min/max pruning.  Top 100 by z-value shown;
+    the production form is ds.sort(zval) feeding the partitioned sink.
+
+    Scale plan: the bit interleave is a map-only numpy pass (21
+    shift/mask ops per column, no Python loop); the sort is Ray's
+    distributed range sort; LIMIT is a per-block partial top-k."""
+    ds = _rp(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def zval(t: pa.Table) -> pa.Table:
+        x = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(x), dtype=np.int64)
+        for b in range(_Z_BITS):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return t.append_column("zval", pa.array(z, pa.int64()))
+
+    out = ds.map_batches(zval, batch_format="pyarrow")
+    return out.sort(["zval", "l_partkey", "l_suppkey"]).limit(100)
+
+
+def _sql_zval(x: str, y: str, bits: int = _Z_BITS) -> str:
+    terms = [f"((({x} >> {b}) & 1) << {2 * b}) | "
+             f"((({y} >> {b}) & 1) << {2 * b + 1})" for b in range(bits)]
+    return " | ".join(terms)
+
+
+SQL_ZORDER_SORT = f"""
+SELECT l_partkey, l_suppkey, {_sql_zval('l_partkey', 'l_suppkey')} AS zval
+FROM lineitem
+ORDER BY zval, l_partkey, l_suppkey
+LIMIT 100
+"""
+
+
+def q_canopy_cluster(sf_dir: str):
+    """Canopy clustering (McCallum, Nigam & Ungar 2000) — the classic
+    cheap-metric pre-blocking step: greedy canopies over token-set
+    Jaccard with loose threshold T1=0.5 (join the canopy) and tight
+    threshold T2=0.75 (leave the candidate pool), centers chosen in
+    doc_id order.  A document can belong to several canopies; output
+    is (doc_id, canopy_id=center doc_id).  Definition pinned against
+    a pure-sequential reference in tests/test_canopy.py (rows-only at
+    the driver — the greedy is not SQL-expressible).
+
+    Scale plan: canopies run independently per blocking group
+    (source), the repo's bounded-block contract; within a group the
+    T1/T2 tests are one incidence-matrix matmul + per-center
+    vectorized mask updates, O(centers x m) not O(m^2) Python."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    t1, t2 = 0.5, 0.75
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "canopy_id": pd.Series([], dtype="int64")})
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("source", sort=False):
+            g = g.sort_values("doc_id", kind="mergesort")
+            m = len(g)
+            texts = (g["text"].astype("string").fillna("")
+                     .str.lower().reset_index(drop=True))
+            toks = texts.str.findall(r"[a-z0-9]+").explode().dropna()
+            rt = pd.DataFrame({"r": toks.index.to_numpy(),
+                               "t": toks.to_numpy()}).drop_duplicates()
+            X = np.zeros((m, 1), dtype=np.float64)
+            if len(rt):
+                codes, _ = pd.factorize(rt["t"])
+                X = np.zeros((m, int(codes.max()) + 1), dtype=np.float64)
+                X[rt["r"].to_numpy(), codes] = 1.0
+            inter = X @ X.T
+            sizes = X.sum(axis=1)
+            union = sizes[:, None] + sizes[None, :] - inter
+            jac = np.divide(inter, union, out=np.zeros_like(inter),
+                            where=union > 0)
+            np.fill_diagonal(jac, 1.0)
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            active = np.ones(m, dtype=bool)
+            for i in range(m):
+                if not active[i]:
+                    continue
+                members = active & (jac[i] >= t1)
+                parts.append(pd.DataFrame({
+                    "doc_id": ids[members],
+                    "canopy_id": np.int64(ids[i])}))
+                active &= ~(jac[i] >= t2)
+                active[i] = False
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return bucketed_map_groups(ds, ["source"], block, num_buckets=32,
+                               empty_like=empty)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -6715,6 +6993,10 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "threshold_sweep": q_threshold_sweep,
     "ncd_pairs": q_ncd_pairs,
+    "minhash_pairs": q_minhash_pairs,
+    "kmv_overlap": q_kmv_overlap,
+    "zorder_sort": q_zorder_sort,
+    "canopy_cluster": q_canopy_cluster,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -6869,6 +7151,9 @@ ORACLES = {
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "phrase_search": SQL_PHRASE_SEARCH,
     "threshold_sweep": SQL_THRESHOLD_SWEEP,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "kmv_overlap": SQL_KMV_OVERLAP,
+    "zorder_sort": SQL_ZORDER_SORT,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -59,6 +59,9 @@ PINNED = [
     "repetition_ratio",
     "phrase_search",
     "threshold_sweep",
+    "minhash_pairs",
+    "kmv_overlap",
+    "zorder_sort",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

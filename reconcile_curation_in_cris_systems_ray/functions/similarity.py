@@ -334,6 +334,62 @@ def partial_ratio(s1: str, s2: str) -> float:
     return 1.0 - partial_lev_distance(short, long_) / len(short)
 
 
+def gotoh_local_similarity(names_a, names_b,
+                           match: float = 2.0, mismatch: float = -1.0,
+                           gap_open: float = -2.0,
+                           gap_extend: float = -0.5) -> np.ndarray:
+    """Batched Smith-Waterman local alignment with affine gaps (Gotoh
+    1982), normalized to [0, 1] by the perfect-match score of the
+    shorter string — the alignment-aware name similarity that survives
+    internal insertions/deletions where whole-string edit ratios decay.
+
+    Vectorized ACROSS THE PAIR AXIS: the i/j DP loops run over the
+    (padded) max name lengths only, with every cell update a numpy op
+    over all pairs at once — len_a x len_b Python iterations total for
+    the whole batch, not per pair.  Padded positions use disjoint
+    sentinels (0 vs 255, outside ASCII text) so they can never match
+    and, under negative mismatch/gap scores, can never raise a local
+    maximum; the global cell-max is therefore the valid-region max.
+    """
+    n_pairs = len(names_a)
+    if n_pairs == 0:
+        return np.zeros(0, dtype=np.float64)
+    enc_a = [str(s).encode("latin-1", "replace") for s in names_a]
+    enc_b = [str(s).encode("latin-1", "replace") for s in names_b]
+    la = np.array([len(s) for s in enc_a], dtype=np.int64)
+    lb = np.array([len(s) for s in enc_b], dtype=np.int64)
+    n, m = int(la.max(initial=1)), int(lb.max(initial=1))
+    A = np.zeros((n_pairs, n), dtype=np.uint8)          # pad sentinel 0
+    B = np.full((n_pairs, m), 255, dtype=np.uint8)      # pad sentinel 255
+    for r, s in enumerate(enc_a):
+        A[r, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+    for r, s in enumerate(enc_b):
+        B[r, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+
+    neg = -1e18
+    h_prev = np.zeros((n_pairs, m + 1))                 # H[i-1][*]
+    f_row = np.full((n_pairs, m + 1), neg)              # F[i][*]
+    best = np.zeros(n_pairs)
+    for i in range(n):
+        h_cur = np.zeros((n_pairs, m + 1))
+        e = np.full(n_pairs, neg)                       # E[i][j] running
+        np.maximum(h_prev + gap_open, f_row + gap_extend, out=f_row)
+        sub = np.where(B == A[:, i:i + 1], match, mismatch)
+        for j in range(1, m + 1):
+            e = np.maximum(h_cur[:, j - 1] + gap_open, e + gap_extend)
+            h = np.maximum.reduce([np.zeros(n_pairs),
+                                   h_prev[:, j - 1] + sub[:, j - 1],
+                                   e, f_row[:, j]])
+            h_cur[:, j] = h
+        np.maximum(best, h_cur.max(axis=1), out=best)
+        h_prev = h_cur
+    denom = match * np.maximum(np.minimum(la, lb), 1)
+    out = best / denom
+    both_empty = (la == 0) & (lb == 0)
+    out[both_empty] = 1.0
+    return np.clip(out, 0.0, 1.0)
+
+
 def jaccard_from_sets(a: np.ndarray, b: np.ndarray) -> float:
     """Exact Jaccard of two sorted-unique uint64 shingle sets."""
     if a.size == 0 or b.size == 0:

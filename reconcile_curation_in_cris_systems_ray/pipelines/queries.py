@@ -6827,6 +6827,93 @@ def q_canopy_cluster(sf_dir: str):
                                empty_like=empty)
 
 
+def q_max_concurrent(sf_dir: str):
+    """Sweep-line maximum-overlap: treat each event as an interval
+    [ts, ts + (floor(value)+1) minutes) and report the peak number of
+    simultaneously open intervals plus the first instant it is
+    reached — the keyless ``SUM(delta) OVER (ORDER BY ...)`` class
+    that PARTITION-BY windows (cume_sum et al.) cannot cover.
+
+    Distributed plan (stages/scan.py::global_scan): range-sort the
+    +1/-1 delta stream on (t, delta) — ends before starts at the same
+    instant, i.e. half-open intervals — then the Blelloch two-phase
+    scan: per-block sums (one scalar per block to the driver),
+    exclusive offsets, vectorized within-block cumsum.  The peak +
+    argmin-t finish is a per-batch partial, so the driver sees
+    O(blocks) rows end to end."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["ts", "value"])
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        dur = (np.floor(df["value"].to_numpy(np.float64)).astype(np.int64)
+               + 1)
+        start = df["ts"]
+        end = df["ts"] + pd.to_timedelta(dur * 60, unit="s")
+        return pd.DataFrame({
+            "t": pd.concat([start, end], ignore_index=True),
+            "delta": np.concatenate([np.ones(len(df), dtype=np.int64),
+                                     -np.ones(len(df), dtype=np.int64)])})
+
+    stream = ev.map_batches(deltas, batch_format="pandas")
+    scanned = global_scan(stream, ["t", "delta"], "delta", "c")
+
+    def peak(df: pd.DataFrame) -> pd.DataFrame:
+        mc = df["c"].max()
+        return pd.DataFrame({"max_concurrent": [np.int64(mc)],
+                             "at_ts": [df.loc[df["c"] == mc, "t"].min()]})
+
+    parts = scanned.map_batches(peak, batch_format="pandas").to_pandas()
+    mc = parts["max_concurrent"].max()
+    return pd.DataFrame({
+        "max_concurrent": [np.int64(mc)],
+        "at_ts": [parts.loc[parts["max_concurrent"] == mc, "at_ts"].min()]})
+
+
+SQL_MAX_CONCURRENT = """
+WITH d AS (
+  SELECT ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT ts + (CAST(floor(value) AS BIGINT) + 1) * INTERVAL 1 MINUTE AS t,
+         -1 AS delta
+  FROM events),
+s AS (SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM d),
+m AS (SELECT max(c) AS mc FROM s)
+SELECT CAST(mc AS BIGINT) AS max_concurrent,
+       (SELECT min(t) FROM s WHERE c = mc) AS at_ts
+FROM m
+"""
+
+
+def q_smith_waterman(sf_dir: str):
+    """Affine-gap Smith-Waterman (Gotoh) local-alignment similarity on
+    the corrupted-twin name pairs — the alignment family's third
+    member next to partial_ratio (plain local Levenshtein) and
+    Monge-Elkan (token alignment).  Rows-only at the driver (no SQL
+    aligner); recurrence pinned against an independent scalar DP in
+    tests/test_gotoh.py.
+
+    Scale: pure map — the batched kernel runs the DP loops over padded
+    name lengths once per batch with every cell update vectorized
+    across the pair axis (functions/similarity.py::
+    gotoh_local_similarity)."""
+    from ..functions.similarity import gotoh_local_similarity
+
+    parts = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = _corrupted_twin_pairs(df, id_out="pair_id")
+        sim = gotoh_local_similarity(pairs["name_a"].to_numpy(object),
+                                     pairs["name_b"].to_numpy(object))
+        return pd.DataFrame({"pair_id": pairs["pair_id"].to_numpy(),
+                             "sim": np.round(sim, 6)})
+
+    return parts.map_batches(score, batch_format="pandas")
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -6997,6 +7084,8 @@ QUERIES = {
     "kmv_overlap": q_kmv_overlap,
     "zorder_sort": q_zorder_sort,
     "canopy_cluster": q_canopy_cluster,
+    "max_concurrent": q_max_concurrent,
+    "smith_waterman": q_smith_waterman,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -7154,6 +7243,7 @@ ORACLES = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "kmv_overlap": SQL_KMV_OVERLAP,
     "zorder_sort": SQL_ZORDER_SORT,
+    "max_concurrent": SQL_MAX_CONCURRENT,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -62,6 +62,7 @@ PINNED = [
     "minhash_pairs",
     "kmv_overlap",
     "zorder_sort",
+    "max_concurrent",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "dedup_exact", "near_dup_docs", "knn_bruteforce",
     "chunk_dedup", "unigram_logprob", "pagerank",
     "snm_pairs", "golden_record", "cc_pivot", "soft_tfidf",
+    "threshold_sweep", "minhash_pairs",
 ]
 
 

@@ -6577,7 +6577,41 @@ def q_minhash_pairs(sf_dir: str):
     from ..stages.shuffle import bucketed_map_groups
 
     k = 16
-    ds = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+    sigs = _minhash_signatures(
+        _rp(sf_dir, "documents", ["doc_id", "text", "source"]), k)
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "eq": pd.Series([], dtype="int64"),
+                          "est": pd.Series([], dtype="float64")})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("source", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            iu, ju, eq = _minhash_block_pairs(g, k)
+            keep = eq >= k // 2
+            if not keep.any():
+                continue
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            parts.append(pd.DataFrame({
+                "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                "eq": eq[keep],
+                "est": np.round(eq[keep] / float(k), 6)}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return bucketed_map_groups(sigs, ["source"], pairs, num_buckets=32,
+                               empty_like=empty)
+
+
+def _minhash_signatures(ds, k: int):
+    """Map-only md5 MinHash signature stage shared by minhash_pairs /
+    greedy_match: one md5 per unique token per seed (the oracle's
+    md5_number_lower(tok || '#' || seed) twin), per-row min via
+    np.minimum.at; empty-token docs are dropped (no signature)."""
 
     def sign(df: pd.DataFrame) -> pd.DataFrame:
         texts = (df["text"].astype("string").fillna("")
@@ -6592,8 +6626,6 @@ def q_minhash_pairs(sf_dir: str):
                                           for s in range(k)})
         uniq, codes = np.unique(rt["t"].to_numpy(dtype=object),
                                 return_inverse=True)
-        # one md5 per unique token per seed — mirrors the oracle's
-        # md5_number_lower(tok || '#' || seed) exactly
         hs = np.array([[_md5_lower64(f"{t}#{s}".encode())
                         for s in range(k)] for t in uniq],
                       dtype=np.uint64)
@@ -6607,35 +6639,16 @@ def q_minhash_pairs(sf_dir: str):
             out[f"mh{s}"] = sig[has, s]
         return out
 
-    sigs = ds.map_batches(sign, batch_format="pandas")
+    return ds.map_batches(sign, batch_format="pandas")
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "eq": pd.Series([], dtype="int64"),
-                          "est": pd.Series([], dtype="float64")})
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        parts = []
-        for _, g in df.groupby("source", sort=False):
-            m = len(g)
-            if m < 2:
-                continue
-            g = g.sort_values("doc_id", kind="mergesort")
-            sig = g[[f"mh{s}" for s in range(k)]].to_numpy(dtype=np.uint64)
-            iu, ju = np.triu_indices(m, 1)
-            eq = (sig[iu] == sig[ju]).sum(axis=1).astype(np.int64)
-            keep = eq >= k // 2
-            if not keep.any():
-                continue
-            ids = g["doc_id"].to_numpy(dtype=np.int64)
-            parts.append(pd.DataFrame({
-                "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-                "eq": eq[keep],
-                "est": np.round(eq[keep] / float(k), 6)}))
-        return pd.concat(parts, ignore_index=True) if parts else empty
-
-    return bucketed_map_groups(sigs, ["source"], pairs, num_buckets=32,
-                               empty_like=empty)
+def _minhash_block_pairs(g: pd.DataFrame, k: int):
+    """All within-group signature pairs: (iu, ju, matching-component
+    counts) — one vectorized (m x m x k) broadcast compare."""
+    sig = g[[f"mh{s}" for s in range(k)]].to_numpy(dtype=np.uint64)
+    iu, ju = np.triu_indices(len(g), 1)
+    eq = (sig[iu] == sig[ju]).sum(axis=1).astype(np.int64)
+    return iu, ju, eq
 
 
 SQL_MINHASH_PAIRS = r"""
@@ -6888,6 +6901,127 @@ FROM m
 """
 
 
+def q_fingerprint_cluster(sf_dir: str):
+    """OpenRefine-style key-collision clustering (the 'cluster & edit'
+    cleanup primitive): every value whose FINGERPRINT — sorted unique
+    lowercase tokens rejoined — collides with another distinct raw
+    value is a merge candidate.  Variants are each part name plus its
+    word-ROTATED twin (same token set, different surface), the twin
+    fixture discipline, so the collision set is engine-independent.
+
+    Scale plan: the fingerprint is a map-only vectorized pass; only
+    (fp, raw) moves through ONE bucketed shuffle on fp, and each group
+    collapses to a single (fp, n_rows, n_variants) row — the classic
+    count-distinct co-location, output bounded by colliding keys."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    parts = _rp(sf_dir, "part", ["p_partkey", "p_name"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        name = df["p_name"].astype("string")
+        arr = name.str.split(" ")
+        ok = (arr.str.len() >= 2).fillna(False).to_numpy(bool)
+        rot = (arr[ok].str[1:].str.join(" ") + " " + arr[ok].str[0])
+        raw = np.concatenate([name.to_numpy(dtype=object),
+                              rot.to_numpy(dtype=object)])
+        fps = (pd.Series(raw, dtype="string").str.lower()
+               .str.findall(r"[a-z0-9]+")
+               .map(lambda t: " ".join(sorted(set(t))))
+               .to_numpy(dtype=object))
+        return pd.DataFrame({"fp": fps, "raw": raw})
+
+    v = parts.map_batches(variants, batch_format="pandas")
+
+    empty = pd.DataFrame({"fp": pd.Series([], dtype="object"),
+                          "n_rows": pd.Series([], dtype="int64"),
+                          "n_variants": pd.Series([], dtype="int64")})
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fp", sort=False)["raw"]
+        out = pd.DataFrame({"n_rows": g.size(), "n_variants": g.nunique()})
+        out = out[out["n_variants"] > 1].reset_index()
+        return out[["fp", "n_rows", "n_variants"]]
+
+    return bucketed_map_groups(v, ["fp"], collapse, num_buckets=64,
+                               empty_like=empty)
+
+
+SQL_FINGERPRINT_CLUSTER = r"""
+WITH v AS (
+  SELECT p_name AS raw FROM part
+  UNION ALL
+  SELECT array_to_string(list_concat(arr[2:], [arr[1]]), ' ') AS raw
+  FROM (SELECT string_split(p_name, ' ') AS arr FROM part)
+  WHERE len(arr) >= 2),
+f AS (
+  SELECT raw,
+         array_to_string(list_sort(list_distinct(
+             regexp_extract_all(lower(raw), '[a-z0-9]+'))), ' ') AS fp
+  FROM v)
+SELECT fp, count(*) AS n_rows, count(DISTINCT raw) AS n_variants
+FROM f GROUP BY fp HAVING count(DISTINCT raw) > 1
+"""
+
+
+def q_greedy_match(sf_dir: str):
+    """Greedy weighted one-to-one matching — the ER assignment rule
+    that picks up the chains mutual-best leaves unmatched: scan the
+    scored candidate pairs in (score DESC, id_a, id_b) order, keep a
+    pair iff neither endpoint is taken.  Pairs are the md5-MinHash
+    candidates (the oracled minhash_pairs set); matching runs per
+    blocking group, which EQUALS the global greedy because candidate
+    pairs never cross blocking keys (no shared endpoints between
+    groups — the partitioning assumption, documented).  Rows-only at
+    the driver; the greedy rule is pinned against an independent
+    sequential pass over the oracle-verified global pair list in
+    tests/test_greedy_match.py.
+
+    Scale: signatures map-only; one blocking shuffle; per group an
+    O(pairs log pairs) sort + one linear scan with boolean
+    taken-arrays (bounded by the block contract, like canopy)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    k = 16
+    sigs = _minhash_signatures(
+        _rp(sf_dir, "documents", ["doc_id", "text", "source"]), k)
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "eq": pd.Series([], dtype="int64")})
+
+    def match(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("source", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            iu, ju, eq = _minhash_block_pairs(g, k)
+            keep = eq >= k // 2
+            iu, ju, eq = iu[keep], ju[keep], eq[keep]
+            order = np.lexsort((ids[ju], ids[iu], -eq))
+            taken = np.zeros(m, dtype=bool)
+            rows_a, rows_b, rows_e = [], [], []
+            for p in order:
+                i, j = iu[p], ju[p]
+                if taken[i] or taken[j]:
+                    continue
+                taken[i] = taken[j] = True
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+                rows_e.append(eq[p])
+            if rows_a:
+                parts.append(pd.DataFrame({
+                    "id_a": np.array(rows_a, dtype=np.int64),
+                    "id_b": np.array(rows_b, dtype=np.int64),
+                    "eq": np.array(rows_e, dtype=np.int64)}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return bucketed_map_groups(sigs, ["source"], match, num_buckets=32,
+                               empty_like=empty)
+
+
 def q_smith_waterman(sf_dir: str):
     """Affine-gap Smith-Waterman (Gotoh) local-alignment similarity on
     the corrupted-twin name pairs — the alignment family's third
@@ -7086,6 +7220,8 @@ QUERIES = {
     "canopy_cluster": q_canopy_cluster,
     "max_concurrent": q_max_concurrent,
     "smith_waterman": q_smith_waterman,
+    "fingerprint_cluster": q_fingerprint_cluster,
+    "greedy_match": q_greedy_match,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -7244,6 +7380,7 @@ ORACLES = {
     "kmv_overlap": SQL_KMV_OVERLAP,
     "zorder_sort": SQL_ZORDER_SORT,
     "max_concurrent": SQL_MAX_CONCURRENT,
+    "fingerprint_cluster": SQL_FINGERPRINT_CLUSTER,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

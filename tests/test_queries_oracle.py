@@ -63,6 +63,7 @@ PINNED = [
     "kmv_overlap",
     "zorder_sort",
     "max_concurrent",
+    "fingerprint_cluster",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

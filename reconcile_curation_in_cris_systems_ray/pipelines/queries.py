@@ -7048,6 +7048,112 @@ def q_smith_waterman(sf_dir: str):
     return parts.map_batches(score, batch_format="pandas")
 
 
+def q_bpe_train(sf_dir: str):
+    """BPE merge learning over the document corpus (Sennrich et al.
+    2016) — 8 merge rounds on the distinct-word vocab after ONE
+    corpus word-count shuffle; each round is a shuffle-free pair-stats
+    combiner + driver argmax (deterministic lexicographic tie-break) +
+    vectorized vocab-wide regex merge (stages/bpe.py::learn_bpe).
+    Rows-only at the driver; pinned against an independent pure-dict
+    sequential trainer in tests/test_bpe.py."""
+    from ..stages.bpe import learn_bpe
+
+    docs = _rp(sf_dir, "documents", ["text"])
+    return learn_bpe(docs, "text", n_merges=8)
+
+
+def q_dbscan_embed(sf_dir: str):
+    """DBSCAN over the embedding table, composed from the engine's own
+    primitives: eps-neighborhood edges = exact cosine-threshold pairs
+    (>= 0.35, stages/ann.py), core points = degree combiner
+    (min_samples=3, sklearn convention: the point itself counts),
+    clusters = connected components of the core-core subgraph labeled
+    by component-min vec_id, borders attach to their minimum-label
+    core neighbor, the rest is noise (cluster -1).  Deterministic
+    everywhere, pinned against a sequential reference DBSCAN in
+    tests/test_dbscan.py (rows-only at the driver).
+
+    Scale notes: the edge stage is the documented brute-force baseline
+    (LSH-bucketed at 10^12 rows); degree and border-attach finishes
+    ride the broadcast-lookup discipline (core/label maps bounded by
+    core-point count; hash-join swap above the 2M broadcast cap, the
+    relational.py contract)."""
+    from ..stages.ann import cosine_threshold_pairs
+    from ..stages.cluster import assign_clusters, connected_components
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    edges = cosine_threshold_pairs(emb, 0.35)
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([df["id_a"].to_numpy(np.int64),
+                              df["id_b"].to_numpy(np.int64)])
+        vc = pd.Series(ids).value_counts()
+        return pd.DataFrame({"vec_id": vc.index.to_numpy(np.int64),
+                             "deg": vc.to_numpy(np.int64)})
+
+    deg = rel.partial_groupby_agg(
+        edges.map_batches(endpoints, batch_format="pandas"),
+        ["vec_id"], {"deg": ("deg", "sum")})
+    core = set(deg.loc[deg["deg"] >= 2, "vec_id"].astype(np.int64))
+
+    def core_core(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["id_a"].isin(core) & df["id_b"].isin(core)).to_numpy(bool)
+        out = df[m]
+        return pd.DataFrame({
+            "u": out["id_a"].map("{:08d}".format).astype("string"),
+            "v": out["id_b"].map("{:08d}".format).astype("string")})
+
+    edges_mat = edges.materialize()   # consumed twice: core CC + borders
+    stars = connected_components(
+        edges_mat.map_batches(core_core, batch_format="pandas"))
+
+    core_nodes = pd.DataFrame(
+        {"url": pd.Series(sorted(core)).map("{:08d}".format)})
+    import ray.data as rd
+
+    assigns = assign_clusters(rd.from_pandas(core_nodes), stars) \
+        .to_pandas()
+    label = {int(r.url): int(r.cluster_id)
+             for r in assigns.itertuples()}    # bounded: core points
+
+    def border_partial(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(np.int64)
+        b = df["id_b"].to_numpy(np.int64)
+        a_core = df["id_a"].isin(core).to_numpy(bool)
+        b_core = df["id_b"].isin(core).to_numpy(bool)
+        # edges with exactly one core endpoint: non-core side is a
+        # border candidate, labeled by the core side's cluster
+        pts = np.concatenate([b[a_core & ~b_core], a[~a_core & b_core]])
+        lab = np.concatenate([a[a_core & ~b_core], b[~a_core & b_core]])
+        out = pd.DataFrame({"vec_id": pts,
+                            "cluster": [label[x] for x in lab]})
+        return out.groupby("vec_id", sort=False)["cluster"].min() \
+            .reset_index()
+
+    borders = rel.partial_groupby_agg(
+        edges_mat.map_batches(border_partial, batch_format="pandas"),
+        ["vec_id"], {"cluster": ("cluster", "min")})
+    border_map = dict(zip(borders["vec_id"].astype(np.int64),
+                          borders["cluster"].astype(np.int64)))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy(np.int64)
+        is_core = df["vec_id"].isin(core).to_numpy(bool)
+        cl = np.full(len(ids), -1, dtype=np.int64)
+        role = np.full(len(ids), "noise", dtype=object)
+        for i, x in enumerate(ids):
+            if is_core[i]:
+                cl[i] = label[x]
+                role[i] = "core"
+            elif x in border_map:
+                cl[i] = border_map[x]
+                role[i] = "border"
+        return pd.DataFrame({"vec_id": ids, "cluster": cl, "role": role})
+
+    return emb.select_columns(["vec_id"]).map_batches(
+        finish, batch_format="pandas")
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -7222,6 +7328,8 @@ QUERIES = {
     "smith_waterman": q_smith_waterman,
     "fingerprint_cluster": q_fingerprint_cluster,
     "greedy_match": q_greedy_match,
+    "bpe_train": q_bpe_train,
+    "dbscan_embed": q_dbscan_embed,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,

@@ -7154,6 +7154,106 @@ def q_dbscan_embed(sf_dir: str):
         finish, batch_format="pandas")
 
 
+def q_interval_union(sf_dir: str):
+    """Total covered time of the union of event intervals — the second
+    classic sweep-line aggregate (max_concurrent's sibling): microsec
+    length of the timeline where at least one interval is open.
+
+    Uses global_scan's cross-block LEAD: after the (t, delta) range
+    sort, each row needs the NEXT timestamp in global order; the block
+    handoff ships one scalar per boundary (stages/scan.py).  Segment
+    lengths (next_t - t) where the running count is positive are then
+    summed by per-batch partials — tie runs contribute zero-length
+    segments, so the result is permutation-invariant and matches the
+    SQL window bit-for-bit."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["ts", "value"])
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        dur = (np.floor(df["value"].to_numpy(np.float64)).astype(np.int64)
+               + 1)
+        return pd.DataFrame({
+            "t": pd.concat([df["ts"],
+                            df["ts"] + pd.to_timedelta(dur * 60, unit="s")],
+                           ignore_index=True),
+            "delta": np.concatenate([np.ones(len(df), dtype=np.int64),
+                                     -np.ones(len(df), dtype=np.int64)])})
+
+    stream = ev.map_batches(deltas, batch_format="pandas")
+    scanned = global_scan(stream, ["t", "delta"], "delta", "c",
+                          lead_of="t", lead_col="nt")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["nt"].notna() & (df["c"] > 0)
+        covered = (df.loc[m, "nt"] - df.loc[m, "t"]) \
+            .sum().value // 1000 if m.any() else 0
+        return pd.DataFrame({"covered_us": [np.int64(covered)]})
+
+    parts = scanned.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"covered_us":
+                         [np.int64(parts["covered_us"].sum())]})
+
+
+SQL_INTERVAL_UNION = """
+WITH d AS (
+  SELECT ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT ts + (CAST(floor(value) AS BIGINT) + 1) * INTERVAL 1 MINUTE AS t,
+         -1 AS delta
+  FROM events),
+s AS (SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS c,
+             lead(t) OVER (ORDER BY t, delta) AS nt
+      FROM d)
+SELECT CAST(sum(epoch_us(nt - t)) FILTER (WHERE c > 0) AS BIGINT)
+           AS covered_us
+FROM s WHERE nt IS NOT NULL
+"""
+
+
+def q_mad_agg(sf_dir: str):
+    """Per-group median absolute deviation — the robust spread
+    statistic, as two passes of the exact interpolated group-quantile
+    operator (stages/temporal.py::quantile_agg, = DuckDB
+    quantile_cont): group medians first (a bounded per-group frame,
+    broadcast), then the median of |value - group median|.  Matches
+    DuckDB's mad() bit-for-bit (verified equal to the two-pass
+    quantile_cont formulation)."""
+    from ..stages.temporal import quantile_agg
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+    med = quantile_agg(ev, ["event_type"], "value", {"med": 0.5})
+    if hasattr(med, "to_pandas"):
+        med = med.to_pandas()          # bounded: one row per group
+    med_map = dict(zip(med["event_type"], med["med"]))
+
+    def absdev(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].map(med_map).to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(dtype=object),
+            "dev": np.abs(df["value"].to_numpy(np.float64) - m)})
+
+    out = quantile_agg(ev.map_batches(absdev, batch_format="pandas"),
+                       ["event_type"], "dev", {"mad": 0.5})
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["mad"] = df["mad"].round(6)
+        return df
+
+    if hasattr(out, "map_batches"):
+        return out.map_batches(rounded, batch_format="pandas")
+    return rounded(out)
+
+
+SQL_MAD_AGG = """
+SELECT event_type, round(mad(value), 6) AS mad
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -7330,6 +7430,8 @@ QUERIES = {
     "greedy_match": q_greedy_match,
     "bpe_train": q_bpe_train,
     "dbscan_embed": q_dbscan_embed,
+    "interval_union": q_interval_union,
+    "mad_agg": q_mad_agg,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -7489,6 +7591,8 @@ ORACLES = {
     "zorder_sort": SQL_ZORDER_SORT,
     "max_concurrent": SQL_MAX_CONCURRENT,
     "fingerprint_cluster": SQL_FINGERPRINT_CLUSTER,
+    "interval_union": SQL_INTERVAL_UNION,
+    "mad_agg": SQL_MAD_AGG,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -22,12 +22,19 @@ import numpy as np
 import pyarrow as pa
 
 
-def global_scan(ds, order_cols: list[str], value_col: str, out_col: str):
+def global_scan(ds, order_cols: list[str], value_col: str, out_col: str,
+                lead_of: str | None = None, lead_col: str | None = None):
     """Append ``out_col`` = running sum of ``value_col`` in global
     ``order_cols`` order.  Rows with equal keys form deterministic
     prefix *sets*: any permutation of identical rows yields the same
     multiset of running values, so order-insensitive consumers
     (aggregates, the driver's value-hash) see a deterministic result.
+
+    ``lead_of``/``lead_col``: also append the NEXT row's ``lead_of``
+    value in the same global order (SQL ``lead(x) OVER (ORDER BY
+    ...)``) — the cross-block handoff ships exactly one scalar per
+    block boundary (each block's head value, gathered in the same
+    O(blocks) driver pass as the sums); the global last row gets null.
     """
     import ray
     import ray.data as rd
@@ -36,19 +43,41 @@ def global_scan(ds, order_cols: list[str], value_col: str, out_col: str):
     refs = mat.to_arrow_refs()
 
     @ray.remote
-    def block_sum(tbl: pa.Table):
+    def block_meta(tbl: pa.Table):
         import pyarrow.compute as pc
 
         s = pc.sum(tbl[value_col]).as_py()
-        return 0 if s is None else s
+        head = None
+        if lead_of is not None and tbl.num_rows:
+            head = tbl[lead_of][0]
+        return (0 if s is None else s, tbl.num_rows, head)
 
-    sums = np.array(ray.get([block_sum.remote(r) for r in refs]))
+    metas = ray.get([block_meta.remote(r) for r in refs])
+    sums = np.array([m[0] for m in metas])
     offsets = np.concatenate([[sums.dtype.type(0)], np.cumsum(sums)[:-1]])
+    # head of the NEXT non-empty block, per block (None past the end)
+    next_heads = [None] * len(metas)
+    if lead_of is not None:
+        upcoming = None
+        for i in range(len(metas) - 1, -1, -1):
+            next_heads[i] = upcoming
+            if metas[i][1]:
+                upcoming = metas[i][2]
 
     @ray.remote
-    def with_prefix(tbl: pa.Table, off):
+    def with_prefix(tbl: pa.Table, off, nxt):
         v = tbl[value_col].to_numpy(zero_copy_only=False)
-        return tbl.append_column(out_col, pa.array(off + np.cumsum(v)))
+        tbl = tbl.append_column(out_col, pa.array(off + np.cumsum(v)))
+        if lead_of is not None:
+            col = tbl[lead_of]
+            shifted = col.slice(1)
+            tail = pa.array([nxt.as_py() if nxt is not None else None],
+                            type=col.type)
+            tbl = tbl.append_column(
+                lead_col or f"{lead_of}_next",
+                pa.concat_arrays([shifted.combine_chunks(), tail]))
+        return tbl
 
-    out_refs = [with_prefix.remote(r, o) for r, o in zip(refs, offsets)]
+    out_refs = [with_prefix.remote(r, o, h)
+                for r, o, h in zip(refs, offsets, next_heads)]
     return rd.from_arrow_refs(out_refs)

@@ -64,6 +64,8 @@ PINNED = [
     "zorder_sort",
     "max_concurrent",
     "fingerprint_cluster",
+    "interval_union",
+    "mad_agg",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -7254,6 +7254,215 @@ FROM events GROUP BY event_type
 """
 
 
+def q_global_moving_avg(sf_dir: str):
+    """Keyless trailing 10-row moving average over the global
+    (ts, event_id) order — the halo-exchange window primitive
+    (stages/scan.py::global_rolling_mean): each block receives the 9
+    preceding values stitched from prior block tails (O(blocks x
+    window) driver metadata, never rows), then the window runs
+    vectorized per block."""
+    from ..stages.scan import global_rolling_mean
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "value"])
+    out = global_rolling_mean(ev, ["ts", "event_id"], "value", 10, "mavg")
+
+    def proj(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+
+        return pa.table({"event_id": t["event_id"],
+                         "mavg": pcc.round(t["mavg"], 6)})
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+SQL_GLOBAL_MOVING_AVG = """
+SELECT event_id,
+       round(avg(value) OVER (ORDER BY ts, event_id ROWS 9 PRECEDING), 6)
+           AS mavg
+FROM events
+"""
+
+
+def q_chi2_terms(sf_dir: str):
+    """Chi-square term keyness vs the language labeling (presence-cell
+    chi2 over the token x lang contingency) — the feature-selection
+    statistic for corpus drift / classifier vocab pruning.  Top 20
+    terms by chi2, ordered deterministically on the unrounded double.
+
+    Scale plan: doc-distinct (tok, lang) cells via the shuffle-free
+    combiner; lang totals are a 5-row broadcast; the per-token finish
+    needs only that token's lang row (bucketed token grouping at
+    web-scale vocab — same contract as top_tfidf's hash-join path;
+    the driver frame here is bounded by the observed vocab)."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        texts = (df["text"].astype("string").fillna("")
+                 .str.lower().reset_index(drop=True))
+        toks = texts.str.findall(r"[a-z0-9]+").explode().dropna()
+        rt = pd.DataFrame({
+            "r": toks.index.to_numpy(),
+            "tok": toks.to_numpy()}).drop_duplicates()
+        rt["lang"] = df["lang"].reset_index(drop=True) \
+            .reindex(rt["r"]).to_numpy()
+        g = rt.groupby(["tok", "lang"], sort=False).size()
+        return g.reset_index(name="o")
+
+    cell = rel.partial_groupby_agg(
+        docs.map_batches(cells, batch_format="pandas"),
+        ["tok", "lang"], {"o": ("o", "sum")})
+
+    lang_tot = rel.partial_groupby_agg(
+        docs.map_batches(
+            lambda df: df.groupby("lang", sort=False).size()
+            .reset_index(name="n_lang"),
+            batch_format="pandas"),
+        ["lang"], {"n_lang": ("n_lang", "sum")})
+    n_docs = float(lang_tot["n_lang"].sum())
+
+    # dense token x lang grid (zero cells included, as in the SQL)
+    grid = (cell.pivot_table(index="tok", columns="lang", values="o",
+                             fill_value=0, aggfunc="sum"))
+    langs = lang_tot.set_index("lang")["n_lang"]
+    grid = grid.reindex(columns=langs.index, fill_value=0)
+    O = grid.to_numpy(np.float64)
+    n_tok = O.sum(axis=1)
+    E = n_tok[:, None] * langs.to_numpy(np.float64)[None, :] / n_docs
+    chi2 = ((O - E) ** 2 / E).sum(axis=1)
+    out = pd.DataFrame({"tok": grid.index.to_numpy(dtype=object),
+                        "chi2_raw": chi2})
+    out = out.sort_values(["chi2_raw", "tok"],
+                          ascending=[False, True]).head(20)
+    return pd.DataFrame({"tok": out["tok"].to_numpy(),
+                         "chi2": np.round(out["chi2_raw"].to_numpy(), 6)})
+
+
+SQL_CHI2_TERMS = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+'))) AS tok
+  FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+lt AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+cell AS (SELECT tok, lang, count(*) AS o FROM t GROUP BY 1, 2),
+tok_tot AS (SELECT tok, sum(o) AS n_tok FROM cell GROUP BY 1),
+grid AS (
+  SELECT tt.tok, l.lang, tt.n_tok, l.n_lang, coalesce(c.o, 0) AS o
+  FROM tok_tot tt CROSS JOIN lt l
+  LEFT JOIN cell c ON c.tok = tt.tok AND c.lang = l.lang),
+chi AS (
+  SELECT tok,
+         sum(power(o - n_tok * n_lang / (SELECT n_docs FROM n)::DOUBLE, 2)
+             / (n_tok * n_lang / (SELECT n_docs FROM n)::DOUBLE)) AS c2
+  FROM grid GROUP BY 1)
+SELECT tok, round(c2, 6) AS chi2 FROM chi
+ORDER BY c2 DESC, tok LIMIT 20
+"""
+
+
+def q_assoc_rules(sf_dir: str):
+    """A-Priori association rules over document token baskets:
+    support / confidence / lift for ordered pairs of FREQUENT tokens
+    (item and pair support >= 0.2) — the market-basket statistic, with
+    the A-Priori prune doing the scale work: infrequent items never
+    enter the pair count.
+
+    Scale plan: item supports via the shuffle-free combiner; the
+    frequent-item set broadcasts (bounded by the support threshold —
+    at 20% of docs it cannot exceed 5x the basket width); each batch
+    then adds one frequent-incidence X'X partial (a |freq|^2 int
+    matrix), summed driver-side; ratios mirror the SQL expression
+    order exactly."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    min_sup = 0.2
+
+    def items(df: pd.DataFrame) -> pd.DataFrame:
+        texts = (df["text"].astype("string").fillna("")
+                 .str.lower().reset_index(drop=True))
+        toks = texts.str.findall(r"[a-z0-9]+").explode().dropna()
+        rt = pd.DataFrame({"r": toks.index.to_numpy(),
+                           "tok": toks.to_numpy()}).drop_duplicates()
+        vc = rt["tok"].value_counts()
+        return pd.DataFrame({"tok": vc.index.to_numpy(dtype=object),
+                             "n_a": vc.to_numpy(np.int64),
+                             "n_docs": np.int64(len(df))})
+
+    sup = rel.partial_groupby_agg(
+        docs.map_batches(items, batch_format="pandas"),
+        ["tok"], {"n_a": ("n_a", "sum")})
+    n_docs = None  # derived below from a count pass
+
+    counts = docs.map_batches(
+        lambda t: pa.table({"n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    n_docs = float(counts["n"].sum())
+
+    freq = sup[sup["n_a"] >= min_sup * n_docs] \
+        .sort_values("tok").reset_index(drop=True)
+    vocab = freq["tok"].to_numpy(dtype=object)
+    idx = {t: i for i, t in enumerate(vocab)}
+    n_a = freq["n_a"].to_numpy(np.float64)
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = (df["text"].astype("string").fillna("")
+                 .str.lower().reset_index(drop=True))
+        toks = texts.str.findall(r"[a-z0-9]+").explode().dropna()
+        rt = pd.DataFrame({"r": toks.index.to_numpy(),
+                           "tok": toks.to_numpy()}).drop_duplicates()
+        rt = rt[rt["tok"].isin(idx)]
+        X = np.zeros((len(df), len(vocab)), dtype=np.float64)
+        if len(rt):
+            X[rt["r"].to_numpy(),
+              [idx[t] for t in rt["tok"]]] = 1.0
+        C = X.T @ X
+        ai, ci = np.nonzero(C)
+        return pd.DataFrame({"ai": ai.astype(np.int64),
+                             "ci": ci.astype(np.int64),
+                             "n": C[ai, ci].astype(np.int64)})
+
+    pair_counts = rel.partial_groupby_agg(
+        docs.map_batches(pair_partial, batch_format="pandas"),
+        ["ai", "ci"], {"n": ("n", "sum")})
+    M = np.zeros((len(vocab), len(vocab)), dtype=np.float64)
+    M[pair_counts["ai"].to_numpy(np.int64),
+      pair_counts["ci"].to_numpy(np.int64)] = \
+        pair_counts["n"].to_numpy(np.float64)
+    ai, ci = np.nonzero((M >= min_sup * n_docs)
+                        & ~np.eye(len(vocab), dtype=bool))
+    n_ab = M[ai, ci]
+    conf = n_ab / n_a[ai]
+    return pd.DataFrame({
+        "ante": vocab[ai], "cons": vocab[ci],
+        "n_ab": n_ab.astype(np.int64),
+        "support": np.round(n_ab / n_docs, 6),
+        "confidence": np.round(conf, 6),
+        "lift": np.round(conf / (n_a[ci] / n_docs), 6)})
+
+
+SQL_ASSOC_RULES = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+'))) AS tok
+  FROM documents),
+n AS (SELECT count(*) AS n_docs FROM documents),
+s AS (SELECT tok, count(*) AS n_a FROM t GROUP BY 1
+      HAVING count(*) >= 0.2 * (SELECT n_docs FROM n)),
+p AS (SELECT a.tok AS ante, b.tok AS cons, count(*) AS n_ab
+      FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.tok <> a.tok
+      WHERE a.tok IN (SELECT tok FROM s) AND b.tok IN (SELECT tok FROM s)
+      GROUP BY 1, 2)
+SELECT ante, cons, n_ab,
+       round_even(n_ab / (SELECT n_docs FROM n)::DOUBLE, 6) AS support,
+       round_even(n_ab / sa.n_a::DOUBLE, 6) AS confidence,
+       round_even((n_ab / sa.n_a::DOUBLE)
+             / (sc.n_a / (SELECT n_docs FROM n)::DOUBLE), 6) AS lift
+FROM p JOIN s sa ON sa.tok = p.ante JOIN s sc ON sc.tok = p.cons
+WHERE n_ab >= 0.2 * (SELECT n_docs FROM n)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -7432,6 +7641,9 @@ QUERIES = {
     "dbscan_embed": q_dbscan_embed,
     "interval_union": q_interval_union,
     "mad_agg": q_mad_agg,
+    "global_moving_avg": q_global_moving_avg,
+    "chi2_terms": q_chi2_terms,
+    "assoc_rules": q_assoc_rules,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -7593,6 +7805,9 @@ ORACLES = {
     "fingerprint_cluster": SQL_FINGERPRINT_CLUSTER,
     "interval_union": SQL_INTERVAL_UNION,
     "mad_agg": SQL_MAD_AGG,
+    "global_moving_avg": SQL_GLOBAL_MOVING_AVG,
+    "chi2_terms": SQL_CHI2_TERMS,
+    "assoc_rules": SQL_ASSOC_RULES,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

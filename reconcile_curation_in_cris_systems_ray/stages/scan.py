@@ -81,3 +81,57 @@ def global_scan(ds, order_cols: list[str], value_col: str, out_col: str,
     out_refs = [with_prefix.remote(r, o, h)
                 for r, o, h in zip(refs, offsets, next_heads)]
     return rd.from_arrow_refs(out_refs)
+
+
+def global_rolling_mean(ds, order_cols: list[str], value_col: str,
+                        window: int, out_col: str):
+    """Keyless trailing-window mean in global ``order_cols`` order
+    (SQL ``avg(x) OVER (ORDER BY ... ROWS window-1 PRECEDING)``) — the
+    third keyless-window primitive next to the scan and the lead.
+
+    The cross-block dependency is a HALO EXCHANGE: each block needs
+    the (window-1) rows that precede it.  One metadata pass gathers
+    every block's value tail (<= window-1 scalars per block, O(blocks
+    x window) driver state, never rows); each block's halo is stitched
+    from as many preceding tails as needed (short blocks may
+    contribute fewer than window-1 rows), then the rolling mean runs
+    vectorized over [halo + block] and the halo rows are dropped."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.sort(order_cols).materialize()
+    refs = mat.to_arrow_refs()
+    h = window - 1
+
+    @ray.remote
+    def tail(tbl: pa.Table):
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        return v[-h:] if h else v[:0]
+
+    tails = ray.get([tail.remote(r) for r in refs])
+
+    halos = []
+    for i in range(len(refs)):
+        parts, need = [], h
+        j = i - 1
+        while need > 0 and j >= 0:
+            t = tails[j]
+            take = t[-need:]
+            parts.append(take)
+            need -= len(take)
+            j -= 1
+        halos.append(np.concatenate(parts[::-1]) if parts
+                     else np.array([], dtype=np.float64))
+
+    @ray.remote
+    def roll(tbl: pa.Table, halo):
+        import pandas as pd
+
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        s = pd.Series(np.concatenate([halo, v.astype(np.float64)]))
+        m = s.rolling(window, min_periods=1).mean() \
+            .to_numpy()[len(halo):]
+        return tbl.append_column(out_col, pa.array(m))
+
+    out_refs = [roll.remote(r, hl) for r, hl in zip(refs, halos)]
+    return rd.from_arrow_refs(out_refs)

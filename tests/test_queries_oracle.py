@@ -66,6 +66,9 @@ PINNED = [
     "fingerprint_cluster",
     "interval_union",
     "mad_agg",
+    "global_moving_avg",
+    "chi2_terms",
+    "assoc_rules",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

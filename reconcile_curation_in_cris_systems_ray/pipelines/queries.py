@@ -6872,6 +6872,10 @@ def q_max_concurrent(sf_dir: str):
     scanned = global_scan(stream, ["t", "delta"], "delta", "c")
 
     def peak(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):               # range sort can emit empty blocks
+            return pd.DataFrame({"max_concurrent":
+                                 pd.Series([], dtype="int64"),
+                                 "at_ts": pd.Series([], dtype=df["t"].dtype)})
         mc = df["c"].max()
         return pd.DataFrame({"max_concurrent": [np.int64(mc)],
                              "at_ts": [df.loc[df["c"] == mc, "t"].min()]})
@@ -7463,6 +7467,143 @@ WHERE n_ab >= 0.2 * (SELECT n_docs FROM n)
 """
 
 
+def q_band_join(sf_dir: str):
+    """Numeric band join — |a.value - b.value| <= eps between click
+    and view events — via GRID-CELL bucketing, the standard
+    distributed plan for inequality joins on a metric column: each
+    left row lands in its floor(value/eps) cell once; each right row
+    replicates to the three neighboring cells; complete cells then
+    verify the band predicate exactly.  No replication of the big
+    side, no cross-pair duplication (a pair meets only in the left
+    row's own cell)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    eps = 0.25
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "view"])]
+        v = df["value"].to_numpy(np.float64)
+        cell = np.floor(v / eps).astype(np.int64)
+        ids = df["event_id"].to_numpy(np.int64)
+        is_a = df["event_type"].eq("click").to_numpy(bool)
+        out = [pd.DataFrame({"cell": cell[is_a], "id": ids[is_a],
+                             "v": v[is_a], "side": np.int8(0)})]
+        for d in (-1, 0, 1):
+            out.append(pd.DataFrame({"cell": cell[~is_a] + d,
+                                     "id": ids[~is_a], "v": v[~is_a],
+                                     "side": np.int8(1)}))
+        return pd.concat(out, ignore_index=True)
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("cell", sort=False):
+            a = g[g["side"] == 0]
+            b = g[g["side"] == 1]
+            if not len(a) or not len(b):
+                continue
+            av, bv = a["v"].to_numpy(), b["v"].to_numpy()
+            hit = np.abs(av[:, None] - bv[None, :]) <= eps
+            ai, bi = np.nonzero(hit)
+            parts.append(pd.DataFrame({
+                "id_a": a["id"].to_numpy(np.int64)[ai],
+                "id_b": b["id"].to_numpy(np.int64)[bi]}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    pairs = bucketed_map_groups(
+        ev.map_batches(cells, batch_format="pandas"),
+        ["cell"], verify, num_buckets=64, empty_like=empty)
+    return pairs
+
+
+SQL_BAND_JOIN = """
+SELECT a.event_id AS id_a, b.event_id AS id_b
+FROM events a JOIN events b
+  ON a.event_type = 'click' AND b.event_type = 'view'
+ AND abs(a.value - b.value) <= 0.25
+"""
+
+
+def q_ols_residuals(sf_dir: str):
+    """Per-group OLS trend residual outliers: events whose value sits
+    more than 150 off the per-event-type value-vs-time regression
+    line.  TWO-PASS CENTERED moments (means broadcast, then
+    Σ(x-mx)(y-my) / Σ(x-mx)² via the combiner) — the numerically
+    stable formulation the corr_agg advice called for: the raw-moment
+    form loses the residual's 4th decimal to cancellation once x is
+    epoch-seconds (~1.7e9).  Residuals rounded to 4 (stable under the
+    driver's round-6 canon against DuckDB's streaming regr_* kernels).
+    """
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)
+        out = g.agg(n=("value", "size"), sy=("value", "sum")).reset_index()
+        x = df["ts"].astype("int64").to_numpy(np.float64) / 1e6
+        out["sx"] = pd.Series(x).groupby(
+            df["event_type"].to_numpy()).sum().reindex(
+            out["event_type"]).to_numpy()
+        return out
+
+    m1 = rel.partial_groupby_agg(
+        ev.map_batches(base, batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"), "sy": ("sy", "sum"),
+                         "sx": ("sx", "sum")})
+    m1["mx"] = m1["sx"] / m1["n"]
+    m1["my"] = m1["sy"] / m1["n"]
+    means = m1.set_index("event_type")[["mx", "my"]].to_dict("index")
+
+    def cent(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["ts"].astype("int64").to_numpy(np.float64) / 1e6
+        y = df["value"].to_numpy(np.float64)
+        mx = df["event_type"].map(lambda t: means[t]["mx"]) \
+            .to_numpy(np.float64)
+        my = df["event_type"].map(lambda t: means[t]["my"]) \
+            .to_numpy(np.float64)
+        d = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                          "sxy": (x - mx) * (y - my),
+                          "sxx": (x - mx) ** 2})
+        return d.groupby("event_type", sort=False).sum().reset_index()
+
+    m2 = rel.partial_groupby_agg(
+        ev.map_batches(cent, batch_format="pandas"),
+        ["event_type"], {"sxy": ("sxy", "sum"), "sxx": ("sxx", "sum")})
+    m2["b1"] = m2["sxy"] / m2["sxx"]
+    fit = {r.event_type: (means[r.event_type]["mx"],
+                          means[r.event_type]["my"], r.b1)
+           for r in m2.itertuples()}
+
+    def resid(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["ts"].astype("int64").to_numpy(np.float64) / 1e6
+        y = df["value"].to_numpy(np.float64)
+        mx = df["event_type"].map(lambda t: fit[t][0]).to_numpy(np.float64)
+        my = df["event_type"].map(lambda t: fit[t][1]).to_numpy(np.float64)
+        b1 = df["event_type"].map(lambda t: fit[t][2]).to_numpy(np.float64)
+        r = y - (my + b1 * (x - mx))
+        keep = np.abs(r) > 150.0
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "resid": np.round(r[keep], 4)})
+
+    return ev.map_batches(resid, batch_format="pandas")
+
+
+SQL_OLS_RESIDUALS = """
+WITH m AS (
+  SELECT event_type,
+         regr_slope(value, epoch(ts)) AS b1,
+         regr_intercept(value, epoch(ts)) AS b0
+  FROM events GROUP BY 1)
+SELECT e.event_id,
+       round(e.value - (m.b0 + m.b1 * epoch(e.ts)), 4) AS resid
+FROM events e JOIN m USING (event_type)
+WHERE abs(e.value - (m.b0 + m.b1 * epoch(e.ts))) > 150.0
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -7644,6 +7785,8 @@ QUERIES = {
     "global_moving_avg": q_global_moving_avg,
     "chi2_terms": q_chi2_terms,
     "assoc_rules": q_assoc_rules,
+    "band_join": q_band_join,
+    "ols_residuals": q_ols_residuals,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -7808,6 +7951,8 @@ ORACLES = {
     "global_moving_avg": SQL_GLOBAL_MOVING_AVG,
     "chi2_terms": SQL_CHI2_TERMS,
     "assoc_rules": SQL_ASSOC_RULES,
+    "band_join": SQL_BAND_JOIN,
+    "ols_residuals": SQL_OLS_RESIDUALS,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

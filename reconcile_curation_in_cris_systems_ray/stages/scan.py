@@ -70,12 +70,16 @@ def global_scan(ds, order_cols: list[str], value_col: str, out_col: str,
         tbl = tbl.append_column(out_col, pa.array(off + np.cumsum(v)))
         if lead_of is not None:
             col = tbl[lead_of]
-            shifted = col.slice(1)
-            tail = pa.array([nxt.as_py() if nxt is not None else None],
-                            type=col.type)
-            tbl = tbl.append_column(
-                lead_col or f"{lead_of}_next",
-                pa.concat_arrays([shifted.combine_chunks(), tail]))
+            name = lead_col or f"{lead_of}_next"
+            if tbl.num_rows == 0:     # range sort can emit empty blocks
+                tbl = tbl.append_column(name, pa.array([], type=col.type))
+            else:
+                shifted = col.slice(1)
+                tail = pa.array([nxt.as_py() if nxt is not None else None],
+                                type=col.type)
+                tbl = tbl.append_column(
+                    name,
+                    pa.concat_arrays([shifted.combine_chunks(), tail]))
         return tbl
 
     out_refs = [with_prefix.remote(r, o, h)

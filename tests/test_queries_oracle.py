@@ -69,6 +69,8 @@ PINNED = [
     "global_moving_avg",
     "chi2_terms",
     "assoc_rules",
+    "band_join",
+    "ols_residuals",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -7604,6 +7604,70 @@ WHERE abs(e.value - (m.b0 + m.b1 * epoch(e.ts))) > 150.0
 """
 
 
+def q_exact_kth(sf_dir: str):
+    """Exact k-th smallest value (k = floor(0.6 n)) over a DOUBLE
+    column WITHOUT a global sort — distributed selection by histogram
+    narrowing: (1) a (count, min, max) combiner pass, (2) a 4096-bin
+    histogram combiner locating the bin that holds rank k, (3) one
+    filtered pass collecting only that bin's values (expected n/4096
+    rows; a skewed bin recurses the same narrowing — not needed here,
+    noted for parity with exact_int_quantile's integer path).  Three
+    narrow passes replace the O(n log n) shuffle a sort-based rank
+    would cost."""
+    ev = _rp(sf_dir, "events", ["value"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        return pd.DataFrame({"n": [np.int64(len(v))],
+                             "lo": [v.min() if len(v) else np.inf],
+                             "hi": [v.max() if len(v) else -np.inf]})
+
+    s = ev.map_batches(stats, batch_format="pandas").to_pandas()
+    n = int(s["n"].sum())
+    lo, hi = float(s["lo"].min()), float(s["hi"].max())
+    k = int(np.floor(0.6 * n))
+    nb = 4096
+    width = (hi - lo) / nb or 1.0
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, nb - 1)
+        c = np.bincount(idx, minlength=nb)
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame({"b": nz.astype(np.int64), "c": c[nz]})
+
+    hcounts = rel.partial_groupby_agg(
+        ev.map_batches(hist, batch_format="pandas"),
+        ["b"], {"c": ("c", "sum")}).sort_values("b")
+    cum = hcounts["c"].cumsum()
+    pos = int(np.searchsorted(cum.to_numpy(), k, side="left"))
+    b_sel = int(hcounts["b"].iloc[pos])
+    before = int(cum.iloc[pos - 1]) if pos else 0
+    r = k - before                      # rank within the selected bin
+    def in_bin(df: pd.DataFrame) -> pd.DataFrame:
+        # membership by the SAME index formula as the histogram pass —
+        # arithmetic bounds (lo + b*width) can disagree at float
+        # boundaries and desynchronize the collected set from the counts
+        v = df["value"].to_numpy(np.float64)
+        idx = np.clip(((v - lo) / width).astype(np.int64), 0, nb - 1)
+        return pd.DataFrame({"value": v[idx == b_sel]})
+
+    vals = np.sort(ev.map_batches(in_bin, batch_format="pandas")
+                   .to_pandas()["value"].to_numpy(np.float64))
+    return pd.DataFrame({"k": [np.int64(k)],
+                         "kth": [np.round(vals[r - 1], 6)]})
+
+
+SQL_EXACT_KTH = """
+WITH r AS (
+  SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events)
+SELECT (SELECT CAST(floor(0.6 * count(*)) AS BIGINT) FROM events) AS k,
+       round(value, 6) AS kth
+FROM r
+WHERE rn = (SELECT CAST(floor(0.6 * count(*)) AS BIGINT) FROM events)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -7787,6 +7851,7 @@ QUERIES = {
     "assoc_rules": q_assoc_rules,
     "band_join": q_band_join,
     "ols_residuals": q_ols_residuals,
+    "exact_kth": q_exact_kth,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -7953,6 +8018,7 @@ ORACLES = {
     "assoc_rules": SQL_ASSOC_RULES,
     "band_join": SQL_BAND_JOIN,
     "ols_residuals": SQL_OLS_RESIDUALS,
+    "exact_kth": SQL_EXACT_KTH,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -71,6 +71,7 @@ PINNED = [
     "assoc_rules",
     "band_join",
     "ols_residuals",
+    "exact_kth",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -7668,6 +7668,85 @@ WHERE rn = (SELECT CAST(floor(0.6 * count(*)) AS BIGINT) FROM events)
 """
 
 
+def q_moments_agg(sf_dir: str):
+    """Per-group sample skewness and excess kurtosis (the
+    bias-corrected g1 / G2 estimators DuckDB's skewness()/kurtosis()
+    implement) — two-pass CENTERED moments like ols_residuals: group
+    means broadcast, then Σd², Σd³, Σd⁴ through the shuffle-free
+    combiner, dof-corrected closed forms on the bounded group frame."""
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    m1 = rel.partial_groupby_agg(
+        ev.map_batches(
+            lambda df: df.groupby("event_type", sort=False)["value"]
+            .agg(n="size", sy="sum").reset_index(),
+            batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"), "sy": ("sy", "sum")})
+    mean = dict(zip(m1["event_type"], m1["sy"] / m1["n"]))
+
+    def cent(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["value"].to_numpy(np.float64)
+             - df["event_type"].map(mean).to_numpy(np.float64))
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                            "m2": d ** 2, "m3": d ** 3, "m4": d ** 4})
+        return out.groupby("event_type", sort=False).sum().reset_index()
+
+    m = rel.partial_groupby_agg(
+        ev.map_batches(cent, batch_format="pandas"),
+        ["event_type"], {"m2": ("m2", "sum"), "m3": ("m3", "sum"),
+                         "m4": ("m4", "sum")})
+    m = m.merge(m1[["event_type", "n"]], on="event_type")
+    n = m["n"].to_numpy(np.float64)
+    s = np.sqrt(m["m2"].to_numpy() / (n - 1))
+    sk = (n / ((n - 1) * (n - 2))) * m["m3"].to_numpy() / s ** 3
+    ku = ((n * (n + 1) / ((n - 1) * (n - 2) * (n - 3)))
+          * m["m4"].to_numpy() / s ** 4
+          - 3 * (n - 1) ** 2 / ((n - 2) * (n - 3)))
+    return pd.DataFrame({"event_type": m["event_type"].to_numpy(object),
+                         "sk": np.round(sk, 6), "ku": np.round(ku, 6)})
+
+
+SQL_MOMENTS_AGG = """
+SELECT event_type, round(skewness(value), 6) AS sk,
+       round(kurtosis(value), 6) AS ku
+FROM events GROUP BY event_type
+"""
+
+
+def q_union_by_name(sf_dir: str):
+    """Schema-evolution union: two document shards with DIFFERENT
+    column subsets (old ingest: doc_id+lang; new ingest: doc_id+
+    source+n_chars) aligned by column name with explicit defaults —
+    the ingestion-compatibility operator for corpora whose schema
+    grew over time.  Map-only: each side projects to the unified
+    schema before a metadata-only union (no shuffle)."""
+    old = _rp(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        lambda df: df[df["doc_id"] % 2 == 0].assign(
+            lang=lambda d: d["lang"].astype(object),
+            source="", n_chars=np.int64(-1)),
+        batch_format="pandas")
+    new = _rp(sf_dir, "documents",
+              ["doc_id", "source", "n_chars"]).map_batches(
+        lambda df: df[df["doc_id"] % 2 == 1].assign(
+            lang="", source=lambda d: d["source"].astype(object)),
+        batch_format="pandas")
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "lang", "source", "n_chars"]]
+
+    return old.map_batches(proj, batch_format="pandas").union(
+        new.map_batches(proj, batch_format="pandas"))
+
+
+SQL_UNION_BY_NAME = """
+SELECT doc_id, lang, '' AS source, CAST(-1 AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, '' AS lang, source, n_chars
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -7852,6 +7931,8 @@ QUERIES = {
     "band_join": q_band_join,
     "ols_residuals": q_ols_residuals,
     "exact_kth": q_exact_kth,
+    "moments_agg": q_moments_agg,
+    "union_by_name": q_union_by_name,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -8019,6 +8100,8 @@ ORACLES = {
     "band_join": SQL_BAND_JOIN,
     "ols_residuals": SQL_OLS_RESIDUALS,
     "exact_kth": SQL_EXACT_KTH,
+    "moments_agg": SQL_MOMENTS_AGG,
+    "union_by_name": SQL_UNION_BY_NAME,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -72,6 +72,8 @@ PINNED = [
     "band_join",
     "ols_residuals",
     "exact_kth",
+    "moments_agg",
+    "union_by_name",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

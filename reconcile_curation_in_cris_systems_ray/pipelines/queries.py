@@ -7747,6 +7747,95 @@ FROM documents WHERE doc_id % 2 = 1
 """
 
 
+def q_spearman_agg(sf_dir: str):
+    """Per-group Spearman rank correlation between value and event
+    time — Pearson over average-ranks (the tie-correct definition).
+    Ranks need whole-group co-location: one bucketed shuffle on the
+    group key, average ranks vectorized per group, centered dot
+    products for the correlation (stable at rank magnitudes).  At a
+    cardinality where single groups exceed a block, ranks distribute
+    like global_scan's sort+offset plan per key — documented contract,
+    same as the repo's other rank windows."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                          "rho": pd.Series([], dtype="float64")})
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            if len(g) < 2:
+                continue
+            rx = g["value"].rank(method="average").to_numpy(np.float64)
+            ry = (g["ts"].astype("int64") / 1e6) \
+                .rank(method="average").to_numpy(np.float64)
+            dx = rx - rx.mean()
+            dy = ry - ry.mean()
+            denom = np.sqrt((dx ** 2).sum() * (dy ** 2).sum())
+            if denom == 0:
+                continue
+            rows.append((et, np.round((dx * dy).sum() / denom, 6)))
+        return pd.DataFrame(rows, columns=["event_type", "rho"]) \
+            if rows else empty
+
+    return bucketed_map_groups(ev, ["event_type"], block, num_buckets=16,
+                               empty_like=empty)
+
+
+SQL_SPEARMAN_AGG = """
+WITH r AS (
+  SELECT event_type,
+         avg(rn_v) OVER (PARTITION BY event_type, value) AS rx,
+         avg(rn_t) OVER (PARTITION BY event_type, epoch(ts)) AS ry
+  FROM (SELECT event_type, value, ts,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value) AS rn_v,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY epoch(ts)) AS rn_t
+        FROM events))
+SELECT event_type, round(corr(rx, ry), 6) AS rho
+FROM r GROUP BY event_type
+"""
+
+
+def q_winsorize(sf_dir: str):
+    """Per-group winsorization — values clamped to the exact
+    interpolated [p5, p95] band (the robust-statistics preprocessing
+    step): one group-quantile pass (stages/temporal.py::quantile_agg,
+    = quantile_cont), thresholds broadcast (bounded per-group frame),
+    then a map-only clip."""
+    from ..stages.temporal import quantile_agg
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    q = quantile_agg(ev, ["event_type"], "value",
+                     {"lo": 0.05, "hi": 0.95})
+    if hasattr(q, "to_pandas"):
+        q = q.to_pandas()
+    lo = dict(zip(q["event_type"], q["lo"]))
+    hi = dict(zip(q["event_type"], q["hi"]))
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        l = df["event_type"].map(lo).to_numpy(np.float64)
+        h = df["event_type"].map(hi).to_numpy(np.float64)
+        v = df["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "wvalue": np.round(np.minimum(np.maximum(v, l), h), 6)})
+
+    return ev.map_batches(clip, batch_format="pandas")
+
+
+SQL_WINSORIZE = """
+WITH q AS (SELECT event_type, quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi
+           FROM events GROUP BY 1)
+SELECT e.event_id, round(least(greatest(e.value, q.lo), q.hi), 6) AS wvalue
+FROM events e JOIN q USING (event_type)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -7933,6 +8022,8 @@ QUERIES = {
     "exact_kth": q_exact_kth,
     "moments_agg": q_moments_agg,
     "union_by_name": q_union_by_name,
+    "spearman_agg": q_spearman_agg,
+    "winsorize": q_winsorize,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -8102,6 +8193,8 @@ ORACLES = {
     "exact_kth": SQL_EXACT_KTH,
     "moments_agg": SQL_MOMENTS_AGG,
     "union_by_name": SQL_UNION_BY_NAME,
+    "spearman_agg": SQL_SPEARMAN_AGG,
+    "winsorize": SQL_WINSORIZE,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

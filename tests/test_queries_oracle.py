@@ -74,6 +74,8 @@ PINNED = [
     "exact_kth",
     "moments_agg",
     "union_by_name",
+    "spearman_agg",
+    "winsorize",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -7836,6 +7836,51 @@ FROM events e JOIN q USING (event_type)
 """
 
 
+def q_group_lcp(sf_dir: str):
+    """Per-group longest common prefix of customer names — via the
+    min/max-combiner identity: the LCP of a whole set equals
+    LCP(lexicographic min, lexicographic max), so only two strings
+    per group ever aggregate (shuffle-free min/max combiner), and the
+    driver finish compares one string pair per group.  The URL-prefix
+    / path-hierarchy profiling primitive at zero shuffle cost."""
+    ds = _rp(sf_dir, "customer", ["c_nationkey", "c_name"])
+
+    mm = rel.partial_groupby_agg(
+        ds.map_batches(
+            lambda df: df.groupby("c_nationkey", sort=False)["c_name"]
+            .agg(m1="min", m2="max").reset_index(),
+            batch_format="pandas"),
+        ["c_nationkey"], {"m1": ("m1", "min"), "m2": ("m2", "max")})
+
+    def lcp(a: str, b: str) -> int:
+        n = min(len(a), len(b))
+        i = 0
+        while i < n and a[i] == b[i]:
+            i += 1
+        return i
+
+    ln = [lcp(a, b) for a, b in zip(mm["m1"], mm["m2"])]
+    return pd.DataFrame({
+        "c_nationkey": mm["c_nationkey"].to_numpy(np.int64),
+        "lcp_len": np.array(ln, dtype=np.int64),
+        "prefix": [a[:i] for a, i in zip(mm["m1"], ln)]})
+
+
+SQL_GROUP_LCP = """
+WITH mm AS (SELECT c_nationkey, min(c_name) AS m1, max(c_name) AS m2
+            FROM customer GROUP BY 1),
+l AS (SELECT c_nationkey, m1, max(L) AS lcp_len
+      FROM mm CROSS JOIN generate_series(0, 64) AS t(L)
+      WHERE L <= least(length(m1), length(m2))
+        AND substr(m1, 1, CAST(L AS INTEGER))
+            = substr(m2, 1, CAST(L AS INTEGER))
+      GROUP BY 1, 2)
+SELECT c_nationkey, CAST(lcp_len AS BIGINT) AS lcp_len,
+       substr(m1, 1, CAST(lcp_len AS INTEGER)) AS prefix
+FROM l
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -8024,6 +8069,7 @@ QUERIES = {
     "union_by_name": q_union_by_name,
     "spearman_agg": q_spearman_agg,
     "winsorize": q_winsorize,
+    "group_lcp": q_group_lcp,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -8195,6 +8241,7 @@ ORACLES = {
     "union_by_name": SQL_UNION_BY_NAME,
     "spearman_agg": SQL_SPEARMAN_AGG,
     "winsorize": SQL_WINSORIZE,
+    "group_lcp": SQL_GROUP_LCP,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

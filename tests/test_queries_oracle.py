@@ -76,6 +76,7 @@ PINNED = [
     "union_by_name",
     "spearman_agg",
     "winsorize",
+    "group_lcp",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

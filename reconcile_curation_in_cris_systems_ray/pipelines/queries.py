@@ -7881,6 +7881,88 @@ FROM l
 """
 
 
+def q_knn_time_join(sf_dir: str):
+    """k-nearest-in-time join (the as-of join generalized to k=3):
+    for every click, that user's 3 closest views by |Δts|, ties by
+    view id.  The distributed plan is per-user co-location + SORTED
+    NEIGHBORS: views sorted by ts once per user, each click probes
+    its insertion point and scores only the 2k surrounding candidates
+    — candidates are O(k) per probe, never the |clicks| x |views|
+    cross product the SQL oracle spells."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    k = 3
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"],
+                                 pa.array(["click", "view"])))
+
+    empty = pd.DataFrame({"click_id": pd.Series([], dtype="int64"),
+                          "view_id": pd.Series([], dtype="int64"),
+                          "dt_us": pd.Series([], dtype="int64")})
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("user_id", sort=False):
+            cl = g[g["event_type"] == "click"]
+            vw = g[g["event_type"] == "view"].sort_values(
+                ["ts", "event_id"], kind="mergesort")
+            if not len(cl) or not len(vw):
+                continue
+            vts = vw["ts"].to_numpy(dtype="datetime64[us]") \
+                .astype(np.int64)             # µs, the oracle's epoch_us
+            vid = vw["event_id"].to_numpy(np.int64)
+            cts = cl["ts"].to_numpy(dtype="datetime64[us]") \
+                .astype(np.int64)
+            cid = cl["event_id"].to_numpy(np.int64)
+            pos = np.searchsorted(vts, cts)
+            # 2k sorted neighbors around the insertion point cover the
+            # k nearest in a sorted array
+            offs = np.arange(-k, k)
+            cand = np.clip(pos[:, None] + offs[None, :], 0, len(vw) - 1)
+            dt = np.abs(vts[cand] - cts[:, None])
+            # dedup clipped duplicates: push repeats to +inf via a
+            # first-occurrence mask per row
+            sort_keys = dt.astype(np.float64)
+            dup = np.zeros_like(sort_keys, dtype=bool)
+            for j in range(1, cand.shape[1]):
+                dup[:, j] = (cand[:, j:j + 1]
+                             == cand[:, :j]).any(axis=1)
+            sort_keys[dup] = np.inf
+            # rank by (|dt|, view_id) exactly like the SQL window
+            order = np.lexsort((vid[cand], sort_keys), axis=-1)
+            take = order[:, :k]
+            rowi = np.arange(len(cl))[:, None]
+            sel_dt = sort_keys[rowi, take]
+            ok = np.isfinite(sel_dt)
+            parts.append(pd.DataFrame({
+                "click_id": np.repeat(cid, k)[ok.ravel()],
+                "view_id": vid[cand[rowi, take]].ravel()[ok.ravel()],
+                "dt_us": dt[rowi, take].ravel()[ok.ravel()]
+                .astype(np.int64)}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return bucketed_map_groups(
+        ev.map_batches(keep, batch_format="pyarrow"),
+        ["user_id"], block, num_buckets=64, empty_like=empty)
+
+
+SQL_KNN_TIME_JOIN = """
+WITH c AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'click'),
+v AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'view'),
+j AS (SELECT c.event_id AS click_id, v.event_id AS view_id,
+             abs(epoch_us(v.ts - c.ts)) AS dt_us,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY abs(epoch_us(v.ts - c.ts)),
+                                         v.event_id) AS rn
+      FROM c JOIN v ON v.user_id = c.user_id)
+SELECT click_id, view_id, dt_us FROM j WHERE rn <= 3
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -8070,6 +8152,7 @@ QUERIES = {
     "spearman_agg": q_spearman_agg,
     "winsorize": q_winsorize,
     "group_lcp": q_group_lcp,
+    "knn_time_join": q_knn_time_join,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -8242,6 +8325,7 @@ ORACLES = {
     "spearman_agg": SQL_SPEARMAN_AGG,
     "winsorize": SQL_WINSORIZE,
     "group_lcp": SQL_GROUP_LCP,
+    "knn_time_join": SQL_KNN_TIME_JOIN,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

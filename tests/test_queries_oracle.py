@@ -77,6 +77,7 @@ PINNED = [
     "spearman_agg",
     "winsorize",
     "group_lcp",
+    "knn_time_join",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

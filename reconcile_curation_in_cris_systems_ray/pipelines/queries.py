@@ -7963,6 +7963,172 @@ SELECT click_id, view_id, dt_us FROM j WHERE rn <= 3
 """
 
 
+def q_welch_t(sf_dir: str):
+    """Welch's unequal-variance t statistic (+ Welch-Satterthwaite
+    dof) between click and view values — the A/B-comparison aggregate,
+    from the same two-pass centered moment combiners as moments_agg
+    (means broadcast, Σd² shuffle-free); closed form on a 2-row
+    frame."""
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["event_type"],
+                                 pa.array(["click", "view"])))
+
+    ev = ev.map_batches(keep, batch_format="pyarrow")
+    m1 = rel.partial_groupby_agg(
+        ev.map_batches(
+            lambda df: df.groupby("event_type", sort=False)["value"]
+            .agg(n="size", sy="sum").reset_index(),
+            batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"), "sy": ("sy", "sum")})
+    mean = dict(zip(m1["event_type"], m1["sy"] / m1["n"]))
+
+    def cent(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["value"].to_numpy(np.float64)
+             - df["event_type"].map(mean).to_numpy(np.float64))
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                            "m2": d ** 2})
+        return out.groupby("event_type", sort=False).sum().reset_index()
+
+    m2 = rel.partial_groupby_agg(
+        ev.map_batches(cent, batch_format="pandas"),
+        ["event_type"], {"m2": ("m2", "sum")}) \
+        .merge(m1, on="event_type").set_index("event_type")
+    n1, n2 = float(m2.loc["click", "n"]), float(m2.loc["view", "n"])
+    v1 = float(m2.loc["click", "m2"]) / (n1 - 1)
+    v2 = float(m2.loc["view", "m2"]) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (mean["click"] - mean["view"]) / np.sqrt(se2)
+    dof = se2 ** 2 / ((v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1))
+    return pd.DataFrame({"t": [np.round(t, 6)], "dof": [np.round(dof, 6)]})
+
+
+SQL_WELCH_T = """
+WITH s AS (SELECT event_type, count(*) n, avg(value) m, var_samp(value) v
+           FROM events WHERE event_type IN ('click', 'view') GROUP BY 1),
+c AS (SELECT max(CASE WHEN event_type = 'click' THEN n END) n1,
+             max(CASE WHEN event_type = 'click' THEN m END) m1,
+             max(CASE WHEN event_type = 'click' THEN v END) v1,
+             max(CASE WHEN event_type = 'view' THEN n END) n2,
+             max(CASE WHEN event_type = 'view' THEN m END) m2,
+             max(CASE WHEN event_type = 'view' THEN v END) v2
+      FROM s)
+SELECT round((m1 - m2) / sqrt(v1/n1 + v2/n2), 6) AS t,
+       round(pow(v1/n1 + v2/n2, 2)
+             / (pow(v1/n1, 2)/(n1-1) + pow(v2/n2, 2)/(n2-1)), 6) AS dof
+FROM c
+"""
+
+
+def q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic (click vs view value
+    distributions) — EXACT, as a scan-family composition: per-value
+    net CDF deltas (+1/n1 for clicks, -1/n2 for views) through the
+    shuffle-free combiner, then the keyless Blelloch scan over the
+    distinct-value order; KS = max |running sum| (a per-batch partial
+    max).  The distribution-drift gate a corpus refresh pipeline runs
+    between snapshots, at one narrow pass + one scan."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    counts = ev.map_batches(
+        lambda df: (df[df["event_type"].isin(["click", "view"])]
+                    .groupby("event_type", sort=False).size()
+                    .reset_index(name="n")),
+        batch_format="pandas")
+    nn = rel.partial_groupby_agg(counts, ["event_type"],
+                                 {"n": ("n", "sum")}) \
+        .set_index("event_type")["n"]
+    n1, n2 = float(nn["click"]), float(nn["view"])
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "view"])]
+        dd = np.where(df["event_type"].eq("click"), 1.0 / n1, -1.0 / n2)
+        out = pd.DataFrame({"value": df["value"].to_numpy(np.float64),
+                            "dd": dd})
+        return out.groupby("value", sort=False).sum().reset_index()
+
+    per_value = rel.partial_groupby_agg(
+        ev.map_batches(deltas, batch_format="pandas"),
+        ["value"], {"dd": ("dd", "sum")})
+    import ray.data as rd
+
+    scanned = global_scan(rd.from_pandas(per_value), ["value"],
+                          "dd", "f")
+
+    def peak(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"ks": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"ks": [np.abs(df["f"].to_numpy()).max()]})
+
+    parts = scanned.map_batches(peak, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"ks": [np.round(parts["ks"].max(), 6)]})
+
+
+SQL_KS_TEST = """
+WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+b AS (SELECT value FROM events WHERE event_type = 'view'),
+n AS (SELECT (SELECT count(*) FROM a) AS n1,
+             (SELECT count(*) FROM b) AS n2),
+d AS (SELECT value,
+             sum(CASE WHEN src = 1 THEN 1.0 / (SELECT n1 FROM n)
+                      ELSE -1.0 / (SELECT n2 FROM n) END) AS dd
+      FROM (SELECT value, 1 AS src FROM a
+            UNION ALL SELECT value, 2 FROM b)
+      GROUP BY value),
+s AS (SELECT sum(dd) OVER (ORDER BY value
+                           ROWS UNBOUNDED PRECEDING) AS f
+      FROM d)
+SELECT round(max(abs(f)), 6) AS ks FROM s
+"""
+
+
+def q_gini_value(sf_dir: str):
+    """Gini coefficient of the click-value distribution — the
+    inequality/concentration statistic, via the rank identity
+    G = 2 Σ r·x / (n Σ x) − (n+1)/n: global ranks come from the
+    keyless scan (delta = 1 in (value, event_id) order; rank-order
+    within equal values cancels in Σ r·x, so the statistic is
+    tie-stable), then one partial pass sums (n, Σx, Σ r·x)."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click"))
+        .drop_columns(["event_type"]),
+        batch_format="pyarrow")
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(
+            np.ones(t.num_rows, dtype=np.int64)))
+
+    ranked = global_scan(clicks.map_batches(ones, batch_format="pyarrow"),
+                         ["value", "event_id"], "one", "rn")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        r = df["rn"].to_numpy(np.float64)
+        return pd.DataFrame({"n": [np.int64(len(v))], "sv": [v.sum()],
+                             "srv": [(r * v).sum()]})
+
+    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    n = float(p["n"].sum())
+    sv, srv = float(p["sv"].sum()), float(p["srv"].sum())
+    return pd.DataFrame({"gini": [np.round(2.0 * srv / (n * sv)
+                                           - (n + 1.0) / n, 6)]})
+
+
+SQL_GINI_VALUE = """
+WITH r AS (SELECT value, row_number() OVER (ORDER BY value, event_id)
+               AS rn
+           FROM events WHERE event_type = 'click'),
+agg AS (SELECT count(*) n, sum(value) sv, sum(rn * value) srv FROM r)
+SELECT round(2.0 * srv / (n * sv) - (n + 1.0) / n, 6) AS gini FROM agg
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -8153,6 +8319,9 @@ QUERIES = {
     "winsorize": q_winsorize,
     "group_lcp": q_group_lcp,
     "knn_time_join": q_knn_time_join,
+    "welch_t": q_welch_t,
+    "ks_test": q_ks_test,
+    "gini_value": q_gini_value,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -8326,6 +8495,9 @@ ORACLES = {
     "winsorize": SQL_WINSORIZE,
     "group_lcp": SQL_GROUP_LCP,
     "knn_time_join": SQL_KNN_TIME_JOIN,
+    "welch_t": SQL_WELCH_T,
+    "ks_test": SQL_KS_TEST,
+    "gini_value": SQL_GINI_VALUE,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

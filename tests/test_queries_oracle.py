@@ -78,6 +78,9 @@ PINNED = [
     "winsorize",
     "group_lcp",
     "knn_time_join",
+    "welch_t",
+    "ks_test",
+    "gini_value",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -8129,6 +8129,132 @@ SELECT round(2.0 * srv / (n * sv) - (n + 1.0) / n, 6) AS gini FROM agg
 """
 
 
+def q_modularity_score(sf_dir: str):
+    """Newman modularity Q of a given partition (community = node mod
+    10) over the undirected link graph — the clustering-quality score
+    for community labelings.  Key identity: both terms need NO
+    per-node state — within-community edge count and per-community
+    degree mass k_c are direct sums over edge endpoints (community is
+    a function of the node id), so after the one undirected-dedup
+    exchange the whole statistic is a shuffle-free combiner to a
+    10-row frame."""
+    from ..stages.graph import undirected_edges
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    und = undirected_edges(edges)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].to_numpy(np.int64)
+        hi = df["hi"].to_numpy(np.int64)
+        cl, ch = lo % 10, hi % 10
+        inc = pd.Series(np.concatenate([cl, ch])).value_counts()
+        out = pd.DataFrame({"c": inc.index.to_numpy(np.int64),
+                            "kc": inc.to_numpy(np.int64)})
+        out["wc"] = np.int64(0)
+        out.loc[out.index[:1], "wc"] = np.int64((cl == ch).sum())
+        out["ne"] = np.int64(0)
+        out.loc[out.index[:1], "ne"] = np.int64(len(df))
+        return out
+
+    agg = rel.partial_groupby_agg(
+        und.map_batches(partial, batch_format="pandas"),
+        ["c"], {"kc": ("kc", "sum"), "wc": ("wc", "sum"),
+                "ne": ("ne", "sum")})
+    ne = float(agg["ne"].sum())
+    wc = float(agg["wc"].sum())
+    kc = agg["kc"].to_numpy(np.float64)
+    q = wc / ne - (kc ** 2).sum() / (4.0 * ne * ne)
+    return pd.DataFrame({"q": [np.round(q, 6)]})
+
+
+SQL_MODULARITY_SCORE = f"""
+WITH {_SQL_EDGES_CTE},
+und AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM edges
+        GROUP BY 1, 2),
+m AS (SELECT count(*) AS ne FROM und),
+deg AS (SELECT node, count(*) AS k FROM
+        (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY 1),
+within AS (SELECT count(*) AS wc FROM und WHERE u % 10 = v % 10),
+comm AS (SELECT node % 10 AS c, sum(k) AS kc FROM deg GROUP BY 1)
+SELECT round((SELECT wc FROM within)::DOUBLE / (SELECT ne FROM m)
+             - (SELECT sum(kc * kc) FROM comm)
+               / (4.0 * (SELECT ne FROM m) * (SELECT ne FROM m)), 6) AS q
+"""
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf exponent of the corpus token-frequency distribution — the
+    OLS slope of ln(freq) on ln(rank) (ranks by freq DESC, ties by
+    token).  Token counts ride the shuffle-free combiner; the
+    rank+fit finish runs on the bounded observed-vocab frame (the
+    corpus-health profiling statistic next to vocab_stats)."""
+    docs = _rp(sf_dir, "documents", ["text"])
+
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].astype("string").fillna("").str.lower()
+                .str.findall(r"[a-z0-9]+").explode().dropna())
+        vc = toks.value_counts()
+        return pd.DataFrame({"tok": vc.index.to_numpy(dtype=object),
+                             "c": vc.to_numpy(np.int64)})
+
+    f = rel.partial_groupby_agg(
+        docs.map_batches(counts, batch_format="pandas"),
+        ["tok"], {"c": ("c", "sum")})
+    f = f.sort_values(["c", "tok"], ascending=[False, True],
+                      kind="mergesort").reset_index(drop=True)
+    x = np.log(np.arange(1, len(f) + 1, dtype=np.float64))
+    y = np.log(f["c"].to_numpy(np.float64))
+    dx = x - x.mean()
+    slope = (dx * (y - y.mean())).sum() / (dx ** 2).sum()
+    return pd.DataFrame({"slope": [np.round(slope, 6)],
+                         "vocab": [np.int64(len(f))]})
+
+
+SQL_ZIPF_SLOPE = r"""
+WITH t AS (SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                            '[a-z0-9]+')) AS tok
+           FROM documents),
+f AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk FROM f)
+SELECT round(regr_slope(ln(c), ln(rk)), 6) AS slope,
+       count(*) AS vocab
+FROM r
+"""
+
+
+def q_cond_entropy(sf_dir: str):
+    """Conditional entropy H(lang | source), nats — how much language
+    uncertainty remains once the source is known (the
+    information-theoretic profiling statistic complementing
+    group_entropy's marginal form): one (source, lang) cell combiner,
+    closed form on the bounded cell frame."""
+    docs = _rp(sf_dir, "documents", ["source", "lang"])
+
+    cell = rel.partial_groupby_agg(
+        docs.map_batches(
+            lambda df: df.groupby(["source", "lang"], sort=False)
+            .size().reset_index(name="c"),
+            batch_format="pandas"),
+        ["source", "lang"], {"c": ("c", "sum")})
+    nd = float(cell["c"].sum())
+    ns = cell.groupby("source")["c"].transform("sum").to_numpy(np.float64)
+    c = cell["c"].to_numpy(np.float64)
+    h = -((c / nd) * np.log(c / ns)).sum()
+    return pd.DataFrame({"h": [np.round(h, 6)]})
+
+
+SQL_COND_ENTROPY = """
+WITH cell AS (SELECT source, lang, count(*) AS c
+              FROM documents GROUP BY 1, 2),
+s AS (SELECT source, sum(c) AS ns FROM cell GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents)
+SELECT round(-sum((c::DOUBLE / (SELECT nd FROM n))
+                  * ln(c::DOUBLE / ns)), 6) AS h
+FROM cell JOIN s USING (source)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -8322,6 +8448,9 @@ QUERIES = {
     "welch_t": q_welch_t,
     "ks_test": q_ks_test,
     "gini_value": q_gini_value,
+    "modularity_score": q_modularity_score,
+    "zipf_slope": q_zipf_slope,
+    "cond_entropy": q_cond_entropy,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -8498,6 +8627,9 @@ ORACLES = {
     "welch_t": SQL_WELCH_T,
     "ks_test": SQL_KS_TEST,
     "gini_value": SQL_GINI_VALUE,
+    "modularity_score": SQL_MODULARITY_SCORE,
+    "zipf_slope": SQL_ZIPF_SLOPE,
+    "cond_entropy": SQL_COND_ENTROPY,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

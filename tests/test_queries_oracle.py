@@ -81,6 +81,9 @@ PINNED = [
     "welch_t",
     "ks_test",
     "gini_value",
+    "modularity_score",
+    "zipf_slope",
+    "cond_entropy",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

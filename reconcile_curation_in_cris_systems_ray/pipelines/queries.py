@@ -8255,6 +8255,94 @@ FROM cell JOIN s USING (source)
 """
 
 
+def q_cusum_changepoint(sf_dir: str):
+    """CUSUM change-point scan: the time at which the cumulative sum
+    of (value − global mean) reaches its maximum absolute deviation —
+    the classic level-shift detector, as one keyless Blelloch scan
+    over (ts, event_id) plus two narrow partial passes (global peak,
+    then earliest row whose rounded |cusum| equals the rounded peak —
+    the same rounding the oracle applies, so the tie set matches)."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "value"])
+    tot = ev.map_batches(
+        lambda df: pd.DataFrame({"n": [np.int64(len(df))],
+                                 "s": [df["value"].sum()]}),
+        batch_format="pandas").to_pandas()
+    mu = float(tot["s"].sum()) / float(tot["n"].sum())
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "t": df["ts"], "event_id": df["event_id"],
+            "d": df["value"].to_numpy(np.float64) - mu})
+
+    scanned = global_scan(ev.map_batches(deltas, batch_format="pandas"),
+                          ["t", "event_id"], "d", "cusum")
+
+    peaks = scanned.map_batches(
+        lambda df: pd.DataFrame(
+            {"p": [np.abs(df["cusum"].to_numpy()).max()]}
+            if len(df) else {"p": pd.Series([], dtype="float64")}),
+        batch_format="pandas").to_pandas()
+    peak = np.round(float(peaks["p"].max()), 4)
+
+    def at_peak(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.round(np.abs(df["cusum"].to_numpy(np.float64)), 4) == peak
+        if not m.any():
+            return pd.DataFrame({"at_ts": pd.Series([], dtype=df["t"].dtype)})
+        return pd.DataFrame({"at_ts": [df.loc[m, "t"].min()]})
+
+    hits = scanned.map_batches(at_peak, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"peak": [peak], "at_ts": [hits["at_ts"].min()]})
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH m AS (SELECT avg(value) AS mu FROM events),
+s AS (SELECT event_id, ts,
+             sum(value - (SELECT mu FROM m))
+                 OVER (ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cusum
+      FROM events),
+mx AS (SELECT max(abs(cusum)) AS peak FROM s)
+SELECT round((SELECT peak FROM mx), 4) AS peak,
+       min(ts) AS at_ts
+FROM s
+WHERE round(abs(cusum), 4) = round((SELECT peak FROM mx), 4)
+"""
+
+
+def q_systematic_sample(sf_dir: str):
+    """Systematic every-97th sample in global (ts, event_id) order —
+    the evenly-spaced audit sample (vs hash_sample's random one):
+    global row numbers from the keyless scan of ones, then a map-only
+    modulus filter."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts"])
+
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array(
+            np.ones(t.num_rows, dtype=np.int64)))
+
+    ranked = global_scan(ev.map_batches(ones, batch_format="pyarrow"),
+                         ["ts", "event_id"], "one", "rn")
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        m = (df["rn"].to_numpy(np.int64) - 1) % 97 == 0
+        return pd.DataFrame({"event_id":
+                             df["event_id"].to_numpy(np.int64)[m]})
+
+    return ranked.map_batches(pick, batch_format="pandas")
+
+
+SQL_SYSTEMATIC_SAMPLE = """
+WITH r AS (SELECT event_id,
+                  row_number() OVER (ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT event_id FROM r WHERE (rn - 1) % 97 = 0
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -8451,6 +8539,8 @@ QUERIES = {
     "modularity_score": q_modularity_score,
     "zipf_slope": q_zipf_slope,
     "cond_entropy": q_cond_entropy,
+    "cusum_changepoint": q_cusum_changepoint,
+    "systematic_sample": q_systematic_sample,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -8630,6 +8720,8 @@ ORACLES = {
     "modularity_score": SQL_MODULARITY_SCORE,
     "zipf_slope": SQL_ZIPF_SLOPE,
     "cond_entropy": SQL_COND_ENTROPY,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

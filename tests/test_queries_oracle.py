@@ -84,6 +84,8 @@ PINNED = [
     "modularity_score",
     "zipf_slope",
     "cond_entropy",
+    "cusum_changepoint",
+    "systematic_sample",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

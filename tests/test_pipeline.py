@@ -284,3 +284,29 @@ def test_flagship_narrow_mode_f1(ray_session, corpus, monkeypatch):
     keys = [(r["uh_a"], r["uh_b"]) for r in out["pairs"].take_all()]
     assert len(keys) == len(set(keys))
     assert all(a < b for a, b in keys)
+
+
+def test_partial_resume_recomputes_only_invalidated_stage(
+        ray_session, corpus, tmp_path):
+    """Mid-pipeline resume: wipe ONE stage's checkpoint; the rerun must
+    reuse every stage upstream of it, rebuild the wiped stage and its
+    descendants, and produce identical assignments (north-rule
+    'resumes mid-pipeline' evidence beyond the full-resume test)."""
+    import shutil
+
+    import ray.data as rd
+
+    root = str(tmp_path / "ckpt")
+    out1 = run_reconcile(rd.from_arrow(corpus), checkpoint_root=root,
+                         input_fingerprint="corpus-v1")
+    a1 = {r["url"]: r["cluster_id"] for r in out1["assignments"].take_all()}
+
+    shutil.rmtree(f"{root}/pairs")          # invalidate one mid stage
+    out2 = run_reconcile(rd.from_arrow(corpus), checkpoint_root=root,
+                         input_fingerprint="corpus-v1")
+    a2 = {r["url"]: r["cluster_id"] for r in out2["assignments"].take_all()}
+    assert a1 == a2
+
+    by_name = {s["stage"]: s for s in out2["metrics"]["stages"]}
+    assert by_name["features"].get("resumed") is True
+    assert not by_name["pairs"].get("resumed")

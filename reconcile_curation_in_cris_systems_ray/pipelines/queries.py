@@ -8343,6 +8343,108 @@ SELECT event_id FROM r WHERE (rn - 1) % 97 = 0
 """
 
 
+def q_user_active_time(sf_dir: str):
+    """Per-user union-of-intervals active time (µs) — the KEYED
+    sweep-line: interval_union's plan with the scan replaced by
+    within-group vectorized cumsum after one user co-location shuffle
+    (a user's whole delta stream fits its group by the blocking
+    contract; a pathological single key would fall back to the keyless
+    scan per key)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        dur = (np.floor(df["value"].to_numpy(np.float64)).astype(np.int64)
+               + 1)
+        return pd.DataFrame({
+            "user_id": np.tile(df["user_id"].to_numpy(np.int64), 2),
+            "t": pd.concat([df["ts"],
+                            df["ts"] + pd.to_timedelta(dur * 60, unit="s")],
+                           ignore_index=True),
+            "delta": np.concatenate([np.ones(len(df), dtype=np.int64),
+                                     -np.ones(len(df), dtype=np.int64)])})
+
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "active_us": pd.Series([], dtype="int64")})
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            g = g.sort_values(["t", "delta"], kind="mergesort")
+            c = g["delta"].cumsum().to_numpy()
+            t = g["t"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            seg = (t[1:] - t[:-1])[c[:-1] > 0]
+            rows.append((uid, np.int64(seg.sum())))
+        return pd.DataFrame(rows, columns=["user_id", "active_us"]) \
+            if rows else empty
+
+    return bucketed_map_groups(
+        ev.map_batches(deltas, batch_format="pandas"),
+        ["user_id"], sweep, num_buckets=32, empty_like=empty)
+
+
+SQL_USER_ACTIVE_TIME = """
+WITH d AS (
+  SELECT user_id, ts AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT user_id,
+         ts + (CAST(floor(value) AS BIGINT) + 1) * INTERVAL 1 MINUTE,
+         -1
+  FROM events),
+s AS (SELECT user_id, t, delta,
+             sum(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS c,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, delta) AS nt
+      FROM d)
+SELECT user_id,
+       CAST(sum(epoch_us(nt - t)) FILTER (WHERE c > 0) AS BIGINT)
+           AS active_us
+FROM s WHERE nt IS NOT NULL GROUP BY user_id
+"""
+
+
+def q_twap_user(sf_dir: str):
+    """Per-user time-weighted average value (TWAP) — each reading
+    weighted by its holding time until the next event: one user
+    co-location shuffle, vectorized shift + weighted mean per group
+    (the telemetry/finance aggregate plain AVG misstates whenever
+    sampling is irregular)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "twap": pd.Series([], dtype="float64")})
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            t = g["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+            dt = (t[1:] - t[:-1]).astype(np.float64)
+            v = g["value"].to_numpy(np.float64)[:-1]
+            rows.append((uid, np.round((v * dt).sum() / dt.sum(), 6)))
+        return pd.DataFrame(rows, columns=["user_id", "twap"]) \
+            if rows else empty
+
+    return bucketed_map_groups(ev, ["user_id"], block, num_buckets=32,
+                               empty_like=empty)
+
+
+SQL_TWAP_USER = """
+WITH l AS (
+  SELECT user_id, value,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - ts) AS dt
+  FROM events)
+SELECT user_id, round(sum(value * dt) / sum(dt), 6) AS twap
+FROM l WHERE dt IS NOT NULL GROUP BY user_id
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -8541,6 +8643,8 @@ QUERIES = {
     "cond_entropy": q_cond_entropy,
     "cusum_changepoint": q_cusum_changepoint,
     "systematic_sample": q_systematic_sample,
+    "user_active_time": q_user_active_time,
+    "twap_user": q_twap_user,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -8722,6 +8826,8 @@ ORACLES = {
     "cond_entropy": SQL_COND_ENTROPY,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
+    "user_active_time": SQL_USER_ACTIVE_TIME,
+    "twap_user": SQL_TWAP_USER,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

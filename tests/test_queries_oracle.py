@@ -86,6 +86,8 @@ PINNED = [
     "cond_entropy",
     "cusum_changepoint",
     "systematic_sample",
+    "user_active_time",
+    "twap_user",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

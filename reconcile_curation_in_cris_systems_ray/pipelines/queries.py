@@ -8445,6 +8445,172 @@ FROM l WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+def q_clustering_coeff(sf_dir: str):
+    """Per-node local clustering coefficient over the undirected link
+    graph — composed from existing primitives: per-edge triangle
+    support (graph.py::edge_support) exploded to endpoints gives each
+    node's triangle count as a plain sum (t(v) = Σ support(e ∋ v) / 2,
+    no new wedge pass); degrees from the incidence combiner; the cc =
+    2t / k(k−1) finish runs on the bounded per-node frame.  Nodes with
+    degree < 2 are excluded (undefined denominator), as in the SQL."""
+    from ..stages.graph import edge_support, undirected_edges
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    und = undirected_edges(edges)
+    sup = edge_support(edges)     # takes the raw (src, dst) stream
+
+    def node_tri(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": np.concatenate([df["lo"].to_numpy(np.int64),
+                                    df["hi"].to_numpy(np.int64)]),
+            "t2": np.tile(df["support"].to_numpy(np.int64), 2)})
+        return out.groupby("node", sort=False).sum().reset_index()
+
+    tri = rel.partial_groupby_agg(
+        sup.map_batches(node_tri, batch_format="pandas"),
+        ["node"], {"t2": ("t2", "sum")})
+
+    def node_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": np.concatenate([df["lo"].to_numpy(np.int64),
+                                    df["hi"].to_numpy(np.int64)])})
+        vc = out["node"].value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy(np.int64),
+                             "k": vc.to_numpy(np.int64)})
+
+    deg = rel.partial_groupby_agg(
+        und.map_batches(node_deg, batch_format="pandas"),
+        ["node"], {"k": ("k", "sum")})
+    m = deg.merge(tri, on="node", how="left").fillna({"t2": 0})
+    m = m[m["k"] >= 2]
+    k = m["k"].to_numpy(np.float64)
+    # t2 sums support over both endpoints = 2 x wedge-closing triangles
+    # per node in the SQL's (x < y) convention
+    cc = m["t2"].to_numpy(np.float64) / (k * (k - 1))
+    return pd.DataFrame({"node": m["node"].to_numpy(np.int64),
+                         "cc": np.round(cc, 6)})
+
+
+SQL_CLUSTERING_COEFF = f"""
+WITH {_SQL_EDGES_CTE},
+undg AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM edges
+         GROUP BY 1, 2),
+adj AS (SELECT u AS a, v AS b FROM undg UNION ALL SELECT v, u FROM undg),
+deg AS (SELECT a AS node, count(*) AS k FROM adj GROUP BY 1),
+tri AS (
+  SELECT w.node, count(*) AS t2
+  FROM (SELECT a AS node, b AS x FROM adj) w
+  JOIN adj a2 ON a2.a = w.node AND a2.b > w.x
+  JOIN undg e ON e.u = w.x AND e.v = a2.b
+  GROUP BY 1)
+SELECT d.node, round(coalesce(t.t2, 0) * 2.0 / (d.k * (d.k - 1)), 6) AS cc
+FROM deg d LEFT JOIN tri t ON t.node = d.node
+WHERE d.k >= 2
+"""
+
+
+def q_assortativity(sf_dir: str):
+    """Degree assortativity of the undirected link graph (Newman
+    2002): Pearson correlation of endpoint degrees over both edge
+    orientations — do high-degree pages link to high-degree pages?
+    Degrees from the incidence combiner (bounded frame, broadcast;
+    hash-join swap above the broadcast cap), then one edge pass of
+    raw-moment partials and the closed form (degree magnitudes are
+    small ints, so raw moments are exact)."""
+    from ..stages.graph import undirected_edges
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    und = undirected_edges(edges)
+
+    def node_deg(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.Series(np.concatenate(
+            [df["lo"].to_numpy(np.int64),
+             df["hi"].to_numpy(np.int64)])).value_counts()
+        return pd.DataFrame({"node": out.index.to_numpy(np.int64),
+                             "k": out.to_numpy(np.int64)})
+
+    deg = rel.partial_groupby_agg(
+        und.map_batches(node_deg, batch_format="pandas"),
+        ["node"], {"k": ("k", "sum")})
+    kmap = dict(zip(deg["node"].astype(np.int64),
+                    deg["k"].astype(np.float64)))
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        lo = df["lo"].map(kmap).to_numpy(np.float64)
+        hi = df["hi"].map(kmap).to_numpy(np.float64)
+        x = np.concatenate([lo, hi])       # both orientations
+        y = np.concatenate([hi, lo])
+        return pd.DataFrame({
+            "n": [np.int64(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()]})
+
+    p = und.map_batches(moments, batch_format="pandas").to_pandas().sum()
+    n = float(p["n"])
+    cov = p["sxy"] - p["sx"] * p["sy"] / n
+    vx = p["sxx"] - p["sx"] ** 2 / n
+    vy = p["syy"] - p["sy"] ** 2 / n
+    return pd.DataFrame({"r": [np.round(cov / np.sqrt(vx * vy), 6)]})
+
+
+SQL_ASSORTATIVITY = f"""
+WITH {_SQL_EDGES_CTE},
+undg AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM edges
+         GROUP BY 1, 2),
+adj AS (SELECT u AS a, v AS b FROM undg UNION ALL SELECT v, u FROM undg),
+deg AS (SELECT a AS node, count(*) AS k FROM adj GROUP BY 1)
+SELECT round(corr(da.k, db.k), 6) AS r
+FROM adj j JOIN deg da ON da.node = j.a JOIN deg db ON db.node = j.b
+"""
+
+
+def q_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity: the fraction of links whose reverse
+    link also exists (mutual-citation rate) — one bucketed co-location
+    on the canonical (lo, hi) pair collapsing each pair to
+    direction-presence bits, then counting 2 x mutual pairs against
+    the directed total."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["src"].to_numpy(np.int64)
+        d = df["dst"].to_numpy(np.int64)
+        return pd.DataFrame({"lo": np.minimum(s, d),
+                             "hi": np.maximum(s, d),
+                             "fwd": (s < d), "bwd": (s > d)}) \
+            .groupby(["lo", "hi"], sort=False).any().reset_index()
+
+    empty = pd.DataFrame({"mutual": pd.Series([], dtype="int64"),
+                          "total": pd.Series([], dtype="int64")})
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lo", "hi"], sort=False)[["fwd", "bwd"]].any()
+        both = int((g["fwd"] & g["bwd"]).sum())
+        total = int(g["fwd"].sum()) + int(g["bwd"].sum())
+        return pd.DataFrame({"mutual": [np.int64(both)],
+                             "total": [np.int64(total)]})
+
+    p = bucketed_map_groups(
+        edges.map_batches(canon, batch_format="pandas"),
+        ["lo", "hi"], collapse, num_buckets=32,
+        empty_like=empty).to_pandas()
+    return pd.DataFrame({"reciprocity":
+                         [np.round(2.0 * p["mutual"].sum()
+                                   / p["total"].sum(), 6)]})
+
+
+SQL_RECIPROCITY = f"""
+WITH {_SQL_EDGES_CTE}
+SELECT round(count(*) FILTER (WHERE EXISTS (
+           SELECT 1 FROM edges r
+           WHERE r.src = e.dst AND r.dst = e.src))::DOUBLE
+       / count(*), 6) AS reciprocity
+FROM edges e
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -8645,6 +8811,9 @@ QUERIES = {
     "systematic_sample": q_systematic_sample,
     "user_active_time": q_user_active_time,
     "twap_user": q_twap_user,
+    "clustering_coeff": q_clustering_coeff,
+    "assortativity": q_assortativity,
+    "reciprocity": q_reciprocity,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -8828,6 +8997,9 @@ ORACLES = {
     "systematic_sample": SQL_SYSTEMATIC_SAMPLE,
     "user_active_time": SQL_USER_ACTIVE_TIME,
     "twap_user": SQL_TWAP_USER,
+    "clustering_coeff": SQL_CLUSTERING_COEFF,
+    "assortativity": SQL_ASSORTATIVITY,
+    "reciprocity": SQL_RECIPROCITY,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -88,6 +88,9 @@ PINNED = [
     "systematic_sample",
     "user_active_time",
     "twap_user",
+    "clustering_coeff",
+    "assortativity",
+    "reciprocity",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

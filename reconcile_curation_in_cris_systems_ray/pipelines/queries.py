@@ -8611,6 +8611,66 @@ FROM edges e
 """
 
 
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplicate-lead rate — share of documents whose
+    8-token opening prefix recurs elsewhere in the corpus (the cheap
+    near-dup telemetry a curation dashboard tracks per provider;
+    exact-body dup rate is zero on this corpus by construction, the
+    prefix grain is where the planted near-dups collide).  One digest
+    co-location shuffle marks recurring prefixes; per-source rates
+    come from the shuffle-free combiner."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _rp(sf_dir, "documents", ["text", "source"])
+
+    def digests(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df["text"].astype("string").fillna("").str.lower()
+                .str.findall(r"[a-z0-9]+").str[:8].str.join(" "))
+        return pd.DataFrame({"source": df["source"].to_numpy(object),
+                             "dig": toks.to_numpy(object)})
+
+    empty = pd.DataFrame({"source": pd.Series([], dtype="object"),
+                          "n_docs": pd.Series([], dtype="int64"),
+                          "n_dup": pd.Series([], dtype="int64")})
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby("dig", sort=False)["dig"].transform("size")
+        out = pd.DataFrame({"source": df["source"].to_numpy(object),
+                            "dup": (c > 1).to_numpy()})
+        g = out.groupby("source", sort=False)["dup"]
+        return pd.DataFrame({"n_docs": g.size(),
+                             "n_dup": g.sum().astype(np.int64)}) \
+            .reset_index()
+
+    per_src = rel.partial_groupby_agg(
+        bucketed_map_groups(
+            docs.map_batches(digests, batch_format="pandas"),
+            ["dig"], mark, num_buckets=64, empty_like=empty),
+        ["source"], {"n_docs": ("n_docs", "sum"),
+                     "n_dup": ("n_dup", "sum")})
+    per_src["dup_rate"] = np.round(
+        per_src["n_dup"].to_numpy(np.float64)
+        / per_src["n_docs"].to_numpy(np.float64), 6)
+    return per_src
+
+
+SQL_DUP_RATE_BY_SOURCE = r"""
+WITH h AS (SELECT source,
+           array_to_string((regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z0-9]+'))[1:8],
+                           ' ') AS dig
+           FROM documents),
+g AS (SELECT dig, count(*) AS c FROM h GROUP BY 1)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE g.c > 1) AS n_dup,
+       round(count(*) FILTER (WHERE g.c > 1)::DOUBLE / count(*), 6)
+           AS dup_rate
+FROM h JOIN g USING (dig)
+GROUP BY source
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -8814,6 +8874,7 @@ QUERIES = {
     "clustering_coeff": q_clustering_coeff,
     "assortativity": q_assortativity,
     "reciprocity": q_reciprocity,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -9000,6 +9061,7 @@ ORACLES = {
     "clustering_coeff": SQL_CLUSTERING_COEFF,
     "assortativity": SQL_ASSORTATIVITY,
     "reciprocity": SQL_RECIPROCITY,
+    "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -91,6 +91,7 @@ PINNED = [
     "clustering_coeff",
     "assortativity",
     "reciprocity",
+    "dup_rate_by_source",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

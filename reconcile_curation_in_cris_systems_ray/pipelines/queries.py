@@ -8671,6 +8671,157 @@ GROUP BY source
 """
 
 
+def q_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test for randomness of the above/below-
+    median value sequence in global time order — runs counted from
+    the cross-block LEAD (a run boundary is a sign transition), the
+    z statistic from the closed form.  One quantile pass + one scan +
+    narrow combiners."""
+    from ..stages.scan import global_scan
+    from ..stages.temporal import quantile_agg
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "value"])
+    med = quantile_agg(
+        ev.map_batches(lambda df: df.assign(g=np.int64(0)),
+                       batch_format="pandas"),
+        ["g"], "value", {"m": 0.5})
+    if hasattr(med, "to_pandas"):
+        med = med.to_pandas()
+    m = float(med["m"].iloc[0])
+
+    def signs(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        keep = v != m
+        return pd.DataFrame({
+            "t": df["ts"].to_numpy()[keep],
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "sgn": (v[keep] > m).astype(np.int64)})
+
+    scanned = global_scan(ev.map_batches(signs, batch_format="pandas"),
+                          ["t", "event_id"], "sgn", "cum",
+                          lead_of="sgn", lead_col="nxt")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["sgn"].to_numpy(np.int64)
+        nx = df["nxt"].to_numpy(dtype=np.float64)  # null -> nan (last row)
+        trans = int(((~np.isnan(nx)) & (nx != s)).sum())
+        return pd.DataFrame({"trans": [np.int64(trans)],
+                             "n1": [np.int64((s == 1).sum())],
+                             "n2": [np.int64((s == 0).sum())]})
+
+    p = scanned.map_batches(partial, batch_format="pandas") \
+        .to_pandas().sum()
+    runs = float(p["trans"]) + 1.0
+    n1, n2 = float(p["n1"]), float(p["n2"])
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1
+    var = (2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1.0)))
+    return pd.DataFrame({"runs": [np.int64(runs)],
+                         "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+                         "z": [np.round((runs - mu) / np.sqrt(var), 6)]})
+
+
+SQL_RUNS_TEST = """
+WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+s AS (SELECT (value > (SELECT m FROM med)) AS pos, ts, event_id
+      FROM events WHERE value <> (SELECT m FROM med)),
+o AS (SELECT pos, lag(pos) OVER (ORDER BY ts, event_id) AS prev FROM s),
+agg AS (SELECT count(*) FILTER (WHERE prev IS NULL OR pos <> prev)
+               AS runs,
+               count(*) FILTER (WHERE pos) AS n1,
+               count(*) FILTER (WHERE NOT pos) AS n2
+        FROM o)
+SELECT runs, n1, n2,
+       round((runs - (2.0*n1*n2/(n1+n2) + 1))
+             / sqrt(2.0*n1*n2*(2.0*n1*n2 - n1 - n2)
+                    / ((n1+n2)*(n1+n2)*(n1+n2-1.0))), 6) AS z
+FROM agg
+"""
+
+
+def q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U (click vs view values) with tie-averaged pooled
+    ranks — the nonparametric location test: per-value (n_click,
+    n_view) cells via the combiner, END ranks from the keyless scan
+    over the distinct-value order, tie-block average rank in closed
+    form (B + (cnt+1)/2), U = Σ n_click·avgrank − n1(n1+1)/2."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "view"])]
+        g = (df.assign(c1=df["event_type"].eq("click"),
+                       c2=df["event_type"].eq("view"))
+             .groupby("value", sort=False)[["c1", "c2"]].sum()
+             .astype(np.int64).reset_index())
+        return g
+
+    per_value = rel.partial_groupby_agg(
+        ev.map_batches(cells, batch_format="pandas"),
+        ["value"], {"c1": ("c1", "sum"), "c2": ("c2", "sum")})
+    per_value["cnt"] = per_value["c1"] + per_value["c2"]
+    import ray.data as rd
+
+    scanned = global_scan(rd.from_pandas(per_value), ["value"],
+                          "cnt", "cum")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].to_numpy(np.float64)
+        avg = df["cum"].to_numpy(np.float64) - cnt + (cnt + 1) / 2.0
+        return pd.DataFrame({
+            "rsum": [(df["c1"].to_numpy(np.float64) * avg).sum()],
+            "n1": [np.int64(df["c1"].sum())],
+            "n2": [np.int64(df["c2"].sum())]})
+
+    p = scanned.map_batches(partial, batch_format="pandas") \
+        .to_pandas().sum()
+    n1 = float(p["n1"])
+    return pd.DataFrame({"n1": [np.int64(p["n1"])],
+                         "n2": [np.int64(p["n2"])],
+                         "u": [np.round(float(p["rsum"])
+                                        - n1 * (n1 + 1) / 2.0, 6)]})
+
+
+SQL_MANN_WHITNEY = """
+WITH p AS (SELECT value, event_type FROM events
+           WHERE event_type IN ('click', 'view')),
+r AS (SELECT value, event_type,
+             avg(rn) OVER (PARTITION BY value) AS ar
+      FROM (SELECT value, event_type,
+                   row_number() OVER (ORDER BY value, event_type) AS rn
+            FROM p)),
+agg AS (SELECT sum(ar) FILTER (WHERE event_type = 'click') AS rsum,
+               count(*) FILTER (WHERE event_type = 'click') AS n1,
+               count(*) FILTER (WHERE event_type = 'view') AS n2
+        FROM r)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       round(rsum - n1*(n1+1)/2.0, 6) AS u
+FROM agg
+"""
+
+
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN over the embedding table
+    (stages/ann.py::pq_topk): 64-dim floats compressed to 8 uint8
+    codes, ADC lookup-table scan, per-batch partial top-k — the
+    memory-compression scale path beside ann_ivf.  Rows-only at the
+    driver; recall vs the exact euclidean top-k pinned in
+    tests/test_ann_pq.py."""
+    from ..stages.ann import _as_matrix, pq_topk
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    probe = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 5)),
+        batch_format="pyarrow").take_all()
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64)
+                        for r in sorted(probe,
+                                        key=lambda r: r["vec_id"])])
+    # i.i.d. embeddings are PQ's hard case (no cluster structure):
+    # 16 subspaces x 64 centroids measured mean recall@10 ~0.6 here
+    return pq_topk(emb, queries, k=10, m_sub=16, n_cent=64, train_n=512)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -8875,6 +9026,9 @@ QUERIES = {
     "assortativity": q_assortativity,
     "reciprocity": q_reciprocity,
     "dup_rate_by_source": q_dup_rate_by_source,
+    "runs_test": q_runs_test,
+    "mann_whitney": q_mann_whitney,
+    "ann_pq": q_ann_pq,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -9062,6 +9216,8 @@ ORACLES = {
     "assortativity": SQL_ASSORTATIVITY,
     "reciprocity": SQL_RECIPROCITY,
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
+    "runs_test": SQL_RUNS_TEST,
+    "mann_whitney": SQL_MANN_WHITNEY,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -190,3 +190,101 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_centroids: int = 16,
         partial, batch_format="pyarrow")
     return topk_per_group(partials, ["query_id"], "score", k,
                           descending=True, num_buckets=16)
+
+
+def pq_topk(ds, queries: np.ndarray, k: int = 10, m_sub: int = 8,
+            n_cent: int = 16, train_n: int = 256, iters: int = 8,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Product-quantization ANN (Jegou, Douze & Schmid 2011) — the
+    memory-compression scale path next to IVF: vectors become m_sub
+    uint8 codes (64 dims -> 8 bytes here), queries scan codes with
+    per-subspace lookup tables (ADC), exact distances never touch the
+    raw matrix after encoding.
+
+    Training follows PQ practice: a deterministic sample (the
+    ``train_n`` smallest stable-hashed ids — the IVF-centroid
+    discipline) is broadcast once and each subspace's codebook is
+    Lloyd-iterated on the driver (train_n x dims/m_sub floats — tiny);
+    encode and query are map-only over the broadcast codebooks.
+    Returns (query_id, vec_id, score) with score = NEGATED ADC
+    distance so the shared top-k keeps the nearest."""
+    from ..functions.similarity import stable_hash_strings
+    from .relational import topk_per_group
+
+    def cand(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).cast(pa.string()).to_pandas() \
+            .to_numpy(dtype=object)
+        h = stable_hash_strings(ids).view(np.int64)
+        kk = min(train_n, len(batch))
+        sel = np.argpartition(h, kk - 1)[:kk] if len(batch) > kk \
+            else np.arange(len(batch))
+        return pa.table({
+            "h": pa.array(h[sel]),
+            "vec": pa.array([v.tobytes() for v in
+                             _as_matrix(batch.column(vec_col))[sel]],
+                            pa.binary())})
+
+    rows = (ds.select_columns([id_col, vec_col])
+            .map_batches(cand, batch_format="pyarrow")
+            .sort("h").limit(train_n).take_all())
+    train = np.stack([np.frombuffer(r["vec"], dtype=np.float64)
+                      for r in rows])
+    d = train.shape[1]
+    sub_d = d // m_sub
+
+    books = []
+    for j in range(m_sub):
+        X = train[:, j * sub_d:(j + 1) * sub_d]
+        C = X[:n_cent].copy()          # deterministic init: sample order
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(n_cent):
+                m = a == c
+                if m.any():
+                    C[c] = X[m].mean(axis=0)
+        books.append(C)
+    books_ref = ray.put(np.stack(books))          # (m_sub, n_cent, sub_d)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        B = ray.get(books_ref)
+        X = _as_matrix(batch.column(vec_col))
+        cols = {"vec_id": batch.column(id_col)}
+        for j in range(m_sub):
+            S = X[:, j * sub_d:(j + 1) * sub_d]
+            d2 = ((S[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            cols[f"c{j}"] = pa.array(d2.argmin(axis=1).astype(np.uint8))
+        return pa.table(cols)
+
+    codes = ds.select_columns([id_col, vec_col]).map_batches(
+        encode, batch_format="pyarrow")
+
+    qm = np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put(qm)
+
+    def adc(batch: pa.Table) -> pa.Table:
+        B = ray.get(books_ref)
+        Q = ray.get(q_ref)
+        nq = Q.shape[0]
+        # per-query LUT: (nq, m_sub, n_cent)
+        lut = np.stack([((Q[:, j * sub_d:(j + 1) * sub_d][:, None, :]
+                          - B[j][None, :, :]) ** 2).sum(axis=2)
+                        for j in range(m_sub)], axis=1)
+        n = batch.num_rows
+        dist = np.zeros((n, nq))
+        for j in range(m_sub):
+            cj = batch.column(f"c{j}").to_numpy(zero_copy_only=False)
+            dist += lut[:, j, :][:, cj].T        # (n, nq)
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        kk = min(k, n)
+        top = np.argpartition(dist, kk - 1, axis=0)[:kk]
+        out_q = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        out_idx = top.T.reshape(-1)
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "vec_id": pa.array(ids[out_idx]),
+            "score": pa.array(-dist[out_idx, out_q])})
+
+    partials = codes.map_batches(adc, batch_format="pyarrow")
+    return topk_per_group(partials, ["query_id"], "score", k,
+                          descending=True, num_buckets=16)

@@ -92,6 +92,8 @@ PINNED = [
     "assortativity",
     "reciprocity",
     "dup_rate_by_source",
+    "runs_test",
+    "mann_whitney",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -8822,6 +8822,163 @@ def q_ann_pq(sf_dir: str):
     return pq_topk(emb, queries, k=10, m_sub=16, n_cent=64, train_n=512)
 
 
+def q_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis H across all five event types (tie-corrected) —
+    mann_whitney's k-group generalization on the same plan: per-value
+    per-group cells via the combiner, END ranks from the keyless scan,
+    tie-block average ranks and the tie term Σ(c³−c) in closed form."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        x = pd.crosstab(df["value"], df["event_type"])
+        x = x.reindex(columns=types, fill_value=0).astype(np.int64)
+        return x.reset_index()
+
+    per_value = rel.partial_groupby_agg(
+        ev.map_batches(cells, batch_format="pandas"),
+        ["value"], {t: (t, "sum") for t in types})
+    per_value["cnt"] = per_value[types].sum(axis=1)
+    import ray.data as rd
+
+    scanned = global_scan(rd.from_pandas(per_value), ["value"],
+                          "cnt", "cum")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].to_numpy(np.float64)
+        avg = df["cum"].to_numpy(np.float64) - cnt + (cnt + 1) / 2.0
+        out = {"tt": [(cnt ** 3 - cnt).sum()], "n": [np.int64(cnt.sum())]}
+        for t in types:
+            c = df[t].to_numpy(np.float64)
+            out[f"r_{t}"] = [(c * avg).sum()]
+            out[f"n_{t}"] = [np.int64(c.sum())]
+        return pd.DataFrame(out)
+
+    p = scanned.map_batches(partial, batch_format="pandas") \
+        .to_pandas().sum()
+    n = float(p["n"])
+    h0 = (12.0 / (n * (n + 1.0))
+          * sum(float(p[f"r_{t}"]) ** 2 / float(p[f"n_{t}"])
+                for t in types)
+          - 3.0 * (n + 1.0))
+    h = h0 / (1.0 - float(p["tt"]) / (n ** 3 - n))
+    return pd.DataFrame({"h": [np.round(h, 6)]})
+
+
+SQL_KRUSKAL_WALLIS = """
+WITH r AS (SELECT event_type, value,
+                  avg(rn) OVER (PARTITION BY value) AS ar
+           FROM (SELECT event_type, value,
+                        row_number() OVER (ORDER BY value, event_type,
+                                           event_id) AS rn
+                 FROM events)),
+g AS (SELECT event_type, count(*) AS ni, sum(ar) AS ri FROM r GROUP BY 1),
+n AS (SELECT count(*) AS nn FROM events),
+ties AS (SELECT sum(c*c*c - c) AS tt FROM
+         (SELECT count(*) AS c FROM events GROUP BY value)),
+h AS (SELECT 12.0/((SELECT nn FROM n)*((SELECT nn FROM n)+1.0))
+             * sum(ri*ri/ni) - 3.0*((SELECT nn FROM n)+1.0) AS h0 FROM g)
+SELECT round(h0 / (1.0 - (SELECT tt FROM ties)::DOUBLE
+                   / (pow((SELECT nn FROM n), 3)
+                      - (SELECT nn FROM n))), 6) AS h
+FROM h
+"""
+
+
+def q_autocorr_lag1(sf_dir: str):
+    """Lag-1 autocorrelation of the value series in global time order
+    — consecutive pairs come from the cross-block LEAD (one scalar per
+    block boundary), correlation from centered two-pass moment
+    partials (house float discipline)."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "value"])
+    scanned = global_scan(
+        ev.map_batches(
+            lambda df: pd.DataFrame({"t": df["ts"],
+                                     "event_id": df["event_id"],
+                                     "v": df["value"]
+                                     .to_numpy(np.float64)}),
+            batch_format="pandas"),
+        ["t", "event_id"], "v", "cum", lead_of="v", lead_col="nxt")
+
+    def m1(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["nxt"].notna()
+        x = df.loc[ok, "v"].to_numpy(np.float64)
+        y = df.loc[ok, "nxt"].to_numpy(np.float64)
+        return pd.DataFrame({"n": [np.int64(len(x))],
+                             "sx": [x.sum()], "sy": [y.sum()]})
+
+    s1 = scanned.map_batches(m1, batch_format="pandas").to_pandas().sum()
+    n = float(s1["n"])
+    mx, my = float(s1["sx"]) / n, float(s1["sy"]) / n
+
+    def m2(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["nxt"].notna()
+        dx = df.loc[ok, "v"].to_numpy(np.float64) - mx
+        dy = df.loc[ok, "nxt"].to_numpy(np.float64) - my
+        return pd.DataFrame({"sxy": [(dx * dy).sum()],
+                             "sxx": [(dx * dx).sum()],
+                             "syy": [(dy * dy).sum()]})
+
+    s2 = scanned.map_batches(m2, batch_format="pandas").to_pandas().sum()
+    r1 = float(s2["sxy"]) / np.sqrt(float(s2["sxx"]) * float(s2["syy"]))
+    return pd.DataFrame({"r1": [np.round(r1, 6)]})
+
+
+SQL_AUTOCORR_LAG1 = """
+WITH s AS (SELECT value,
+                  lead(value) OVER (ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT round(corr(value, nxt), 6) AS r1 FROM s WHERE nxt IS NOT NULL
+"""
+
+
+def q_chisq_independence(sf_dir: str):
+    """Chi-square independence test of the lang x source contingency
+    (+ dof) — cond_entropy's hypothesis-test sibling: one cell
+    combiner, dense grid with zero cells, closed form on the bounded
+    frame (integer expected-count numerators keep the mirror exact)."""
+    docs = _rp(sf_dir, "documents", ["source", "lang"])
+
+    cell = rel.partial_groupby_agg(
+        docs.map_batches(
+            lambda df: df.groupby(["source", "lang"], sort=False)
+            .size().reset_index(name="c"),
+            batch_format="pandas"),
+        ["source", "lang"], {"c": ("c", "sum")})
+    grid = cell.pivot_table(index="source", columns="lang", values="c",
+                            fill_value=0, aggfunc="sum")
+    O = grid.to_numpy(np.float64)
+    nd = O.sum()
+    nr = O.sum(axis=1)
+    nc = O.sum(axis=0)
+    E = nr[:, None] * nc[None, :] / nd
+    chi2 = ((O - E) ** 2 / E).sum()
+    dof = (len(nr) - 1) * (len(nc) - 1)
+    return pd.DataFrame({"chi2": [np.round(chi2, 6)],
+                         "dof": [np.int64(dof)]})
+
+
+SQL_CHISQ_INDEPENDENCE = """
+WITH cell AS (SELECT source, lang, count(*) AS c
+              FROM documents GROUP BY 1, 2),
+rs AS (SELECT source, sum(c) AS nr FROM cell GROUP BY 1),
+cs AS (SELECT lang, sum(c) AS nc FROM cell GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+grid AS (SELECT r.source, l.lang, r.nr, l.nc, coalesce(c.c, 0) AS o
+         FROM rs r CROSS JOIN cs l
+         LEFT JOIN cell c ON c.source = r.source AND c.lang = l.lang)
+SELECT round(sum(pow(o - nr*nc/(SELECT nd FROM n)::DOUBLE, 2)
+              / (nr*nc/(SELECT nd FROM n)::DOUBLE)), 6) AS chi2,
+       CAST(((SELECT count(*) FROM rs) - 1)
+            * ((SELECT count(*) FROM cs) - 1) AS BIGINT) AS dof
+FROM grid
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -9029,6 +9186,9 @@ QUERIES = {
     "runs_test": q_runs_test,
     "mann_whitney": q_mann_whitney,
     "ann_pq": q_ann_pq,
+    "kruskal_wallis": q_kruskal_wallis,
+    "autocorr_lag1": q_autocorr_lag1,
+    "chisq_independence": q_chisq_independence,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -9218,6 +9378,9 @@ ORACLES = {
     "dup_rate_by_source": SQL_DUP_RATE_BY_SOURCE,
     "runs_test": SQL_RUNS_TEST,
     "mann_whitney": SQL_MANN_WHITNEY,
+    "kruskal_wallis": SQL_KRUSKAL_WALLIS,
+    "autocorr_lag1": SQL_AUTOCORR_LAG1,
+    "chisq_independence": SQL_CHISQ_INDEPENDENCE,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

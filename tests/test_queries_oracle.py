@@ -94,6 +94,9 @@ PINNED = [
     "dup_rate_by_source",
     "runs_test",
     "mann_whitney",
+    "kruskal_wallis",
+    "autocorr_lag1",
+    "chisq_independence",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -8979,6 +8979,101 @@ FROM grid
 """
 
 
+def q_match_transitivity(sf_dir: str):
+    """Global transitivity (the graph-level clustering coefficient,
+    3·triangles / wedges) of the link graph — the ER diagnostic for
+    how internally consistent a match graph is before transitive
+    closure (low transitivity = closure will glue weakly-supported
+    chains).  Triangles from the existing wedge-close plan, wedges
+    Σ C(k,2) from the incidence-degree combiner."""
+    from ..stages.graph import triangle_count, undirected_edges
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    und = undirected_edges(edges)
+
+    def node_deg(df: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.Series(np.concatenate(
+            [df["lo"].to_numpy(np.int64),
+             df["hi"].to_numpy(np.int64)])).value_counts()
+        return pd.DataFrame({"node": vc.index.to_numpy(np.int64),
+                             "k": vc.to_numpy(np.int64)})
+
+    deg = rel.partial_groupby_agg(
+        und.map_batches(node_deg, batch_format="pandas"),
+        ["node"], {"k": ("k", "sum")})
+    k = deg["k"].to_numpy(np.float64)
+    wedges = (k * (k - 1) / 2).sum()
+    tri = triangle_count(edges)
+    return pd.DataFrame({"transitivity":
+                         [np.round(3.0 * tri / wedges, 6)]})
+
+
+SQL_MATCH_TRANSITIVITY = f"""
+WITH {_SQL_EDGES_CTE},
+undg AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v FROM edges
+         GROUP BY 1, 2),
+adj AS (SELECT u AS a, v AS b FROM undg UNION ALL SELECT v, u FROM undg),
+deg AS (SELECT a AS node, count(*) AS k FROM adj GROUP BY 1),
+wedges AS (SELECT sum(k * (k - 1) / 2) AS w FROM deg),
+tri AS (SELECT count(*) AS t FROM undg e1
+        JOIN undg e2 ON e2.u = e1.v
+        JOIN undg e3 ON e3.u = e1.u AND e3.v = e2.v)
+SELECT round(3.0 * (SELECT t FROM tri) / (SELECT w FROM wedges), 6)
+       AS transitivity
+"""
+
+
+def q_cohens_kappa(sf_dir: str):
+    """Cohen's kappa between the language truth and a deterministic
+    pseudo-prediction (the i-th distinct lang by doc_id mod 5 — the
+    link-graph fixture discipline) — chance-corrected agreement, the
+    classifier-evaluation metric beside the clustering metrics: one
+    confusion-cell combiner, closed form on the bounded frame."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang"])
+
+    langs = sorted(docs.unique("lang"))
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        pred = pd.Series([langs[i % 5] for i in
+                          df["doc_id"].to_numpy(np.int64) % 5],
+                         dtype=object)
+        g = pd.DataFrame({"truth": df["lang"].to_numpy(object),
+                          "pred": pred.to_numpy(object)})
+        return g.groupby(["truth", "pred"], sort=False).size() \
+            .reset_index(name="c")
+
+    cell = rel.partial_groupby_agg(
+        docs.map_batches(cells, batch_format="pandas"),
+        ["truth", "pred"], {"c": ("c", "sum")})
+    nd = float(cell["c"].sum())
+    po = float(cell.loc[cell["truth"] == cell["pred"], "c"].sum()) / nd
+    t_tot = cell.groupby("truth")["c"].sum()
+    p_tot = cell.groupby("pred")["c"].sum()
+    common = t_tot.index.intersection(p_tot.index)
+    pe = float((t_tot[common].to_numpy(np.float64)
+                * p_tot[common].to_numpy(np.float64)).sum()) / (nd * nd)
+    return pd.DataFrame({"kappa": [np.round((po - pe) / (1.0 - pe), 6)]})
+
+
+SQL_COHENS_KAPPA = """
+WITH langs AS (SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS i
+               FROM (SELECT DISTINCT lang FROM documents)),
+p AS (SELECT d.lang AS truth, l.lang AS pred
+      FROM documents d JOIN langs l ON l.i = d.doc_id % 5),
+n AS (SELECT count(*) AS nd FROM p),
+po AS (SELECT count(*) FILTER (WHERE truth = pred)::DOUBLE
+              / (SELECT nd FROM n) AS po FROM p),
+m AS (SELECT t.c::DOUBLE * pr.c / ((SELECT nd FROM n)::DOUBLE
+                                   * (SELECT nd FROM n)) AS pe_part
+      FROM (SELECT truth AS l, count(*) AS c FROM p GROUP BY 1) t
+      JOIN (SELECT pred AS l, count(*) AS c FROM p GROUP BY 1) pr
+        USING (l)),
+pe AS (SELECT sum(pe_part) AS pe FROM m)
+SELECT round(((SELECT po FROM po) - (SELECT pe FROM pe))
+             / (1.0 - (SELECT pe FROM pe)), 6) AS kappa
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -9189,6 +9284,8 @@ QUERIES = {
     "kruskal_wallis": q_kruskal_wallis,
     "autocorr_lag1": q_autocorr_lag1,
     "chisq_independence": q_chisq_independence,
+    "match_transitivity": q_match_transitivity,
+    "cohens_kappa": q_cohens_kappa,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -9381,6 +9478,8 @@ ORACLES = {
     "kruskal_wallis": SQL_KRUSKAL_WALLIS,
     "autocorr_lag1": SQL_AUTOCORR_LAG1,
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,
+    "match_transitivity": SQL_MATCH_TRANSITIVITY,
+    "cohens_kappa": SQL_COHENS_KAPPA,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -97,6 +97,8 @@ PINNED = [
     "kruskal_wallis",
     "autocorr_lag1",
     "chisq_independence",
+    "match_transitivity",
+    "cohens_kappa",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -507,3 +507,118 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     # popcount via byte-view lookup (numpy<2 has no bit_count ufunc)
     byte_counts = np.unpackbits(x.view(np.uint8)).reshape(x.size, 8 * 8)
     return byte_counts.sum(axis=1)
+
+
+# --------------------------------------------------------------------------
+# Byte-matrix string kernels: bounded-distance Damerau-Levenshtein and
+# character-set Jaccard.  Both operate on a padded (n, W) uint8 matrix
+# built in ONE vectorized pass (no Python loop over rows), so a
+# map_batches verify stage stays numpy-bound.  Contract: 1-byte-per-char
+# encodable text (latin-1; chars > U+00FF are replaced) with no NUL
+# bytes — the webtext/TPC-H name columns these serve are ASCII.
+# --------------------------------------------------------------------------
+
+def byte_matrix(strings, width: int | None = None
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Padded (n, W) uint8 byte matrix + per-row lengths for a string
+    series.  Right-padded with NUL; latin-1 keeps one byte per char so
+    column j is character j for every row."""
+    s = pd.Series(strings).astype("string").fillna("")
+    lens = s.str.len().to_numpy(np.int64)
+    n = len(s)
+    w = int(lens.max()) if n and lens.size else 0
+    if width is not None:
+        w = max(w, width)
+    if w == 0 or n == 0:
+        return np.zeros((n, w), np.uint8), lens
+    padded = s.str.pad(w, side="right", fillchar="\x00")
+    buf = "".join(padded.tolist()).encode("latin-1", errors="replace")
+    return np.frombuffer(buf, np.uint8).reshape(n, w).copy(), lens
+
+
+def damerau_leq1(a, b) -> np.ndarray:
+    """Row-wise full Damerau-Levenshtein distance CAPPED at 1: returns
+    0, 1, or 2 (meaning "> 1") per pair.  At threshold 1 the full DL
+    metric (DuckDB ``damerau_levenshtein``, Lowrance-Wagner 1975) has a
+    closed form — equal length: one substitution OR one adjacent
+    transposition; length diff 1: one indel (prefix+suffix match covers
+    the shorter string); else > 1 — so no DP matrix is needed and the
+    whole pair batch vectorizes.  Parity with DuckDB is pinned in
+    tests/test_similarity.py on randomized mutation pairs."""
+    sa = pd.Series(a).astype("string").fillna("")
+    sb = pd.Series(b).astype("string").fillna("")
+    n = len(sa)
+    out = np.full(n, 2, dtype=np.int64)
+    if n == 0:
+        return out
+    la = sa.str.len().to_numpy(np.int64)
+    lb = sb.str.len().to_numpy(np.int64)
+    w = int(max(la.max(), lb.max(), 1))
+    A, _ = byte_matrix(sa, width=w)
+    B, _ = byte_matrix(sb, width=w)
+
+    eqlen = la == lb
+    if eqlen.any():
+        Ae, Be = A[eqlen], B[eqlen]
+        neq = Ae != Be                       # padding compares equal
+        m = neq.sum(axis=1)
+        i1 = neq.argmax(axis=1)
+        second = neq & (np.cumsum(neq, axis=1) == 2)
+        i2 = second.argmax(axis=1)
+        r = np.arange(len(Ae))
+        swapped = ((m == 2) & (i2 == i1 + 1)
+                   & (Ae[r, i1] == Be[r, i2]) & (Ae[r, i2] == Be[r, i1]))
+        out[eqlen] = np.where(m == 0, 0,
+                              np.where((m == 1) | swapped, 1, 2))
+
+    gap = np.abs(la - lb) == 1
+    if gap.any():
+        Ag, Bg = A[gap], B[gap]
+        lag, lbg = la[gap], lb[gap]
+        longer_b = (lbg > lag)[:, None]
+        L = np.where(longer_b, Bg, Ag)
+        S = np.where(longer_b, Ag, Bg)
+        ls = np.minimum(lag, lbg)
+        idx = np.arange(w)
+        valid = idx[None, :] < ls[:, None]
+        # p: leading equal run of S vs L
+        neq_d = (S != L) & valid
+        p = np.where(neq_d.any(axis=1), neq_d.argmax(axis=1), ls)
+        # t: trailing equal run of S[j] vs L[j+1] ending at ls-1
+        neq_s = (S[:, : w - 1] != L[:, 1:]) & valid[:, : w - 1]
+        cand = np.where(neq_s, idx[None, : w - 1], -1).max(axis=1) \
+            if w > 1 else np.full(len(S), -1, np.int64)
+        t = ls - 1 - cand
+        out[gap] = np.where(p + t >= ls, 1, 2)
+    return out
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def charset_masks(strings) -> np.ndarray:
+    """(n, 4) uint64 bitmask of each string's DISTINCT byte set —
+    the exact set DuckDB's ``jaccard()`` compares (char-set Jaccard,
+    case-sensitive).  Bit 0 of word 0 (NUL, the pad byte) is always
+    cleared; real text never contains NUL."""
+    M, _ = byte_matrix(strings)
+    n = len(M)
+    masks = np.zeros((n, 4), dtype=np.uint64)
+    if M.shape[1] == 0:
+        return masks
+    word = M >> 6
+    bit = np.uint64(1) << (M & np.uint8(63)).astype(np.uint64)
+    for wd in range(4):
+        sel = np.where(word == wd, bit, np.uint64(0))
+        masks[:, wd] = np.bitwise_or.reduce(sel, axis=1)
+    masks[:, 0] &= ~np.uint64(1)
+    return masks
+
+
+def popcount_rows(x: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a (n, k) uint64 array (byte-LUT; numpy<2
+    has no bit_count ufunc)."""
+    if x.size == 0:
+        return np.zeros(x.shape[0], dtype=np.int64)
+    b = x.view(np.uint8).reshape(x.shape[0], -1)
+    return _POP8[b].sum(axis=1, dtype=np.int64)

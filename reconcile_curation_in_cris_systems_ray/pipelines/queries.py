@@ -9074,6 +9074,162 @@ SELECT round(((SELECT po FROM po) - (SELECT pe FROM pe))
 """
 
 
+def q_damerau_join(sf_dir: str):
+    """Damerau-Levenshtein <= 1 similarity self-join over customer
+    names via DELETION-NEIGHBORHOOD blocking (FastSS, Bocek et al.
+    2007 / SymSpell): each name emits itself plus its L one-deletion
+    variants; any pair within full DL 1 (substitution, adjacent
+    transposition, or single indel) provably shares a variant, so
+    candidates are pairs co-located on a variant key and NO brute
+    cross join ever forms.  Verification is the vectorized closed-form
+    capped-DL kernel (functions/similarity.py::damerau_leq1, DuckDB
+    parity fuzz-pinned).
+
+    The 10^12-row shape: variant emission is a narrow map (L+1 short
+    rows per name); candidate generation is ONE bucketed shuffle on
+    the variant string whose group sizes are bounded by the deletion
+    neighborhood's fan-in (~alphabet x positions, not corpus size); a
+    skewed variant would route through the salted pair generator the
+    flagship uses.  Complements edit_join (Levenshtein q-gram prefix
+    filtering) with the transposition-aware metric ER actually wants
+    for typo'd names."""
+    from ..functions.similarity import damerau_leq1
+    from ..stages.relational import hash_join
+    from ..stages.shuffle import bucketed_map_groups
+
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["c_name"].astype("string").fillna("")
+        keys = df["c_custkey"].to_numpy(np.int64)
+        parts = [pd.DataFrame({"v": s.to_numpy(object), "k": keys})]
+        w = int(s.str.len().max() or 0)
+        for i in range(w):
+            m = (s.str.len() > i).to_numpy()
+            if not m.any():
+                continue
+            d = (s.str.slice(0, i) + s.str.slice(i + 1))[m]
+            parts.append(pd.DataFrame({"v": d.to_numpy(object),
+                                       "k": keys[m]}))
+        return pd.concat(parts, ignore_index=True).drop_duplicates()
+
+    var = ds.map_batches(variants, batch_format="pandas")
+
+    def var_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_i, out_j = [], []
+        for _, grp in df.groupby("v", sort=False)["k"]:
+            if len(grp) < 2:
+                continue
+            a = np.sort(grp.to_numpy(np.int64))
+            iu, ju = np.triu_indices(len(a), 1)
+            out_i.append(a[iu])
+            out_j.append(a[ju])
+        if not out_i:
+            return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                 "j": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"i": np.concatenate(out_i),
+                             "j": np.concatenate(out_j)})
+
+    cand = bucketed_map_groups(var, ["v"], var_pairs, num_buckets=32)
+    cand = bucketed_map_groups(
+        cand, ["i", "j"],
+        lambda df: df.drop_duplicates(["i", "j"]), num_buckets=16)
+
+    def _rename(col_k: str, col_n: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                col_k: df["c_custkey"].astype("int64"),
+                col_n: df["c_name"].astype(object)})
+        return fn
+
+    na = ds.map_batches(_rename("i", "n_i"), batch_format="pandas")
+    nb = ds.map_batches(_rename("j", "n_j"), batch_format="pandas")
+    hyd = hash_join(hash_join(cand, na, on=["i"]), nb, on=["j"])
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        dl = damerau_leq1(df["n_i"], df["n_j"])
+        keep = dl <= 1
+        return pd.DataFrame({"i": df["i"].to_numpy(np.int64)[keep],
+                             "j": df["j"].to_numpy(np.int64)[keep],
+                             "dl": dl[keep]})
+
+    return hyd.map_batches(verify, batch_format="pandas")
+
+
+SQL_DAMERAU_JOIN = r"""
+WITH p AS (SELECT c_custkey AS k, c_name AS n FROM customer)
+SELECT a.k AS i, b.k AS j, damerau_levenshtein(a.n, b.n) AS dl
+FROM p a JOIN p b ON a.k < b.k
+WHERE damerau_levenshtein(a.n, b.n) <= 1
+"""
+
+
+def q_char_jaccard_pairs(sf_dir: str):
+    """Character-set Jaccard similarity self-join within market-segment
+    blocks (DuckDB ``jaccard()`` semantics: DISTINCT-byte-set overlap,
+    case-sensitive).  Each string folds to a 256-bit mask (4 uint64
+    words); per block the pair scan is pure bitwise AND/OR + popcount
+    over the mask matrix, chunked along the left index so a block of g
+    rows costs O(g^2) words but only O(chunk x g) resident memory.
+
+    Scale contract: block = c_mktsegment (bounded domain); blocks that
+    grow with the corpus must pre-split through the salted pair
+    generator (stages/pairs.py) exactly like ngram_jaccard — the mask
+    fold itself is O(1) per string regardless of corpus size."""
+    from ..functions.similarity import charset_masks, popcount_rows
+    from ..stages.shuffle import bucketed_map_groups
+
+    thr = 0.9
+    ds = _rp(sf_dir, "customer",
+             ["c_custkey", "c_name", "c_mktsegment"])
+
+    def block_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_i, out_j, out_s = [], [], []
+        for _, grp in df.groupby("c_mktsegment", sort=False):
+            g = len(grp)
+            if g < 2:
+                continue
+            order = np.argsort(grp["c_custkey"].to_numpy(np.int64),
+                               kind="mergesort")
+            keys = grp["c_custkey"].to_numpy(np.int64)[order]
+            masks = charset_masks(grp["c_name"])[order]
+            for lo in range(0, g - 1, 512):
+                hi = min(lo + 512, g - 1)
+                blk = masks[lo:hi, None, :]          # (c, 1, 4)
+                inter = popcount_rows(
+                    (blk & masks[None, :, :]).reshape(-1, 4)
+                ).reshape(hi - lo, g)
+                union = popcount_rows(
+                    (blk | masks[None, :, :]).reshape(-1, 4)
+                ).reshape(hi - lo, g)
+                sim = inter / np.maximum(union, 1)
+                rows, cols = np.nonzero(sim >= thr)
+                upper = cols > rows + lo             # strict i < j
+                rows, cols = rows[upper], cols[upper]
+                out_i.append(keys[rows + lo])
+                out_j.append(keys[cols])
+                out_s.append(sim[rows, cols])
+        if not out_i:
+            return pd.DataFrame({"i": pd.Series([], dtype="int64"),
+                                 "j": pd.Series([], dtype="int64"),
+                                 "jac": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"i": np.concatenate(out_i),
+                             "j": np.concatenate(out_j),
+                             "jac": np.round(np.concatenate(out_s), 6)})
+
+    return bucketed_map_groups(ds, ["c_mktsegment"], block_pairs,
+                               num_buckets=8)
+
+
+SQL_CHAR_JACCARD_PAIRS = r"""
+WITH p AS (SELECT c_custkey AS k, c_name AS n, c_mktsegment AS s
+           FROM customer)
+SELECT a.k AS i, b.k AS j, round(jaccard(a.n, b.n), 6) AS jac
+FROM p a JOIN p b ON a.s = b.s AND a.k < b.k
+WHERE jaccard(a.n, b.n) >= 0.9
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -9286,6 +9442,8 @@ QUERIES = {
     "chisq_independence": q_chisq_independence,
     "match_transitivity": q_match_transitivity,
     "cohens_kappa": q_cohens_kappa,
+    "damerau_join": q_damerau_join,
+    "char_jaccard_pairs": q_char_jaccard_pairs,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -9480,6 +9638,8 @@ ORACLES = {
     "chisq_independence": SQL_CHISQ_INDEPENDENCE,
     "match_transitivity": SQL_MATCH_TRANSITIVITY,
     "cohens_kappa": SQL_COHENS_KAPPA,
+    "damerau_join": SQL_DAMERAU_JOIN,
+    "char_jaccard_pairs": SQL_CHAR_JACCARD_PAIRS,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

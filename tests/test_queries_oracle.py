@@ -99,6 +99,8 @@ PINNED = [
     "chisq_independence",
     "match_transitivity",
     "cohens_kappa",
+    "damerau_join",
+    "char_jaccard_pairs",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

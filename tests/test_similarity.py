@@ -1,5 +1,6 @@
 """MinHash / SimHash determinism and accuracy (FIXTURES F-7)."""
 import numpy as np
+import pandas as pd
 
 from reconcile_curation_in_cris_systems_ray.functions.similarity import (
     MinHasher, hamming64, jaccard_from_sets, shingle_hash_set,
@@ -144,3 +145,72 @@ def test_pairwise_jaccard_packed_nulls():
     col_b = pa.array([s.tobytes(), s.tobytes()], pa.binary())
     got = jaccard_pairs_from_binary(col_a, col_b)
     np.testing.assert_allclose(got, [1.0, 0.0])
+
+
+def test_damerau_leq1_duckdb_parity_fuzz():
+    """Closed-form capped DL kernel == DuckDB damerau_levenshtein
+    (capped at 2) over randomized mutation pairs covering every branch:
+    identity, substitution, insertion, deletion, adjacent transposition,
+    and double edits."""
+    import random
+
+    import duckdb
+
+    from reconcile_curation_in_cris_systems_ray.functions.similarity import (
+        damerau_leq1,
+    )
+
+    rng = random.Random(7)
+    alpha = "abcdeXY01#"
+    pairs = []
+    for _ in range(2000):
+        n = rng.randint(0, 12)
+        s = "".join(rng.choice(alpha) for _ in range(n))
+        t = list(s)
+        op = rng.randint(0, 5)
+        if op == 0 and t:
+            t[rng.randrange(len(t))] = rng.choice(alpha)
+        elif op == 1:
+            t.insert(rng.randint(0, len(t)), rng.choice(alpha))
+        elif op == 2 and t:
+            del t[rng.randrange(len(t))]
+        elif op == 3 and len(t) > 1:
+            i = rng.randrange(len(t) - 1)
+            t[i], t[i + 1] = t[i + 1], t[i]
+        elif op == 4 and t:
+            t[rng.randrange(len(t))] = rng.choice(alpha)
+            t.insert(rng.randint(0, len(t)), rng.choice(alpha))
+        pairs.append((s, "".join(t)))
+    df = pd.DataFrame(pairs, columns=["a", "b"])
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT least(damerau_levenshtein(a, b), 2) FROM df"
+    ).fetchnumpy()
+    want = next(iter(want.values())).astype(np.int64)
+    got = damerau_leq1(df["a"], df["b"])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_charset_jaccard_duckdb_parity_fuzz():
+    """256-bit charset-mask Jaccard == DuckDB jaccard() bit-for-bit
+    on random non-empty ASCII strings."""
+    import random
+
+    import duckdb
+
+    from reconcile_curation_in_cris_systems_ray.functions.similarity import (
+        charset_masks, popcount_rows,
+    )
+
+    rng = random.Random(11)
+    alpha = "abcdefgXYZ 012#~"
+    rows = [("".join(rng.choice(alpha) for _ in range(rng.randint(1, 20))),
+             "".join(rng.choice(alpha) for _ in range(rng.randint(1, 20))))
+            for _ in range(2000)]
+    df = pd.DataFrame(rows, columns=["a", "b"])
+    con = duckdb.connect()
+    want = con.execute("SELECT jaccard(a, b) FROM df").fetchnumpy()
+    want = next(iter(want.values()))
+    ma, mb = charset_masks(df["a"]), charset_masks(df["b"])
+    got = popcount_rows(ma & mb) / np.maximum(popcount_rows(ma | mb), 1)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)

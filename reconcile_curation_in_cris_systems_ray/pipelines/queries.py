@@ -9230,6 +9230,82 @@ WHERE jaccard(a.n, b.n) >= 0.9
 """
 
 
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction over the hash-derived link graph:
+    every non-adjacent pair with >= 1 common neighbor scored
+    Σ 1/ln(deg(w)) — the missing-link/duplicate-candidate signal
+    (stages/graph.py::adamic_adar: one center-node co-location shuffle
+    emits neighbor pairs weighted by the group's own length, one (u,v)
+    shuffle fuses the sum with edge-marker exclusion)."""
+    from ..stages.graph import adamic_adar
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    return adamic_adar(edges)
+
+
+SQL_ADAMIC_ADAR = f"""
+WITH {_SQL_EDGES_CTE},
+undg AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM edges),
+adj AS (SELECT u AS a, v AS b FROM undg UNION ALL SELECT v, u FROM undg),
+deg AS (SELECT a AS node, count(*) AS k FROM adj GROUP BY 1),
+wedge AS (SELECT a1.b AS u, a2.b AS v, a1.a AS w
+          FROM adj a1 JOIN adj a2 ON a1.a = a2.a AND a1.b < a2.b),
+aa AS (SELECT wedge.u, wedge.v, sum(1.0 / ln(d.k)) AS s
+       FROM wedge JOIN deg d ON d.node = wedge.w GROUP BY 1, 2)
+SELECT aa.u, aa.v, round(aa.s, 6) AS aa
+FROM aa LEFT JOIN undg e ON e.u = aa.u AND e.v = aa.v
+WHERE e.u IS NULL
+"""
+
+
+def q_benford_digits(sf_dir: str):
+    """Benford's-law profiling of l_extendedprice: distribution of the
+    first significant digit vs the Benford expectation log10(1 + 1/d)
+    — the classic synthetic-data / fraud screen for a numeric column.
+    Shuffle-free: per-batch digit bincount partials (the digit is read
+    from the integer part's decimal string, no float log in the data
+    path) collapse to a 9-row frame on the driver."""
+    ds = _rp(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_extendedprice"].to_numpy(np.float64)
+        y = np.floor(x[x >= 1.0]).astype(np.int64)
+        if y.size == 0:
+            return pd.DataFrame({"digit": np.empty(0, np.int64),
+                                 "n": np.empty(0, np.int64)})
+        d = pd.Series(y).astype(str).str[0].astype(np.int64)
+        c = np.bincount(d.to_numpy(), minlength=10)[1:]
+        nz = np.flatnonzero(c)
+        return pd.DataFrame({"digit": nz + 1, "n": c[nz]})
+
+    cnt = rel.partial_groupby_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["digit"], {"n": ("n", "sum")})
+    cnt = cnt.sort_values("digit").reset_index(drop=True)
+    tot = float(cnt["n"].sum())
+    dig = cnt["digit"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "digit": dig,
+        "n": cnt["n"].to_numpy(np.int64),
+        "obs_freq": np.round(cnt["n"].to_numpy(np.int64) / tot, 6),
+        "benford_freq": np.round(np.log10(1.0 + 1.0 / dig), 6)})
+
+
+SQL_BENFORD_DIGITS = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM lineitem WHERE l_extendedprice >= 1),
+c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(n / t.tot, 6) AS obs_freq,
+       round(log10(1 + 1.0 / digit), 6) AS benford_freq
+FROM c CROSS JOIN t
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -9444,6 +9520,8 @@ QUERIES = {
     "cohens_kappa": q_cohens_kappa,
     "damerau_join": q_damerau_join,
     "char_jaccard_pairs": q_char_jaccard_pairs,
+    "adamic_adar": q_adamic_adar,
+    "benford_digits": q_benford_digits,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -9640,6 +9718,8 @@ ORACLES = {
     "cohens_kappa": SQL_COHENS_KAPPA,
     "damerau_join": SQL_DAMERAU_JOIN,
     "char_jaccard_pairs": SQL_CHAR_JACCARD_PAIRS,
+    "adamic_adar": SQL_ADAMIC_ADAR,
+    "benford_digits": SQL_BENFORD_DIGITS,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

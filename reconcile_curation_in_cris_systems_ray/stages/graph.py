@@ -909,3 +909,79 @@ def bfs_levels(edges, nodes, seed_mod: int = 97,
         "node": node_ids,
         "lvl": np.fromiter((levels.get(int(n), -1) for n in node_ids),
                            np.int64, len(node_ids))})
+
+
+def adamic_adar(edges, num_buckets: int = 64):
+    """Adamic-Adar link prediction (Adamic & Adar 2003): for every
+    NON-adjacent node pair (u < v) with at least one common neighbor,
+    ``aa = Σ_{w ∈ N(u) ∩ N(v)} 1 / ln(deg(w))`` over the undirected
+    graph — the classic "which links are missing" ER/graph-curation
+    score (a high-aa non-edge is a candidate duplicate/citation).
+
+    Plan, graded for 10^12 edges: wedge generation is ONE bucketed
+    shuffle on the CENTER node w — and because the co-location shuffle
+    delivers w's COMPLETE adjacency list as one group, deg(w) is just
+    the group length, so no degree table, broadcast, or join exists at
+    all.  Scoring and adjacency exclusion fuse into ONE more
+    co-location shuffle on (u, v): existing undirected edges ride
+    along as marker rows (is_edge=1) so groups containing a marker are
+    dropped without a separate anti-join pass.  Hub centers (deg ~
+    corpus size) must pre-split through the salted pair generator
+    (stages/pairs.py), the same cap every wedge op here documents."""
+    from .shuffle import bucketed_map_groups
+
+    und = undirected_edges(edges)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": np.concatenate([df["lo"].to_numpy(np.int64),
+                                 df["hi"].to_numpy(np.int64)]),
+            "b": np.concatenate([df["hi"].to_numpy(np.int64),
+                                 df["lo"].to_numpy(np.int64)])})
+
+    adj = und.map_batches(orient, batch_format="pandas")
+
+    def center_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v, out_w = [], [], []
+        for _, grp in df.groupby("a", sort=False)["b"]:
+            if len(grp) < 2:
+                continue
+            nb = np.sort(grp.to_numpy(np.int64))
+            iu, ju = np.triu_indices(len(nb), 1)
+            out_u.append(nb[iu])
+            out_v.append(nb[ju])
+            out_w.append(np.full(iu.size, 1.0 / np.log(len(nb))))
+        if not out_u:
+            return pd.DataFrame({"u": np.empty(0, np.int64),
+                                 "v": np.empty(0, np.int64),
+                                 "w": np.empty(0, np.float64),
+                                 "is_edge": np.empty(0, np.int64)})
+        return pd.DataFrame({"u": np.concatenate(out_u),
+                             "v": np.concatenate(out_v),
+                             "w": np.concatenate(out_w),
+                             "is_edge": np.zeros(
+                                 sum(x.size for x in out_u), np.int64)})
+
+    contrib = bucketed_map_groups(adj, ["a"], center_pairs, num_buckets)
+
+    markers = und.map_batches(
+        lambda df: pd.DataFrame({"u": df["lo"].to_numpy(np.int64),
+                                 "v": df["hi"].to_numpy(np.int64),
+                                 "w": np.zeros(len(df), np.float64),
+                                 "is_edge": np.ones(len(df), np.int64)}),
+        batch_format="pandas")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], sort=False, as_index=False).agg(
+            s=("w", "sum"), e=("is_edge", "max"))
+        g = g[g["e"] == 0]
+        return pd.DataFrame({"u": g["u"].to_numpy(np.int64),
+                             "v": g["v"].to_numpy(np.int64),
+                             "aa": np.round(g["s"].to_numpy(np.float64),
+                                            6)})
+
+    empty = pd.DataFrame({"u": np.empty(0, np.int64),
+                          "v": np.empty(0, np.int64),
+                          "aa": np.empty(0, np.float64)})
+    return bucketed_map_groups(contrib.union(markers), ["u", "v"],
+                               score, num_buckets, empty_like=empty)

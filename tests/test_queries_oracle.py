@@ -101,6 +101,8 @@ PINNED = [
     "cohens_kappa",
     "damerau_join",
     "char_jaccard_pairs",
+    "adamic_adar",
+    "benford_digits",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

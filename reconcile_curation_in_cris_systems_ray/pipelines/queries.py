@@ -9306,6 +9306,259 @@ FROM c CROSS JOIN t
 """
 
 
+# Poisson(1) inverse-CDF thresholds (cumulative e^-1 * 1/k!, k=0..5) —
+# full-precision float64 literals mirrored verbatim in SQL_BOOTSTRAP_MEAN
+# so both engines derive identical integer weights from the same hash.
+_POIS1_CDF = np.array([0.36787944117144233, 0.7357588823428847,
+                       0.9196986029286058, 0.9810118431238463,
+                       0.9963401531726563, 0.9994058151824183])
+
+
+def q_bootstrap_mean(sf_dir: str):
+    """Poisson bootstrap of mean(value): 20 resample replicates in ONE
+    streaming pass (Chamandy et al. 2012, "Estimating uncertainty for
+    massive data streams" — the standard web-scale bootstrap: row i's
+    multiplicity in replicate r is Poisson(1), drawn independently per
+    (row, replicate), so no replicate ever needs a global N or a
+    shuffled resample).  Weights are DETERMINISTIC — DuckDB
+    ``hash(event_id || ':' || rep)`` mapped through the Poisson(1)
+    inverse CDF — so the SQL oracle rebuilds them bit-for-bit.  Each
+    batch emits 20 (rep, Σw, Σw·x) partials; the combiner merge is
+    O(replicates), never O(rows) — at 10^12 rows this is one narrow
+    map + a 20-group reduce."""
+    from ..functions.similarity import hash_strings_fast
+
+    ev = _rp(sf_dir, "events", ["event_id", "value"])
+    n_reps = 20
+    two64 = np.float64(2.0) ** 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].astype(str)
+        x = df["value"].to_numpy(np.float64)
+        rows = []
+        for r in range(n_reps):
+            h = hash_strings_fast(
+                (ids + f":{r}").to_numpy(object)).astype(np.float64)
+            w = np.searchsorted(_POIS1_CDF, h / two64,
+                                side="right").astype(np.float64)
+            rows.append((r, w.sum(), (w * x).sum()))
+        return pd.DataFrame(rows, columns=["rep", "sw", "swx"])
+
+    agg = rel.partial_groupby_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["rep"], {"sw": ("sw", "sum"), "swx": ("swx", "sum")})
+    agg = agg.sort_values("rep").reset_index(drop=True)
+    return pd.DataFrame({
+        "rep": agg["rep"].to_numpy(np.int64),
+        "n_eff": agg["sw"].to_numpy(np.float64).astype(np.int64),
+        "boot_mean": np.round(agg["swx"].to_numpy(np.float64)
+                              / agg["sw"].to_numpy(np.float64), 6)})
+
+
+SQL_BOOTSTRAP_MEAN = """
+WITH reps AS (SELECT unnest(generate_series(0, 19)) AS rep),
+u AS (SELECT rep, value,
+        CAST(hash(CAST(event_id AS VARCHAR) || ':'
+                  || CAST(rep AS VARCHAR)) AS DOUBLE)
+          / 18446744073709551616.0 AS u
+      FROM events CROSS JOIN reps),
+c AS (SELECT rep, value,
+        CASE WHEN u < 0.36787944117144233 THEN 0
+             WHEN u < 0.7357588823428847  THEN 1
+             WHEN u < 0.9196986029286058  THEN 2
+             WHEN u < 0.9810118431238463  THEN 3
+             WHEN u < 0.9963401531726563  THEN 4
+             WHEN u < 0.9994058151824183  THEN 5
+             ELSE 6 END AS w
+      FROM u)
+SELECT CAST(rep AS BIGINT) AS rep,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       round(sum(w * value) / sum(w), 6) AS boot_mean
+FROM c GROUP BY rep
+"""
+
+
+def q_anova_f(sf_dir: str):
+    """One-way ANOVA F statistic of value across event_type — the
+    k-group parametric complement to kruskal_wallis/welch_t, from one
+    (n, Σx, Σx²) combiner pass (A4 discipline: per-batch partials, a
+    k-row driver finish, no shuffle).  The sum-of-squares identities
+    (SSB = Σ s_g²/n_g − S²/N, SSW = Σ ss_g − Σ s_g²/n_g) are mirrored
+    verbatim in the SQL oracle so both engines share the same float64
+    expression tree (round-6 parity; the centered two-pass form is the
+    scale-robust alternative documented on moments_agg)."""
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["value"].to_numpy(np.float64)
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                            "n": 1.0, "s": x, "ss": x * x})
+        return out.groupby("event_type", sort=False).sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum")})
+    n = g["n"].to_numpy(np.float64)
+    s = g["s"].to_numpy(np.float64)
+    ss = g["ss"].to_numpy(np.float64)
+    big_n, big_s, k = n.sum(), s.sum(), float(len(g))
+    sq = (s * s / n).sum()
+    ssb = sq - big_s * big_s / big_n
+    ssw = ss.sum() - sq
+    f = (ssb / (k - 1.0)) / (ssw / (big_n - k))
+    return pd.DataFrame({"f_stat": [np.round(f, 6)],
+                         "df_between": [np.int64(k - 1)],
+                         "df_within": [np.int64(big_n - k)]})
+
+
+SQL_ANOVA_F = """
+WITH g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+                  sum(value) AS s, sum(value * value) AS ss
+           FROM events GROUP BY 1),
+t AS (SELECT sum(n) AS big_n, sum(s) AS big_s, sum(s * s / n) AS sq,
+             sum(ss) AS sss, CAST(count(*) AS DOUBLE) AS k
+      FROM g)
+SELECT round(((sq - big_s * big_s / big_n) / (k - 1))
+             / ((sss - sq) / (big_n - k)), 6) AS f_stat,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(big_n - k AS BIGINT) AS df_within
+FROM t
+"""
+
+
+def q_ntile_window(sf_dir: str):
+    """Per-user NTILE(4) quartile assignment over (ts, event_id) with
+    SQL's exact remainder rule (the first n MOD k tiles get one extra
+    row — NOT the floor(rn*k/n) equal-frequency formula used by
+    global_rank's decile) — one user co-location shuffle, tile ids
+    computed vectorized from within-group rank and size."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id"])
+    k = 4
+
+    def tiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        i = df.groupby("user_id", sort=False).cumcount().to_numpy(np.int64)
+        n = df.groupby("user_id", sort=False)["event_id"] \
+            .transform("size").to_numpy(np.int64)
+        q, r = n // k, n % k
+        big = q + 1                      # size of the first r tiles
+        boundary = big * r               # rows covered by big tiles
+        q_safe = np.maximum(q, 1)        # n < k: every tile is "big"
+        tile = np.where(i < boundary, i // big + 1,
+                        (i - boundary) // q_safe + r + 1)
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "user_id": df["user_id"].to_numpy(),
+                             "tile": tile})
+
+    return bucketed_map_groups(ev, ["user_id"], tiles, num_buckets=64)
+
+
+SQL_NTILE_WINDOW = """
+SELECT event_id, user_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS BIGINT) AS tile
+FROM events
+"""
+
+
+def q_id_islands(sf_dir: str):
+    """Gaps-and-islands: contiguous event_id runs after dropping every
+    7th id — the classic sequence-integrity audit, distributed as
+    global_dense_rank (order-preserving ranges + driver exclusive scan
+    over range counts, no global sort materialization) followed by a
+    groupby on the ``id − rn`` island invariant (constant within each
+    contiguous run); island extents reduce per bucket."""
+    from ..stages.relational import global_dense_rank
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_id"])
+    def drop_sevens(t: pa.Table) -> pa.Table:
+        # pyarrow.compute has no mod kernel in this env's build; the
+        # numpy view of the int64 column is zero-copy
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 7 != 0))
+
+    ev = ev.map_batches(drop_sevens, batch_format="pyarrow")
+    ranked, _ = global_dense_rank(ev, "event_id", "event_id")
+
+    def island_key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy(np.int64)
+        return pd.DataFrame({"island": ids - df["rn"].to_numpy(np.int64),
+                             "id": ids})
+
+    keyed = ranked.map_batches(island_key, batch_format="pandas")
+
+    def extent(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("island", sort=False)["id"]
+        out = g.agg(island_start="min", island_end="max", n_ids="size")
+        return out.reset_index(drop=True)
+
+    return bucketed_map_groups(keyed, ["island"], extent, num_buckets=64)
+
+
+SQL_ID_ISLANDS = """
+WITH f AS (SELECT event_id FROM events WHERE event_id % 7 <> 0),
+r AS (SELECT event_id,
+             CAST(row_number() OVER (ORDER BY event_id) AS BIGINT) - 1
+                 AS rn
+      FROM f)
+SELECT min(event_id) AS island_start, max(event_id) AS island_end,
+       CAST(count(*) AS BIGINT) AS n_ids
+FROM r GROUP BY event_id - rn
+"""
+
+
+def q_ewma_user(sf_dir: str):
+    """Per-user exponentially-weighted moving average (α=0.3,
+    y₁ = x₁, yₜ = 0.3·xₜ + 0.7·yₜ₋₁) — final smoothed value per user.
+    A linear recurrence is inherently sequential in t, so the
+    distributed shape is: co-locate each user's rows (one bucketed
+    shuffle), then fold VECTORIZED ACROSS USERS step-by-step (step t
+    updates every user's accumulator at once; wall steps = max series
+    length per bucket, not total rows).  The DuckDB oracle folds the
+    identical float64 expression via list_reduce — pinned bit-exact
+    before round(6)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    a, b = np.float64(0.3), np.float64(0.7)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        x = df["value"].to_numpy(np.float64)
+        codes, uniq = pd.factorize(df["user_id"].to_numpy())
+        pos = df.groupby("user_id", sort=False).cumcount() \
+            .to_numpy(np.int64)
+        order = np.argsort(pos, kind="stable")   # step-major layout
+        pos_s, codes_s, x_s = pos[order], codes[order], x[order]
+        bounds = np.searchsorted(
+            pos_s, np.arange(int(pos_s[-1]) + 2 if len(pos_s) else 1))
+        acc = np.zeros(len(uniq))
+        for t in range(len(bounds) - 1):
+            lo, hi = bounds[t], bounds[t + 1]
+            c, v = codes_s[lo:hi], x_s[lo:hi]
+            acc[c] = v if t == 0 else a * v + b * acc[c]
+        return pd.DataFrame({"user_id": uniq,
+                             "ewma": np.round(acc, 6)})
+
+    return bucketed_map_groups(ev, ["user_id"], fold, num_buckets=64)
+
+
+SQL_EWMA_USER = """
+SELECT user_id,
+       round(list_reduce(
+           CAST(list(value ORDER BY ts, event_id) AS DOUBLE[]),
+           (acc, x) -> CAST(0.3 AS DOUBLE) * x
+                       + CAST(0.7 AS DOUBLE) * acc), 6) AS ewma
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -9522,6 +9775,11 @@ QUERIES = {
     "char_jaccard_pairs": q_char_jaccard_pairs,
     "adamic_adar": q_adamic_adar,
     "benford_digits": q_benford_digits,
+    "bootstrap_mean": q_bootstrap_mean,
+    "anova_f": q_anova_f,
+    "ntile_window": q_ntile_window,
+    "id_islands": q_id_islands,
+    "ewma_user": q_ewma_user,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -9720,6 +9978,11 @@ ORACLES = {
     "char_jaccard_pairs": SQL_CHAR_JACCARD_PAIRS,
     "adamic_adar": SQL_ADAMIC_ADAR,
     "benford_digits": SQL_BENFORD_DIGITS,
+    "bootstrap_mean": SQL_BOOTSTRAP_MEAN,
+    "anova_f": SQL_ANOVA_F,
+    "ntile_window": SQL_NTILE_WINDOW,
+    "id_islands": SQL_ID_ISLANDS,
+    "ewma_user": SQL_EWMA_USER,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

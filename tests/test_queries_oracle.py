@@ -103,6 +103,11 @@ PINNED = [
     "char_jaccard_pairs",
     "adamic_adar",
     "benford_digits",
+    "bootstrap_mean",
+    "anova_f",
+    "ntile_window",
+    "id_islands",
+    "ewma_user",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -9559,6 +9559,220 @@ FROM events GROUP BY user_id
 """
 
 
+def q_levene_bf(sf_dir: str):
+    """Brown-Forsythe robust variance-equality test (Levene's test with
+    group medians): W = one-way ANOVA F on z = |x − median_g| — the
+    heteroscedasticity gate run before trusting anova_f.  Medians via
+    the exact per-group quantile kernel (one co-location shuffle);
+    the k medians broadcast as a tiny dict; deviations then reduce
+    through the same (n, Σz, Σz²) combiner as anova_f."""
+    from ..stages.temporal import quantile_agg
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+    med_df = quantile_agg(ev, ["event_type"], "value",
+                          {"med": 0.5}).to_pandas()
+    med = dict(zip(med_df["event_type"], med_df["med"]))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.abs(df["value"].to_numpy(np.float64)
+                   - df["event_type"].map(med).to_numpy(np.float64))
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                            "n": 1.0, "s": z, "ss": z * z})
+        return out.groupby("event_type", sort=False).sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "ss": ("ss", "sum")})
+    n = g["n"].to_numpy(np.float64)
+    s = g["s"].to_numpy(np.float64)
+    ss = g["ss"].to_numpy(np.float64)
+    big_n, big_s, k = n.sum(), s.sum(), float(len(g))
+    sq = (s * s / n).sum()
+    w = ((sq - big_s * big_s / big_n) / (k - 1.0)) \
+        / ((ss.sum() - sq) / (big_n - k))
+    return pd.DataFrame({"w_stat": [np.round(w, 6)],
+                         "df_between": [np.int64(k - 1)],
+                         "df_within": [np.int64(big_n - k)]})
+
+
+SQL_LEVENE_BF = """
+WITH m AS (SELECT event_type, median(value) AS med
+           FROM events GROUP BY 1),
+z AS (SELECT e.event_type, abs(value - med) AS z
+      FROM events e JOIN m USING (event_type)),
+g AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             sum(z) AS s, sum(z * z) AS ss
+      FROM z GROUP BY 1),
+t AS (SELECT sum(n) AS big_n, sum(s) AS big_s, sum(s * s / n) AS sq,
+             sum(ss) AS sss, CAST(count(*) AS DOUBLE) AS k
+      FROM g)
+SELECT round(((sq - big_s * big_s / big_n) / (k - 1))
+             / ((sss - sq) / (big_n - k)), 6) AS w_stat,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       CAST(big_n - k AS BIGINT) AS df_within
+FROM t
+"""
+
+
+def q_js_divergence(sf_dir: str):
+    """Jensen-Shannon divergence (bits) between the token
+    distributions of the even- and odd-doc_id corpus halves — the
+    source-drift gate (stages/textstats.py::js_divergence: one
+    term-keyed bucketed shuffle, per-bucket contribution partials,
+    O(buckets) driver state)."""
+    return ts.js_divergence(_rp(sf_dir, "documents", ["doc_id", "text"]))
+
+
+SQL_JS_DIVERGENCE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+c AS (SELECT term,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS cb
+      FROM toks GROUP BY 1),
+t AS (SELECT CAST(sum(ca) AS DOUBLE) AS na,
+             CAST(sum(cb) AS DOUBLE) AS nb
+      FROM c)
+SELECT round(sum(
+         CASE WHEN ca > 0 THEN 0.5 * (ca / na)
+              * log2((ca / na) / ((ca / na + cb / nb) / 2)) ELSE 0 END
+         + CASE WHEN cb > 0 THEN 0.5 * (cb / nb)
+              * log2((cb / nb) / ((ca / na + cb / nb) / 2)) ELSE 0 END),
+       6) AS js_bits,
+       CAST(count(*) AS BIGINT) AS n_terms
+FROM c CROSS JOIN t
+"""
+
+
+def q_dynamic_blocking(sf_dir: str):
+    """Cap-bounded recursive blocking-key refinement over document
+    text prefixes (cap 40, depth ≤ 3) — blocks that exceed the cap
+    re-key on a longer prefix, bounding every comparison block
+    (stages/blocking.py::dynamic_blocking_keys: bounded-domain prefix
+    count combiners + broadcast oversized-key sets; the data itself
+    never shuffles)."""
+    from ..stages.blocking import dynamic_blocking_keys
+
+    return dynamic_blocking_keys(
+        _rp(sf_dir, "documents", ["doc_id", "text"]),
+        "doc_id", "text", cap=40, max_depth=3)
+
+
+SQL_DYNAMIC_BLOCKING = """
+WITH d AS (SELECT doc_id, trim(lower(coalesce(text, ''))) AS t
+           FROM documents),
+k AS (SELECT doc_id, substr(t, 1, 1) AS k1, substr(t, 1, 2) AS k2,
+             substr(t, 1, 3) AS k3
+      FROM d WHERE t <> ''),
+c1 AS (SELECT k1, count(*) AS n1 FROM k GROUP BY 1),
+o1 AS (SELECT k.* FROM k JOIN c1 USING (k1) WHERE n1 > 40),
+c2 AS (SELECT k2, count(*) AS n2 FROM o1 GROUP BY 1)
+SELECT k.doc_id,
+       CASE WHEN n1 <= 40 THEN k1
+            WHEN coalesce(n2, 0) <= 40 THEN k2
+            ELSE k3 END AS block_key,
+       CAST(CASE WHEN n1 <= 40 THEN 1
+                 WHEN coalesce(n2, 0) <= 40 THEN 2
+                 ELSE 3 END AS BIGINT) AS depth
+FROM k JOIN c1 USING (k1) LEFT JOIN c2 USING (k2)
+"""
+
+
+def q_bigram_lm(sf_dir: str):
+    """Per-doc mean negative log-prob under an add-one BIGRAM LM
+    trained on the doc_id%10==0 slice — the conditional-context step
+    up from unigram_logprob (stages/textstats.py::bigram_logprob:
+    distributed count tables, two hash-join hydrations, no vocabulary
+    broadcast)."""
+    return ts.bigram_logprob(_rp(sf_dir, "documents", ["doc_id", "text"]),
+                             "doc_id", "text", ref_mod=10)
+
+
+SQL_BIGRAM_LM = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+bg AS (
+  SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i + 1] AS big
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM d WHERE len(tk) >= 2)),
+refu AS (
+  SELECT term, count(*) AS c1
+  FROM (SELECT doc_id, unnest(tk) AS term FROM d)
+  WHERE doc_id % 10 = 0 GROUP BY term),
+refb AS (
+  SELECT big, count(*) AS c12 FROM bg WHERE doc_id % 10 = 0
+  GROUP BY big),
+v AS (SELECT CAST(count(*) AS DOUBLE) + 1.0 AS vv FROM refu)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+       round(-avg(ln((coalesce(c12, 0) + 1.0)
+                     / (coalesce(c1, 0) + vv))), 6) AS nll
+FROM bg LEFT JOIN refb USING (big)
+        LEFT JOIN refu ON refu.term = bg.w1, v
+GROUP BY doc_id
+"""
+
+
+def q_join_size(sf_dir: str):
+    """Exact equi-join cardinality + skew prediction WITHOUT running
+    the join: |A ⋈ B| = Σ_k n_A(k)·n_B(k) over per-side key counts —
+    the optimizer/skew-diagnosis pass a pipeline runs before
+    committing to a shuffle join (the hot-key salting decision in the
+    flagship's pair stage is this same statistic).  Per-side counts
+    are batch partials; one bucketed merge co-locates each key's two
+    counts; per-bucket (Σ n_l·n_r, keys, max) partials reduce
+    driver-side at O(buckets)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+    orders = _rp(sf_dir, "orders", ["o_custkey"])
+
+    def l_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).size()
+        return pd.DataFrame({"k": g.index.to_numpy(np.int64),
+                             "nl": g.to_numpy(np.int64),
+                             "nr": np.int64(0)})
+
+    def r_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(df["o_custkey"].to_numpy(np.int64) % 150).size()
+        return pd.DataFrame({"k": g.index.to_numpy(np.int64),
+                             "nl": np.int64(0),
+                             "nr": g.to_numpy(np.int64)})
+
+    parts = ev.map_batches(l_part, batch_format="pandas").union(
+        orders.map_batches(r_part, batch_format="pandas"))
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=False)[["nl", "nr"]].sum()
+        contrib = g["nl"].to_numpy(np.int64) * g["nr"].to_numpy(np.int64)
+        hit = contrib > 0
+        return pd.DataFrame({"rows": [contrib.sum()],
+                             "keys": [np.int64(hit.sum())],
+                             "mx": [contrib.max() if len(contrib) else 0]})
+
+    st = bucketed_map_groups(parts, ["k"], bucket_stats,
+                             num_buckets=64).to_pandas()
+    return pd.DataFrame({
+        "est_rows": [np.int64(st["rows"].sum())],
+        "n_keys": [np.int64(st["keys"].sum())],
+        "max_key_rows": [np.int64(st["mx"].max())]})
+
+
+SQL_JOIN_SIZE = """
+WITH l AS (SELECT user_id AS k, count(*) AS nl FROM events GROUP BY 1),
+r AS (SELECT o_custkey % 150 AS k, count(*) AS nr
+      FROM orders GROUP BY 1)
+SELECT CAST(sum(nl * nr) AS BIGINT) AS est_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(nl * nr) AS BIGINT) AS max_key_rows
+FROM l JOIN r USING (k)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -9780,6 +9994,11 @@ QUERIES = {
     "ntile_window": q_ntile_window,
     "id_islands": q_id_islands,
     "ewma_user": q_ewma_user,
+    "levene_bf": q_levene_bf,
+    "js_divergence": q_js_divergence,
+    "dynamic_blocking": q_dynamic_blocking,
+    "bigram_lm": q_bigram_lm,
+    "join_size": q_join_size,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -9983,6 +10202,11 @@ ORACLES = {
     "ntile_window": SQL_NTILE_WINDOW,
     "id_islands": SQL_ID_ISLANDS,
     "ewma_user": SQL_EWMA_USER,
+    "levene_bf": SQL_LEVENE_BF,
+    "js_divergence": SQL_JS_DIVERGENCE,
+    "dynamic_blocking": SQL_DYNAMIC_BLOCKING,
+    "bigram_lm": SQL_BIGRAM_LM,
+    "join_size": SQL_JOIN_SIZE,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -283,3 +283,72 @@ def sorted_neighborhood_pairs(ds, key_col: str, id_col: str,
     return bucketed_map_groups(segged, ["seg"], pair_segment,
                                num_buckets=num_buckets,
                                empty_like=empty_pairs)
+
+
+def dynamic_blocking_keys(ds, id_col: str, text_col: str,
+                          cap: int = 40, max_depth: int = 3):
+    """Cap-bounded recursive blocking-key refinement (dynamic/iterative
+    blocking — McNeill, Kardes & Borthwick 2012): start from a coarse
+    prefix key; any block whose size exceeds ``cap`` is re-keyed on a
+    longer prefix, up to ``max_depth`` characters.  Bounding every
+    block's size bounds the pairwise work of whatever comparison stage
+    consumes the blocks — the knob that keeps blocking O(n·cap) at
+    web scale instead of O(max-block²).
+
+    Plan: prefix-key counts are BOUNDED-DOMAIN combiners (≤ alphabet^d
+    keys), so each refinement level is one partial-count pass plus a
+    driver broadcast of the (small by construction) oversized-key set;
+    rows then pick their final (key, depth) in a single vectorized
+    map.  No shuffle of the data itself at any level.  Rows with empty
+    normalized text are dropped (no key).  Returns
+    (id, block_key, depth).
+    """
+    from .relational import partial_groupby_agg
+
+    def norm_keys(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[text_col].astype("string").fillna("") \
+            .str.strip().str.lower()
+        keep = t != ""
+        out = pd.DataFrame({id_col: df[id_col].to_numpy()[keep]})
+        tk = t[keep]
+        for d in range(1, max_depth + 1):
+            out[f"k{d}"] = tk.str.slice(0, d).to_numpy(dtype=object)
+        return out
+
+    keyed = ds.map_batches(norm_keys, batch_format="pandas") \
+        .materialize()
+
+    oversized: list[set] = []   # per level: keys still too big
+    for d in range(1, max_depth):
+        prev = oversized[-1] if oversized else None
+
+        def level_partial(df: pd.DataFrame, _d=d, _prev=prev):
+            if _prev is not None:
+                df = df[df[f"k{_d - 1}"].isin(_prev)]
+            g = df.groupby(f"k{_d}", sort=False).size()
+            return pd.DataFrame({f"k{_d}": g.index.to_numpy(object),
+                                 "n": g.to_numpy()})
+
+        counts = partial_groupby_agg(
+            keyed.map_batches(level_partial, batch_format="pandas"),
+            [f"k{d}"], {"n": ("n", "sum")})
+        oversized.append(set(counts.loc[counts["n"] > cap, f"k{d}"]))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["k1"].to_numpy(dtype=object).copy()
+        depth = np.ones(len(df), dtype=np.int64)
+        pending = df["k1"].isin(oversized[0]).to_numpy() \
+            if oversized else np.zeros(len(df), dtype=bool)
+        for d in range(2, max_depth + 1):
+            key[pending] = df[f"k{d}"].to_numpy(dtype=object)[pending]
+            depth[pending] = d
+            if d - 1 < len(oversized):
+                pending = pending & df[f"k{d}"].isin(
+                    oversized[d - 1]).to_numpy()
+            else:
+                break
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "block_key": pd.Series(key, dtype=object),
+                             "depth": depth})
+
+    return keyed.map_batches(assign, batch_format="pandas")

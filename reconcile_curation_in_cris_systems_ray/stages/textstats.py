@@ -907,3 +907,200 @@ def dup_span_removal_stage(ds, id_col: str = "doc_id",
             "n_removed": pd.Series(n_removed, dtype="int64")})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def bigram_logprob(ds, id_col: str = "doc_id", text_col: str = "text",
+                   ref_mod: int = 10, num_buckets: int = 64):
+    """Per-document mean negative log-probability under an add-one
+    bigram LM trained on a reference slice — the conditional-context
+    step up from :func:`unigram_logprob` (CCNet-style quality signal;
+    Wenzek et al. 2020):
+
+        p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+    with ``c`` counted on docs where ``id % ref_mod == 0`` and
+    ``V`` = distinct reference unigrams + 1 (the OOV row).
+
+    Plan: bigram and unigram count tables each via one combiner pass +
+    one bucketed shuffle (the model is distributed, never a driver
+    object); scoring hydrates per-doc DISTINCT (doc, bigram, tf) rows
+    through TWO hash joins — on the bigram string for c12, then on its
+    first token for c1 — so no vocabulary is ever broadcast; one
+    doc-keyed aggregate finishes.  Docs with < 2 tokens emit no row
+    (no bigrams), matching the SQL oracle's group-over-bigrams.
+    Returns (id, n_bg, nll) with nll rounded to 6.
+    """
+    from .relational import hash_join
+    from .shuffle import bucketed_map_groups
+
+    docs = ds.select_columns([id_col, text_col])
+
+    def doc_bigrams(df: pd.DataFrame, ref_only: bool) -> pd.DataFrame:
+        # adjacent-pair construction, vectorized over the exploded
+        # token stream (the pmi_bigrams bi_partial trick): positions
+        # i, i+1 form a bigram iff they came from the same row
+        if ref_only:
+            df = df[df[id_col].to_numpy() % ref_mod == 0]
+        toks = _ws_tokens(df[text_col]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        empty = pd.DataFrame({"row": pd.Series([], dtype="int64"),
+                              "big": pd.Series([], dtype="string")})
+        if ex.empty:
+            return empty
+        rows = ex.index.to_numpy()
+        vals = ex.to_numpy(dtype=object)
+        same = rows[:-1] == rows[1:]
+        if not same.any():
+            return empty
+        big = (pd.Series(vals[:-1][same], dtype="string") + " "
+               + pd.Series(vals[1:][same], dtype="string"))
+        return pd.DataFrame({"row": rows[:-1][same],
+                             "big": big.to_numpy()})
+
+    def bg_cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = doc_bigrams(df, ref_only=True)
+        g = b.groupby("big", sort=False).size()
+        return pd.DataFrame({"big": g.index.astype("string"),
+                             "c12": g.to_numpy()})
+
+    def bg_cnt_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("big", sort=False)["c12"].sum()
+        return pd.DataFrame({"big": g.index.astype("string"),
+                             "c12": g.to_numpy()})
+
+    bg_model = bucketed_map_groups(
+        docs.map_batches(bg_cnt_partial, batch_format="pandas"),
+        ["big"], bg_cnt_sum, num_buckets,
+        empty_like=pd.DataFrame({"big": pd.Series([], dtype="string"),
+                                 "c12": pd.Series([], dtype="int64")}))
+
+    def uni_cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ref = df[df[id_col].to_numpy() % ref_mod == 0]
+        ex = _ws_tokens(ref[text_col]).explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "c1": pd.Series([], dtype="int64")})
+        g = ex.groupby(ex.to_numpy(), sort=False).size()
+        return pd.DataFrame({"term": g.index.astype("string"),
+                             "c1": g.to_numpy()})
+
+    def uni_cnt_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False)["c1"].sum()
+        return pd.DataFrame({"term": g.index.astype("string"),
+                             "c1": g.to_numpy()})
+
+    uni_model = bucketed_map_groups(
+        docs.map_batches(uni_cnt_partial, batch_format="pandas"),
+        ["term"], uni_cnt_sum, num_buckets,
+        empty_like=pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "c1": pd.Series([], dtype="int64")})
+    ).materialize()
+    v = float(uni_model.count() + 1)
+
+    def doc_tf(df: pd.DataFrame) -> pd.DataFrame:
+        b = doc_bigrams(df, ref_only=False)
+        if not len(b):
+            return pd.DataFrame({
+                id_col: df[id_col].iloc[:0],
+                "big": pd.Series([], dtype="string"),
+                "term": pd.Series([], dtype="string"),
+                "tf": pd.Series([], dtype="int64")})
+        tf = b.groupby(["row", "big"], sort=False).size() \
+            .reset_index(name="tf")
+        big = tf["big"].astype("string")
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy()[tf["row"].to_numpy()],
+            "big": big.to_numpy(),
+            "term": big.str.split(" ").str[0].astype("string").to_numpy(),
+            "tf": tf["tf"].astype("int64").to_numpy()})
+
+    pairs = docs.map_batches(doc_tf, batch_format="pandas")
+    j1 = hash_join(pairs, bg_model, on=["big"], how="left_outer")
+    j2 = hash_join(j1, uni_model, on=["term"], how="left_outer")
+
+    def finish(df: pd.DataFrame, _v=v) -> pd.DataFrame:
+        c12 = df["c12"].fillna(0).to_numpy(dtype=np.float64)
+        c1 = df["c1"].fillna(0).to_numpy(dtype=np.float64)
+        tf = df["tf"].to_numpy(dtype=np.float64)
+        lp = np.log((c12 + 1.0) / (c1 + _v)) * tf
+        g = (pd.DataFrame({id_col: df[id_col].to_numpy(),
+                           "tf": tf, "lp": lp})
+             .groupby(id_col, sort=False).sum().reset_index())
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "n_bg": g["tf"].astype("int64").to_numpy(),
+            "nll": np.round(-g["lp"].to_numpy() / g["tf"].to_numpy(), 6)})
+
+    return bucketed_map_groups(
+        j2, [id_col], finish, num_buckets,
+        empty_like=pd.DataFrame({
+            id_col: pd.Series([], dtype="int64"),
+            "n_bg": pd.Series([], dtype="int64"),
+            "nll": pd.Series([], dtype="float64")}))
+
+
+def js_divergence(ds, id_col: str = "doc_id", text_col: str = "text",
+                  num_buckets: int = 64):
+    """Jensen-Shannon divergence (bits) between the token distributions
+    of two corpus halves (``id % 2``) — the distribution-drift gate a
+    curation pipeline runs between crawls/sources before mixing them.
+
+    Plan: one combiner pass + one bucketed shuffle builds per-term
+    (count_A, count_B) cells; the two corpus totals are scalar
+    reductions; each bucket then reduces its terms' JS contributions
+    ``Σ 0.5·p·log2(p/m) + 0.5·q·log2(q/m)`` (zero-count sides
+    contribute 0) to ONE partial row — driver state is O(buckets).
+    The identical float expression is mirrored in the SQL oracle.
+    """
+    from .shuffle import bucketed_map_groups
+
+    docs = ds.select_columns([id_col, text_col])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        side = (df[id_col].to_numpy() % 2).astype(np.int64)
+        toks = _ws_tokens(df[text_col]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "ca": pd.Series([], dtype="int64"),
+                                 "cb": pd.Series([], dtype="int64")})
+        t = pd.DataFrame({"term": ex.to_numpy(),
+                          "s": side[ex.index.to_numpy()]})
+        g = t.groupby("term", sort=False)["s"] \
+            .agg(n="size", odd="sum").reset_index()
+        return pd.DataFrame({
+            "term": g["term"].astype("string"),
+            "ca": (g["n"] - g["odd"]).astype("int64"),
+            "cb": g["odd"].astype("int64")})
+
+    def cnt_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("term", sort=False)[["ca", "cb"]].sum()
+        return g.reset_index()
+
+    cells = bucketed_map_groups(
+        docs.map_batches(cnt_partial, batch_format="pandas"),
+        ["term"], cnt_sum, num_buckets,
+        empty_like=pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "ca": pd.Series([], dtype="int64"),
+                                 "cb": pd.Series([], dtype="int64")})
+    ).materialize()
+    na = float(cells.sum("ca") or 0)
+    nb = float(cells.sum("cb") or 0)
+
+    def bucket_js(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["ca"].to_numpy(np.float64) / na
+        q = df["cb"].to_numpy(np.float64) / nb
+        m = (p + q) / 2.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            part = (np.where(p > 0, 0.5 * p * np.log2(
+                        np.where(p > 0, p, 1.0) / m), 0.0)
+                    + np.where(q > 0, 0.5 * q * np.log2(
+                        np.where(q > 0, q, 1.0) / m), 0.0))
+        return pd.DataFrame({"js": [part.sum()],
+                             "n_terms": [np.int64(len(df))]})
+
+    parts = cells.map_batches(bucket_js, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({
+        "js_bits": [np.round(parts["js"].to_numpy(np.float64).sum(), 6)],
+        "n_terms": [np.int64(parts["n_terms"].sum())]})

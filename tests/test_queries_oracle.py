@@ -108,6 +108,11 @@ PINNED = [
     "ntile_window",
     "id_islands",
     "ewma_user",
+    "levene_bf",
+    "js_divergence",
+    "dynamic_blocking",
+    "bigram_lm",
+    "join_size",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -9773,6 +9773,330 @@ FROM l JOIN r USING (k)
 """
 
 
+def q_decayed_counts(sf_dir: str):
+    """Exponential time-decay counts per event_type (half-life 7 days,
+    anchored at the corpus max ts) — the streaming-freshness statistic
+    behind trending/heavy-hitter-with-recency telemetry.  Decayed mass
+    ``Σ 2^((t−t_ref)/halflife)`` is ALGEBRAIC, so the whole query is
+    one scalar max pass + one (n, Σw) combiner pass; epoch arithmetic
+    runs on exact int64 microseconds in both engines (pow parity ≤ 1
+    ulp, absorbed by round-6)."""
+    ev = _rp(sf_dir, "events", ["ts", "event_type"])
+    hl_us = np.float64(604800000000.0)   # 7 days in microseconds
+
+    def max_part(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"m": [us.max() if len(us) else np.int64(0)]})
+
+    tref = int(ev.map_batches(max_part, batch_format="pandas")
+               .to_pandas()["m"].max())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        w = np.power(np.float64(2.0), (us - tref) / hl_us)
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                            "n": np.int64(1), "w": w})
+        return out.groupby("event_type", sort=False).sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"), "w": ("w", "sum")})
+    return pd.DataFrame({
+        "event_type": g["event_type"].to_numpy(object),
+        "n": g["n"].to_numpy(np.int64),
+        "decayed": np.round(g["w"].to_numpy(np.float64), 6)})
+
+
+SQL_DECAYED_COUNTS = """
+WITH tr AS (SELECT max(ts) AS m FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(pow(2.0, (epoch_us(ts) - epoch_us(m))
+                          / 604800000000.0)), 6) AS decayed
+FROM events CROSS JOIN tr GROUP BY event_type
+"""
+
+
+def q_truth_discovery(sf_dir: str):
+    """Source-reliability truth discovery (one EM round of the
+    vote/TruthFinder family, Dong & Srivastava's data-fusion survey):
+    sources (event_type) claim a discretized value per entity
+    (user_id); round 1 takes the per-entity majority, source accuracy
+    is Laplace-smoothed agreement with that majority, round 2 re-votes
+    weighted by ln-odds of source accuracy.  Distributed shape: claims
+    + majority in ONE entity co-location shuffle, accuracies via a
+    bounded combiner (source domain is small), weights broadcast, one
+    more entity-bucketed pass for the weighted argmax.  Weighted sums
+    round to 9 decimals in both engines before the argmax so float
+    summation order can never flip a tie."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def claims_and_majority(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(object),
+            "v": np.floor(df["value"].to_numpy(np.float64))
+                   .astype(np.int64) % 5})
+        cl = d.groupby(["user_id", "event_type"], sort=False)["v"] \
+            .min().reset_index()
+        c = cl.groupby(["user_id", "v"], sort=False).size() \
+            .reset_index(name="c")
+        c = c.sort_values(["user_id", "c", "v"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        t1 = c.drop_duplicates("user_id")[["user_id", "v"]] \
+            .rename(columns={"v": "truth1"})
+        return cl.merge(t1, on="user_id")
+
+    claims = bucketed_map_groups(ev, ["user_id"], claims_and_majority,
+                                 num_buckets=64).materialize()
+
+    def acc_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "n": np.int64(1),
+            "agree": (df["v"].to_numpy() == df["truth1"].to_numpy())
+            .astype(np.int64)})
+        return out.groupby("event_type", sort=False).sum().reset_index()
+
+    acc = rel.partial_groupby_agg(
+        claims.map_batches(acc_part, batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"), "agree": ("agree", "sum")})
+    a = (acc["agree"].to_numpy(np.float64) + 0.5) \
+        / (acc["n"].to_numpy(np.float64) + 1.0)
+    wt = dict(zip(acc["event_type"], np.log(a / (1.0 - a))))
+
+    def weighted_vote(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "v": df["v"].to_numpy(np.int64),
+            "w": df["event_type"].map(wt).to_numpy(np.float64)})
+        s = d.groupby(["user_id", "v"], sort=False)["w"].sum() \
+            .round(9).reset_index()
+        s = s.sort_values(["user_id", "w", "v"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        t2 = s.drop_duplicates("user_id")[["user_id", "v"]] \
+            .rename(columns={"v": "truth"})
+        ns = d.groupby("user_id", sort=False).size() \
+            .reset_index(name="n_sources")
+        return t2.merge(ns, on="user_id")
+
+    return bucketed_map_groups(claims, ["user_id"], weighted_vote,
+                               num_buckets=64)
+
+
+SQL_TRUTH_DISCOVERY = """
+WITH cl AS (
+  SELECT user_id, event_type,
+         min(CAST(floor(value) AS BIGINT) % 5) AS v
+  FROM events GROUP BY 1, 2),
+v1 AS (SELECT user_id, v, count(*) AS c FROM cl GROUP BY 1, 2),
+t1 AS (SELECT user_id, v AS truth1 FROM (
+         SELECT user_id, v, row_number() OVER (
+             PARTITION BY user_id ORDER BY c DESC, v ASC) AS rn
+         FROM v1) WHERE rn = 1),
+acc AS (
+  SELECT event_type,
+         (sum(CASE WHEN cl.v = t1.truth1 THEN 1 ELSE 0 END) + 0.5)
+           / (count(*) + 1.0) AS a
+  FROM cl JOIN t1 USING (user_id) GROUP BY 1),
+w AS (SELECT event_type, ln(a / (1 - a)) AS wt FROM acc),
+v2 AS (SELECT user_id, v, round(sum(wt), 9) AS s
+       FROM cl JOIN w USING (event_type) GROUP BY 1, 2),
+t2 AS (SELECT user_id, v AS truth, row_number() OVER (
+           PARTITION BY user_id ORDER BY s DESC, v ASC) AS rn
+       FROM v2),
+ns AS (SELECT user_id, count(*) AS n_sources FROM cl GROUP BY 1)
+SELECT t2.user_id, truth, CAST(n_sources AS BIGINT) AS n_sources
+FROM t2 JOIN ns USING (user_id) WHERE rn = 1
+"""
+
+
+def q_rfm_segments(sf_dir: str):
+    """RFM user segmentation: per-user Recency (days since last event,
+    exact int64-microsecond arithmetic), Frequency and Monetary, plus
+    an NTILE(5) frequency score with SQL's remainder rule — one user
+    co-location shuffle for R/F/M, the global_dense_rank primitive for
+    the corpus-wide quintile (no global sort materialization), one
+    hash join to attach the score."""
+    from ..stages.relational import global_dense_rank, hash_join
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def max_part(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"m": [us.max() if len(us) else np.int64(0)]})
+
+    tref = int(ev.map_batches(max_part, batch_format="pandas")
+               .to_pandas()["m"].max())
+
+    def rfm(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "us": us,
+                          "value": df["value"].to_numpy(np.float64)})
+        g = d.groupby("user_id", sort=False) \
+            .agg(mx=("us", "max"), frequency=("us", "size"),
+                 sv=("value", "sum")).reset_index()
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "recency_days": (tref - g["mx"].to_numpy(np.int64))
+            // np.int64(86400000000),
+            "frequency": g["frequency"].to_numpy(np.int64),
+            "monetary": np.round(g["sv"].to_numpy(np.float64), 6)})
+
+    base = bucketed_map_groups(ev, ["user_id"], rfm,
+                               num_buckets=64).materialize()
+    ranked, n_users = global_dense_rank(base, "frequency", "user_id")
+    ranked = ranked.map_batches(
+        lambda df: df.rename(columns={"id": "user_id"}),
+        batch_format="pandas")
+    joined = hash_join(base, ranked, on=["user_id"])
+    k = 5
+    q, r = n_users // k, n_users % k
+    big, boundary = q + 1, (q + 1) * r
+    q_safe = max(q, 1)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        rn = df["rn"].to_numpy(np.int64)
+        f = np.where(rn < boundary, rn // big + 1,
+                     (rn - boundary) // q_safe + r + 1)
+        out = df[["user_id", "recency_days", "frequency",
+                  "monetary"]].copy()
+        out["f_score"] = f
+        return out
+
+    return joined.map_batches(score, batch_format="pandas")
+
+
+SQL_RFM_SEGMENTS = """
+WITH tr AS (SELECT max(ts) AS m FROM events),
+rfm AS (
+  SELECT user_id,
+         (epoch_us(m) - epoch_us(max(ts))) // 86400000000
+             AS recency_days,
+         count(*) AS frequency, round(sum(value), 6) AS monetary
+  FROM events CROSS JOIN tr GROUP BY user_id, m)
+SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY frequency, user_id) AS BIGINT)
+           AS f_score
+FROM rfm
+"""
+
+
+def q_progressive_er(sf_dir: str):
+    """Progressive (pay-as-you-go) entity resolution (Whang, Marmaros
+    & Garcia-Molina 2013): rank candidate pairs by blocking evidence —
+    the number of LSH bands both docs collide in — and measure
+    true-match recall as a function of comparison budget (deciles of
+    the ranked pair list).  The curve is the resolve-early signal a
+    deadline-bounded ER deployment tunes against.  Plan: flagship
+    extract + MinHash feature stages, narrow band-key explode, ONE
+    band-keyed shuffle emitting within-band pairs, one pair-keyed
+    shuffle counting shared bands; the decile sweep runs on the
+    (bounded) candidate-pair list against the synthetic corpus's
+    labeled truth.  Rows-only query (the LSH pipeline is not
+    SQL-expressible); monotonicity/endpoint/enrichment are pinned in
+    pytest."""
+    from functools import partial as _partial
+
+    import ray.data as rd
+
+    from ..functions.similarity import stable_hash_strings
+    from ..sources.corpus import CorpusConfig, corpus_table, true_pairs
+    from ..stages.blocking import emit_band_keys
+    from ..stages.shuffle import bucketed_map_groups
+    from .reconcile import _extract_task, _signature_task
+
+    blocking, scoring = BlockingConfig(), ScoringConfig()
+    tbl = corpus_table(CorpusConfig(n_families=60))
+    corpus = rd.from_arrow(tbl)
+    base_cols = [c for c in ("url", "warc_ts", "html", "lang")
+                 if c in corpus.schema().names]
+    features = corpus.select_columns(base_cols) \
+        .map_batches(_extract_task, batch_format="pyarrow") \
+        .map_batches(_partial(_signature_task, blocking=blocking,
+                              scoring=scoring), batch_format="pyarrow")
+    bands = emit_band_keys(features, blocking, include_bands=False)
+
+    # keep every band group at this eval scale: skipping hot bands
+    # loses the true pairs that only co-occur there (the flagship
+    # SALTS such blocks instead — at production scale route oversized
+    # groups through stages/pairs.py's salted generator)
+    cap = 5000
+
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("band_hash", sort=False):
+            m = len(g)
+            if m < 2 or m > cap:
+                continue
+            uh = np.sort(g["uh"].to_numpy(np.uint64))
+            iu, ju = np.triu_indices(m, k=1)
+            outs.append(pd.DataFrame({"a": uh[iu], "b": uh[ju]}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.uint64),
+                                 "b": pd.Series([], dtype=np.uint64)})
+        return pd.concat(outs, ignore_index=True)
+
+    pairs = bucketed_map_groups(bands, ["band_hash"], band_pairs,
+                                num_buckets=64)
+
+    def count_bands(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False).size() \
+            .reset_index(name="n_bands")
+        return g
+
+    counted = bucketed_map_groups(pairs, ["a", "b"], count_bands,
+                                  num_buckets=64).to_pandas()
+
+    # weak candidate channel: sorted-neighborhood on url — mostly
+    # NON-matches (alphabetical neighbors across families), zero shared
+    # bands.  A realistic progressive-ER pool mixes channel qualities;
+    # band-count priority should then front-load the true matches.
+    from ..stages.blocking import sorted_neighborhood_pairs
+
+    def add_uh(t: pa.Table) -> pa.Table:
+        uh = stable_hash_strings(
+            t.column("url").to_pandas().to_numpy(dtype=object))
+        return t.append_column("uh", pa.array(uh, pa.uint64()))
+
+    with_uh = features.select_columns(["url"]) \
+        .map_batches(add_uh, batch_format="pyarrow")
+    weak = sorted_neighborhood_pairs(with_uh, "url", "uh",
+                                     window=4).to_pandas()
+    wa = weak[["id_a", "id_b"]].to_numpy(np.uint64)
+    weak = pd.DataFrame({"a": wa.min(axis=1), "b": wa.max(axis=1)}) \
+        .drop_duplicates()
+
+    cand = counted.merge(weak, on=["a", "b"], how="outer")
+    cand["n_bands"] = cand["n_bands"].fillna(0).astype(np.int64)
+
+    # evaluation finish (labeled corpus is driver-small by design)
+    urls = tbl.column("url").to_pylist()
+    uh2url = dict(zip(stable_hash_strings(np.array(urls, dtype=object)),
+                      urls))
+    truth = set(tuple(sorted(p)) for p in true_pairs(tbl))
+    ranked = cand.sort_values(["n_bands", "a", "b"],
+                              ascending=[False, True, True],
+                              kind="mergesort")
+    hits = np.array([
+        tuple(sorted((uh2url[a], uh2url[b]))) in truth
+        for a, b in zip(ranked["a"], ranked["b"])], dtype=np.int64)
+    cum = np.cumsum(hits)
+    n = len(ranked)
+    rows = []
+    for d in range(1, 11):
+        budget = (n * d) // 10
+        rec = (cum[budget - 1] / max(len(truth), 1)) if budget else 0.0
+        rows.append((d, budget, np.round(rec, 6)))
+    return pd.DataFrame(rows, columns=["decile", "n_scored", "recall"])
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -9999,6 +10323,10 @@ QUERIES = {
     "dynamic_blocking": q_dynamic_blocking,
     "bigram_lm": q_bigram_lm,
     "join_size": q_join_size,
+    "decayed_counts": q_decayed_counts,
+    "truth_discovery": q_truth_discovery,
+    "rfm_segments": q_rfm_segments,
+    "progressive_er": q_progressive_er,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -10207,6 +10535,9 @@ ORACLES = {
     "dynamic_blocking": SQL_DYNAMIC_BLOCKING,
     "bigram_lm": SQL_BIGRAM_LM,
     "join_size": SQL_JOIN_SIZE,
+    "decayed_counts": SQL_DECAYED_COUNTS,
+    "truth_discovery": SQL_TRUTH_DISCOVERY,
+    "rfm_segments": SQL_RFM_SEGMENTS,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -113,6 +113,9 @@ PINNED = [
     "dynamic_blocking",
     "bigram_lm",
     "join_size",
+    "decayed_counts",
+    "truth_discovery",
+    "rfm_segments",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",
@@ -276,6 +279,26 @@ def test_query_matches_oracle(ray_session, oracle_con, name):
     assert sorted(ray_df.columns) == sorted(sql_df.columns)
     assert len(ray_df) == len(sql_df)
     pd.testing.assert_frame_equal(_canon(ray_df), _canon(sql_df))
+
+
+def test_progressive_er_curve(ray_session):
+    """progressive_er is rows-only (LSH not SQL-expressible); pin the
+    curve's defining properties on the deterministic corpus: recall is
+    monotone in budget; the candidate pool (band pairs + the weak
+    sorted-neighborhood channel) covers > 95% of truth; and band-count
+    prioritization FRONT-LOADS matches — by the 80% budget (where the
+    strong channel is exhausted) recall beats the uniform-ordering
+    baseline of 0.8 x ceiling."""
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import QUERIES
+
+    df = _to_pandas(QUERIES["progressive_er"](SF))
+    assert list(df["decile"]) == list(range(1, 11))
+    rec = df["recall"].to_numpy()
+    assert (rec[1:] >= rec[:-1] - 1e-12).all()
+    assert rec[-1] > 0.95
+    assert rec[7] > 0.9 and rec[7] > 0.8 * rec[-1] + 0.05
+    assert (df["n_scored"].to_numpy()[1:]
+            >= df["n_scored"].to_numpy()[:-1]).all()
 
 
 def test_compression_ratio_matches_direct(ray_session, oracle_con):

@@ -10097,6 +10097,153 @@ def q_progressive_er(sf_dir: str):
     return pd.DataFrame(rows, columns=["decile", "n_scored", "recall"])
 
 
+def q_cramers_v(sf_dir: str):
+    """Cramér's V effect size of the lang × source association — the
+    normalized companion to chisq_independence (same one-combiner cell
+    pass, closed form √(χ²/(n·min(r−1, c−1))) on the bounded grid),
+    reported with the raw χ² so downstream gating can use either."""
+    docs = _rp(sf_dir, "documents", ["source", "lang"])
+
+    cell = rel.partial_groupby_agg(
+        docs.map_batches(
+            lambda df: df.groupby(["source", "lang"], sort=False)
+            .size().reset_index(name="c"),
+            batch_format="pandas"),
+        ["source", "lang"], {"c": ("c", "sum")})
+    grid = cell.pivot_table(index="source", columns="lang", values="c",
+                            fill_value=0, aggfunc="sum")
+    obs = grid.to_numpy(np.float64)
+    nd = obs.sum()
+    nr = obs.sum(axis=1)
+    nc = obs.sum(axis=0)
+    exp = nr[:, None] * nc[None, :] / nd
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    mindim = float(min(len(nr) - 1, len(nc) - 1))
+    return pd.DataFrame({"chi2": [np.round(chi2, 6)],
+                         "cramers_v": [np.round(
+                             np.sqrt(chi2 / (nd * mindim)), 6)]})
+
+
+SQL_CRAMERS_V = """
+WITH cell AS (SELECT source, lang, count(*) AS c
+              FROM documents GROUP BY 1, 2),
+rs AS (SELECT source, sum(c) AS nr FROM cell GROUP BY 1),
+cs AS (SELECT lang, sum(c) AS nc FROM cell GROUP BY 1),
+t AS (SELECT CAST(sum(c) AS DOUBLE) AS nd FROM cell),
+dims AS (SELECT (SELECT count(*) FROM rs) AS r,
+                (SELECT count(*) FROM cs) AS k),
+grid AS (SELECT rs.source, cs.lang, nr, nc,
+                coalesce(c, 0) AS o
+         FROM rs CROSS JOIN cs
+         LEFT JOIN cell ON cell.source = rs.source
+                       AND cell.lang = cs.lang),
+x AS (SELECT sum(pow(o - nr * nc / nd, 2) / (nr * nc / nd)) AS chi2
+      FROM grid CROSS JOIN t)
+SELECT round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (nd * least(r - 1, k - 1))), 6) AS cramers_v
+FROM x CROSS JOIN t CROSS JOIN dims
+"""
+
+
+def q_blocking_sweep(sf_dir: str):
+    """Blocking-scheme evaluation sweep: reduction ratio (fraction of
+    the N²/2 comparison space eliminated) and pairs-completeness
+    (fraction of truth pairs — same-lang, the threshold_sweep
+    convention — that share a block) for FOUR candidate schemes (text
+    prefixes of length 1/2/3 and the first token) in one pass.  The
+    scheme-selection audit run before committing a linkage deployment
+    to a blocking key (ref F5 slot evaluated across its design space).
+    Everything reduces to Σ C(m,2) identities over (scheme, key) and
+    (scheme, key, lang) count cells — bounded combiners, ZERO pair
+    enumeration."""
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    schemes = ["prefix1", "prefix2", "prefix3", "token1"]
+
+    def keys_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype("string").fillna("") \
+            .str.strip().str.lower()
+        keep = t != ""
+        t = t[keep]
+        lang = df["lang"].astype("string").fillna("")[keep]
+        frames = []
+        for s in schemes:
+            key = t.str.slice(0, int(s[-1])) if s.startswith("prefix") \
+                else t.str.split(ts._WS_SPLIT_RE).str[0]
+            frames.append(pd.DataFrame({
+                "scheme": s, "key": key.to_numpy(object),
+                "lang": lang.to_numpy(object)}))
+        allk = pd.concat(frames, ignore_index=True)
+        g = allk.groupby(["scheme", "key", "lang"], sort=False).size()
+        return g.reset_index(name="c")
+
+    cells = rel.partial_groupby_agg(
+        docs.map_batches(keys_partial, batch_format="pandas"),
+        ["scheme", "key", "lang"], {"c": ("c", "sum")})
+
+    n = int(cells[cells["scheme"] == schemes[0]]["c"].sum())
+    total_pairs = n * (n - 1) // 2
+    lang_tot = cells[cells["scheme"] == schemes[0]] \
+        .groupby("lang")["c"].sum()
+    truth_pairs = int((lang_tot * (lang_tot - 1) // 2).sum())
+
+    rows = []
+    for s in schemes:
+        sc = cells[cells["scheme"] == s]
+        blk = sc.groupby("key")["c"].sum()
+        cand = int((blk * (blk - 1) // 2).sum())
+        hit = int((sc["c"] * (sc["c"] - 1) // 2).sum())
+        rows.append((s, np.int64(len(blk)), np.int64(cand),
+                     np.round(1.0 - cand / total_pairs, 6),
+                     np.round(hit / truth_pairs, 6)))
+    return pd.DataFrame(rows, columns=[
+        "scheme", "n_blocks", "cand_pairs", "reduction_ratio",
+        "pairs_completeness"])
+
+
+SQL_BLOCKING_SWEEP = r"""
+WITH d AS (
+  SELECT doc_id, trim(lower(coalesce(text, ''))) AS t, lang
+  FROM documents WHERE trim(lower(coalesce(text, ''))) <> ''),
+k AS (
+  SELECT scheme,
+         CASE scheme WHEN 'prefix1' THEN substr(t, 1, 1)
+                     WHEN 'prefix2' THEN substr(t, 1, 2)
+                     WHEN 'prefix3' THEN substr(t, 1, 3)
+                     ELSE regexp_split_to_array(t, '\s+')[1] END AS key,
+         lang
+  FROM d CROSS JOIN (SELECT unnest(['prefix1', 'prefix2', 'prefix3',
+                                    'token1']) AS scheme)),
+tot AS (SELECT count(*) AS n FROM d),
+tp AS (SELECT sum(c * (c - 1) // 2) AS truth_pairs
+       FROM (SELECT count(*) AS c FROM d GROUP BY lang)),
+blk AS (SELECT scheme, key, count(*) AS m FROM k GROUP BY 1, 2),
+hit AS (SELECT scheme, sum(c * (c - 1) // 2) AS h
+        FROM (SELECT scheme, key, lang, count(*) AS c
+              FROM k GROUP BY 1, 2, 3) GROUP BY 1)
+SELECT blk.scheme,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(m * (m - 1) // 2) AS BIGINT) AS cand_pairs,
+       round(1.0 - sum(m * (m - 1) // 2)
+                   / (n * (n - 1) // 2), 6) AS reduction_ratio,
+       round(any_value(h) / any_value(truth_pairs), 6)
+           AS pairs_completeness
+FROM blk JOIN hit ON hit.scheme = blk.scheme
+CROSS JOIN tot CROSS JOIN tp
+GROUP BY blk.scheme, n
+"""
+
+
+def q_ann_multiprobe(sf_dir: str):
+    """Multi-probe hyperplane-LSH top-k (stages/ann.py::
+    multiprobe_topk): one hash table, least-confident-bit probing —
+    the index-memory-frugal ANN path beside ann_ivf/ann_pq.
+    Rows-only; recall vs brute force pinned in tests."""
+    from ..stages.ann import multiprobe_topk
+
+    ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return multiprobe_topk(ds, _query_vectors(sf_dir), k=10)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -10327,6 +10474,9 @@ QUERIES = {
     "truth_discovery": q_truth_discovery,
     "rfm_segments": q_rfm_segments,
     "progressive_er": q_progressive_er,
+    "cramers_v": q_cramers_v,
+    "blocking_sweep": q_blocking_sweep,
+    "ann_multiprobe": q_ann_multiprobe,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -10538,6 +10688,8 @@ ORACLES = {
     "decayed_counts": SQL_DECAYED_COUNTS,
     "truth_discovery": SQL_TRUTH_DISCOVERY,
     "rfm_segments": SQL_RFM_SEGMENTS,
+    "cramers_v": SQL_CRAMERS_V,
+    "blocking_sweep": SQL_BLOCKING_SWEEP,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

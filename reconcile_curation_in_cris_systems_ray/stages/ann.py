@@ -288,3 +288,74 @@ def pq_topk(ds, queries: np.ndarray, k: int = 10, m_sub: int = 8,
     partials = codes.map_batches(adc, batch_format="pyarrow")
     return topk_per_group(partials, ["query_id"], "score", k,
                           descending=True, num_buckets=16)
+
+
+def multiprobe_topk(ds, queries: np.ndarray, k: int = 10,
+                    n_planes: int = 6, n_probes: int = 24, seed: int = 7,
+                    id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Multi-probe hyperplane-LSH cosine top-k (Lv et al. 2007): one
+    hash table instead of many — each query probes its own sign-bit
+    bucket PLUS the buckets reached by flipping its least-confident
+    bits (smallest |q·r| margins, singles then cheapest pairs, in
+    increasing total-margin order).  Recall comparable to multi-table
+    LSH at 1/n_tables the index memory — the knob that matters when
+    the index itself must live in the object store at 10^12 rows.
+
+    Distributed shape mirrors :func:`ivf_topk`: planes + per-query
+    probe lists broadcast once (``ray.put``), each batch computes its
+    rows' codes with one matmul + sign, candidate rows score exact
+    cosine, per-batch partial top-k, one small grouped finish.
+    Returns (query_id, vec_id, score)."""
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    nq, dim = qm.shape
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim))
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    margins = qm @ planes.T                           # (nq, h)
+    base = (margins > 0).astype(np.int64) @ weights   # (nq,)
+    probe_rows = []
+    for qi in range(nq):
+        cost = np.abs(margins[qi])
+        order = np.argsort(cost, kind="stable")       # cheapest first
+        cands = [(0.0, np.int64(0))]
+        cands += [(cost[j], weights[j]) for j in order]
+        cheap = order[:6]
+        cands += [(cost[a] + cost[b], weights[a] | weights[b])
+                  for i, a in enumerate(cheap) for b in cheap[i + 1:]]
+        cands.sort(key=lambda t: t[0])
+        masks = np.array([m for _, m in cands[:n_probes]], dtype=np.int64)
+        probe_rows.append(base[qi] ^ masks)
+    probes_ref = ray.put(probe_rows)
+    planes_ref = ray.put(planes)
+    q_ref = ray.put(qm)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref)
+        q = ray.get(q_ref)
+        probes = ray.get(probes_ref)
+        vecs = _normalize(_as_matrix(batch.column(vec_col)))
+        codes = (vecs @ pl.T > 0).astype(np.int64) @ weights   # (n,)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sims_all = vecs @ q.T                                  # (n, nq)
+        out_q, out_i, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            mask = np.isin(codes, probes[qi])
+            if not mask.any():
+                continue
+            sims = sims_all[mask, qi]
+            kk = min(k, sims.shape[0])
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * kk)
+            out_i.extend(ids[mask][top].tolist())
+            out_s.extend(sims[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_i),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    partials = ds.select_columns([id_col, vec_col]).map_batches(
+        partial, batch_format="pyarrow")
+    return topk_per_group(partials, ["query_id"], "score", k,
+                          descending=True, num_buckets=16)

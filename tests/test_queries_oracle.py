@@ -116,6 +116,8 @@ PINNED = [
     "decayed_counts",
     "truth_discovery",
     "rfm_segments",
+    "cramers_v",
+    "blocking_sweep",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

@@ -175,6 +175,37 @@ def test_ivf_topk_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_multiprobe_topk_recall_vs_bruteforce(ray_session):
+    """Multi-probe LSH must recover a useful fraction of the exact
+    top-10 from ONE hash table, and probing more buckets must not
+    reduce recall (the least-confident-bit probe order is the point
+    of Lv et al. 2007)."""
+    from reconcile_curation_in_cris_systems_ray.stages.ann import (
+        brute_force_topk, multiprobe_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((500, 16))
+    df = pd.DataFrame({"vec_id": np.arange(500),
+                       "embedding": [v.tolist() for v in vecs]})
+    queries = vecs[:3]
+    exact = brute_force_topk(_ds(df), queries, k=10).to_pandas()
+
+    def mean_recall(n_probes):
+        approx = multiprobe_topk(_ds(df), queries, k=10,
+                                 n_probes=n_probes).to_pandas()
+        recs = []
+        for qi in range(3):
+            want = set(exact[exact["query_id"] == qi]["vec_id"])
+            have = set(approx[approx["query_id"] == qi]["vec_id"])
+            recs.append(len(want & have) / len(want))
+        return float(np.mean(recs))
+
+    r_few, r_many = mean_recall(4), mean_recall(24)
+    assert r_many >= 0.5, (r_few, r_many)
+    assert r_many >= r_few - 1e-9, (r_few, r_many)
+
+
 def test_hydrate_pairs_broadcast_and_distributed_agree(ray_session):
     """The broadcast and distributed-join hydration strategies must
     produce identical pair orientation (url_a < url_b) and features —

@@ -10244,6 +10244,268 @@ def q_ann_multiprobe(sf_dir: str):
     return multiprobe_topk(ds, _query_vectors(sf_dir), k=10)
 
 
+def q_rendezvous_stability(sf_dir: str):
+    """Rendezvous (highest-random-weight) partition assignment and its
+    defining resize property: growing the node set 8 → 9 moves ONLY
+    the keys won by the new node (~1/9 of them), never reshuffles the
+    rest — the partitioning discipline that makes checkpoint/shard
+    ownership survive cluster resizes.  Assignment is
+    ``argmax_node hash(key ':' node)`` (DuckDB hash kernel, so the SQL
+    oracle rebuilds every assignment bit-for-bit); the movement audit
+    reduces per batch to four counters."""
+    from ..functions.similarity import hash_strings_fast
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def assign(ids: pd.Series, n_nodes: int) -> np.ndarray:
+        h = np.stack([
+            hash_strings_fast((ids + f":{n}").to_numpy(object))
+            for n in range(n_nodes)], axis=1)
+        return np.argmax(h, axis=1)   # first max = smallest node id
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(str)
+        p8, p9 = assign(ids, 8), assign(ids, 9)
+        moved = p8 != p9
+        return pd.DataFrame({
+            "n_docs": [np.int64(len(df))],
+            "moved": [np.int64(moved.sum())],
+            "moved_to_new": [np.int64((moved & (p9 == 8)).sum())]})
+
+    s = _rp(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas().sum()
+    n, mv = np.int64(s["n_docs"]), np.int64(s["moved"])
+    return pd.DataFrame({
+        "n_docs": [n], "moved": [mv],
+        "moved_to_new": [np.int64(s["moved_to_new"])],
+        "frac_moved": [np.round(mv / n, 6)]})
+
+
+SQL_RENDEZVOUS_STABILITY = """
+WITH a8 AS (
+  SELECT doc_id, node FROM (
+    SELECT doc_id, node, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY hash(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(node AS VARCHAR)) DESC, node) AS rn
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS node))
+  WHERE rn = 1),
+a9 AS (
+  SELECT doc_id, node FROM (
+    SELECT doc_id, node, row_number() OVER (
+        PARTITION BY doc_id
+        ORDER BY hash(CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(node AS VARCHAR)) DESC, node) AS rn
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS node))
+  WHERE rn = 1)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN a8.node <> a9.node THEN 1 ELSE 0 END)
+            AS BIGINT) AS moved,
+       CAST(sum(CASE WHEN a8.node <> a9.node AND a9.node = 8
+                     THEN 1 ELSE 0 END) AS BIGINT) AS moved_to_new,
+       round(sum(CASE WHEN a8.node <> a9.node THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS frac_moved
+FROM a8 JOIN a9 USING (doc_id)
+"""
+
+
+def q_late_events(sf_dir: str):
+    """Streaming watermark audit: with events replayed in event_id
+    (arrival) order and the watermark = running max event-time minus a
+    10-minute allowed lateness, count per-type events arriving behind
+    the watermark and the worst lateness — the dropped-vs-kept
+    accounting every event-time streaming job publishes.  The running
+    max is the keyless two-phase scan with the (max, −inf) monoid
+    (stages/scan.py::global_running_max, O(blocks) driver state);
+    timestamps stay exact int64 microseconds (< 2⁵³, exact in the
+    scan's float64)."""
+    from ..stages.scan import global_running_max
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(object),
+            "us": df["ts"].to_numpy("datetime64[us]").astype(np.int64)})
+
+    scanned = global_running_max(
+        ev.map_batches(to_us, batch_format="pandas"),
+        ["event_id"], "us", "wm")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        late_us = (df["wm"].to_numpy(np.float64)
+                   - df["us"].to_numpy(np.int64)
+                   - np.float64(600000000.0))
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "n": np.int64(1),
+            "n_late": (late_us > 0).astype(np.int64),
+            "max_late": np.where(late_us > 0, late_us, 0.0)})
+        return out.groupby("event_type", sort=False) \
+            .agg({"n": "sum", "n_late": "sum", "max_late": "max"}) \
+            .reset_index()
+
+    g = rel.partial_groupby_agg(
+        scanned.map_batches(partial, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("n", "sum"), "n_late": ("n_late", "sum"),
+         "max_late": ("max_late", "max")})
+    return pd.DataFrame({
+        "event_type": g["event_type"].to_numpy(object),
+        "n": g["n"].to_numpy(np.int64),
+        "n_late": g["n_late"].to_numpy(np.int64),
+        "max_late_sec": np.round(
+            g["max_late"].to_numpy(np.float64) / 1e6, 6)})
+
+
+SQL_LATE_EVENTS = """
+WITH w AS (
+  SELECT event_type,
+         max(epoch_us(ts)) OVER (ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)
+           - epoch_us(ts) - 600000000.0 AS late_us
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_late,
+       round(max(CASE WHEN late_us > 0 THEN late_us ELSE 0 END)
+             / 1e6, 6) AS max_late_sec
+FROM w GROUP BY event_type
+"""
+
+
+def q_weighted_jaccard(sf_dir: str):
+    """Exact WEIGHTED Jaccard pair join over tf vectors
+    (Σ min(tf_a, tf_b) / Σ max) for the doc_id<40 probe set, J ≥ 0.5 —
+    the exact baseline the ICWS sketch estimates.  Distributed shape:
+    (doc, term, tf) cells co-locate by TERM (pair partials
+    Σ min(tf_a, tf_b) emitted inside each term group — k ≤ probe-set
+    docs per term), one (a, b)-keyed merge sums them, doc norms ride a
+    tiny broadcast; identical integer arithmetic on both engines makes
+    the J ≥ 0.5 cut exact."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 40)),
+        batch_format="pyarrow")
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        toks = ts._ws_tokens(df["text"]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype="string"),
+                                 "tf": pd.Series([], dtype="int64")})
+        ids = df["doc_id"].to_numpy(np.int64)
+        c = (pd.DataFrame({"row": ex.index.to_numpy(),
+                           "term": ex.to_numpy(object)})
+             .groupby(["row", "term"], sort=False).size()
+             .reset_index(name="tf"))
+        return pd.DataFrame({
+            "doc_id": ids[c["row"].to_numpy()],
+            "term": c["term"].astype("string").to_numpy(),
+            "tf": c["tf"].astype("int64").to_numpy()})
+
+    cell_ds = docs.map_batches(cells, batch_format="pandas") \
+        .materialize()
+    norms = dict(
+        rel.partial_groupby_agg(cell_ds, ["doc_id"],
+                                {"s": ("tf", "sum")})
+        .set_index("doc_id")["s"])
+
+    def term_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("term", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            ids = g["doc_id"].to_numpy(np.int64)
+            tf = g["tf"].to_numpy(np.int64)
+            iu, ju = np.triu_indices(len(g), k=1)
+            outs.append(pd.DataFrame({
+                "a": ids[iu], "b": ids[ju],
+                "smin": np.minimum(tf[iu], tf[ju])}))
+        if not outs:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "smin": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    partials = bucketed_map_groups(cell_ds, ["term"], term_pairs,
+                                   num_buckets=64)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False)["smin"].sum() \
+            .reset_index()
+        na = g["a"].map(norms).to_numpy(np.float64)
+        nb = g["b"].map(norms).to_numpy(np.float64)
+        smin = g["smin"].to_numpy(np.float64)
+        j = smin / (na + nb - smin)
+        out = pd.DataFrame({"doc_a": g["a"].to_numpy(np.int64),
+                            "doc_b": g["b"].to_numpy(np.int64),
+                            "wj": np.round(j, 6)})
+        return out[j >= 0.5]
+
+    return bucketed_map_groups(
+        partials, ["a", "b"], finish, num_buckets=32,
+        empty_like=pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "wj": pd.Series([], dtype="float64")}))
+
+
+SQL_WEIGHTED_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, term, count(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+               AS term
+    FROM documents
+    WHERE trim(coalesce(text, '')) <> '' AND doc_id < 40)
+  GROUP BY 1, 2),
+norm AS (SELECT doc_id, sum(tf) AS s FROM toks GROUP BY 1),
+p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             sum(least(a.tf, b.tf)) AS smin
+      FROM toks a JOIN toks b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT a AS doc_a, b AS doc_b,
+       round(smin / (na.s + nb.s - smin), 6) AS wj
+FROM p JOIN norm na ON na.doc_id = p.a
+       JOIN norm nb ON nb.doc_id = p.b
+WHERE smin / (na.s + nb.s - smin) >= 0.5
+"""
+
+
+def q_icws_pairs(sf_dir: str):
+    """ICWS weighted-MinHash near-dup pairs (Ioffe 2010,
+    stages/sketch.py::icws_signatures): probe-set docs whose
+    64-sample signature agreement estimates weighted Jaccard ≥ 0.5.
+    Rows-only (the sketch is randomized-by-hash, not
+    SQL-expressible); estimator accuracy vs the exact
+    weighted_jaccard query is pinned in tests."""
+    from ..stages.sketch import icws_signatures
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 40)),
+        batch_format="pyarrow")
+    sigs = icws_signatures(docs, "doc_id", "text", m=64).to_pandas()
+    ids = sigs["doc_id"].to_numpy(np.int64)
+    mat = np.stack(sigs["sig"].to_numpy())          # (n, m)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+    iu, ju = np.triu_indices(len(ids), k=1)
+    est = eq[iu, ju]
+    hit = est >= 0.5
+    return pd.DataFrame({"doc_a": ids[iu][hit], "doc_b": ids[ju][hit],
+                         "est_wj": np.round(est[hit], 6)})
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -10477,6 +10739,10 @@ QUERIES = {
     "cramers_v": q_cramers_v,
     "blocking_sweep": q_blocking_sweep,
     "ann_multiprobe": q_ann_multiprobe,
+    "rendezvous_stability": q_rendezvous_stability,
+    "late_events": q_late_events,
+    "weighted_jaccard": q_weighted_jaccard,
+    "icws_pairs": q_icws_pairs,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -10690,6 +10956,9 @@ ORACLES = {
     "rfm_segments": SQL_RFM_SEGMENTS,
     "cramers_v": SQL_CRAMERS_V,
     "blocking_sweep": SQL_BLOCKING_SWEEP,
+    "rendezvous_stability": SQL_RENDEZVOUS_STABILITY,
+    "late_events": SQL_LATE_EVENTS,
+    "weighted_jaccard": SQL_WEIGHTED_JACCARD,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -139,3 +139,41 @@ def global_rolling_mean(ds, order_cols: list[str], value_col: str,
 
     out_refs = [roll.remote(r, hl) for r, hl in zip(refs, halos)]
     return rd.from_arrow_refs(out_refs)
+
+
+def global_running_max(ds, order_cols: list[str], value_col: str,
+                       out_col: str):
+    """Keyless running MAX in global ``order_cols`` order (SQL
+    ``max(x) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``) — the
+    same two-phase scan as :func:`global_scan` with (max, -inf) as the
+    monoid instead of (+, 0): per-block maxes to the driver
+    (O(blocks)), exclusive prefix-max over them, per-block cummax
+    seeded with the offset.  The watermark primitive for streaming
+    late-event accounting."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.sort(order_cols).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def block_max(tbl: pa.Table):
+        import pyarrow.compute as pc
+
+        m = pc.max(tbl[value_col]).as_py()
+        return -np.inf if m is None else float(m)
+
+    maxes = np.array(ray.get([block_max.remote(r) for r in refs]))
+    offsets = np.concatenate([[-np.inf],
+                              np.maximum.accumulate(maxes)[:-1]])
+
+    @ray.remote
+    def with_prefix(tbl: pa.Table, off):
+        v = tbl[value_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        run = np.maximum.accumulate(np.maximum(v, off)) \
+            if len(v) else v
+        return tbl.append_column(out_col, pa.array(run))
+
+    out_refs = [with_prefix.remote(r, o) for r, o in zip(refs, offsets)]
+    return rd.from_arrow_refs(out_refs)

@@ -749,3 +749,82 @@ def tdigest_per_group(ds, keys, col: str, qs: dict[str, float],
         return pd.DataFrame(rows, columns=[*keys, *names])
 
     return bucketed_map_groups(partials, keys, merge, num_buckets)
+
+
+def icws_signatures(ds, id_col: str = "doc_id", text_col: str = "text",
+                    m: int = 64):
+    """Improved Consistent Weighted Sampling signatures (Ioffe 2010) —
+    MinHash generalized to WEIGHTED Jaccard
+    J_w = Σ min(w_a, w_b) / Σ max(w_a, w_b) over tf vectors:
+    P[sample_k(A) = sample_k(B)] = J_w(A, B) exactly, so signature
+    agreement estimates J_w unbiased with variance J(1−J)/m.
+
+    Per sample k and token x, (r, c, β) derive from the DuckDB hash
+    kernel on ``x|k|i`` — token-and-k only, never the doc, which is
+    what makes sampling CONSISTENT across docs.  The batch kernel
+    hashes each distinct token once per (k, i) (five uniforms), maps
+    onto the (doc, token, tf) cells, and takes a per-doc argmin of
+    ``a = c / (y·e^r)`` with ``t = ⌊ln w / r + β⌋, y = e^{r(t−β)}`` —
+    all vectorized; the emitted sample is hash(token|t), one int64 per
+    (doc, k).  One narrow map, no shuffle; signatures are m×8 bytes.
+
+    Returns (id, sig list<int64> of length m).
+    """
+    from ..functions.similarity import hash_strings_fast
+    from .textstats import _ws_tokens
+
+    def sig_batch(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _ws_tokens(df[text_col]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({
+                id_col: df[id_col].iloc[:0],
+                "sig": pd.Series([], dtype=object)})
+        cell = (pd.DataFrame({"row": ex.index.to_numpy(),
+                              "term": ex.to_numpy(object)})
+                .groupby(["row", "term"], sort=False).size()
+                .reset_index(name="tf"))
+        rows = cell["row"].to_numpy(np.int64)
+        terms = cell["term"].to_numpy(object)
+        logw = np.log(cell["tf"].to_numpy(np.float64))
+        uniq, inv = np.unique(terms, return_inverse=True)
+        keep_ids = df[id_col].to_numpy()
+        row_codes, row_uniq = pd.factorize(rows)
+        n_docs = len(row_uniq)
+        two64 = np.float64(2.0) ** 64
+        sigs = np.empty((n_docs, m), dtype=np.int64)
+        for k in range(m):
+            u = [hash_strings_fast(
+                    np.char.add(uniq.astype("U"), f"|{k}|{i}")
+                    .astype(object)).astype(np.float64) / two64
+                 for i in range(5)]
+            r = -np.log(u[0] * u[1])
+            c = -np.log(u[2] * u[3])
+            beta = u[4]
+            rk, ck, bk = r[inv], c[inv], beta[inv]
+            t = np.floor(logw / rk + bk)
+            y = np.exp(rk * (t - bk))
+            a = ck / (y * np.exp(rk))
+            best = (pd.DataFrame({"d": row_codes, "a": a,
+                                  "i": np.arange(len(a))})
+                    .sort_values(["d", "a", "i"], kind="mergesort")
+                    .drop_duplicates("d"))
+            bi = best["i"].to_numpy(np.int64)
+            samp = hash_strings_fast(
+                np.char.add(
+                    np.char.add(terms[bi].astype("U"), "|"),
+                    t[bi].astype(np.int64).astype("U")).astype(object)
+            ).view(np.int64)
+            sigs[best["d"].to_numpy(np.int64), k] = samp
+        return pd.DataFrame({
+            id_col: keep_ids[row_uniq],
+            "sig": [s.tolist() for s in sigs]})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        sig_batch, batch_format="pandas")
+
+
+def icws_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Unbiased weighted-Jaccard estimate: fraction of agreeing
+    samples."""
+    return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))

@@ -118,6 +118,9 @@ PINNED = [
     "rfm_segments",
     "cramers_v",
     "blocking_sweep",
+    "rendezvous_stability",
+    "late_events",
+    "weighted_jaccard",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",
@@ -301,6 +304,42 @@ def test_progressive_er_curve(ray_session):
     assert rec[7] > 0.9 and rec[7] > 0.8 * rec[-1] + 0.05
     assert (df["n_scored"].to_numpy()[1:]
             >= df["n_scored"].to_numpy()[:-1]).all()
+
+
+def test_icws_estimates_weighted_jaccard(ray_session, oracle_con):
+    """ICWS signature agreement must estimate EXACT weighted Jaccard:
+    per-pair error bounded by ~4 standard errors of the m=64 binomial
+    (±0.25 worst case), identical docs estimate exactly 1.0, and the
+    probe set's top exact pair must surface in icws_pairs."""
+    import numpy as np
+
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import (
+        ORACLES, QUERIES,
+    )
+
+    exact = oracle_con.execute(ORACLES["weighted_jaccard"]).df()
+    est = _to_pandas(QUERIES["icws_pairs"](SF))
+    ex = {(r.doc_a, r.doc_b): r.wj for r in exact.itertuples()}
+    es = {(r.doc_a, r.doc_b): r.est_wj for r in est.itertuples()}
+    # every exact pair at J >= 0.6 must be found (threshold 0.5, so
+    # >= 4 sigma of headroom), with a calibrated estimate
+    strong = {p: j for p, j in ex.items() if j >= 0.6}
+    assert strong, "fixture should contain at least one strong pair"
+    for p, j in strong.items():
+        assert p in es, (p, j)
+        assert abs(es[p] - j) <= 0.25, (p, j, es[p])
+    # self-similarity sanity: duplicate a doc -> estimate exactly 1.0
+    from reconcile_curation_in_cris_systems_ray.stages.sketch import (
+        icws_estimate, icws_signatures,
+    )
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame({"doc_id": [0, 1],
+                       "text": ["alpha beta beta gamma"] * 2})
+    sigs = icws_signatures(rd.from_pandas(df), m=32).to_pandas()
+    s = np.stack(sigs["sig"].to_numpy())
+    assert icws_estimate(s[0], s[1]) == 1.0
 
 
 def test_compression_ratio_matches_direct(ray_session, oracle_con):

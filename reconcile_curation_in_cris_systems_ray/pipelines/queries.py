@@ -10506,6 +10506,174 @@ def q_icws_pairs(sf_dir: str):
                          "est_wj": np.round(est[hit], 6)})
 
 
+def q_kaplan_meier(sf_dir: str):
+    """Kaplan-Meier survival estimate of user lifetime (days between
+    first and last event), right-censoring users still active within
+    1 day of the corpus end — the retention curve with the censoring
+    handled correctly (a plain histogram over lifetimes would bias
+    long-lived users down).  Distributed shape: per-user (lifetime,
+    death) in one user co-location shuffle, then a (t: deaths, total)
+    combiner whose domain is DAY-grained lifetimes (bounded, ≤ corpus
+    span), so the at-risk suffix sum and the Π(1 − d/n) product run
+    on a tiny driver frame; ln/exp guarded identically in both
+    engines (greatest(·, 1e-300)) so a d = n terminal row yields
+    survival 0 instead of a log-of-zero error."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+
+    def max_part(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"m": [us.max() if len(us) else np.int64(0)]})
+
+    corpus_end = int(ev.map_batches(max_part, batch_format="pandas")
+                     .to_pandas()["m"].max())
+    day_us = np.int64(86400000000)
+
+    def lifetimes(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        d = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                          "us": us})
+        g = d.groupby("user_id", sort=False)["us"] \
+            .agg(mn="min", mx="max").reset_index()
+        t = (g["mx"].to_numpy(np.int64)
+             - g["mn"].to_numpy(np.int64)) // day_us
+        death = ((corpus_end - g["mx"].to_numpy(np.int64))
+                 >= day_us).astype(np.int64)
+        out = pd.DataFrame({"t": t, "d": death, "m": np.int64(1)})
+        return out.groupby("t", sort=False).sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        bucketed_map_groups(ev, ["user_id"], lifetimes, num_buckets=64),
+        ["t"], {"d": ("d", "sum"), "m": ("m", "sum")})
+    g = g.sort_values("t").reset_index(drop=True)
+    d = g["d"].to_numpy(np.float64)
+    m = g["m"].to_numpy(np.float64)
+    n = m[::-1].cumsum()[::-1]                      # at-risk suffix sum
+    surv = np.exp(np.cumsum(np.log(np.maximum(1.0 - d / n, 1e-300))))
+    keep = d > 0
+    return pd.DataFrame({
+        "t_days": g["t"].to_numpy(np.int64)[keep],
+        "deaths": d.astype(np.int64)[keep],
+        "at_risk": n.astype(np.int64)[keep],
+        "survival": np.round(surv, 6)[keep]})
+
+
+SQL_KAPLAN_MEIER = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+u AS (SELECT user_id, min(ts) AS mn, max(ts) AS umx
+      FROM events GROUP BY 1),
+c AS (SELECT (epoch_us(umx) - epoch_us(mn)) // 86400000000 AS t,
+             CASE WHEN epoch_us(m) - epoch_us(umx) < 86400000000
+                  THEN 0 ELSE 1 END AS death
+      FROM u CROSS JOIN mx),
+g AS (SELECT t, sum(death) AS d, count(*) AS mm FROM c GROUP BY t),
+r AS (SELECT t, d,
+             sum(mm) OVER (ORDER BY t DESC
+                           ROWS UNBOUNDED PRECEDING) AS n
+      FROM g),
+s AS (SELECT t, d, n,
+             exp(sum(ln(greatest(1 - CAST(d AS DOUBLE) / n, 1e-300)))
+                 OVER (ORDER BY t ASC ROWS UNBOUNDED PRECEDING))
+                 AS surv
+      FROM r)
+SELECT CAST(t AS BIGINT) AS t_days, CAST(d AS BIGINT) AS deaths,
+       CAST(n AS BIGINT) AS at_risk, round(surv, 6) AS survival
+FROM s WHERE d > 0
+"""
+
+
+def q_score_calibration(sf_dir: str):
+    """Match-score calibration audit (reliability diagram + per-bin
+    Brier): the threshold_sweep score (within-source token-set
+    Jaccard, truth = same-lang) bucketed into 10 probability bins,
+    each reporting observed match rate, mean score and Brier term —
+    how a linkage deployment decides whether its scores can be READ
+    as probabilities before picking Fellegi-Sunter cutoffs.  Same
+    zero-pair-leakage plan as threshold_sweep: each blocking group
+    collapses its pairs to ≤ 10 bin partials in place."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ds = _rp(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("source", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            texts = (g["text"].astype("string").fillna("")
+                     .str.lower().reset_index(drop=True))
+            toks = texts.str.findall(r"[a-z0-9]+").explode().dropna()
+            rt = pd.DataFrame({"r": toks.index.to_numpy(),
+                               "t": toks.to_numpy()}).drop_duplicates()
+            X = np.zeros((m, 1), dtype=np.float64)
+            if len(rt):
+                codes, _ = pd.factorize(rt["t"])
+                X = np.zeros((m, int(codes.max()) + 1), dtype=np.float64)
+                X[rt["r"].to_numpy(), codes] = 1.0
+            inter = X @ X.T
+            sizes = X.sum(axis=1)
+            iu, ju = np.triu_indices(m, 1)
+            inter_p = inter[iu, ju]
+            union_p = sizes[iu] + sizes[ju] - inter_p
+            ok = union_p > 0
+            score = inter_p[ok] / union_p[ok]
+            lang = g["lang"].to_numpy()
+            same = (lang[iu] == lang[ju])[ok].astype(np.float64)
+            b = np.minimum(np.floor(score * 10).astype(np.int64), 9)
+            parts.append(pd.DataFrame({
+                "bin": b, "n": np.int64(1), "n_match": same,
+                "s": score, "br": (score - same) ** 2})
+                .groupby("bin", sort=False).sum().reset_index())
+        if not parts:
+            return pd.DataFrame({
+                "bin": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+                "n_match": pd.Series([], dtype="float64"),
+                "s": pd.Series([], dtype="float64"),
+                "br": pd.Series([], dtype="float64")})
+        return pd.concat(parts, ignore_index=True)
+
+    partials = bucketed_map_groups(ds, ["source"], block, num_buckets=32)
+    out = rel.partial_groupby_agg(
+        partials, ["bin"],
+        {"n": ("n", "sum"), "n_match": ("n_match", "sum"),
+         "s": ("s", "sum"), "br": ("br", "sum")})
+    out = out.sort_values("bin").reset_index(drop=True)
+    n = out["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "bin": out["bin"].to_numpy(np.int64),
+        "n": out["n"].to_numpy(np.int64),
+        "mean_score": np.round(out["s"].to_numpy(np.float64) / n, 6),
+        "obs_rate": np.round(out["n_match"].to_numpy(np.float64) / n, 6),
+        "brier": np.round(out["br"].to_numpy(np.float64) / n, 6)})
+
+
+SQL_SCORE_CALIBRATION = r"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+')) AS toks
+  FROM documents),
+p AS (
+  SELECT len(list_intersect(a.toks, b.toks))::DOUBLE
+           / len(list_distinct(list_concat(a.toks, b.toks))) AS score,
+         CAST(a.lang = b.lang AS INT) AS sm
+  FROM t a JOIN t b ON b.source = a.source AND b.doc_id > a.doc_id
+  WHERE len(list_distinct(list_concat(a.toks, b.toks))) > 0),
+b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,
+             score, sm
+      FROM p)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       round(sum(score) / count(*), 6) AS mean_score,
+       round(sum(CAST(sm AS DOUBLE)) / count(*), 6) AS obs_rate,
+       round(sum(pow(score - sm, 2)) / count(*), 6) AS brier
+FROM b GROUP BY bin
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -10743,6 +10911,8 @@ QUERIES = {
     "late_events": q_late_events,
     "weighted_jaccard": q_weighted_jaccard,
     "icws_pairs": q_icws_pairs,
+    "kaplan_meier": q_kaplan_meier,
+    "score_calibration": q_score_calibration,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -10959,6 +11129,8 @@ ORACLES = {
     "rendezvous_stability": SQL_RENDEZVOUS_STABILITY,
     "late_events": SQL_LATE_EVENTS,
     "weighted_jaccard": SQL_WEIGHTED_JACCARD,
+    "kaplan_meier": SQL_KAPLAN_MEIER,
+    "score_calibration": SQL_SCORE_CALIBRATION,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -121,6 +121,8 @@ PINNED = [
     "rendezvous_stability",
     "late_events",
     "weighted_jaccard",
+    "kaplan_meier",
+    "score_calibration",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

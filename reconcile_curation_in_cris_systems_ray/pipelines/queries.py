@@ -14,6 +14,8 @@ no ORACLES entry — the driver records a rows-only check for those.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -10674,6 +10676,97 @@ FROM b GROUP BY bin
 """
 
 
+def q_merge_join(sf_dir: str):
+    """Sort-merge physical plan for the J1/J8 equi-join
+    (stages/relational.py::sort_merge_join): both sides
+    range-partition on shared contiguous key boundaries, each range
+    sorts locally and zippers with searchsorted runs — no hash table,
+    key-ordered output ranges.  Same logical result as hash_join
+    (equality pinned in tests); the aggregate here is oracled
+    directly."""
+    from ..stages.relational import sort_merge_join
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = sort_merge_join(li, orders, on="l_orderkey",
+                             right_on="o_orderkey")
+    df = rel.partial_groupby_agg(joined, ["o_orderpriority"], {
+        "n_lineitems": (None, "count"),
+        "sum_price": ("l_extendedprice", "sum"),
+    })
+    df["sum_price"] = df["sum_price"].round(2)
+    return df
+
+
+SQL_MERGE_JOIN = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lineitems,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_pruned_scan(sf_dir: str):
+    """Lakehouse file skipping: events written as one parquet file per
+    DAY partition plus a min/max manifest
+    (sources/manifest_scan.py), then a 5-day range read that opens
+    ONLY the overlapping files before applying the exact row filter —
+    at 100 TB the difference between touching 5 files and 5,000.  The
+    aggregate is oracled against the unpartitioned table; the pruning
+    evidence (files_read < files_total) is pinned in pytest."""
+    from ..sources.manifest_scan import (
+        read_pruned, write_partitioned_with_stats,
+    )
+
+    ev = _rp(sf_dir, "events",
+             ["event_id", "ts", "event_type", "value"])
+    day_us = np.int64(86400000000)
+
+    def with_day(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["day"] = (df["ts"].to_numpy("datetime64[us]")
+                      .astype(np.int64) // day_us)
+        return out
+
+    keyed = ev.map_batches(with_day, batch_format="pandas") \
+        .materialize()
+    d0 = int(keyed.min("day"))
+    path = os.path.join("/tmp/graft_pruned_scan",
+                        sf_dir.strip("/").replace("/", "_"))
+    write_partitioned_with_stats(keyed, path, lambda df: df["day"],
+                                 "day")
+    ds, n_read, n_total = read_pruned(path, d0 + 10, d0 + 14)
+    assert n_read < n_total, (n_read, n_total)   # pruning must engage
+
+    def flt(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["day"].to_numpy(np.int64)
+        keep = (d >= d0 + 10) & (d <= d0 + 14)
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object)[keep],
+            "n": np.int64(1),
+            "sum_value": df["value"].to_numpy(np.float64)[keep]})
+        return out.groupby("event_type", sort=False).sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        ds.map_batches(flt, batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"),
+                         "sum_value": ("sum_value", "sum")})
+    return pd.DataFrame({
+        "event_type": g["event_type"].to_numpy(object),
+        "n": g["n"].to_numpy(np.int64),
+        "sum_value": np.round(g["sum_value"].to_numpy(np.float64), 6)})
+
+
+SQL_PRUNED_SCAN = """
+WITH b AS (SELECT min(epoch_us(ts)) // 86400000000 AS d0 FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events CROSS JOIN b
+WHERE epoch_us(ts) // 86400000000 BETWEEN d0 + 10 AND d0 + 14
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -10913,6 +11006,8 @@ QUERIES = {
     "icws_pairs": q_icws_pairs,
     "kaplan_meier": q_kaplan_meier,
     "score_calibration": q_score_calibration,
+    "merge_join": q_merge_join,
+    "pruned_scan": q_pruned_scan,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -11131,6 +11226,8 @@ ORACLES = {
     "weighted_jaccard": SQL_WEIGHTED_JACCARD,
     "kaplan_meier": SQL_KAPLAN_MEIER,
     "score_calibration": SQL_SCORE_CALIBRATION,
+    "merge_join": SQL_MERGE_JOIN,
+    "pruned_scan": SQL_PRUNED_SCAN,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

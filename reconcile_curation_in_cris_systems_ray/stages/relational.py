@@ -1105,3 +1105,94 @@ def table_diff(base, new, key: str, compare_cols: Sequence[str]):
         return out[out["status"] != "unchanged"]
 
     return j.map_batches(classify, batch_format="pandas")
+
+
+def sort_merge_join(left, right, on: str, right_on: str | None = None,
+                    num_ranges: int = 64):
+    """Distributed SORT-MERGE equi-join on a numeric key — the
+    physical-plan alternative to :func:`hash_join` (Ray Data has no
+    native merge join): both sides range-partition on the SAME
+    contiguous key boundaries (uniform [min, max] split from one tiny
+    min/max combiner pass), each range co-locates once, sorts both
+    sides locally and ZIPPERS them with searchsorted runs — no hash
+    table, matches emitted as vectorized contiguous-run takes.  The
+    plan of record when both inputs are already key-sorted on disk
+    (log-structured ingest) and when output ordering by key matters
+    downstream; equality with hash_join is pinned in tests.  Inner
+    join; key columns must be non-null numerics; other column names
+    must be disjoint between the sides."""
+    import pyarrow as pa
+
+    from .shuffle import bucketed_map_groups
+
+    right_on = right_on or on
+
+    def key_range(ds, col):
+        def mm(df: pd.DataFrame) -> pd.DataFrame:
+            v = df[col].to_numpy()
+            return pd.DataFrame({"lo": [v.min() if len(v) else None],
+                                 "hi": [v.max() if len(v) else None]})
+
+        r = ds.map_batches(mm, batch_format="pandas").to_pandas()
+        return r["lo"].min(), r["hi"].max()
+
+    l_lo, l_hi = key_range(left, on)
+    r_lo, r_hi = key_range(right, right_on)
+    lo, hi = min(l_lo, r_lo), max(l_hi, r_hi)
+    span = max(int(hi) - int(lo) + 1, 1)
+
+    def tag(side, col):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            k = df[col].to_numpy(np.int64)
+            out = df.copy()
+            out["__rng"] = np.minimum((k - int(lo)) * num_ranges // span,
+                                      num_ranges - 1).astype(np.int64)
+            out["__side"] = np.int64(side)
+            return out
+        return f
+
+    both = left.map_batches(tag(0, on), batch_format="pandas").union(
+        right.map_batches(tag(1, right_on), batch_format="pandas"))
+
+    l_cols = [c for c in left.schema().names]
+    r_cols = [c for c in right.schema().names]
+    # the union null-pads each side's missing columns, which upcasts
+    # integer columns to float64 — record the original integer columns
+    # so the merged output restores exact dtypes
+    int_cols = []
+    for sch in (left.schema(), right.schema()):
+        for name, typ in zip(sch.names, sch.types):
+            if isinstance(typ, pa.DataType) and pa.types.is_integer(typ):
+                int_cols.append(name)
+            elif getattr(typ, "kind", "") in ("i", "u"):
+                int_cols.append(name)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == 0]
+        r = df[df["__side"] == 1]
+        lk = np.sort(l[on].to_numpy(np.int64), kind="mergesort")
+        l = l.sort_values(on, kind="mergesort").reset_index(drop=True)
+        r = r.sort_values(right_on, kind="mergesort").reset_index(drop=True)
+        rk = r[right_on].to_numpy(np.int64)
+        starts = np.searchsorted(rk, lk, side="left")
+        ends = np.searchsorted(rk, lk, side="right")
+        cnt = ends - starts
+        total = int(cnt.sum())
+        if total == 0:
+            return pd.DataFrame({
+                c: pd.Series([], dtype=(np.int64 if c in int_cols
+                                        else df[c].dtype))
+                for c in l_cols + r_cols})
+        li = np.repeat(np.arange(len(l)), cnt)
+        run_base = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ri = np.repeat(starts, cnt) + (np.arange(total) - run_base)
+        out = l.iloc[li][l_cols].reset_index(drop=True)
+        rp = r.iloc[ri][r_cols].reset_index(drop=True)
+        for c in r_cols:
+            out[c] = rp[c]
+        for c in int_cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    return bucketed_map_groups(both, ["__rng"], merge,
+                               num_buckets=num_ranges)

@@ -123,6 +123,8 @@ PINNED = [
     "weighted_jaccard",
     "kaplan_meier",
     "score_calibration",
+    "merge_join",
+    "pruned_scan",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",
@@ -306,6 +308,56 @@ def test_progressive_er_curve(ray_session):
     assert rec[7] > 0.9 and rec[7] > 0.8 * rec[-1] + 0.05
     assert (df["n_scored"].to_numpy()[1:]
             >= df["n_scored"].to_numpy()[:-1]).all()
+
+
+def test_sort_merge_join_equals_hash_join(ray_session):
+    """The sort-merge physical plan must produce exactly the hash
+    join's logical result (same pairs, same multiplicities)."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.relational import (
+        hash_join, sort_merge_join,
+    )
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{SF}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    smj = sort_merge_join(li, orders, on="l_orderkey",
+                          right_on="o_orderkey").to_pandas()
+    hj = hash_join(li, orders, on=["l_orderkey"],
+                   right_on=["o_orderkey"]).to_pandas()
+    # Ray's hash join coalesces the right key into the left column
+    smj = smj.drop(columns=["o_orderkey"])
+    cols = sorted(smj.columns)
+    a = smj[cols].sort_values(cols, kind="mergesort") \
+        .reset_index(drop=True)
+    b = hj[cols].sort_values(cols, kind="mergesort") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pruned_scan_skips_files(ray_session):
+    """File skipping must actually engage: the 5-day range read opens
+    strictly fewer files than the partition count, and the pruned
+    aggregate equals the full-scan filter (the oracle pin covers the
+    values; this covers the pruning evidence)."""
+    from reconcile_curation_in_cris_systems_ray.sources.manifest_scan import (
+        read_pruned,
+    )
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import QUERIES
+
+    _to_pandas(QUERIES["pruned_scan"](SF))    # writes the manifest dir
+    path = "/tmp/graft_pruned_scan/" + SF.strip("/").replace("/", "_")
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        m = json.load(f)
+    d0 = min(e["key_min"] for e in m["files"])
+    ds, n_read, n_total = read_pruned(path, d0 + 10, d0 + 14)
+    assert n_read < n_total
+    assert n_read <= 6          # 5-day window -> at most 5-6 day files
 
 
 def test_icws_estimates_weighted_jaccard(ray_session, oracle_con):

@@ -10767,6 +10767,138 @@ GROUP BY event_type
 """
 
 
+def q_k_anonymity(sf_dir: str):
+    """k-anonymity audit over the (event_type, day) quasi-identifier:
+    groups smaller than k = 50 are re-identification risks a release
+    pipeline must suppress or generalize — reported with relative day
+    index so the result is scale-stable.  One bounded combiner (the
+    quasi-identifier domain is types × days), driver-side filter."""
+    ev = _rp(sf_dir, "events", ["ts", "event_type"])
+    day_us = np.int64(86400000000)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               // day_us)
+        out = pd.DataFrame({"event_type": df["event_type"]
+                            .to_numpy(object),
+                            "day": day, "n": np.int64(1)})
+        return out.groupby(["event_type", "day"], sort=False) \
+            .sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        ev.map_batches(part, batch_format="pandas"),
+        ["event_type", "day"], {"n": ("n", "sum")})
+    d0 = int(g["day"].min())
+    bad = g[g["n"] < 50]
+    return pd.DataFrame({
+        "event_type": bad["event_type"].to_numpy(object),
+        "day_idx": bad["day"].to_numpy(np.int64) - d0,
+        "n": bad["n"].to_numpy(np.int64)})
+
+
+SQL_K_ANONYMITY = """
+WITH g AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+b AS (SELECT min(day) AS d0 FROM g)
+SELECT event_type, CAST(day - d0 AS BIGINT) AS day_idx,
+       CAST(n AS BIGINT) AS n
+FROM g CROSS JOIN b WHERE n < 50
+"""
+
+
+def q_quota_sample(sf_dir: str):
+    """Fair quota sampling with waterfilling (max-min fair allocation):
+    a 200-doc budget split across languages at a common level L —
+    every group keeps min(n_g, L), the remainder goes one-each to the
+    still-capped groups in lang order — then each group contributes
+    its hash-rank-smallest rows (deterministic, SQL-reproducible).
+    The domain-balancing sampler for mixture curation when naive
+    proportional sampling would let one language swamp the budget.
+    Scale shape: group counts are a bounded combiner, the level solves
+    on k values driver-side, and the per-group pick is a per-batch
+    partial top-alloc (never a full co-location of a language)."""
+    from ..functions.similarity import hash_strings_fast
+    from ..stages.shuffle import bucketed_map_groups
+
+    total = 200
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    g = rel.partial_groupby_agg(
+        docs.map_batches(
+            lambda df: df.groupby("lang", sort=False).size()
+            .reset_index(name="n"),
+            batch_format="pandas"),
+        ["lang"], {"n": ("n", "sum")}).sort_values("lang")
+    n = g["n"].to_numpy(np.int64)
+    langs = g["lang"].to_numpy(object)
+    # max level with sum(min(n, L)) <= total
+    lo = 0
+    for level in range(0, int(n.max()) + 1):
+        if np.minimum(n, level).sum() <= total:
+            lo = level
+        else:
+            break
+    alloc = np.minimum(n, lo)
+    r = total - int(alloc.sum())
+    for i in range(len(n)):          # lang order, one each
+        if r <= 0:
+            break
+        if n[i] > alloc[i]:
+            alloc[i] += 1
+            r -= 1
+    amap = dict(zip(langs, alloc))
+    amax = int(alloc.max()) if len(alloc) else 0
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype(str)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "lang": df["lang"].to_numpy(object),
+            "h": hash_strings_fast(ids.to_numpy(object))})
+        out = out.sort_values(["lang", "h", "doc_id"],
+                              kind="mergesort")
+        return out.groupby("lang", sort=False).head(amax)
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for lang, gg in df.groupby("lang", sort=False):
+            k = int(amap.get(lang, 0))
+            gg = gg.sort_values(["h", "doc_id"], kind="mergesort")
+            parts.append(gg.head(k)[["doc_id", "lang"]])
+        return pd.concat(parts, ignore_index=True) if parts else \
+            pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "lang": pd.Series([], dtype=object)})
+
+    pruned = docs.map_batches(prune, batch_format="pandas")
+    return bucketed_map_groups(pruned, ["lang"], trim, num_buckets=8)
+
+
+SQL_QUOTA_SAMPLE = """
+WITH g AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+lv AS (SELECT unnest(generate_series(0, (SELECT max(n) FROM g)))
+           AS l),
+s AS (SELECT l, sum(least(n, l)) AS tot FROM lv CROSS JOIN g
+      GROUP BY l),
+pick AS (SELECT max(l) AS lev FROM s WHERE tot <= 200),
+alloc AS (SELECT lang, n, least(n, lev) AS a FROM g CROSS JOIN pick),
+rem AS (SELECT 200 - sum(a) AS r FROM alloc),
+capped AS (SELECT lang, a, row_number() OVER (ORDER BY lang) AS rn
+           FROM alloc WHERE n > a),
+final AS (
+  SELECT lang, a + CASE WHEN rn <= r THEN 1 ELSE 0 END AS alloc
+  FROM capped CROSS JOIN rem
+  UNION ALL
+  SELECT lang, a AS alloc FROM alloc WHERE n <= a),
+sel AS (SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY hash(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+SELECT doc_id, lang FROM sel JOIN final USING (lang)
+WHERE rk <= alloc
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -11008,6 +11140,8 @@ QUERIES = {
     "score_calibration": q_score_calibration,
     "merge_join": q_merge_join,
     "pruned_scan": q_pruned_scan,
+    "k_anonymity": q_k_anonymity,
+    "quota_sample": q_quota_sample,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -11228,6 +11362,8 @@ ORACLES = {
     "score_calibration": SQL_SCORE_CALIBRATION,
     "merge_join": SQL_MERGE_JOIN,
     "pruned_scan": SQL_PRUNED_SCAN,
+    "k_anonymity": SQL_K_ANONYMITY,
+    "quota_sample": SQL_QUOTA_SAMPLE,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -125,6 +125,8 @@ PINNED = [
     "score_calibration",
     "merge_join",
     "pruned_scan",
+    "k_anonymity",
+    "quota_sample",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

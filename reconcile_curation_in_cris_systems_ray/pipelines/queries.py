@@ -10899,6 +10899,212 @@ WHERE rk <= alloc
 """
 
 
+def q_psi_drift(sf_dir: str):
+    """Population Stability Index between the value distributions of
+    the first 15 days (reference) and the rest (current) — the
+    standard ML feature-drift gate: decile bins from the EXACT
+    reference quantiles, PSI = Σ (q−p)·ln(q/p) with the zero-bin
+    guard mirrored in both engines.  One quantile co-location for the
+    9 thresholds, then one (period, bin) combiner; strict-inequality
+    bin edges (count of thresholds < value) match searchsorted-left
+    exactly."""
+    from ..stages.temporal import quantile_agg
+
+    ev = _rp(sf_dir, "events", ["ts", "value"])
+    day_us = np.int64(86400000000)
+
+    def with_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["ts"].to_numpy("datetime64[us]")
+            .astype(np.int64) // day_us,
+            "value": df["value"].to_numpy(np.float64)})
+
+    keyed = ev.map_batches(with_day, batch_format="pandas") \
+        .materialize()
+    d0 = int(keyed.min("day"))
+    cut = d0 + 15
+
+    ref = keyed.map_batches(
+        lambda df: df[df["day"] < cut].assign(g=0),
+        batch_format="pandas")
+    qs = {f"t{i}": i / 10.0 for i in range(1, 10)}
+    th = quantile_agg(ref, ["g"], "value", qs).to_pandas()
+    thresholds = np.array([float(th[f"t{i}"].iloc[0])
+                           for i in range(1, 10)])
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        out = pd.DataFrame({
+            "period": np.where(df["day"].to_numpy(np.int64) < cut,
+                               "ref", "cur"),
+            "bin": np.searchsorted(thresholds, v, side="left"),
+            "n": np.int64(1)})
+        return out.groupby(["period", "bin"], sort=False) \
+            .sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        keyed.map_batches(binned, batch_format="pandas"),
+        ["period", "bin"], {"n": ("n", "sum")})
+    pv = g.pivot_table(index="bin", columns="period", values="n",
+                       fill_value=0, aggfunc="sum") \
+        .reindex(range(10), fill_value=0)
+    p = pv["ref"].to_numpy(np.float64)
+    q = pv["cur"].to_numpy(np.float64)
+    p = np.maximum(p / p.sum(), 1e-12)
+    q = np.maximum(q / q.sum(), 1e-12)
+    return pd.DataFrame({"psi": [np.round(((q - p)
+                                           * np.log(q / p)).sum(), 6)]})
+
+
+SQL_PSI_DRIFT = """
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, value
+           FROM events),
+b AS (SELECT min(day) AS d0 FROM e),
+ref AS (SELECT value FROM e CROSS JOIN b WHERE day < d0 + 15),
+th AS (SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                    0.6, 0.7, 0.8, 0.9]) AS t
+       FROM ref),
+binned AS (
+  SELECT CASE WHEN day < d0 + 15 THEN 'ref' ELSE 'cur' END AS period,
+         (CASE WHEN value > t[1] THEN 1 ELSE 0 END
+          + CASE WHEN value > t[2] THEN 1 ELSE 0 END
+          + CASE WHEN value > t[3] THEN 1 ELSE 0 END
+          + CASE WHEN value > t[4] THEN 1 ELSE 0 END
+          + CASE WHEN value > t[5] THEN 1 ELSE 0 END
+          + CASE WHEN value > t[6] THEN 1 ELSE 0 END
+          + CASE WHEN value > t[7] THEN 1 ELSE 0 END
+          + CASE WHEN value > t[8] THEN 1 ELSE 0 END
+          + CASE WHEN value > t[9] THEN 1 ELSE 0 END) AS bin
+  FROM e CROSS JOIN b CROSS JOIN th),
+c AS (SELECT bin,
+             sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS nr,
+             sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS nc
+      FROM binned GROUP BY bin),
+t2 AS (SELECT CAST(sum(nr) AS DOUBLE) AS tr,
+              CAST(sum(nc) AS DOUBLE) AS tc
+       FROM c)
+SELECT round(sum((greatest(nc / tc, 1e-12) - greatest(nr / tr, 1e-12))
+                 * ln(greatest(nc / tc, 1e-12)
+                      / greatest(nr / tr, 1e-12))), 6) AS psi
+FROM c CROSS JOIN t2
+"""
+
+
+def q_delta_agg_refresh(sf_dir: str):
+    """Incremental materialized-view maintenance: the per-type (n,
+    Σvalue) aggregate over the first 20 days is CHECKPOINTED as the
+    view (written to parquet, then read back — the persisted-state
+    shape), and the refresh folds in ONLY the post-cutoff delta rows —
+    base data is never rescanned.  The oracle computes the full-table
+    aggregate, so the driver check IS the incremental-equals-full
+    equivalence proof."""
+    ev = _rp(sf_dir, "events", ["ts", "event_type", "value"])
+    day_us = np.int64(86400000000)
+
+    def with_day(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "day": df["ts"].to_numpy("datetime64[us]")
+            .astype(np.int64) // day_us,
+            "event_type": df["event_type"].to_numpy(object),
+            "value": df["value"].to_numpy(np.float64)})
+
+    keyed = ev.map_batches(with_day, batch_format="pandas") \
+        .materialize()
+    d0 = int(keyed.min("day"))
+    cut = d0 + 20
+
+    def agg_period(pred):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            m = pred(df["day"].to_numpy(np.int64))
+            out = pd.DataFrame({
+                "event_type": df["event_type"].to_numpy(object)[m],
+                "n": np.int64(1),
+                "s": df["value"].to_numpy(np.float64)[m]})
+            return out.groupby("event_type", sort=False) \
+                .sum().reset_index()
+
+        return rel.partial_groupby_agg(
+            keyed.map_batches(part, batch_format="pandas"),
+            ["event_type"], {"n": ("n", "sum"), "s": ("s", "sum")})
+
+    view_path = os.path.join("/tmp/graft_view",
+                             sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(view_path, exist_ok=True)
+    agg_period(lambda d: d < cut).to_parquet(
+        os.path.join(view_path, "view.parquet"), index=False)
+
+    base = pd.read_parquet(os.path.join(view_path, "view.parquet"))
+    delta = agg_period(lambda d: d >= cut)
+    merged = pd.concat([base, delta], ignore_index=True) \
+        .groupby("event_type", sort=False).sum().reset_index()
+    return pd.DataFrame({
+        "event_type": merged["event_type"].to_numpy(object),
+        "n": merged["n"].to_numpy(np.int64),
+        "sum_value": np.round(merged["s"].to_numpy(np.float64), 6)})
+
+
+SQL_DELTA_AGG_REFRESH = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_hill_tail(sf_dir: str):
+    """Hill tail-index estimate of the token-frequency distribution
+    (α̂ = 1 / mean(ln xᵢ − ln x₍k₎) over the top-k order statistics,
+    k = 20 — the synthetic corpus vocabulary is small) — the heavy-tail diagnostic that says whether frequency-
+    based curation cutoffs are even meaningful on this corpus (web
+    text is Zipfian; α complements zipf_slope's regression).  Token
+    counts via one term-keyed combiner shuffle; only the top-k counts
+    travel to the driver (sort + limit over the bounded cell
+    table)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _rp(sf_dir, "documents", ["text"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = ts._ws_tokens(df["text"]).explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "n": pd.Series([], dtype="int64")})
+        g = ex.groupby(ex.to_numpy(), sort=False).size()
+        return pd.DataFrame({"term": g.index.astype("string"),
+                             "n": g.to_numpy()})
+
+    cells = bucketed_map_groups(
+        docs.map_batches(cnt_partial, batch_format="pandas"),
+        ["term"],
+        lambda df: df.groupby("term", sort=False)["n"].sum()
+        .reset_index(),
+        num_buckets=64)
+    k = 20
+    top = cells.sort(["n", "term"], descending=[True, False]) \
+        .limit(k).to_pandas()
+    x = top["n"].to_numpy(np.float64)
+    xk = x[-1]
+    alpha = 1.0 / np.mean(np.log(x[:-1]) - np.log(xk))
+    return pd.DataFrame({"alpha": [np.round(alpha, 6)],
+                         "x_k": [np.int64(xk)],
+                         "k": [np.int64(k)]})
+
+
+SQL_HILL_TAIL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+c AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+top AS (SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rk
+        FROM c ORDER BY n DESC, term LIMIT 20),
+xk AS (SELECT CAST(n AS DOUBLE) AS v FROM top WHERE rk = 20)
+SELECT round(1.0 / avg(ln(CAST(n AS DOUBLE)) - ln(v)), 6) AS alpha,
+       CAST(v AS BIGINT) AS x_k, CAST(20 AS BIGINT) AS k
+FROM top CROSS JOIN xk WHERE rk < 20
+GROUP BY v
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -11142,6 +11348,9 @@ QUERIES = {
     "pruned_scan": q_pruned_scan,
     "k_anonymity": q_k_anonymity,
     "quota_sample": q_quota_sample,
+    "psi_drift": q_psi_drift,
+    "delta_agg_refresh": q_delta_agg_refresh,
+    "hill_tail": q_hill_tail,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -11364,6 +11573,9 @@ ORACLES = {
     "pruned_scan": SQL_PRUNED_SCAN,
     "k_anonymity": SQL_K_ANONYMITY,
     "quota_sample": SQL_QUOTA_SAMPLE,
+    "psi_drift": SQL_PSI_DRIFT,
+    "delta_agg_refresh": SQL_DELTA_AGG_REFRESH,
+    "hill_tail": SQL_HILL_TAIL,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -127,6 +127,9 @@ PINNED = [
     "pruned_scan",
     "k_anonymity",
     "quota_sample",
+    "psi_drift",
+    "delta_agg_refresh",
+    "hill_tail",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

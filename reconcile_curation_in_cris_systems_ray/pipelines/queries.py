@@ -11105,6 +11105,211 @@ GROUP BY v
 """
 
 
+def q_naive_bayes(sf_dir: str):
+    """Multinomial Naive Bayes language classifier, trained AND scored
+    distributed, fully SQL-oracled: per-(token, lang) counts are one
+    combiner shuffle (the model), scoring hydrates each doc's tokens
+    against the count table and sums add-one-smoothed
+    ln((c+1)/(N_l+V)) plus the ln prior per language; argmax with
+    scores rounded to 9 decimals first (the truth_discovery guard —
+    float summation order can never flip a tie).  Output: per true
+    lang (n_docs, n_correct) — the confusion diagonal."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = ts._ws_tokens(df["text"]).reset_index(drop=True) \
+            .explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "lang": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        lang = df["lang"].to_numpy(object)
+        t = pd.DataFrame({"term": ex.to_numpy(object),
+                          "lang": lang[ex.index.to_numpy()],
+                          "c": np.int64(1)})
+        return t.groupby(["term", "lang"], sort=False).sum() \
+            .reset_index()
+
+    cells = bucketed_map_groups(
+        docs.map_batches(cnt_partial, batch_format="pandas"),
+        ["term"],
+        lambda df: df.groupby(["term", "lang"], sort=False)["c"]
+        .sum().reset_index(),
+        num_buckets=64).materialize()
+
+    # bounded model margins: per-lang token totals, vocab, doc priors
+    lang_tot = rel.partial_groupby_agg(cells, ["lang"],
+                                       {"nl": ("c", "sum")})
+    nl = dict(zip(lang_tot["lang"], lang_tot["nl"].astype(np.float64)))
+    v = float(cells.map_batches(
+        lambda df: pd.DataFrame({"t": df["term"].unique()}),
+        batch_format="pandas").to_pandas()["t"].nunique()) + 1.0
+    doc_cnt = rel.partial_groupby_agg(
+        docs.map_batches(
+            lambda df: df.groupby("lang", sort=False).size()
+            .reset_index(name="nd"),
+            batch_format="pandas"),
+        ["lang"], {"nd": ("nd", "sum")})
+    nd_tot = float(doc_cnt["nd"].sum())
+    langs = sorted(nl)
+    prior = {lg: np.log(float(doc_cnt.set_index("lang")["nd"][lg])
+                        / nd_tot) for lg in langs}
+
+    # broadcast the (term, lang) count map — synthetic-vocab-sized
+    # here; the documented web-scale swap is the hash-join hydration
+    # used by unigram_logprob/bigram_lm (same plan, heavier exchange)
+    cmap = cells.to_pandas()
+    cmap = {(r.term, r.lang): float(r.c) for r in cmap.itertuples()}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = ts._ws_tokens(df["text"]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        ids = df["doc_id"].to_numpy(np.int64)
+        true_lang = df["lang"].to_numpy(object)
+        n = len(df)
+        scores = np.zeros((n, len(langs)))
+        for li, lg in enumerate(langs):
+            val = np.array([np.log((cmap.get((t, lg), 0.0) + 1.0)
+                                   / (nl[lg] + v))
+                            for t in ex.to_numpy(object)])
+            s = np.zeros(n)
+            np.add.at(s, ex.index.to_numpy(), val)
+            scores[:, li] = np.round(s + prior[lg], 9)
+        pred = np.array(langs, dtype=object)[np.argmax(scores, axis=1)]
+        out = pd.DataFrame({"lang": true_lang, "n_docs": np.int64(1),
+                            "n_correct": (pred == true_lang)
+                            .astype(np.int64)})
+        return out.groupby("lang", sort=False).sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        docs.map_batches(score, batch_format="pandas"),
+        ["lang"], {"n_docs": ("n_docs", "sum"),
+                   "n_correct": ("n_correct", "sum")})
+    return pd.DataFrame({
+        "lang": g["lang"].to_numpy(object),
+        "n_docs": g["n_docs"].to_numpy(np.int64),
+        "n_correct": g["n_correct"].to_numpy(np.int64)})
+
+
+SQL_NAIVE_BAYES = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+cells AS (SELECT term, lang, count(*) AS c FROM toks
+          GROUP BY 1, 2),
+nlt AS (SELECT lang, CAST(sum(c) AS DOUBLE) AS nl FROM cells
+        GROUP BY 1),
+vv AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) + 1.0 AS v
+       FROM cells),
+pri AS (SELECT lang, ln(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                    FROM documents)) AS lp
+        FROM documents GROUP BY 1),
+sc AS (
+  SELECT t.doc_id, d.lang AS true_lang, nlt.lang AS cand,
+         round(sum(ln((coalesce(c, 0) + 1.0) / (nl + v)))
+               + any_value(lp), 9) AS s
+  FROM toks t
+  JOIN documents d USING (doc_id)
+  CROSS JOIN nlt CROSS JOIN vv
+  LEFT JOIN cells ON cells.term = t.term AND cells.lang = nlt.lang
+  JOIN pri ON pri.lang = nlt.lang
+  GROUP BY t.doc_id, d.lang, nlt.lang, nl, v),
+pred AS (SELECT doc_id, true_lang, cand,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, cand) AS rn
+         FROM sc)
+SELECT true_lang AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred WHERE rn = 1 GROUP BY 1
+"""
+
+
+def q_logreg_train(sf_dir: str):
+    """Distributed logistic-regression training (is-CJK from cheap
+    char statistics — the only linguistically separable label in the
+    synthetic corpus, whose Latin-script languages share one random
+    vocabulary): globally standardized features, 10
+    full-batch gradient-descent steps — each step ONE combiner pass
+    of per-batch gradient/loss partials against the broadcast weight
+    vector, the canonical parameter-server-free distributed-GD shape
+    (same skeleton as a data-parallel deep-learning step).  Rows-only
+    (iterative float training is not SQL-expressible); monotone loss
+    and above-baseline accuracy are pinned in pytest.  Returns one
+    row per iteration (iter, loss, acc)."""
+    docs = _rp(sf_dir, "documents", ["text", "lang"])
+
+    def feats(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].astype("string").fillna("")
+        ln = t.str.len().to_numpy(np.float64)
+        digits = t.str.count(r"[0-9]").to_numpy(np.float64)
+        spaces = t.str.count(r" ").to_numpy(np.float64)
+        ascii_n = t.str.count(r"[a-zA-Z]").to_numpy(np.float64)
+        safe = np.maximum(ln, 1.0)
+        the_n = t.str.count(r"\bthe\b").to_numpy(np.float64)
+        return pd.DataFrame({
+            "x1": np.log(safe),
+            "x2": digits / safe,
+            "x3": spaces / safe,
+            "x4": ascii_n / safe,
+            "x5": the_n / np.maximum(spaces, 1.0),
+            "y": (df["lang"].to_numpy(object) == "zh")
+            .astype(np.float64)})
+
+    fx = docs.map_batches(feats, batch_format="pandas").materialize()
+    cols = ["x1", "x2", "x3", "x4", "x5"]
+
+    def mom(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"n": [np.float64(len(df))]}
+        for c in cols:
+            v = df[c].to_numpy(np.float64)
+            out[f"s_{c}"], out[f"ss_{c}"] = [v.sum()], [(v * v).sum()]
+        return pd.DataFrame(out)
+
+    m = fx.map_batches(mom, batch_format="pandas").to_pandas().sum()
+    n_tot = float(m["n"])
+    mu = np.array([m[f"s_{c}"] / n_tot for c in cols])
+    sd = np.array([np.sqrt(max(m[f"ss_{c}"] / n_tot
+                               - (m[f"s_{c}"] / n_tot) ** 2, 1e-12))
+                   for c in cols])
+
+    w = np.zeros(len(cols) + 1)       # [bias, w1..w5]
+    lr = 1.0
+    hist = []
+    for it in range(10):
+        def grad(df: pd.DataFrame, _w=w.copy()) -> pd.DataFrame:
+            X = np.column_stack(
+                [np.ones(len(df))]
+                + [(df[c].to_numpy(np.float64) - mu[i]) / sd[i]
+                   for i, c in enumerate(cols)])
+            y = df["y"].to_numpy(np.float64)
+            z = X @ _w
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = X.T @ (p - y)
+            eps = 1e-12
+            loss = -(y * np.log(p + eps)
+                     + (1 - y) * np.log(1 - p + eps)).sum()
+            acc = ((p >= 0.5) == (y >= 0.5)).sum()
+            row = {f"g{i}": [g[i]] for i in range(len(_w))}
+            row["loss"], row["acc"] = [loss], [np.float64(acc)]
+            return pd.DataFrame(row)
+
+        s = fx.map_batches(grad, batch_format="pandas") \
+            .to_pandas().sum()
+        gvec = np.array([s[f"g{i}"] for i in range(len(w))])
+        hist.append((it, float(s["loss"]) / n_tot,
+                     float(s["acc"]) / n_tot))
+        w = w - lr * gvec / n_tot
+
+    return pd.DataFrame(hist, columns=["iter", "loss", "acc"]) \
+        .assign(loss=lambda d: d["loss"].round(6),
+                acc=lambda d: d["acc"].round(6))
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -11351,6 +11556,8 @@ QUERIES = {
     "psi_drift": q_psi_drift,
     "delta_agg_refresh": q_delta_agg_refresh,
     "hill_tail": q_hill_tail,
+    "naive_bayes": q_naive_bayes,
+    "logreg_train": q_logreg_train,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -11576,6 +11783,7 @@ ORACLES = {
     "psi_drift": SQL_PSI_DRIFT,
     "delta_agg_refresh": SQL_DELTA_AGG_REFRESH,
     "hill_tail": SQL_HILL_TAIL,
+    "naive_bayes": SQL_NAIVE_BAYES,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -130,6 +130,7 @@ PINNED = [
     "psi_drift",
     "delta_agg_refresh",
     "hill_tail",
+    "naive_bayes",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",
@@ -363,6 +364,23 @@ def test_pruned_scan_skips_files(ray_session):
     ds, n_read, n_total = read_pruned(path, d0 + 10, d0 + 14)
     assert n_read < n_total
     assert n_read <= 6          # 5-day window -> at most 5-6 day files
+
+
+def test_logreg_train_converges(ray_session, oracle_con):
+    """Distributed GD must actually learn: loss strictly decreases
+    across the 10 iterations and final accuracy beats the
+    majority-class baseline."""
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import QUERIES
+
+    df = _to_pandas(QUERIES["logreg_train"](SF))
+    assert list(df["iter"]) == list(range(10))
+    loss = df["loss"].to_numpy()
+    assert (loss[1:] < loss[:-1]).all(), loss
+    base = oracle_con.execute(
+        "SELECT max(c) / CAST(sum(c) AS DOUBLE) FROM ("
+        "SELECT CAST(lang = 'zh' AS INT) AS y, count(*) AS c "
+        "FROM documents GROUP BY 1)").fetchone()[0]
+    assert df["acc"].iloc[-1] >= base, (df["acc"].iloc[-1], base)
 
 
 def test_icws_estimates_weighted_jaccard(ray_session, oracle_con):

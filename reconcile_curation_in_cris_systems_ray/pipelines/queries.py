@@ -11310,6 +11310,203 @@ def q_logreg_train(sf_dir: str):
                 acc=lambda d: d["acc"].round(6))
 
 
+def q_sssp_hops(sf_dir: str):
+    """Weighted single-source shortest paths within ≤ 4 hops
+    (Bellman-Ford rounds) over the hash-derived link graph with
+    integer edge weights 1..9 (hash-derived, so min-sums are exact
+    int64 arithmetic — no float tie ambiguity).  Each round is the
+    canonical distributed relaxation: edges and the current distance
+    table co-locate on the source node (one bucketed exchange — the
+    repo's co-location join, which anchors empty-bucket schemas where
+    Acero's hash join chokes on schema-less empties), candidate
+    (dst, dist+w) rows union the table, one bucketed per-node min —
+    the pagerank iteration shape with min instead of sum.  The
+    oracle unrolls the four rounds as chained CTEs."""
+    from ..functions.similarity import hash_strings_fast
+    from ..stages.shuffle import bucketed_map_groups
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+
+    def weight(df: pd.DataFrame) -> pd.DataFrame:
+        keys = (df["src"].astype(str) + ":" + df["dst"].astype(str)
+                + ":w").to_numpy(object)
+        out = df[["src", "dst"]].copy()
+        out["wt"] = (hash_strings_fast(keys)
+                     % np.uint64(9)).astype(np.int64) + 1
+        return out
+
+    w_edges = edges.map_batches(weight, batch_format="pandas") \
+        .materialize()
+
+    import ray.data as rd
+
+    # source = node 3 (out-degree id % 4, so node 0 is dangling)
+    dist = rd.from_pandas(pd.DataFrame({"node": [np.int64(3)],
+                                        "dist": [np.int64(0)]}))
+    empty = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "dist": pd.Series([], dtype="int64")})
+    def as_edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["src"].to_numpy(np.int64),
+                             "dst": df["dst"].to_numpy(np.int64),
+                             "wt": df["wt"].to_numpy(np.int64),
+                             "dist": np.int64(-1)})
+
+    edge_rows = w_edges.map_batches(as_edge_rows,
+                                    batch_format="pandas") \
+        .materialize()
+
+    for _ in range(4):
+        def as_dist_rows(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "key": df["node"].to_numpy(np.int64),
+                "dst": np.int64(-1), "wt": np.int64(-1),
+                "dist": df["dist"].to_numpy(np.int64)})
+
+        tagged = edge_rows.union(
+            dist.map_batches(as_dist_rows, batch_format="pandas"))
+
+        def relax(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["wt"] < 0]
+            e = df[df["wt"] >= 0]
+            if not len(d) or not len(e):
+                return empty
+            dmin = d.groupby("key", sort=False)["dist"].min()
+            dd = e["key"].map(dmin).to_numpy(np.float64)
+            ok = ~np.isnan(dd)
+            return pd.DataFrame({
+                "node": e["dst"].to_numpy(np.int64)[ok],
+                "dist": dd[ok].astype(np.int64)
+                + e["wt"].to_numpy(np.int64)[ok]})
+
+        cand = bucketed_map_groups(tagged, ["key"], relax,
+                                   num_buckets=16,
+                                   empty_like=empty).union(dist)
+        dist = bucketed_map_groups(
+            cand, ["node"],
+            lambda df: df.groupby("node", sort=False)["dist"].min()
+            .reset_index(),
+            num_buckets=16, empty_like=empty).materialize()
+    return dist
+
+
+SQL_SSSP_HOPS = f"""
+WITH {_SQL_EDGES_CTE},
+w AS (SELECT src, dst,
+             1 + CAST(hash(CAST(src AS VARCHAR) || ':'
+                           || CAST(dst AS VARCHAR) || ':w') % 9
+                      AS BIGINT) AS wt
+      FROM edges),
+d0 AS (SELECT CAST(3 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+d1 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d0
+        UNION ALL SELECT dst, d0.dist + wt FROM w
+        JOIN d0 ON w.src = d0.node) GROUP BY node),
+d2 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d1
+        UNION ALL SELECT dst, d1.dist + wt FROM w
+        JOIN d1 ON w.src = d1.node) GROUP BY node),
+d3 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d2
+        UNION ALL SELECT dst, d2.dist + wt FROM w
+        JOIN d2 ON w.src = d2.node) GROUP BY node),
+d4 AS (SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d3
+        UNION ALL SELECT dst, d3.dist + wt FROM w
+        JOIN d3 ON w.src = d3.node) GROUP BY node)
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+"""
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking dedup audit (the FastCDC idea at token
+    grain): a token ENDS a chunk when its hash ≡ 0 (mod 16), so chunk
+    boundaries move with content, not position — an insertion only
+    reshapes its own chunk, unlike chunk_dedup's fixed 32-token grid.
+    Per doc: chunk count and how many of its chunk slots hold content
+    duplicated anywhere in the corpus.  Chunk contents reduce to
+    DuckDB-hash digests (bit-for-bit in both engines); corpus-wide
+    digest counts merge in one bucketed shuffle and hydrate back via
+    a broadcast map (above the broadcast cap, swap to the hash-join
+    hydration the unigram-LM path uses)."""
+    from ..functions.similarity import hash_strings_fast
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_chunks(df: pd.DataFrame) -> pd.DataFrame:
+        toks = ts._ws_tokens(df["text"]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "ch": pd.Series([], dtype="uint64")})
+        rows = ex.index.to_numpy()
+        vals = ex.to_numpy(object)
+        ends = (hash_strings_fast(vals) % np.uint64(16) == 0)
+        # chunk id = boundaries strictly BEFORE this token, per doc
+        d = pd.DataFrame({"row": rows, "tok": vals})
+        cum = pd.Series(ends).groupby(rows).cumsum().to_numpy()
+        d["chunk"] = cum - ends.astype(np.int64)   # exclusive prefix
+        joined = d.groupby(["row", "chunk"], sort=False)["tok"] \
+            .agg(" ".join).reset_index(name="content")
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids[joined["row"].to_numpy()],
+            "ch": hash_strings_fast(
+                joined["content"].to_numpy(object))})
+
+    chunks = docs.map_batches(doc_chunks, batch_format="pandas") \
+        .materialize()
+    counts = bucketed_map_groups(
+        chunks, ["ch"],
+        lambda df: df.groupby("ch", sort=False).size()
+        .reset_index(name="n"),
+        num_buckets=64)
+    cmap = dict(zip(*[counts.to_pandas()[c] for c in ("ch", "n")]))
+
+    def per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        dup = (df["ch"].map(cmap) > 1).astype(np.int64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                            "n_chunks": np.int64(1), "n_dup": dup})
+        return out.groupby("doc_id", sort=False).sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        chunks.map_batches(per_doc, batch_format="pandas"),
+        ["doc_id"], {"n_chunks": ("n_chunks", "sum"),
+                     "n_dup": ("n_dup", "sum")})
+    return pd.DataFrame({
+        "doc_id": g["doc_id"].to_numpy(np.int64),
+        "n_chunks": g["n_chunks"].to_numpy(np.int64),
+        "n_dup": g["n_dup"].to_numpy(np.int64)})
+
+
+SQL_CDC_CHUNKS = r"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+pos AS (
+  SELECT doc_id, tk[i] AS tok, i,
+         CASE WHEN hash(tk[i]) % 16 = 0 THEN 1 ELSE 0 END AS ends
+  FROM (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk))) AS i
+        FROM d)),
+ck AS (
+  SELECT doc_id, tok, i,
+         sum(ends) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS chunk
+  FROM pos),
+content AS (
+  SELECT doc_id, coalesce(chunk, 0) AS chunk,
+         hash(string_agg(tok, ' ' ORDER BY i)) AS ch
+  FROM ck GROUP BY 1, 2),
+cnt AS (SELECT ch, count(*) AS n FROM content GROUP BY 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+FROM content JOIN cnt USING (ch)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -11558,6 +11755,8 @@ QUERIES = {
     "hill_tail": q_hill_tail,
     "naive_bayes": q_naive_bayes,
     "logreg_train": q_logreg_train,
+    "sssp_hops": q_sssp_hops,
+    "cdc_chunks": q_cdc_chunks,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -11784,6 +11983,8 @@ ORACLES = {
     "delta_agg_refresh": SQL_DELTA_AGG_REFRESH,
     "hill_tail": SQL_HILL_TAIL,
     "naive_bayes": SQL_NAIVE_BAYES,
+    "sssp_hops": SQL_SSSP_HOPS,
+    "cdc_chunks": SQL_CDC_CHUNKS,
     "bcubed": SQL_BCUBED,
     "ppr": SQL_PPR,
     "grouping_sets": SQL_GROUPING_SETS,

@@ -131,6 +131,8 @@ PINNED = [
     "delta_agg_refresh",
     "hill_tail",
     "naive_bayes",
+    "sssp_hops",
+    "cdc_chunks",
     "pii_redact",
     "decontaminate",
     "chunk_tokens",

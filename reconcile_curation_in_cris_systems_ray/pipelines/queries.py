@@ -11507,6 +11507,70 @@ GROUP BY doc_id
 """
 
 
+def q_coverage_sample(sf_dir: str):
+    """Greedy maximum-coverage subset selection (k = 8 docs maximizing
+    distinct-token coverage) — the submodular facility-location
+    sampler behind coreset/diversity curation (Nemhauser's greedy
+    keeps the (1−1/e) guarantee).  Greedy is inherently sequential in
+    k, so the distributed shape is k ROUNDS of one combiner pass
+    each: the covered-token set broadcasts (as DuckDB-hash digests),
+    every batch scores its docs' MARGINAL gain vectorized and emits
+    its local argmax, the driver reduces O(batches) candidates.
+    Rows-only (k chained argmax rounds are not reasonably
+    SQL-expressible); pinned in pytest against a single-process exact
+    greedy run."""
+    from ..functions.similarity import hash_strings_fast
+
+    k = 8
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"]).materialize()
+    covered: set = set()
+    picks = []
+    for _ in range(k):
+        cov = frozenset(covered)
+
+        def best(df: pd.DataFrame, _cov=cov) -> pd.DataFrame:
+            toks = ts._ws_tokens(df["text"]).reset_index(drop=True)
+            ex = toks.explode().dropna()
+            if ex.empty:
+                return pd.DataFrame({
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "gain": pd.Series([], dtype="int64")})
+            h = hash_strings_fast(ex.to_numpy(object))
+            new = ~np.isin(h, np.fromiter(_cov, dtype=np.uint64,
+                                          count=len(_cov))) \
+                if _cov else np.ones(len(h), dtype=bool)
+            d = pd.DataFrame({"row": ex.index.to_numpy(), "h": h})
+            d = d[new].drop_duplicates()
+            gain = d.groupby("row", sort=False).size()
+            ids = df["doc_id"].to_numpy(np.int64)
+            out = pd.DataFrame({"doc_id": ids[gain.index.to_numpy()],
+                                "gain": gain.to_numpy(np.int64)})
+            out = out.sort_values(["gain", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+            return out.head(1)
+
+        cands = docs.map_batches(best, batch_format="pandas") \
+            .to_pandas()
+        if cands.empty or cands["gain"].max() <= 0:
+            break
+        cands = cands.sort_values(["gain", "doc_id"],
+                                  ascending=[False, True],
+                                  kind="mergesort")
+        pick = int(cands["doc_id"].iloc[0])
+        gain = int(cands["gain"].iloc[0])
+        picks.append((len(picks) + 1, pick, gain))
+        # hydrate the winner's tokens into the covered set (one
+        # pushdown read of a single doc)
+        row = docs.map_batches(
+            lambda t, _p=pick: t.filter(pc.equal(t["doc_id"], _p)),
+            batch_format="pyarrow").to_pandas()
+        toks = ts._ws_tokens(row["text"]).explode().dropna()
+        covered |= set(hash_strings_fast(toks.to_numpy(object))
+                       .tolist())
+    return pd.DataFrame(picks, columns=["rank", "doc_id", "gain"])
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -11757,6 +11821,7 @@ QUERIES = {
     "logreg_train": q_logreg_train,
     "sssp_hops": q_sssp_hops,
     "cdc_chunks": q_cdc_chunks,
+    "coverage_sample": q_coverage_sample,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,

@@ -368,6 +368,36 @@ def test_pruned_scan_skips_files(ray_session):
     assert n_read <= 6          # 5-day window -> at most 5-6 day files
 
 
+def test_coverage_sample_matches_exact_greedy(ray_session, oracle_con):
+    """The distributed round-per-pick greedy must reproduce the exact
+    single-process greedy (same picks, same order, same gains) —
+    distribution must not change the algorithm."""
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries import QUERIES
+
+    got = _to_pandas(QUERIES["coverage_sample"](SF))
+    docs = oracle_con.execute(
+        "SELECT doc_id, coalesce(text, '') AS text FROM documents "
+        "ORDER BY doc_id").df()
+    toksets = {r.doc_id: set(str(r.text).strip().lower().split())
+               for r in docs.itertuples() if str(r.text).strip()}
+    covered: set = set()
+    want = []
+    for rank in range(1, 9):
+        best_doc, best_gain = None, 0
+        for did in sorted(toksets):
+            g = len(toksets[did] - covered)
+            if g > best_gain:
+                best_doc, best_gain = did, g
+        if best_doc is None:
+            break
+        covered |= toksets[best_doc]
+        want.append((rank, best_doc, best_gain))
+    want_df = pd.DataFrame(want, columns=["rank", "doc_id", "gain"])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"),
+        want_df.astype("int64"))
+
+
 def test_logreg_train_converges(ray_session, oracle_con):
     """Distributed GD must actually learn: loss strictly decreases
     across the 10 iterations and final accuracy beats the

@@ -31,7 +31,8 @@ from ..stages.cluster import assign_clusters, connected_components
 from ..stages.extract import HtmlTextExtractor
 from ..stages.pairs import generate_candidate_pairs
 from ..stages.scoring import (
-    PairScorer, build_feature_lookup, hydrate_pairs, score_pairs,
+    PairScorer, build_feature_lookup, hydrate_pairs, hydrate_score_pairs,
+    score_pairs,
 )
 
 # Per-worker-process stage cache for task-mode stages: Ray reuses
@@ -155,12 +156,14 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
             batch_size=cfg.exec.score_batch_size,
             concurrency=pool_size(cfg.exec.score_concurrency))
     else:
-        scored_stage = lambda: hydrate_pairs(  # noqa: E731
-            pairs, features,
+        # fused hydrate+score: one task stage emitting the scored
+        # schema directly — the ~2.4 KB/row hydrated intermediate
+        # (shingles/title/head per side) never crosses an operator
+        # boundary, and the est-prefilter runs before the wide gathers
+        scored_stage = lambda: hydrate_score_pairs(  # noqa: E731
+            pairs, features, cfg.scoring,
             est_prefilter=cfg.scoring.est_prefilter,
-            prebuilt=prebuilt).map_batches(
-            partial(_scorer_task, scoring=cfg.scoring),
-            batch_format="pyarrow")
+            prebuilt=prebuilt)
     scored = ckpt.run_stage("scored", fp_sc, scored_stage,
                             materialize=checkpoint_root is not None)
 

@@ -224,6 +224,119 @@ def hydrate_pairs(pairs_ds, features_ds, num_partitions: int | None = None,
     return b.map_batches(add_est, batch_format="pyarrow")
 
 
+# per-worker-process scorer cache for task-mode fused scoring (same
+# load-once semantics as an actor pool __init__; ScoringConfig is a
+# frozen dataclass, so it keys the cache directly)
+_FUSED_STATE: dict = {}
+
+
+def _cached_scorer(scoring):
+    sc = _FUSED_STATE.get(scoring)
+    if sc is None:
+        sc = _FUSED_STATE[scoring] = PairScorer(scoring or ScoringConfig())
+    return sc
+
+
+def _task_score(batch: pa.Table, scoring=None) -> pa.Table:
+    return _cached_scorer(scoring)(batch)
+
+
+def _fused_hydrate_score(batch: pa.Table, h_ref=None, t_ref=None,
+                         scoring=None, est_prefilter=None) -> pa.Table:
+    """Fused broadcast-hydrate + score over one candidate-pair batch.
+
+    Identical semantics to ``hydrate_pairs``'s broadcast ``merge``
+    followed by ``PairScorer``, but the wide hydrated intermediate
+    (shingles/title/head per side, ~2.4 KB/row measured on the bench
+    corpus vs ~0.15 KB/row scored) lives only in this task's heap — it
+    is never written to the object store.  The est-prefilter runs
+    BEFORE the wide gathers, so filtered pairs never gather their
+    shingle/text payloads at all.  Measured motivation: the gather +
+    intermediate materialization was the dominant cost of the
+    score+components segment (hydrate 9.9 s vs score 0.6 s + CC 0.4 s
+    on 198k pairs at 32 CPUs).
+    """
+    import ray
+
+    h = ray.get(h_ref)
+    tbl = ray.get(t_ref)
+    n = len(batch) if len(h) else 0
+    idx = {}
+    ok = np.ones(n, dtype=bool)
+    for side in ("a", "b"):
+        uh = (batch.column(f"uh_{side}").to_numpy(
+            zero_copy_only=False).astype(np.uint64)[:n]
+            if n else np.empty(0, dtype=np.uint64))
+        i = (np.clip(np.searchsorted(h, uh), 0, len(h) - 1)
+             if len(h) else np.zeros(0, dtype=np.int64))
+        idx[side] = i
+        if n:
+            ok &= h[i] == uh
+    ia, ib = idx["a"][ok], idx["b"][ok]
+    urls = tbl.column("url")
+    url_a = urls.take(pa.array(ia)).to_pandas().to_numpy(dtype=object)
+    url_b = urls.take(pa.array(ib)).to_pandas().to_numpy(dtype=object)
+    # re-canonicalize lexicographically (the pair stage ordered by hash)
+    swap = url_a > url_b
+    ia2 = np.where(swap, ib, ia)
+    ib2 = np.where(swap, ia, ib)
+    ua = np.where(swap, url_b, url_a)
+    ub = np.where(swap, url_a, url_b)
+
+    from .blocking import binary_matrix
+
+    sig_a = binary_matrix(tbl.column("sig").take(pa.array(ia2)))
+    sig_b = binary_matrix(tbl.column("sig").take(pa.array(ib2)))
+    est = ((sig_a == sig_b).mean(axis=1)
+           if len(ia2) else np.empty(0, dtype=np.float64))
+    if est_prefilter is not None and len(ia2):
+        keep = est >= est_prefilter
+        ia2, ib2, ua, ub, est = (ia2[keep], ib2[keep], ua[keep],
+                                 ub[keep], est[keep])
+    iarr_a, iarr_b = pa.array(ia2), pa.array(ib2)
+    hydrated = pa.table({
+        "url_a": pa.array(ua, pa.string()),
+        "url_b": pa.array(ub, pa.string()),
+        "title_a": tbl.column("title_norm").take(iarr_a),
+        "title_b": tbl.column("title_norm").take(iarr_b),
+        "head_a": tbl.column("text_head").take(iarr_a),
+        "head_b": tbl.column("text_head").take(iarr_b),
+        "shingles_a": tbl.column("shingles").take(iarr_a),
+        "shingles_b": tbl.column("shingles").take(iarr_b),
+        "est_jaccard": pa.array(est, pa.float64()),
+    })
+    return _cached_scorer(scoring)(hydrated)
+
+
+def hydrate_score_pairs(pairs_ds, features_ds, scoring=None,
+                        est_prefilter: float | None = None, prebuilt=None,
+                        broadcast_threshold: int = BROADCAST_FEATURE_ROWS):
+    """Hydrate candidate pairs and score them in ONE fused map_batches.
+
+    Broadcast path: resolves both pair sides against the shared
+    (sorted-hash, row-aligned-table) lookup and emits the final scored
+    schema directly — the wide hydrated intermediate never crosses an
+    operator boundary.  When the feature table exceeds the broadcast
+    threshold, falls back to the distributed ``hydrate_pairs`` joins
+    followed by a per-worker-cached ``PairScorer`` task stage (still no
+    actor-pool ramp; the scorer fuses onto the join output).
+    """
+    from functools import partial
+
+    lookup = prebuilt
+    if lookup is None:
+        lookup = build_feature_lookup(features_ds, broadcast_threshold)
+    if lookup is None:
+        hyd = hydrate_pairs(pairs_ds, features_ds,
+                            est_prefilter=est_prefilter)
+        return hyd.map_batches(partial(_task_score, scoring=scoring),
+                               batch_format="pyarrow")
+    h_ref, t_ref = lookup
+    fn = partial(_fused_hydrate_score, h_ref=h_ref, t_ref=t_ref,
+                 scoring=scoring, est_prefilter=est_prefilter)
+    return pairs_ds.map_batches(fn, batch_format="pyarrow")
+
+
 class PairScorer:
     """Actor-pool batch callable over hydrated pairs.
 

@@ -256,6 +256,65 @@ def test_hydrate_pairs_broadcast_and_distributed_agree(ray_session):
     pd.testing.assert_frame_equal(bcast, dist)
 
 
+def test_fused_hydrate_score_matches_two_step(ray_session):
+    """hydrate_score_pairs (fused single-stage) must be bit-identical
+    to hydrate_pairs -> PairScorer on a real small corpus, in BOTH the
+    broadcast and the distributed-fallback regimes."""
+    from functools import partial
+
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.config import (
+        ReconcileConfig,
+    )
+    from reconcile_curation_in_cris_systems_ray.pipelines.reconcile import (
+        NARROW_THRESHOLD, _extract_task, _scorer_task, _signature_task,
+    )
+    from reconcile_curation_in_cris_systems_ray.sources.corpus import (
+        CorpusConfig, corpus_table,
+    )
+    from reconcile_curation_in_cris_systems_ray.stages.blocking import (
+        emit_band_keys,
+    )
+    from reconcile_curation_in_cris_systems_ray.stages.pairs import (
+        generate_candidate_pairs,
+    )
+    from reconcile_curation_in_cris_systems_ray.stages.scoring import (
+        hydrate_pairs, hydrate_score_pairs,
+    )
+
+    cfg = ReconcileConfig()
+    tbl = corpus_table(CorpusConfig(n_families=120))
+    corpus = rd.from_arrow(tbl.select(["url", "warc_ts", "html", "lang"]))
+    features = corpus.map_batches(
+        _extract_task, batch_format="pyarrow").map_batches(
+        partial(_signature_task, blocking=cfg.blocking, scoring=cfg.scoring),
+        batch_format="pyarrow").materialize()
+    band_rows = features.count() * cfg.blocking.num_bands
+    narrow = band_rows >= NARROW_THRESHOLD
+    pairs = generate_candidate_pairs(
+        emit_band_keys(features, cfg.blocking, include_bands=not narrow),
+        cfg.blocking, cfg.scoring, n_rows_hint=band_rows,
+        dedup_pairs=narrow).materialize()
+
+    def canon(df):
+        return (df.sort_values(["url_a", "url_b"])
+                .reset_index(drop=True))
+
+    for threshold in (10**6, 0):  # broadcast regime, distributed regime
+        old = canon(hydrate_pairs(
+            pairs, features, est_prefilter=cfg.scoring.est_prefilter,
+            broadcast_threshold=threshold).map_batches(
+            partial(_scorer_task, scoring=cfg.scoring),
+            batch_format="pyarrow").to_pandas())
+        new = canon(hydrate_score_pairs(
+            pairs, features, cfg.scoring,
+            est_prefilter=cfg.scoring.est_prefilter,
+            broadcast_threshold=threshold).to_pandas())
+        assert list(old.columns) == list(new.columns)
+        pd.testing.assert_frame_equal(old, new)
+
+
 def test_lang_id_stage_vectorized(ray_session):
     """LangIdStage predictions on known samples + parity with the
     scalar definition (stopword-ratio argmax, CJK override)."""

@@ -11571,6 +11571,160 @@ def q_coverage_sample(sf_dir: str):
     return pd.DataFrame(picks, columns=["rank", "doc_id", "gain"])
 
 
+def q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of
+    two retrieval rankings over documents — the standard hybrid-search
+    combiner (lexical + semantic lists in a RAG stack).  List 1 ranks
+    by document length (chars desc), list 2 by term frequency of
+    'filter' (desc); both truncated to depth 100, fused as
+    sum(1 / (60 + rank)), top 20 emitted.
+
+    Distributed shape: ONE narrow map pass over the text computes both
+    per-doc signals (3 ints/doc); each ranking is a per-batch partial
+    top-100 (only batches' best rows reach the final sort — the bm25
+    discipline), the fused join runs on the two depth-100 lists
+    driver-side (bounded by the fusion depth, not the corpus)."""
+    depth, kconst = 100, 60.0
+    ds = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].astype("string").fillna("")
+        toks = ts._ws_tokens(df["text"]).reset_index(drop=True)
+        ex = toks.explode()
+        tf = (ex == "filter").groupby(level=0).sum().reindex(
+            toks.index, fill_value=0).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "chars": texts.str.len().to_numpy(np.int64),
+                             "tf": tf.to_numpy(np.int64)})
+
+    narrow = ds.map_batches(stats, batch_format="pandas").materialize()
+
+    def part1(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["chars", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(depth)
+
+    def part2(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["tf", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(depth)
+
+    l1 = narrow.map_batches(part1, batch_format="pandas").to_pandas() \
+        .sort_values(["chars", "doc_id"], ascending=[False, True],
+                     kind="mergesort").head(depth).reset_index(drop=True)
+    l2 = narrow.map_batches(part2, batch_format="pandas").to_pandas() \
+        .sort_values(["tf", "doc_id"], ascending=[False, True],
+                     kind="mergesort").head(depth).reset_index(drop=True)
+    l1["r1"] = np.arange(1, len(l1) + 1)
+    l2["r2"] = np.arange(1, len(l2) + 1)
+    fused = l1[["doc_id", "r1"]].merge(l2[["doc_id", "r2"]],
+                                       on="doc_id", how="outer")
+    s = ((1.0 / (kconst + fused["r1"])).fillna(0.0)
+         + (1.0 / (kconst + fused["r2"])).fillna(0.0))
+    out = pd.DataFrame({"doc_id": fused["doc_id"].astype("int64"),
+                        "rrf": np.round(s.to_numpy(np.float64), 6)})
+    return out.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                           kind="mergesort").head(20) \
+        .reset_index(drop=True)
+
+
+SQL_RRF_FUSION = r"""
+WITH s AS (
+  SELECT doc_id, length(coalesce(text, '')) AS chars,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(list_filter(
+                     regexp_split_to_array(trim(text), '\s+'),
+                     x -> x = 'filter')) END AS tf
+  FROM documents
+), l1 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY chars DESC, doc_id) AS r1
+  FROM s QUALIFY r1 <= 100
+), l2 AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY tf DESC, doc_id) AS r2
+  FROM s QUALIFY r2 <= 100
+)
+SELECT coalesce(l1.doc_id, l2.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60 + r1), 0.0)
+             + coalesce(1.0 / (60 + r2), 0.0), 6) AS rrf
+FROM l1 FULL OUTER JOIN l2 ON l1.doc_id = l2.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_gh_means(sf_dir: str):
+    """Per-language geometric and harmonic means of the document token
+    count (docs with >= 1 token) — the scale-robust central-tendency
+    pair for heavy-tailed length distributions (geomean is the
+    standard Gopher/C4-style length statistic).  Shuffle-free: each
+    batch emits one (lang, n, sum_ln, sum_inv) partial and a tiny
+    groupby collapses O(batches x langs) rows; closed forms
+    exp(sum_ln/n) and n/sum_inv mirror the SQL bit-for-bit (round-6
+    before compare, the corr_agg discipline)."""
+    ds = _rp(sf_dir, "documents", ["lang", "text"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        toks = ts._ws_tokens(df["text"])
+        n_tok = toks.str.len().fillna(0).astype("int64")
+        keep = n_tok > 0
+        if not keep.any():
+            return pd.DataFrame({"lang": pd.Series([], dtype="string"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "sum_ln": pd.Series([], dtype="float64"),
+                                 "sum_inv": pd.Series([], dtype="float64")})
+        d = pd.DataFrame({
+            "lang": df["lang"].astype("string")[keep.to_numpy()],
+            "ln": np.log(n_tok[keep].to_numpy(np.float64)),
+            "inv": 1.0 / n_tok[keep].to_numpy(np.float64)})
+        g = d.groupby("lang", sort=False)
+        out = g.agg(n=("ln", "size"), sum_ln=("ln", "sum"),
+                    sum_inv=("inv", "sum")).reset_index()
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    g = parts.groupby("lang", sort=False, as_index=False).agg(
+        n=("n", "sum"), sum_ln=("sum_ln", "sum"),
+        sum_inv=("sum_inv", "sum"))
+    return pd.DataFrame({
+        "lang": g["lang"],
+        "n_docs": g["n"].astype("int64"),
+        "geo_mean": np.round(np.exp(g["sum_ln"] / g["n"]), 6),
+        "harm_mean": np.round(g["n"] / g["sum_inv"], 6),
+    }).sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
+SQL_GH_MEANS = r"""
+WITH t AS (
+  SELECT lang,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+'))
+         END AS n_tok
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(exp(sum(ln(n_tok)) / count(*)), 6) AS geo_mean,
+       round(count(*) / sum(1.0 / n_tok), 6) AS harm_mean
+FROM t WHERE n_tok > 0
+GROUP BY lang ORDER BY lang
+"""
+
+
+def q_ktruss(sf_dir: str):
+    """3-truss of the hash-derived link graph: the maximal edge set
+    where every edge closes >= 1 triangle within the surviving
+    subgraph (stages/graph.py::ktruss — iterative support peeling,
+    each round the edge_support wedge-close joins + a map-side drop,
+    fixpoint when nothing drops).  Rows-only driver check; the peeling
+    is pinned against a single-node reference in test_graph.py."""
+    from ..stages.graph import ktruss
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    return ktruss(edges, k=3)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -11701,6 +11855,8 @@ QUERIES = {
     "trend_agg": q_trend_agg,
     "monge_elkan": q_monge_elkan,
     "soft_tfidf": q_soft_tfidf,
+    "rrf_fusion": q_rrf_fusion,
+    "gh_means": q_gh_means,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -11822,6 +11978,7 @@ QUERIES = {
     "sssp_hops": q_sssp_hops,
     "cdc_chunks": q_cdc_chunks,
     "coverage_sample": q_coverage_sample,
+    "ktruss": q_ktruss,
     "bcubed": q_bcubed,
     "ppr": q_ppr,
     "grouping_sets": q_grouping_sets,
@@ -11971,6 +12128,8 @@ ORACLES = {
     "trend_agg": SQL_TREND_AGG,
     "monge_elkan": SQL_MONGE_ELKAN,
     "soft_tfidf": SQL_SOFT_TFIDF,
+    "rrf_fusion": SQL_RRF_FUSION,
+    "gh_means": SQL_GH_MEANS,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

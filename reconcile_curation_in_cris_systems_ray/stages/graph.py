@@ -100,12 +100,18 @@ def undirected_edges(edges, drop_self: bool = True):
             out = out[out["lo"] != out["hi"]]
         return out.drop_duplicates(ignore_index=True)
 
-    return bucketed_map_groups(
+    empty = pd.DataFrame({"lo": np.empty(0, np.int64),
+                          "hi": np.empty(0, np.int64)})
+    deduped = bucketed_map_groups(
         edges.map_batches(canon, batch_format="pandas"),
         ["lo", "hi"], lambda df: df.drop_duplicates(ignore_index=True),
-        empty_like=pd.DataFrame({"lo": np.empty(0, np.int64),
-                                 "hi": np.empty(0, np.int64)})
-    ).materialize()
+        empty_like=empty)
+    # the sort exchange leaves schema-less 0-row blocks on sparse
+    # inputs, which break Ray's native hash join downstream (the
+    # wedge-close plans); drop them by metadata before they enter any
+    # join
+    from .shuffle import drop_empty_blocks
+    return drop_empty_blocks(deduped)
 
 
 def _degree_partials(edges, nodes, node_col: str):
@@ -985,3 +991,63 @@ def adamic_adar(edges, num_buckets: int = 64):
                           "aa": np.empty(0, np.float64)})
     return bucketed_map_groups(contrib.union(markers), ["u", "v"],
                                score, num_buckets, empty_like=empty)
+
+
+def ktruss(edges, k: int = 3, max_rounds: int = 50):
+    """k-truss subgraph: the maximal set of edges in which every edge
+    is supported by at least ``k - 2`` triangles WITHIN the surviving
+    subgraph (Cohen 2008, "Trusses: cohesive subgraphs for social
+    network analysis").  The standard distributed plan: iterative
+    support peeling — each round recomputes per-edge triangle support
+    on the current edge set with :func:`edge_support`'s wedge-close
+    joins (two hash shuffles + one co-location exchange, never
+    all-pairs) and drops under-supported edges map-side; fixpoint when
+    a round drops nothing.  Rounds are O(peeling depth), bounded by
+    ``max_rounds``; each round's survivors are materialized so lineage
+    stays flat.  Returns canonical DISTINCT undirected ``(lo, hi)``
+    edges of the k-truss.
+
+    Reference parity: the reference has no graph engine — this extends
+    the corroboration signal it approximates with co-occurrence counts
+    (repository.py's shared-work evidence) to a transitively-verified
+    one; pinned in tests/test_graph.py against a single-node peeler.
+    """
+    thresh = int(k) - 2
+    cur = undirected_edges(edges).materialize()
+    if thresh <= 0:
+        return cur
+
+    # edge_support's front door expects (src, dst); cur is already
+    # canonical (lo, hi), so the rename is a zero-cost relabel per
+    # round (undirected_edges re-dedup of already-distinct rows is a
+    # per-batch no-op plus the co-location exchange the support count
+    # needs anyway).
+    def as_src_dst(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"lo": "src", "hi": "dst"})
+
+    for _ in range(int(max_rounds)):
+        n_before = cur.count()
+        if n_before == 0:
+            break
+        sup = edge_support(
+            cur.map_batches(as_src_dst, batch_format="pandas"))
+
+        def keep(df: pd.DataFrame, _t=thresh) -> pd.DataFrame:
+            out = df[df["support"] >= _t]
+            return out[["lo", "hi"]]
+
+        cur = sup.map_batches(keep, batch_format="pandas").materialize()
+        n_after = cur.count()
+        # The filter leaves 0-row (schema-less in Ray 2.49) blocks
+        # behind; the next round's wedge-close hash join rejects them
+        # (FieldRef resolution on an empty schema — the tracked
+        # empty-block class).  Compact to row-sized blocks so every
+        # surviving block is non-empty: linear block merge, not a
+        # shuffle, on an edge set that only shrinks.
+        if n_after:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            nb = max(1, min(2 * cpus, n_after // 200_000 + 1))
+            cur = cur.repartition(nb).materialize()
+        if n_after == n_before:
+            break
+    return cur

@@ -129,6 +129,37 @@ def bucketed_map_groups(ds, key_cols: list[str], bucket_fn: Callable[[pd.DataFra
     return grouped
 
 
+def drop_empty_blocks(ds):
+    """Drop schema-less 0-row blocks from a materialized dataset.
+
+    Ray 2.49's sort-based ``groupby().map_groups`` emits a zero-column
+    empty block for every partition that received no rows, and its
+    block normalization strips the schema off ANY 0-row block (typed
+    empties do not survive).  Ray's native hash join then fails
+    FieldRef resolution when such blocks reach it (``ArrowInvalid: No
+    match ... on left side of the join``).  This helper filters them
+    out by BLOCK METADATA ONLY (``iter_internal_ref_bundles`` exposes
+    per-block ``num_rows``): no block is fetched to the driver, the
+    surviving object refs are reused zero-copy via
+    ``from_arrow_refs``.  If every block is empty the input is
+    returned unchanged (callers handle the fully-empty case).
+    Returns a materialized dataset.
+    """
+    import ray.data as rd
+
+    mat = ds.materialize()
+    keep = []
+    n_blocks = 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            n_blocks += 1
+            if meta.num_rows is None or meta.num_rows > 0:
+                keep.append(ref)
+    if not keep or len(keep) == n_blocks:
+        return mat
+    return rd.from_arrow_refs(keep).materialize()
+
+
 def _split_block(tbl: pa.Table, key_cols: list[str], nb: int):
     """Map side of the task shuffle: one Arrow take per target bucket
     (no pandas round-trip on the exchange path)."""

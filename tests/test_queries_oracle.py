@@ -209,6 +209,8 @@ PINNED = [
     "first_last",
     "bfs_levels",
     "ppl_bucket",
+    "rrf_fusion",
+    "gh_means",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

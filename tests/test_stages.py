@@ -1557,6 +1557,47 @@ def test_kcore_matches_peeling_reference(ray_session):
     assert list(got["node"]) == want
 
 
+def test_ktruss_matches_peeling_reference(ray_session):
+    """Distributed k-truss support peeling vs a single-node reference,
+    including the cascade case (a dropped edge un-supports another)."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.stages.graph import ktruss
+
+    # two triangles sharing edge 1-2, plus a pendant triangle chain:
+    # 3-truss keeps exactly the triangle edges that survive mutually
+    e = pd.DataFrame({"src": [0, 1, 2, 1, 2, 3, 4, 4],
+                      "dst": [1, 2, 0, 3, 3, 4, 5, 0]})
+    out = ktruss(rd.from_pandas(e).repartition(2), k=3).to_pandas() \
+        .sort_values(["lo", "hi"]).reset_index(drop=True)
+    want = {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+    assert set(zip(out["lo"], out["hi"])) == want
+
+    def ref_ktruss(df, k):
+        edges = {tuple(sorted((a, b))) for a, b in
+                 zip(df["src"], df["dst"]) if a != b}
+        while True:
+            adj = {}
+            for a, b in edges:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            drop = {(a, b) for a, b in edges
+                    if len(adj[a] & adj[b]) < k - 2}
+            if not drop:
+                return edges
+            edges -= drop
+
+    rng = np.random.default_rng(11)
+    er = pd.DataFrame({"src": rng.integers(0, 40, 220),
+                       "dst": rng.integers(0, 40, 220)})
+    got = ktruss(rd.from_pandas(er).repartition(3), k=4).to_pandas()
+    assert set(zip(got["lo"], got["hi"])) == ref_ktruss(er, 4)
+    # monotonicity: higher k is a subset
+    got5 = ktruss(rd.from_pandas(er).repartition(3), k=5).to_pandas()
+    assert set(zip(got5["lo"], got5["hi"])) <= set(zip(got["lo"],
+                                                       got["hi"]))
+
+
 def test_grand_total_empty_input_sql_semantics(ray_session):
     """The () grouping set over EMPTY input: count is 0 but sum is NULL
     (SQL), not pandas' 0.0 — the tracked empty-at-small-sf class."""

@@ -11725,6 +11725,171 @@ def q_ktruss(sf_dir: str):
     return ktruss(edges, k=3)
 
 
+def q_kendall_tau(sf_dir: str):
+    """Per-event-type Kendall tau-b between event time and value —
+    the tie-correct concordance rank correlation (the third of the
+    correlation trio beside corr_agg/spearman_agg; preferred when the
+    ordinal signal is all that's trusted).  One co-location shuffle on
+    the group key; inside each group the discordant-pair count comes
+    from stages/scan.py::strict_inversions — a fully VECTORIZED
+    bottom-up merge (no per-element Python loop), O(n log^2 n) numpy
+    work — and the tie corrections are closed-form from value_counts:
+    tau_b = ((n0-n1-n2+n3) - 2*dis) / sqrt((n0-n1)(n0-n2))."""
+    from ..stages.scan import strict_inversions
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_type", "ts", "value"])
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                          "tau": pd.Series([], dtype="float64")})
+
+    def block(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            x = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            y = g["value"].to_numpy(np.float64)
+            order = np.lexsort((y, x))
+            dis = strict_inversions(y[order])
+            n0 = n * (n - 1) // 2
+
+            def tie_pairs(arr) -> int:
+                c = pd.Series(arr).value_counts().to_numpy(np.int64)
+                return int((c * (c - 1) // 2).sum())
+
+            n1 = tie_pairs(x)
+            n2 = tie_pairs(y)
+            n3 = tie_pairs(pd.Series(list(zip(x, y))))
+            denom = np.sqrt(float(n0 - n1) * float(n0 - n2))
+            if denom == 0:
+                continue
+            cmd = (n0 - n1 - n2 + n3) - 2 * dis
+            rows.append((et, np.round(cmd / denom, 6)))
+        return pd.DataFrame(rows, columns=["event_type", "tau"]) \
+            if rows else empty
+
+    return bucketed_map_groups(ev, ["event_type"], block,
+                               num_buckets=16, empty_like=empty)
+
+
+SQL_KENDALL_TAU = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS x, value AS y, event_id
+           FROM events)
+SELECT a.event_type,
+       round(sum(sign(a.x - b.x) * sign(a.y - b.y))
+             / sqrt(sum(CASE WHEN a.x != b.x THEN 1 ELSE 0 END)
+                    * sum(CASE WHEN a.y != b.y THEN 1 ELSE 0 END)),
+             6) AS tau
+FROM e a JOIN e b
+  ON a.event_type = b.event_type AND a.event_id < b.event_id
+GROUP BY a.event_type
+"""
+
+
+def q_jaccard_links(sf_dir: str):
+    """Jaccard-coefficient link prediction over the hash-derived link
+    graph: every non-adjacent pair with >= 1 common neighbor scored
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| (stages/graph.py::jaccard_links —
+    the same one-shuffle wedge plan as adamic_adar, with endpoint
+    degrees hydrated from the degree combiner: broadcast below 2M
+    nodes, two hash joins above)."""
+    from ..stages.graph import jaccard_links
+
+    edges, _, _ = _link_graph_inputs(sf_dir)
+    return jaccard_links(edges)
+
+
+SQL_JACCARD_LINKS = f"""
+WITH {_SQL_EDGES_CTE},
+undg AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         FROM edges),
+adj AS (SELECT u AS a, v AS b FROM undg UNION ALL SELECT v, u FROM undg),
+deg AS (SELECT a AS node, count(*) AS k FROM adj GROUP BY 1),
+wedge AS (SELECT a1.b AS u, a2.b AS v
+          FROM adj a1 JOIN adj a2 ON a1.a = a2.a AND a1.b < a2.b),
+cmn AS (SELECT u, v, count(*) AS common FROM wedge GROUP BY 1, 2)
+SELECT cmn.u, cmn.v, CAST(cmn.common AS BIGINT) AS common,
+       round(cmn.common * 1.0 / (du.k + dv.k - cmn.common), 6) AS jac
+FROM cmn
+JOIN deg du ON du.node = cmn.u
+JOIN deg dv ON dv.node = cmn.v
+LEFT JOIN undg e ON e.u = cmn.u AND e.v = cmn.v
+WHERE e.u IS NULL
+"""
+
+
+def q_bloom_pruned_scan(sf_dir: str):
+    """Point-lookup file skipping with Bloom sidecars: events written
+    one parquet file per DAY (the natural ingest partitioning) with a
+    per-file Bloom filter over user_id in the manifest
+    (sources/manifest_scan.py::write_partitioned_with_bloom — the
+    bitmaps are built from the rows already co-located for each
+    file's write, no extra pass), then a probe for the corpus's
+    RAREST user opens only the days whose filter may contain them —
+    min/max stats cannot prune an equality probe on a key the
+    partitioning does not sort, which is the common "fetch this
+    entity" access at 100 TB.  The lookup aggregate is oracled
+    against the unpartitioned table; the pruning evidence
+    (files_read < files_total) is pinned in pytest."""
+    from ..sources.manifest_scan import (
+        read_bloom_pruned, write_partitioned_with_bloom,
+    )
+
+    ev = _rp(sf_dir, "events", ["ts", "user_id", "value"])
+
+    # rarest user: a bounded per-user count combiner, min count then
+    # min id (deterministic, mirrored in the SQL)
+    cnt = rel.partial_groupby_agg(
+        ev.map_batches(
+            lambda df: df.groupby("user_id", sort=False).size()
+            .reset_index(name="n"), batch_format="pandas"),
+        ["user_id"], {"n": ("n", "sum")})
+    cnt = cnt.sort_values(["n", "user_id"], kind="mergesort")
+    probe_user = int(cnt["user_id"].iloc[0])
+
+    day_us = np.int64(86400000000)
+
+    def with_day(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["day"] = (df["ts"].to_numpy("datetime64[us]")
+                      .astype(np.int64) // day_us)
+        return out
+
+    keyed = ev.map_batches(with_day, batch_format="pandas")
+    path = os.path.join("/tmp/graft_bloom_scan",
+                        sf_dir.strip("/").replace("/", "_"))
+    write_partitioned_with_bloom(keyed, path, lambda df: df["day"],
+                                 "user_id")
+    ds, _n_read, _n_total = read_bloom_pruned(path, [probe_user])
+
+    def flt(df: pd.DataFrame, _u=probe_user) -> pd.DataFrame:
+        keep = df["user_id"].to_numpy(np.int64) == _u
+        return pd.DataFrame({
+            "user_id": np.full(int(keep.sum()), _u, np.int64),
+            "n_events": np.int64(1),
+            "sum_value": df["value"].to_numpy(np.float64)[keep]})
+
+    g = rel.partial_groupby_agg(
+        ds.map_batches(flt, batch_format="pandas"),
+        ["user_id"], {"n_events": ("n_events", "sum"),
+                      "sum_value": ("sum_value", "sum")})
+    return pd.DataFrame({
+        "user_id": g["user_id"].to_numpy(np.int64),
+        "n_events": g["n_events"].to_numpy(np.int64),
+        "sum_value": np.round(g["sum_value"].to_numpy(np.float64), 6)})
+
+
+SQL_BLOOM_PRUNED_SCAN = """
+WITH c AS (SELECT user_id, count(*) AS n FROM events
+           GROUP BY user_id ORDER BY n, user_id LIMIT 1)
+SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(e.value), 6) AS sum_value
+FROM events e JOIN c ON e.user_id = c.user_id
+GROUP BY e.user_id
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -11857,6 +12022,9 @@ QUERIES = {
     "soft_tfidf": q_soft_tfidf,
     "rrf_fusion": q_rrf_fusion,
     "gh_means": q_gh_means,
+    "kendall_tau": q_kendall_tau,
+    "jaccard_links": q_jaccard_links,
+    "bloom_pruned_scan": q_bloom_pruned_scan,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -12130,6 +12298,9 @@ ORACLES = {
     "soft_tfidf": SQL_SOFT_TFIDF,
     "rrf_fusion": SQL_RRF_FUSION,
     "gh_means": SQL_GH_MEANS,
+    "kendall_tau": SQL_KENDALL_TAU,
+    "jaccard_links": SQL_JACCARD_LINKS,
+    "bloom_pruned_scan": SQL_BLOOM_PRUNED_SCAN,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -78,3 +78,83 @@ def read_pruned(path: str, lo: int, hi: int):
     if not keep:
         raise ValueError("no files overlap the requested range")
     return rd.read_parquet(keep), len(keep), len(files)
+
+
+def write_partitioned_with_bloom(ds, path: str, part_fn, key_col: str,
+                                 num_buckets: int = 64,
+                                 bits_per_file: int = 1 << 16,
+                                 num_hashes: int = 5) -> dict:
+    """Write one parquet file per partition plus a PER-FILE Bloom
+    filter over ``key_col`` in the manifest — the equality-probe
+    counterpart of :func:`write_partitioned_with_stats` (min/max
+    stats prune RANGES; they cannot prune a point lookup on a key the
+    partitioning does not sort, which is the common "fetch this
+    user/doc id" access at 100 TB).  Each file's bitmap is built from
+    the rows ALREADY co-located for that file's write — no extra pass,
+    no shuffle; the manifest holds hex-encoded bitmaps
+    (``bits_per_file``/8 bytes each, O(files) total driver state).
+    """
+    import binascii
+
+    from ..stages.bloom import _bit_positions, _key_hashes
+    from ..stages.shuffle import bucketed_map_groups
+
+    os.makedirs(path, exist_ok=True)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__part"] = part_fn(df).astype(np.int64)
+        return out
+
+    tagged = ds.map_batches(add_part, batch_format="pandas")
+
+    def write_group(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for part, g in df.groupby("__part", sort=False):
+            fname = os.path.join(path, f"part-{int(part):06d}.parquet")
+            g.drop(columns=["__part"]).to_parquet(fname, index=False)
+            bitmap = np.zeros(bits_per_file // 8, dtype=np.uint8)
+            h = _key_hashes(g[key_col].to_numpy())
+            pos = _bit_positions(h, bits_per_file, num_hashes).ravel()
+            np.bitwise_or.at(bitmap, pos >> 3,
+                             np.uint8(1) << (pos & 7).astype(np.uint8))
+            rows.append((fname, int(part), len(g),
+                         binascii.hexlify(bitmap.tobytes()).decode()))
+        return pd.DataFrame(rows, columns=["file", "part", "rows",
+                                           "bloom_hex"])
+
+    entries = bucketed_map_groups(tagged, ["__part"], write_group,
+                                  num_buckets=num_buckets).to_pandas()
+    manifest = {"key_col": key_col, "num_hashes": num_hashes,
+                "num_bits": bits_per_file,
+                "files": entries.sort_values("part")
+                .to_dict(orient="records")}
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def read_bloom_pruned(path: str, keys):
+    """Point-lookup read that opens ONLY files whose Bloom filter may
+    contain at least one of ``keys`` (a false negative is impossible,
+    so the read is exact after the row filter).  Returns ``(dataset,
+    files_read, files_total)``."""
+    import binascii
+
+    import ray.data as rd
+
+    from ..stages.bloom import bloom_might_contain
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    probe = np.asarray(list(keys))
+    nh = int(manifest["num_hashes"])
+    keep = []
+    for e in manifest["files"]:
+        bitmap = np.frombuffer(
+            binascii.unhexlify(e["bloom_hex"]), dtype=np.uint8)
+        if bloom_might_contain(bitmap, probe, nh).any():
+            keep.append(e["file"])
+    if not keep:
+        raise ValueError("no file may contain the probed keys")
+    return rd.read_parquet(keep), len(keep), len(manifest["files"])

@@ -993,6 +993,124 @@ def adamic_adar(edges, num_buckets: int = 64):
                                score, num_buckets, empty_like=empty)
 
 
+def jaccard_links(edges, num_buckets: int = 64,
+                  broadcast_limit: int = 2_000_000):
+    """Jaccard-coefficient link prediction: for every NON-adjacent
+    node pair (u < v) with >= 1 common neighbor,
+    ``jac = |N(u) ∩ N(v)| / |N(u) ∪ N(v)|`` over the undirected graph
+    (Liben-Nowell & Kleinberg 2003's neighborhood-overlap baseline) —
+    the degree-normalized sibling of :func:`adamic_adar` (which it
+    shares the wedge plan with).
+
+    Plan: the intersection count comes from ONE center-node
+    co-location shuffle (same as adamic_adar); the union needs
+    endpoint degrees ``deg(u) + deg(v) - common``, hydrated from the
+    per-node degree combiner — broadcast once via ``ray.put`` below
+    ``broadcast_limit`` nodes, two bucketed hash joins above it (the
+    pagerank crossover).  Adjacency exclusion rides the same (u, v)
+    shuffle as marker rows."""
+    from .relational import hash_join, partial_groupby_agg
+    from .shuffle import bucketed_map_groups
+
+    und = undirected_edges(edges)
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a": np.concatenate([df["lo"].to_numpy(np.int64),
+                                 df["hi"].to_numpy(np.int64)]),
+            "b": np.concatenate([df["hi"].to_numpy(np.int64),
+                                 df["lo"].to_numpy(np.int64)])})
+
+    adj = und.map_batches(orient, batch_format="pandas").materialize()
+
+    def center_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v = [], []
+        for _, grp in df.groupby("a", sort=False)["b"]:
+            if len(grp) < 2:
+                continue
+            nb = np.sort(grp.to_numpy(np.int64))
+            iu, ju = np.triu_indices(len(nb), 1)
+            out_u.append(nb[iu])
+            out_v.append(nb[ju])
+        if not out_u:
+            return pd.DataFrame({"u": np.empty(0, np.int64),
+                                 "v": np.empty(0, np.int64),
+                                 "is_edge": np.empty(0, np.int64)})
+        n = sum(x.size for x in out_u)
+        return pd.DataFrame({"u": np.concatenate(out_u),
+                             "v": np.concatenate(out_v),
+                             "is_edge": np.zeros(n, np.int64)})
+
+    contrib = bucketed_map_groups(adj, ["a"], center_pairs, num_buckets)
+    markers = und.map_batches(
+        lambda df: pd.DataFrame({"u": df["lo"].to_numpy(np.int64),
+                                 "v": df["hi"].to_numpy(np.int64),
+                                 "is_edge": np.ones(len(df), np.int64)}),
+        batch_format="pandas")
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["u", "v"], sort=False, as_index=False).agg(
+            common=("is_edge", "size"), e=("is_edge", "max"))
+        g = g[g["e"] == 0]
+        # size counted the wedge rows; marker rows are excluded above,
+        # and non-excluded groups hold only wedge rows
+        return pd.DataFrame({"u": g["u"].to_numpy(np.int64),
+                             "v": g["v"].to_numpy(np.int64),
+                             "common": g["common"]
+                             .to_numpy(np.int64)})
+
+    empty_c = pd.DataFrame({"u": np.empty(0, np.int64),
+                            "v": np.empty(0, np.int64),
+                            "common": np.empty(0, np.int64)})
+    pairs = bucketed_map_groups(contrib.union(markers), ["u", "v"],
+                                collapse, num_buckets,
+                                empty_like=empty_c)
+
+    # per-node degrees: one count combiner (O(nodes) rows)
+    deg_parts = adj.map_batches(
+        lambda df: df.groupby("a", sort=False).size()
+        .reset_index(name="k"), batch_format="pandas")
+    deg = partial_groupby_agg(deg_parts, ["a"], {"k": ("k", "sum")})
+
+    if len(deg) <= broadcast_limit:
+        deg_ref = ray.put(pd.Series(deg["k"].to_numpy(np.int64),
+                                    index=deg["a"].to_numpy(np.int64)))
+
+        def hydrate(df: pd.DataFrame, _ref=deg_ref) -> pd.DataFrame:
+            dm = ray.get(_ref)
+            ku = df["u"].map(dm).to_numpy(np.float64)
+            kv = df["v"].map(dm).to_numpy(np.float64)
+            c = df["common"].to_numpy(np.float64)
+            return pd.DataFrame({
+                "u": df["u"].to_numpy(np.int64),
+                "v": df["v"].to_numpy(np.int64),
+                "common": df["common"].to_numpy(np.int64),
+                "jac": np.round(c / (ku + kv - c), 6)})
+
+        return pairs.map_batches(hydrate, batch_format="pandas")
+
+    # distributed fallback: two hash joins on the degree table
+    import ray.data as rd
+
+    deg_ds = rd.from_pandas(deg.rename(columns={"a": "node"}))
+    j1 = hash_join(pairs, deg_ds, on=["u"], right_on=["node"])
+    j1 = j1.map_batches(lambda df: df.rename(columns={"k": "ku"}),
+                        batch_format="pandas")
+    j2 = hash_join(j1, deg_ds, on=["v"], right_on=["node"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["common"].to_numpy(np.float64)
+        denom = (df["ku"].to_numpy(np.float64)
+                 + df["k"].to_numpy(np.float64) - c)
+        return pd.DataFrame({
+            "u": df["u"].to_numpy(np.int64),
+            "v": df["v"].to_numpy(np.int64),
+            "common": df["common"].to_numpy(np.int64),
+            "jac": np.round(c / denom, 6)})
+
+    return j2.map_batches(finish, batch_format="pandas")
+
+
 def ktruss(edges, k: int = 3, max_rounds: int = 50):
     """k-truss subgraph: the maximal set of edges in which every edge
     is supported by at least ``k - 2`` triangles WITHIN the surviving

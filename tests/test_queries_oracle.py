@@ -211,6 +211,9 @@ PINNED = [
     "ppl_bucket",
     "rrf_fusion",
     "gh_means",
+    "kendall_tau",
+    "jaccard_links",
+    "bloom_pruned_scan",
     # empty-at-sf0.001 regression (Ray drops 0-row dataset schemas;
     # the query carries a typed-empty fallback)
     "anti_join",

@@ -11890,6 +11890,236 @@ GROUP BY e.user_id
 """
 
 
+def q_match_auc(sf_dir: str):
+    """Ranking quality of a match score: AUC-ROC of the Jaro-Winkler
+    name similarity as a predictor of segment agreement, over the
+    within-nation candidate-pair set (the standard threshold-free ER
+    score evaluation beside threshold_sweep's F1 curve).
+
+    Plan: one nation co-location exchange -> per-bucket DuckDB JW
+    self-join (bit-identical kernel to the oracle, BroadcastFuzzyJoin
+    precedent) -> per-score (n_pos, n_neg) cells via the combiner ->
+    tie-averaged ranks from the keyless scan (mann_whitney machinery;
+    AUC = U / (n_pos * n_neg)).  Pair work is bounded by the blocking
+    group size; the rank pass is O(distinct scores)."""
+    import ray.data as rd
+
+    from ..stages.scan import global_scan
+    from ..stages.shuffle import bucketed_map_groups
+
+    cust = _rp(sf_dir, "customer",
+               ["c_name", "c_nationkey", "c_mktsegment"])
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        con.register("t", pa.Table.from_pandas(df, preserve_index=False))
+        out = con.execute("""
+            SELECT round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+                       AS s,
+                   (a.c_mktsegment = b.c_mktsegment) AS pos
+            FROM t a JOIN t b
+              ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+            WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.8
+            """).fetchdf()
+        con.close()
+        return out
+
+    scored = bucketed_map_groups(
+        cust, ["c_nationkey"], pairs_fn, num_buckets=32,
+        empty_like=pd.DataFrame({"s": pd.Series([], dtype="float64"),
+                                 "pos": pd.Series([], dtype="bool")}))
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.assign(n1=df["pos"].to_numpy(bool),
+                       n2=~df["pos"].to_numpy(bool))
+             .groupby("s", sort=False)[["n1", "n2"]].sum()
+             .astype(np.int64).reset_index())
+        return g
+
+    per_score = rel.partial_groupby_agg(
+        scored.map_batches(cells, batch_format="pandas"),
+        ["s"], {"n1": ("n1", "sum"), "n2": ("n2", "sum")})
+    per_score["cnt"] = per_score["n1"] + per_score["n2"]
+    scanned = global_scan(rd.from_pandas(per_score), ["s"], "cnt", "cum")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].to_numpy(np.float64)
+        avg = df["cum"].to_numpy(np.float64) - cnt + (cnt + 1) / 2.0
+        return pd.DataFrame({
+            "rsum": [(df["n1"].to_numpy(np.float64) * avg).sum()],
+            "n1": [np.int64(df["n1"].sum())],
+            "n2": [np.int64(df["n2"].sum())]})
+
+    p = scanned.map_batches(partial, batch_format="pandas") \
+        .to_pandas().sum()
+    n1, n2 = float(p["n1"]), float(p["n2"])
+    auc = (float(p["rsum"]) - n1 * (n1 + 1) / 2.0) / (n1 * n2)
+    return pd.DataFrame({"n_pos": [np.int64(p["n1"])],
+                         "n_neg": [np.int64(p["n2"])],
+                         "auc": [np.round(auc, 6)]})
+
+
+SQL_MATCH_AUC = """
+WITH p AS (
+  SELECT round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS s,
+         (a.c_mktsegment = b.c_mktsegment) AS pos
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+  WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.8),
+r AS (SELECT s, pos, avg(rn) OVER (PARTITION BY s) AS ar
+      FROM (SELECT s, pos, row_number() OVER (ORDER BY s) AS rn FROM p)),
+agg AS (SELECT sum(ar) FILTER (WHERE pos) AS rsum,
+               count(*) FILTER (WHERE pos) AS n1,
+               count(*) FILTER (WHERE NOT pos) AS n2
+        FROM r)
+SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n2 AS BIGINT) AS n_neg,
+       round((rsum - n1*(n1+1)/2.0) / (n1 * n2), 6) AS auc
+FROM agg
+"""
+
+
+def q_mutual_info(sf_dir: str):
+    """Mutual information I(lang; source) in nats — the symmetric
+    association strength between the two document partitions
+    (cond_entropy's two-sided sibling; chisq_independence's
+    information-theoretic twin).  One (source, lang) cell combiner,
+    closed form on the bounded cell frame."""
+    docs = _rp(sf_dir, "documents", ["source", "lang"])
+
+    cell = rel.partial_groupby_agg(
+        docs.map_batches(
+            lambda df: df.groupby(["source", "lang"], sort=False)
+            .size().reset_index(name="c"),
+            batch_format="pandas"),
+        ["source", "lang"], {"c": ("c", "sum")})
+    n = float(cell["c"].sum())
+    ps = cell.groupby("source")["c"].transform("sum") \
+        .to_numpy(np.float64) / n
+    pl = cell.groupby("lang")["c"].transform("sum") \
+        .to_numpy(np.float64) / n
+    pij = cell["c"].to_numpy(np.float64) / n
+    mi = (pij * np.log(pij / (ps * pl))).sum()
+    return pd.DataFrame({"mi": [np.round(mi, 6)]})
+
+
+SQL_MUTUAL_INFO = """
+WITH cell AS (SELECT source, lang, count(*) AS c
+              FROM documents GROUP BY 1, 2),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+s AS (SELECT source, sum(c) AS cs FROM cell GROUP BY 1),
+l AS (SELECT lang, sum(c) AS cl FROM cell GROUP BY 1)
+SELECT round(sum((c / n.nd) * ln((c / n.nd)
+                                 / ((cs / n.nd) * (cl / n.nd)))), 6) AS mi
+FROM cell JOIN s USING (source) JOIN l USING (lang), n
+"""
+
+
+def q_jarque_bera(sf_dir: str):
+    """Jarque-Bera normality statistic per event type — population
+    skewness g1 and excess kurtosis g2 from the same two-pass CENTERED
+    moment combiners as moments_agg (means broadcast, then shuffle-free
+    sigma d^2/d^3/d^4 partials), JB = n/6 * (g1^2 + g2^2/4) on the
+    bounded group frame."""
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    m1 = rel.partial_groupby_agg(
+        ev.map_batches(
+            lambda df: df.groupby("event_type", sort=False)["value"]
+            .agg(n="size", sy="sum").reset_index(),
+            batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"), "sy": ("sy", "sum")})
+    mean = dict(zip(m1["event_type"], m1["sy"] / m1["n"]))
+
+    def cent(df: pd.DataFrame) -> pd.DataFrame:
+        d = (df["value"].to_numpy(np.float64)
+             - df["event_type"].map(mean).to_numpy(np.float64))
+        out = pd.DataFrame({"event_type": df["event_type"].to_numpy(object),
+                            "m2": d ** 2, "m3": d ** 3, "m4": d ** 4})
+        return out.groupby("event_type", sort=False).sum().reset_index()
+
+    m = rel.partial_groupby_agg(
+        ev.map_batches(cent, batch_format="pandas"),
+        ["event_type"], {"m2": ("m2", "sum"), "m3": ("m3", "sum"),
+                         "m4": ("m4", "sum")})
+    m = m.merge(m1[["event_type", "n"]], on="event_type")
+    n = m["n"].to_numpy(np.float64)
+    m2 = m["m2"].to_numpy() / n
+    g1 = (m["m3"].to_numpy() / n) / m2 ** 1.5
+    g2 = (m["m4"].to_numpy() / n) / m2 ** 2 - 3.0
+    jb = n / 6.0 * (g1 ** 2 + g2 ** 2 / 4.0)
+    return pd.DataFrame({"event_type": m["event_type"].to_numpy(object),
+                         "g1": np.round(g1, 6), "g2": np.round(g2, 6),
+                         "jb": np.round(jb, 6)})
+
+
+SQL_JARQUE_BERA = """
+WITH mu AS (SELECT event_type, avg(value) AS m,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1),
+d AS (SELECT e.event_type,
+             sum(pow(e.value - mu.m, 2)) / any_value(mu.n) AS m2,
+             sum(pow(e.value - mu.m, 3)) / any_value(mu.n) AS m3,
+             sum(pow(e.value - mu.m, 4)) / any_value(mu.n) AS m4,
+             any_value(mu.n) AS n
+      FROM events e JOIN mu USING (event_type) GROUP BY 1)
+SELECT event_type,
+       round(m3 / pow(m2, 1.5), 6) AS g1,
+       round(m4 / pow(m2, 2) - 3.0, 6) AS g2,
+       round(n / 6.0 * (pow(m3 / pow(m2, 1.5), 2)
+                        + pow(m4 / pow(m2, 2) - 3.0, 2) / 4.0), 6) AS jb
+FROM d
+"""
+
+
+def q_adjusted_rand(sf_dir: str):
+    """Adjusted Rand Index between the lang and source partitions of
+    the documents table — the pair-counting external clustering
+    agreement measure (bcubed's combinatorial sibling; chance-corrected
+    like cohens_kappa).  One (lang, source) contingency-cell combiner;
+    every C(n,2) term is exact integer arithmetic on the bounded cell
+    frame (Python ints, no overflow), only the final ratio is float."""
+    docs = _rp(sf_dir, "documents", ["lang", "source"])
+
+    cell = rel.partial_groupby_agg(
+        docs.map_batches(
+            lambda df: df.groupby(["lang", "source"], sort=False)
+            .size().reset_index(name="c"),
+            batch_format="pandas"),
+        ["lang", "source"], {"c": ("c", "sum")})
+    cs = [int(v) for v in cell["c"]]
+    sij = sum(c * (c - 1) // 2 for c in cs)
+    sa = sum(int(v) * (int(v) - 1) // 2
+             for v in cell.groupby("lang")["c"].sum())
+    sb = sum(int(v) * (int(v) - 1) // 2
+             for v in cell.groupby("source")["c"].sum())
+    n = sum(cs)
+    nn = n * (n - 1) // 2
+    e = sa * sb / nn
+    ari = (sij - e) / ((sa + sb) / 2.0 - e)
+    return pd.DataFrame({"n": [np.int64(n)], "sum_ij": [np.int64(sij)],
+                         "ari": [np.round(ari, 6)]})
+
+
+SQL_ADJUSTED_RAND = """
+WITH cell AS (SELECT lang, source, count(*) AS c
+              FROM documents GROUP BY 1, 2),
+x AS (SELECT sum(c * (c - 1) // 2) AS sij FROM cell),
+a AS (SELECT sum(cl * (cl - 1) // 2) AS sa
+      FROM (SELECT sum(c) AS cl FROM cell GROUP BY lang)),
+b AS (SELECT sum(cs * (cs - 1) // 2) AS sb
+      FROM (SELECT sum(c) AS cs FROM cell GROUP BY source)),
+n AS (SELECT count(*) AS n, count(*) * (count(*) - 1) // 2 AS nn
+      FROM documents)
+SELECT CAST(n.n AS BIGINT) AS n, CAST(x.sij AS BIGINT) AS sum_ij,
+       round((x.sij - a.sa * b.sb / n.nn)
+             / ((a.sa + b.sb) / 2.0 - a.sa * b.sb / n.nn), 6) AS ari
+FROM x, a, b, n
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -12025,6 +12255,10 @@ QUERIES = {
     "kendall_tau": q_kendall_tau,
     "jaccard_links": q_jaccard_links,
     "bloom_pruned_scan": q_bloom_pruned_scan,
+    "match_auc": q_match_auc,
+    "mutual_info": q_mutual_info,
+    "jarque_bera": q_jarque_bera,
+    "adjusted_rand": q_adjusted_rand,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -12301,6 +12535,10 @@ ORACLES = {
     "kendall_tau": SQL_KENDALL_TAU,
     "jaccard_links": SQL_JACCARD_LINKS,
     "bloom_pruned_scan": SQL_BLOOM_PRUNED_SCAN,
+    "match_auc": SQL_MATCH_AUC,
+    "mutual_info": SQL_MUTUAL_INFO,
+    "jarque_bera": SQL_JARQUE_BERA,
+    "adjusted_rand": SQL_ADJUSTED_RAND,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

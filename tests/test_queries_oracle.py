@@ -17,6 +17,10 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "match_auc",
+    "mutual_info",
+    "jarque_bera",
+    "adjusted_rand",
     "count_distinct",
     "entity_extract",
     "discovery_pipeline",

@@ -12120,6 +12120,314 @@ FROM x, a, b, n
 """
 
 
+def q_merge_upsert(sf_dir: str):
+    """MERGE INTO / CDC changeset apply — the lakehouse upsert
+    operator: the events stream is interpreted as a change log keyed
+    by 12*user_id (last write per key wins, ordered by ts then
+    event_id; 'purchase' = DELETE, anything else = UPSERT of the
+    value into c_acctbal; keys absent from the base insert a NEW#
+    row).  Plan: one key co-location to resolve the changeset
+    (priority_dedup), then a broadcast-scale application against the
+    streamed base — at 100 TB the changeset is the small side and
+    the base is never shuffled (the incremental-pipeline discipline,
+    pipelines/incremental.py)."""
+    import ray
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id",
+                                "event_type", "value"])
+    last = rel.priority_dedup(
+        ev.map_batches(
+            lambda df: pd.DataFrame({
+                "key": df["user_id"].to_numpy(np.int64) * 12,
+                "ts": df["ts"], "event_id": df["event_id"],
+                "event_type": df["event_type"], "value": df["value"]}),
+            batch_format="pandas"),
+        ["key"], ["ts", "event_id"], ascending=[False, False],
+        num_buckets=32).to_pandas()
+    upd = last[last["event_type"] != "purchase"]
+    dels = set(last.loc[last["event_type"] == "purchase", "key"]
+               .astype(np.int64))
+    val = dict(zip(upd["key"].astype(np.int64), upd["value"]))
+    ref = ray.put((dels, val))
+
+    base = _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+
+    def apply_changes(df: pd.DataFrame) -> pd.DataFrame:
+        d, v = ray.get(ref)
+        k = df["c_custkey"].to_numpy(np.int64)
+        keep = ~np.isin(k, list(d)) if d else np.ones(len(k), bool)
+        out = df[keep].copy()
+        nv = out["c_custkey"].map(v)
+        out["c_acctbal"] = np.round(
+            nv.fillna(out["c_acctbal"]).to_numpy(np.float64), 6)
+        return out
+
+    kept = base.map_batches(apply_changes, batch_format="pandas")
+
+    base_keys = set(
+        base.map_batches(lambda df: df[["c_custkey"]],
+                         batch_format="pandas").to_pandas()["c_custkey"]
+        .astype(np.int64))
+    ins = upd[~upd["key"].astype(np.int64).isin(base_keys)]
+    inserts = pd.DataFrame({
+        "c_custkey": ins["key"].to_numpy(np.int64),
+        "c_name": ["NEW#" + str(int(k)) for k in ins["key"]],
+        "c_acctbal": np.round(ins["value"].to_numpy(np.float64), 6)})
+    import ray.data as rd
+
+    if len(inserts) == 0:
+        return kept
+    return kept.union(rd.from_pandas(inserts))
+
+
+SQL_MERGE_UPSERT = """
+WITH last AS (
+  SELECT * FROM (
+    SELECT user_id * 12 AS key, value, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+upd AS (SELECT key, value FROM last WHERE event_type <> 'purchase'),
+del AS (SELECT key FROM last WHERE event_type = 'purchase')
+SELECT c.c_custkey, c.c_name,
+       round(coalesce(u.value, c.c_acctbal), 6) AS c_acctbal
+FROM customer c LEFT JOIN upd u ON c.c_custkey = u.key
+WHERE c.c_custkey NOT IN (SELECT key FROM del)
+UNION ALL
+SELECT u.key AS c_custkey,
+       'NEW#' || CAST(u.key AS VARCHAR) AS c_name,
+       round(u.value, 6) AS c_acctbal
+FROM upd u ANTI JOIN customer c ON c.c_custkey = u.key
+"""
+
+
+def q_fixed_width_ingest(sf_dir: str):
+    """S5-family fixed-width (COBOL-style) text source: the customer
+    table is spooled to fixed-width shards (one file per block, a
+    distributed sink — no driver funnel), read back with the text
+    reader, and parsed by byte-offset slicing (vectorized pandas .str
+    ops, no per-row Python).  The 2-decimal account balances survive
+    the %.6f round-trip losslessly, so the oracle is the identity
+    SELECT."""
+    import ray.data as rd
+
+    out_dir = os.path.join("/tmp/graft_fixedwidth",
+                           sf_dir.strip("/").replace("/", "_"))
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    cust = _rp(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype="int64")})
+        lines = [
+            f"{int(k):>12d}{n:<25s}{int(nk):>4d}{b:>15.6f}"
+            for k, n, nk, b in zip(df["c_custkey"], df["c_name"],
+                                   df["c_nationkey"], df["c_acctbal"])]
+        shard = os.path.join(out_dir, f"part-{int(df['c_custkey'].iloc[0]):012d}.txt")
+        with open(shard, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return pd.DataFrame({"n": [np.int64(len(df))]})
+
+    cust.map_batches(write_shard, batch_format="pandas").materialize()
+
+    txt = rd.read_text(out_dir)
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"]
+        out = pd.DataFrame({
+            "c_custkey": s.str[0:12].astype(np.int64),
+            "c_name": s.str[12:37].str.rstrip(),
+            "c_nationkey": s.str[37:41].astype(np.int64),
+            "c_acctbal": s.str[41:56].astype(np.float64)})
+        out = out[out["c_nationkey"] < 5]
+        if len(out) == 0:
+            # typed-empty: object columns in 0-row frames break Ray's
+            # block-size estimator
+            out = out.astype({"c_name": "string"})
+        return out
+
+    return txt.map_batches(parse, batch_format="pandas")
+
+
+SQL_FIXED_WIDTH_INGEST = """
+SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       round(c_acctbal, 6) AS c_acctbal
+FROM customer WHERE c_nationkey < 5
+"""
+
+
+def q_geo_join(sf_dir: str):
+    """Geospatial radius join — customers within 150 km haversine of a
+    supplier — via 2-D GRID-CELL bucketing (the band_join plan lifted
+    to the sphere): 3-degree lat x lon cells, left rows land once,
+    right rows replicate to the 3x3 neighborhood with longitude
+    neighbors taken MOD 120 so antimeridian pairs are found (haversine
+    itself is periodic in delta-lon, so the oracle needs no wrap
+    handling).  Coordinates derive deterministically from the keys by
+    exact integer modular arithmetic: lat in [-60, 60) keeps the
+    150 km radius inside one 3-degree lon neighborhood at the worst
+    latitude (111.32 * 3 * cos(60) = 167 km > 150).  Complete cells
+    verify the exact distance vectorized; each pair meets in exactly
+    one cell (the left row's own), so no dedup exchange is needed."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    cust = _rp(sf_dir, "customer", ["c_custkey"])
+    supp = _rp(sf_dir, "supplier", ["s_suppkey"])
+
+    def coords(keys: np.ndarray):
+        lat = (keys * 7919 % 12000) / 100.0 - 60.0
+        lon = (keys * 104729 % 36000) / 100.0 - 180.0
+        return lat, lon
+
+    def cust_cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        lat, lon = coords(k)
+        ci = np.floor((lat + 60.0) / 3.0).astype(np.int64)
+        cj = np.floor((lon + 180.0) / 3.0).astype(np.int64)
+        return pd.DataFrame({"cell": ci * 120 + cj, "id": k,
+                             "lat": lat, "lon": lon, "side": np.int8(0)})
+
+    def supp_cells(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["s_suppkey"].to_numpy(np.int64)
+        lat, lon = coords(k)
+        ci = np.floor((lat + 60.0) / 3.0).astype(np.int64)
+        cj = np.floor((lon + 180.0) / 3.0).astype(np.int64)
+        out = []
+        for di in (-1, 0, 1):
+            ni = ci + di
+            ok = (ni >= 0) & (ni < 40)
+            for dj in (-1, 0, 1):
+                nj = (cj + dj) % 120
+                out.append(pd.DataFrame({
+                    "cell": (ni * 120 + nj)[ok], "id": k[ok],
+                    "lat": lat[ok], "lon": lon[ok], "side": np.int8(1)}))
+        return pd.concat(out, ignore_index=True)
+
+    both = cust.map_batches(cust_cells, batch_format="pandas").union(
+        supp.map_batches(supp_cells, batch_format="pandas"))
+
+    empty = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                          "s_suppkey": pd.Series([], dtype="int64"),
+                          "dist_km": pd.Series([], dtype="float64")})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("cell", sort=False):
+            a = g[g["side"] == 0]
+            b = g[g["side"] == 1]
+            if not len(a) or not len(b):
+                continue
+            al = a["lat"].to_numpy()[:, None]
+            ao = a["lon"].to_numpy()[:, None]
+            bl = b["lat"].to_numpy()[None, :]
+            bo = b["lon"].to_numpy()[None, :]
+            d = 2.0 * 6371.0 * np.arcsin(np.sqrt(
+                np.sin(np.radians(bl - al) / 2.0) ** 2
+                + np.cos(np.radians(al)) * np.cos(np.radians(bl))
+                * np.sin(np.radians(bo - ao) / 2.0) ** 2))
+            ai, bi = np.nonzero(d <= 150.0)
+            parts.append(pd.DataFrame({
+                "c_custkey": a["id"].to_numpy(np.int64)[ai],
+                "s_suppkey": b["id"].to_numpy(np.int64)[bi],
+                "dist_km": np.round(d[ai, bi], 4)}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return bucketed_map_groups(both, ["cell"], verify, num_buckets=64,
+                               empty_like=empty)
+
+
+SQL_GEO_JOIN = """
+WITH c AS (SELECT c_custkey,
+                  (c_custkey * 7919 % 12000) / 100.0 - 60.0 AS lat,
+                  (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+           FROM customer),
+s AS (SELECT s_suppkey,
+             (s_suppkey * 7919 % 12000) / 100.0 - 60.0 AS lat,
+             (s_suppkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+      FROM supplier)
+SELECT c_custkey, s_suppkey, round(d, 4) AS dist_km FROM (
+  SELECT c.c_custkey, s.s_suppkey,
+         2.0 * 6371.0 * asin(sqrt(
+             pow(sin(radians(s.lat - c.lat) / 2.0), 2)
+             + cos(radians(c.lat)) * cos(radians(s.lat))
+             * pow(sin(radians(s.lon - c.lon) / 2.0), 2))) AS d
+  FROM c, s)
+WHERE d <= 150.0
+"""
+
+
+def q_mmr_select(sf_dir: str):
+    """Maximal Marginal Relevance diversified top-k retrieval
+    (Carbonell & Goldstein 1998): greedily pick 10 vectors maximizing
+    lambda*sim(q, d) - (1-lambda)*max_sim(d, selected).  The greedy
+    loop is inherently sequential in k, but each round is one
+    distributed partial-argmax pass (per-batch best under the
+    broadcast selected-set, driver reduces over O(blocks) candidates);
+    the selected matrix is k x dim — tiny — so nothing large is ever
+    broadcast or materialized.  Rows-only: order-dependent greedy is
+    not SQL-expressible; pinned against a sequential numpy reference
+    in tests/test_mmr.py."""
+    import ray
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def normalize(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return pd.DataFrame({"vec_id": df["vec_id"].to_numpy(np.int64),
+                             "unit": list(m.astype(np.float64))})
+
+    unit = emb.map_batches(normalize, batch_format="pandas").materialize()
+    q = None
+    for b in unit.iter_batches(batch_format="pandas", batch_size=None):
+        hit = b[b["vec_id"] == 0]
+        if len(hit):
+            q = np.asarray(hit["unit"].iloc[0])
+            break
+    lam = 0.7
+    selected_ids: list[int] = []
+    selected_mat = np.zeros((0, q.shape[0]))
+    rows = []
+    for _ in range(10):
+        ref = ray.put((q, selected_mat, frozenset(selected_ids)))
+
+        def best(df: pd.DataFrame) -> pd.DataFrame:
+            qv, sel, chosen = ray.get(ref)
+            mask = ~df["vec_id"].isin(chosen).to_numpy()
+            if not mask.any():
+                return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                     "score": pd.Series([], dtype="float64")})
+            m = np.stack(df["unit"].to_numpy()[mask])
+            ids = df["vec_id"].to_numpy(np.int64)[mask]
+            rel_ = m @ qv
+            pen = m @ sel.T
+            div = pen.max(axis=1) if pen.shape[1] else np.zeros(len(m))
+            sc = lam * rel_ - (1.0 - lam) * div
+            i = np.lexsort((ids, -sc))[0]
+            return pd.DataFrame({"vec_id": [ids[i]], "score": [sc[i]]})
+
+        cand = unit.map_batches(best, batch_format="pandas").to_pandas()
+        cand = cand.sort_values(["score", "vec_id"],
+                                ascending=[False, True])
+        vid, sc = int(cand["vec_id"].iloc[0]), float(cand["score"].iloc[0])
+        rows.append({"rank": len(selected_ids) + 1, "vec_id": vid,
+                     "score": round(sc, 6)})
+        vrow = None
+        for b in unit.iter_batches(batch_format="pandas", batch_size=None):
+            hit = b[b["vec_id"] == vid]
+            if len(hit):
+                vrow = np.asarray(hit["unit"].iloc[0])
+                break
+        selected_ids.append(vid)
+        selected_mat = np.vstack([selected_mat, vrow])
+    return pd.DataFrame(rows)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -12259,6 +12567,10 @@ QUERIES = {
     "mutual_info": q_mutual_info,
     "jarque_bera": q_jarque_bera,
     "adjusted_rand": q_adjusted_rand,
+    "merge_upsert": q_merge_upsert,
+    "fixed_width_ingest": q_fixed_width_ingest,
+    "geo_join": q_geo_join,
+    "mmr_select": q_mmr_select,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -12539,6 +12851,9 @@ ORACLES = {
     "mutual_info": SQL_MUTUAL_INFO,
     "jarque_bera": SQL_JARQUE_BERA,
     "adjusted_rand": SQL_ADJUSTED_RAND,
+    "merge_upsert": SQL_MERGE_UPSERT,
+    "fixed_width_ingest": SQL_FIXED_WIDTH_INGEST,
+    "geo_join": SQL_GEO_JOIN,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -17,6 +17,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "merge_upsert",
+    "fixed_width_ingest",
+    "geo_join",
     "match_auc",
     "mutual_info",
     "jarque_bera",

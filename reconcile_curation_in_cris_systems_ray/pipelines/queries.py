@@ -12428,6 +12428,153 @@ def q_mmr_select(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_theil_index(sf_dir: str):
+    """Theil T inequality index of order totals — the decomposable
+    entropy-based concentration measure (gini_value's information-
+    theoretic sibling): T = (1/n) * sum (x/mu) * ln(x/mu).  One
+    (n, sum) pass for the mean, one shuffle-free partial pass for the
+    entropy sum; positive-domain input (o_totalprice)."""
+    ds = _rp(sf_dir, "orders", ["o_totalprice"])
+    tot = ds.map_batches(
+        lambda df: pd.DataFrame({"n": [np.int64(len(df))],
+                                 "s": [df["o_totalprice"].sum()]}),
+        batch_format="pandas").to_pandas()
+    n = float(tot["n"].sum())
+    mu = float(tot["s"].sum()) / n
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["o_totalprice"].to_numpy(np.float64) / mu
+        return pd.DataFrame({"t": [(r * np.log(r)).sum()]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"n": [np.int64(n)],
+                         "theil": [np.round(float(p["t"].sum()) / n, 6)]})
+
+
+SQL_THEIL_INDEX = """
+WITH m AS (SELECT avg(o_totalprice) AS mu,
+                  CAST(count(*) AS DOUBLE) AS n FROM orders)
+SELECT CAST(m.n AS BIGINT) AS n,
+       round(sum((o_totalprice / m.mu) * ln(o_totalprice / m.mu)) / m.n,
+             6) AS theil
+FROM orders, m GROUP BY m.n
+"""
+
+
+def q_map_at_k(sf_dir: str):
+    """Mean-average-precision retrieval evaluation: for a 20-query
+    panel (vec_id < 20), rank the corpus by cosine (self excluded,
+    ties by vec_id), mark hits by class agreement (vec_id % 20), and
+    compute AP@10 per query — precision summed at each relevant rank
+    over min(R, 10).  The ranking reuses the brute-force partial-top-k
+    plan (per-batch matmul against the broadcast query matrix); only
+    the bounded panel (20 queries x 11 rows) reaches the driver, plus
+    one class-count combiner for R."""
+    from ..stages.ann import brute_force_topk
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = emb.map_batches(
+        lambda df: df[df["vec_id"] < 20], batch_format="pandas") \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    topk = brute_force_topk(emb, np.stack(qdf["embedding"].to_numpy()),
+                            k=11).to_pandas()
+    # query_id indexes the sorted panel, which is vec_id 0..19
+    topk = topk[topk["vec_id"] != topk["query_id"]]
+
+    cls = rel.partial_groupby_agg(
+        emb.map_batches(
+            lambda df: pd.DataFrame(
+                {"cls": df["vec_id"].to_numpy(np.int64) % 20,
+                 "c": np.int64(1)}),
+            batch_format="pandas"),
+        ["cls"], {"c": ("c", "sum")})
+    rtot = dict(zip(cls["cls"].astype(np.int64), cls["c"].astype(np.int64)))
+
+    rows = []
+    for qid, g in topk.groupby("query_id", sort=True):
+        g = g.sort_values(["score", "vec_id"],
+                          ascending=[False, True]).head(10)
+        rel_mask = (g["vec_id"].to_numpy(np.int64) % 20) == qid
+        cum = np.cumsum(rel_mask)
+        d = np.arange(1, len(g) + 1)
+        ap = (cum[rel_mask] / d[rel_mask]).sum() / min(
+            int(rtot[int(qid)]) - 1, 10)
+        rows.append({"query_id": np.int64(qid), "ap": np.round(ap, 6)})
+    return pd.DataFrame(rows)
+
+
+SQL_MAP_AT_K = """
+WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings
+           WHERE vec_id < 20),
+ranked AS (
+  SELECT q.qid, e.vec_id,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                    e.vec_id) AS rn,
+         (e.vec_id % 20 = q.qid) AS rel
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.qid),
+topd AS (SELECT qid, rn, rel,
+                sum(CASE WHEN rel THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY qid ORDER BY rn) AS cumrel
+         FROM ranked WHERE rn <= 10),
+ap AS (SELECT qid,
+              sum(CASE WHEN rel THEN cumrel * 1.0 / rn ELSE 0 END) AS s
+       FROM topd GROUP BY qid),
+rtot AS (SELECT vec_id % 20 AS cls, count(*) - 1 AS r
+         FROM embeddings GROUP BY 1)
+SELECT ap.qid AS query_id,
+       round(ap.s / least(rtot.r, 10), 6) AS ap
+FROM ap JOIN rtot ON rtot.cls = ap.qid
+"""
+
+
+def q_rbo_rankings(sf_dir: str):
+    """Rank-biased overlap (Webber et al. 2010, truncated form,
+    p = 0.9) between two top-50 user rankings — by total event value
+    vs by event count (ties by user_id).  The per-user aggregate is
+    one shuffle-free combiner; both rankings and the depth-weighted
+    overlap sum close on the bounded user panel.  RBO@50 =
+    (1-p) * sum_d p^(d-1) * |A_d intersect B_d| / d."""
+    ev = _rp(sf_dir, "events", ["user_id", "value"])
+    agg = rel.partial_groupby_agg(
+        ev.map_batches(
+            lambda df: df.groupby("user_id", sort=False)["value"]
+            .agg(s="sum", c="size").reset_index(),
+            batch_format="pandas"),
+        ["user_id"], {"s": ("s", "sum"), "c": ("c", "sum")})
+    k, p = 50, 0.9
+    by_s = agg.sort_values(["s", "user_id"], ascending=[False, True]) \
+        .head(k)["user_id"].to_numpy(np.int64)
+    by_c = agg.sort_values(["c", "user_id"], ascending=[False, True]) \
+        .head(k)["user_id"].to_numpy(np.int64)
+    rbo = 0.0
+    # depth runs to k even when fewer users exist: past the list end the
+    # prefixes saturate and overlap stays |A intersect B| (the SQL depth
+    # series does the same)
+    for d in range(1, k + 1):
+        ov = len(set(by_s[:d]) & set(by_c[:d]))
+        rbo += (1.0 - p) * p ** (d - 1) * ov / d
+    return pd.DataFrame({"rbo": [np.round(rbo, 6)]})
+
+
+SQL_RBO_RANKINGS = """
+WITH agg AS (SELECT user_id, sum(value) AS s, count(*) AS c
+             FROM events GROUP BY 1),
+ra AS (SELECT user_id, row_number() OVER (ORDER BY s DESC, user_id) AS rk
+       FROM agg),
+rb AS (SELECT user_id, row_number() OVER (ORDER BY c DESC, user_id) AS rk
+       FROM agg),
+d AS (SELECT CAST(range AS BIGINT) AS d FROM range(1, 51)),
+ov AS (SELECT d.d, count(*) AS o
+       FROM d JOIN ra ON ra.rk <= d.d JOIN rb
+         ON rb.user_id = ra.user_id AND rb.rk <= d.d
+       GROUP BY d.d)
+SELECT round(sum(0.1 * pow(0.9, d - 1) * o / d), 6) AS rbo FROM ov
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -12571,6 +12718,9 @@ QUERIES = {
     "fixed_width_ingest": q_fixed_width_ingest,
     "geo_join": q_geo_join,
     "mmr_select": q_mmr_select,
+    "theil_index": q_theil_index,
+    "map_at_k": q_map_at_k,
+    "rbo_rankings": q_rbo_rankings,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -12854,6 +13004,9 @@ ORACLES = {
     "merge_upsert": SQL_MERGE_UPSERT,
     "fixed_width_ingest": SQL_FIXED_WIDTH_INGEST,
     "geo_join": SQL_GEO_JOIN,
+    "theil_index": SQL_THEIL_INDEX,
+    "map_at_k": SQL_MAP_AT_K,
+    "rbo_rankings": SQL_RBO_RANKINGS,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

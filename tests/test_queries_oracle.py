@@ -17,6 +17,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "theil_index",
+    "map_at_k",
+    "rbo_rankings",
     "merge_upsert",
     "fixed_width_ingest",
     "geo_join",

@@ -12575,6 +12575,121 @@ SELECT round(sum(0.1 * pow(0.9, d - 1) * o / d), 6) AS rbo FROM ov
 """
 
 
+def q_tree_rollup(sf_dir: str):
+    """Hierarchical subtree rollup over the implicit base-10 key trie
+    (parent(k) = k // 10, root 0): every node's descendant count and
+    balance total.  Instead of D bottom-up iterations, each row
+    EXPLODES its O(log N) ancestor chain in one map (5 rows per
+    customer at a billion keys) and a single combiner groupby closes
+    the rollup — the flat path-explosion plan for bounded-depth
+    hierarchies; the oracle is the equivalent recursive CTE."""
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def ancestors(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        b = df["c_acctbal"].to_numpy(np.float64)
+        out_nodes, out_bals = [k], [b]
+        cur, bb = k, b
+        m = cur > 0
+        while m.any():
+            cur = cur[m] // 10
+            bb = bb[m]
+            out_nodes.append(cur)
+            out_bals.append(bb)
+            m = cur > 0
+        return pd.DataFrame({"node": np.concatenate(out_nodes),
+                             "bal": np.concatenate(out_bals),
+                             "c": np.int64(1)})
+
+    g = rel.partial_groupby_agg(
+        cust.map_batches(ancestors, batch_format="pandas"),
+        ["node"], {"bal": ("bal", "sum"), "c": ("c", "sum")})
+    return pd.DataFrame({
+        "node": g["node"].to_numpy(np.int64),
+        "n_desc": g["c"].to_numpy(np.int64),
+        "subtree_bal": np.round(g["bal"].to_numpy(np.float64), 6)})
+
+
+SQL_TREE_ROLLUP = """
+WITH RECURSIVE anc AS (
+  SELECT c_custkey AS node, c_acctbal FROM customer
+  UNION ALL
+  SELECT node // 10, c_acctbal FROM anc WHERE node > 0)
+SELECT node, CAST(count(*) AS BIGINT) AS n_desc,
+       round(sum(c_acctbal), 6) AS subtree_bal
+FROM anc GROUP BY 1
+"""
+
+
+def q_dq_audit(sf_dir: str):
+    """Declarative data-quality audit: a rule set (range check, domain
+    membership, referential integrity, key uniqueness) evaluated in
+    ONE streamed pass over the fact table — per-batch boolean masks
+    collapse to per-rule violation counts through the combiner; the FK
+    check probes a broadcast dimension key set (the Bloom-sidecar path
+    is the documented swap above broadcast scale) and uniqueness
+    closes over a per-key count combiner."""
+    import ray
+
+    orders = _rp(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderstatus",
+                  "o_totalprice"])
+    ckeys = set(
+        _rp(sf_dir, "customer", ["c_custkey"]).to_pandas()["c_custkey"]
+        .astype(np.int64))
+    ref = ray.put(ckeys)
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(ref)
+        price = df["o_totalprice"].to_numpy(np.float64)
+        status = df["o_orderstatus"]
+        fk = df["o_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "rule": ["price_range", "status_domain", "fk_customer"],
+            "n_violations": [
+                np.int64((~((price > 0.0) & (price < 1e6))).sum()),
+                np.int64((~status.isin(["O", "F", "P"])).sum()),
+                np.int64((~np.isin(fk, list(keys))).sum())]})
+
+    per_rule = rel.partial_groupby_agg(
+        orders.map_batches(check, batch_format="pandas"),
+        ["rule"], {"n_violations": ("n_violations", "sum")})
+
+    per_key = rel.partial_groupby_agg(
+        orders.map_batches(
+            lambda df: pd.DataFrame(
+                {"o_orderkey": df["o_orderkey"], "c": np.int64(1)}),
+            batch_format="pandas"),
+        ["o_orderkey"], {"c": ("c", "sum")})
+    dup = int((per_key["c"] - 1).clip(lower=0).sum())
+    out = pd.concat([per_rule,
+                     pd.DataFrame({"rule": ["unique_orderkey"],
+                                   "n_violations": [dup]})],
+                    ignore_index=True)
+    out["n_violations"] = out["n_violations"].astype(np.int64)
+    return out
+
+
+SQL_DQ_AUDIT = """
+SELECT 'price_range' AS rule,
+       CAST(count(*) FILTER (WHERE NOT (o_totalprice > 0.0
+                                        AND o_totalprice < 1e6))
+            AS BIGINT) AS n_violations FROM orders
+UNION ALL
+SELECT 'status_domain',
+       CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+            AS BIGINT) FROM orders
+UNION ALL
+SELECT 'fk_customer',
+       CAST(count(*) FILTER (WHERE o_custkey NOT IN
+                             (SELECT c_custkey FROM customer))
+            AS BIGINT) FROM orders
+UNION ALL
+SELECT 'unique_orderkey',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) FROM orders
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -12721,6 +12836,8 @@ QUERIES = {
     "theil_index": q_theil_index,
     "map_at_k": q_map_at_k,
     "rbo_rankings": q_rbo_rankings,
+    "tree_rollup": q_tree_rollup,
+    "dq_audit": q_dq_audit,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -13007,6 +13124,8 @@ ORACLES = {
     "theil_index": SQL_THEIL_INDEX,
     "map_at_k": SQL_MAP_AT_K,
     "rbo_rankings": SQL_RBO_RANKINGS,
+    "tree_rollup": SQL_TREE_ROLLUP,
+    "dq_audit": SQL_DQ_AUDIT,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

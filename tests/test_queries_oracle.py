@@ -17,6 +17,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "tree_rollup",
+    "dq_audit",
     "theil_index",
     "map_at_k",
     "rbo_rankings",

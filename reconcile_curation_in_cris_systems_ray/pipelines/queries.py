@@ -12690,6 +12690,22 @@ SELECT 'unique_orderkey',
 """
 
 
+def q_scc_labels(sf_dir: str):
+    """Strongly connected components of the DIRECTED link graph
+    (min-node-id labels): distributed in/out-degree trim rounds peel
+    the acyclic tendrils (each trimmed node is its own SCC), then one
+    bounded remote Tarjan task labels the surviving cyclic core — the
+    connected-components hybrid contract lifted to directed
+    reachability.  Rows-only: iterative directed reachability is not
+    SQL-expressible; pinned against an independent sequential Kosaraju
+    in tests/test_scc.py."""
+    from ..stages.graph import scc_labels
+
+    edges, _nodes, _n = _link_graph_inputs(sf_dir)
+    out = scc_labels(edges)
+    return out.sort_values("node").reset_index(drop=True)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -12838,6 +12854,7 @@ QUERIES = {
     "rbo_rankings": q_rbo_rankings,
     "tree_rollup": q_tree_rollup,
     "dq_audit": q_dq_audit,
+    "scc_labels": q_scc_labels,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,

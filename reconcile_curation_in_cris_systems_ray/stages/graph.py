@@ -1169,3 +1169,176 @@ def ktruss(edges, k: int = 3, max_rounds: int = 50):
         if n_after == n_before:
             break
     return cur
+
+
+def scc_labels(edges, max_trim_rounds: int = 64,
+               finish_cap: int = 1_000_000) -> pd.DataFrame:
+    """Strongly connected components of the DIRECTED (src, dst)
+    stream, labeled by the minimum node id in each SCC.
+
+    The flagship connected-components hybrid (cluster.py: distributed
+    rounds that shrink the problem, then one bounded remote finish)
+    adapted to directed reachability:
+
+    1. **Distributed trim** (the workhorse): a node with in-degree 0
+       or out-degree 0 cannot sit in any cycle — it is its own SCC.
+       Each round computes both degree combiners (O(active nodes)
+       partials, no edge shuffle) and drops trimmed nodes' edges
+       map-side against the broadcast trimmed set.  Web-style link
+       graphs lose the long in/out tendrils here in O(tendril depth)
+       rounds; each round strictly shrinks the edge stream.
+    2. **Bounded Tarjan finish**: the surviving core (every remaining
+       node has a cycle through it or sits between cycles) is handed
+       to ONE remote task running iterative Tarjan — the same
+       contract as the union-find finish (``driver_finish_edges``):
+       raise if the core exceeds ``finish_cap`` rather than silently
+       materializing at scale (the documented swap is FW-BW coloring
+       rounds, not implemented until a workload needs it).
+
+    Returns (node, scc) for every node appearing in any edge.
+    """
+    from .relational import partial_groupby_agg
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["src"] != df["dst"]]
+        return out.drop_duplicates(ignore_index=True)
+
+    # node universe from the RAW stream: a node whose only edge is a
+    # self-loop vanishes from the deduped stream but is still its own
+    # SCC and must appear in the output
+    universe = partial_groupby_agg(
+        edges.map_batches(
+            lambda df: pd.DataFrame({
+                "node": np.concatenate([df["src"].to_numpy(np.int64),
+                                        df["dst"].to_numpy(np.int64)]),
+                "one": np.int64(1)}),
+            batch_format="pandas"),
+        ["node"], {"one": ("one", "min")})["node"].to_numpy(np.int64)
+
+    cur = edges.map_batches(dedup, batch_format="pandas").materialize()
+    singles: list[np.ndarray] = []
+
+    for _ in range(int(max_trim_rounds)):
+        if cur.count() == 0:
+            break
+        deg = partial_groupby_agg(
+            cur.map_batches(
+                lambda df: pd.DataFrame({
+                    "node": np.concatenate(
+                        [df["src"].to_numpy(np.int64),
+                         df["dst"].to_numpy(np.int64)]),
+                    "o": np.concatenate(
+                        [np.ones(len(df), np.int64),
+                         np.zeros(len(df), np.int64)]),
+                    "i": np.concatenate(
+                        [np.zeros(len(df), np.int64),
+                         np.ones(len(df), np.int64)])}),
+                batch_format="pandas"),
+            ["node"], {"o": ("o", "sum"), "i": ("i", "sum")})
+        trim = deg.loc[(deg["o"] == 0) | (deg["i"] == 0), "node"] \
+            .to_numpy(np.int64)
+        if len(trim) == 0:
+            break
+        singles.append(trim)
+        tref = ray.put(set(trim.tolist()))
+
+        def drop(df: pd.DataFrame) -> pd.DataFrame:
+            t = ray.get(tref)
+            s = df["src"].to_numpy(np.int64)
+            d = df["dst"].to_numpy(np.int64)
+            keep = ~(np.isin(s, list(t)) | np.isin(d, list(t)))
+            return df[keep]
+
+        cur = cur.map_batches(drop, batch_format="pandas").materialize()
+
+    n_core = cur.count()
+    if n_core > finish_cap:
+        raise ValueError(
+            f"SCC core has {n_core} edges > finish_cap={finish_cap}; "
+            "the distributed FW-BW coloring swap is required at this "
+            "scale")
+
+    @ray.remote
+    def tarjan_finish(*blocks) -> pd.DataFrame:
+        if blocks:
+            core = pd.concat([b for b in blocks if len(b)],
+                             ignore_index=True)
+        else:
+            core = pd.DataFrame({"src": [], "dst": []})
+        out_rows = []
+        if len(core):
+            src = core["src"].to_numpy(np.int64)
+            dst = core["dst"].to_numpy(np.int64)
+            nodes, inv = np.unique(np.concatenate([src, dst]),
+                                   return_inverse=True)
+            n = len(nodes)
+            s_i = inv[:len(src)]
+            d_i = inv[len(src):]
+            order = np.argsort(s_i, kind="mergesort")
+            s_s, d_s = s_i[order], d_i[order]
+            starts = np.searchsorted(s_s, np.arange(n + 1))
+            # iterative Tarjan
+            index = np.full(n, -1, np.int64)
+            low = np.zeros(n, np.int64)
+            on_stack = np.zeros(n, bool)
+            comp = np.full(n, -1, np.int64)
+            stack: list[int] = []
+            counter = 0
+            for root in range(n):
+                if index[root] != -1:
+                    continue
+                work = [(root, 0)]
+                while work:
+                    v, pi = work[-1]
+                    if pi == 0:
+                        index[v] = low[v] = counter
+                        counter += 1
+                        stack.append(v)
+                        on_stack[v] = True
+                    advanced = False
+                    for ei in range(starts[v] + pi, starts[v + 1]):
+                        w = int(d_s[ei])
+                        if index[w] == -1:
+                            work[-1] = (v, ei - starts[v] + 1)
+                            work.append((w, 0))
+                            advanced = True
+                            break
+                        if on_stack[w]:
+                            low[v] = min(low[v], index[w])
+                    if advanced:
+                        continue
+                    if low[v] == index[v]:
+                        members = []
+                        while True:
+                            w = stack.pop()
+                            on_stack[w] = False
+                            members.append(w)
+                            if w == v:
+                                break
+                        lbl = int(nodes[members].min())
+                        for m in members:
+                            comp[m] = lbl
+                    work.pop()
+                    if work:
+                        u = work[-1][0]
+                        low[u] = min(low[u], low[v])
+            out_rows.append(pd.DataFrame({"node": nodes,
+                                          "scc": comp}))
+        return (pd.concat(out_rows, ignore_index=True) if out_rows
+                else pd.DataFrame({"node": np.empty(0, np.int64),
+                                   "scc": np.empty(0, np.int64)}))
+
+    blocks = [pd.DataFrame(b) for b in
+              cur.iter_batches(batch_format="pandas", batch_size=None)]
+    core_lab = ray.get(tarjan_finish.remote(*blocks))
+    parts = [core_lab]
+    if singles:
+        s = np.concatenate(singles)
+        parts.append(pd.DataFrame({"node": s, "scc": s}))
+    out = pd.concat(parts, ignore_index=True)
+    missing = universe[~np.isin(universe, out["node"].to_numpy(np.int64))]
+    if len(missing):
+        out = pd.concat(
+            [out, pd.DataFrame({"node": missing, "scc": missing})],
+            ignore_index=True)
+    return out

@@ -12706,6 +12706,107 @@ def q_scc_labels(sf_dir: str):
     return out.sort_values("node").reset_index(drop=True)
 
 
+def q_llr_collocations(sf_dir: str):
+    """Top-20 bigram collocations by Dunning log-likelihood ratio
+    (min count 5) — PMI's significance-weighted sibling; bigram cell
+    combiner, margin hydration via token hash joins, G2 mirrored
+    term-for-term in SQL (stages/textstats.py::llr_collocations)."""
+    from ..stages.textstats import llr_collocations
+
+    return llr_collocations(_rp(sf_dir, "documents", ["text"]),
+                            text_col="text", min_count=5, k=20)
+
+
+SQL_LLR_COLLOCATIONS = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents WHERE trim(coalesce(text, '')) <> ''
+), pos AS (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+           FROM t WHERE len(toks) >= 2),
+bg AS (SELECT toks[i] AS a, toks[i+1] AS b, count(*) AS nb
+       FROM pos GROUP BY 1, 2),
+fa AS (SELECT a, sum(nb) AS fa FROM bg GROUP BY 1),
+sb AS (SELECT b, sum(nb) AS sb FROM bg GROUP BY 1),
+tb AS (SELECT CAST(sum(nb) AS DOUBLE) AS TB FROM bg),
+cells AS (
+  SELECT bg.a, bg.b, CAST(bg.nb AS DOUBLE) AS k11,
+         CAST(fa.fa - bg.nb AS DOUBLE) AS k12,
+         CAST(sb.sb - bg.nb AS DOUBLE) AS k21,
+         TB - fa.fa - sb.sb + bg.nb AS k22,
+         CAST(fa.fa AS DOUBLE) AS fa, CAST(sb.sb AS DOUBLE) AS sb, TB
+  FROM bg JOIN fa USING (a) JOIN sb USING (b) CROSS JOIN tb
+  WHERE bg.nb >= 5),
+scored AS (
+  SELECT a || ' ' || b AS bigram, CAST(k11 AS BIGINT) AS n,
+         2.0 * (
+           CASE WHEN k11 > 0
+                THEN k11 * ln(k11 / (fa * sb / TB)) ELSE 0 END
+         + CASE WHEN k12 > 0
+                THEN k12 * ln(k12 / (fa * (TB - sb) / TB)) ELSE 0 END
+         + CASE WHEN k21 > 0
+                THEN k21 * ln(k21 / ((TB - fa) * sb / TB)) ELSE 0 END
+         + CASE WHEN k22 > 0
+                THEN k22 * ln(k22 / ((TB - fa) * (TB - sb) / TB))
+                ELSE 0 END) AS llr
+  FROM cells)
+SELECT bigram, n, round(llr, 6) AS llr FROM scored
+ORDER BY llr DESC, bigram LIMIT 20
+"""
+
+
+def q_isotonic_calibration(sf_dir: str):
+    """Isotonic (PAVA) calibration of the Jaro-Winkler match score
+    against segment-agreement labels over the within-nation candidate
+    pairs — the monotone-regression alternative to the binned
+    score_calibration: per-rounded-score (n, n_pos) cells via the
+    combiner (the match_auc pair plan), then the linear-time
+    Pool-Adjacent-Violators fit on the BOUNDED cell frame.
+    Rows-only: iterative pooling is not SQL-expressible; pinned
+    against a quadratic repeat-pooling reference in
+    tests/test_isotonic.py."""
+    from ..stages.metrics import pava_isotonic
+    from ..stages.shuffle import bucketed_map_groups
+
+    cust = _rp(sf_dir, "customer",
+               ["c_name", "c_nationkey", "c_mktsegment"])
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        con.register("t", pa.Table.from_pandas(df, preserve_index=False))
+        out = con.execute("""
+            SELECT round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+                       AS s,
+                   (a.c_mktsegment = b.c_mktsegment) AS pos
+            FROM t a JOIN t b
+              ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+            WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.8
+            """).fetchdf()
+        con.close()
+        return out
+
+    scored = bucketed_map_groups(
+        cust, ["c_nationkey"], pairs_fn, num_buckets=32,
+        empty_like=pd.DataFrame({"s": pd.Series([], dtype="float64"),
+                                 "pos": pd.Series([], dtype="bool")}))
+    cells = rel.partial_groupby_agg(
+        scored.map_batches(
+            lambda df: df.assign(n=np.int64(1),
+                                 npos=df["pos"].astype(np.int64))
+            [["s", "n", "npos"]],
+            batch_format="pandas"),
+        ["s"], {"n": ("n", "sum"), "npos": ("npos", "sum")})
+    cells = cells.sort_values("s").reset_index(drop=True)
+    fit = pava_isotonic(
+        cells["npos"].to_numpy(np.float64) / cells["n"].to_numpy(np.float64),
+        cells["n"].to_numpy(np.float64))
+    return pd.DataFrame({"s": cells["s"].to_numpy(np.float64),
+                         "n": cells["n"].to_numpy(np.int64),
+                         "p_cal": np.round(fit, 6)})
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -12855,6 +12956,8 @@ QUERIES = {
     "tree_rollup": q_tree_rollup,
     "dq_audit": q_dq_audit,
     "scc_labels": q_scc_labels,
+    "llr_collocations": q_llr_collocations,
+    "isotonic_calibration": q_isotonic_calibration,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -13143,6 +13246,7 @@ ORACLES = {
     "rbo_rankings": SQL_RBO_RANKINGS,
     "tree_rollup": SQL_TREE_ROLLUP,
     "dq_audit": SQL_DQ_AUDIT,
+    "llr_collocations": SQL_LLR_COLLOCATIONS,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

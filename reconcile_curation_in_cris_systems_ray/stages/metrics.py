@@ -162,3 +162,29 @@ def blocking_quality(ds, block_col: str, label_col: str) -> pd.DataFrame:
         "pairs_completeness": [m["recall"].iloc[0]],
         "pairs_quality": [m["precision"].iloc[0]],
     })
+
+
+def pava_isotonic(y: "np.ndarray", w: "np.ndarray") -> "np.ndarray":
+    """Weighted non-decreasing isotonic fit via Pool-Adjacent-
+    Violators (Ayer et al. 1955) — linear-time stack form.  Input is
+    the per-cell mean vector in ascending key order with cell
+    weights; output is the fitted value per cell.  Used driver-side
+    on BOUNDED score-quantized cell frames (distinct rounded scores),
+    the heavy lifting having been done by the distributed cell
+    combiner."""
+    import numpy as np
+
+    vals: list[float] = []
+    wts: list[float] = []
+    cnt: list[int] = []
+    for yi, wi in zip(np.asarray(y, np.float64), np.asarray(w, np.float64)):
+        vals.append(float(yi))
+        wts.append(float(wi))
+        cnt.append(1)
+        while len(vals) > 1 and vals[-2] > vals[-1]:
+            tw = wts[-2] + wts[-1]
+            nv = (vals[-2] * wts[-2] + vals[-1] * wts[-1]) / tw
+            vals[-2:] = [nv]
+            wts[-2:] = [tw]
+            cnt[-2:] = [cnt[-2] + cnt[-1]]
+    return np.repeat(np.array(vals, np.float64), np.array(cnt, np.int64))

@@ -1104,3 +1104,90 @@ def js_divergence(ds, id_col: str = "doc_id", text_col: str = "text",
     return pd.DataFrame({
         "js_bits": [np.round(parts["js"].to_numpy(np.float64).sum(), 6)],
         "n_terms": [np.int64(parts["n_terms"].sum())]})
+
+
+def llr_collocations(ds, text_col: str = "text", min_count: int = 5,
+                     k: int = 20, num_buckets: int = 32):
+    """Top-k bigram collocations by Dunning's log-likelihood ratio
+    (Dunning 1993) — the significance-weighted alternative to PMI
+    that does not over-reward rare pairs: G2 over the 2x2 bigram
+    contingency (first-token margin, second-token margin, bigram
+    total), zero cells contributing zero.
+
+    Plan: the pmi_bigrams cell machinery minus the unigram table —
+    both margins are groupby-sums OF the bigram cell table itself,
+    hydrated back via distributed hash joins on the token (vocabulary
+    never broadcast or driver-collected); the G2 float expression is
+    mirrored term-for-term in the SQL oracle."""
+    from .relational import _num_partitions, hash_join
+    from .shuffle import bucketed_map_groups
+
+    def bi_partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[text_col].astype("string").fillna("") \
+            .reset_index(drop=True)
+        ex = texts.str.lower().str.split().explode().dropna()
+        if ex.empty:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "nb": pd.Series([], dtype="int64")})
+        doc_idx = ex.index.to_numpy()
+        vals = ex.to_numpy(dtype=object)
+        same = doc_idx[:-1] == doc_idx[1:]
+        pairs = pd.DataFrame({"a": vals[:-1][same], "b": vals[1:][same]})
+        return pairs.groupby(["a", "b"], sort=False).size() \
+            .rename("nb").reset_index()
+
+    def sum_nb(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [c for c in df.columns if c != "nb"]
+        return df.groupby(keys, sort=False, as_index=False)["nb"].sum()
+
+    bg = bucketed_map_groups(
+        ds.map_batches(bi_partial, batch_format="pandas"),
+        ["a", "b"], sum_nb, num_buckets=num_buckets) \
+        .repartition(_num_partitions()).materialize()
+
+    tb_parts = bg.map_batches(
+        lambda df: pd.DataFrame({"v": [int(df["nb"].sum())]}),
+        batch_format="pandas").take_all()
+    TB = float(sum(r["v"] for r in tb_parts))
+
+    fa = bucketed_map_groups(
+        bg.map_batches(lambda df: df[["a", "nb"]], batch_format="pandas"),
+        ["a"], sum_nb, num_buckets=num_buckets).map_batches(
+        lambda df: df.rename(columns={"nb": "fa"}), batch_format="pandas")
+    sb = bucketed_map_groups(
+        bg.map_batches(lambda df: df[["b", "nb"]], batch_format="pandas"),
+        ["b"], sum_nb, num_buckets=num_buckets).map_batches(
+        lambda df: df.rename(columns={"nb": "sb"}), batch_format="pandas")
+
+    kept = bg.map_batches(
+        lambda df: df[df["nb"] >= min_count], batch_format="pandas")
+    j = hash_join(hash_join(kept, fa, on=["a"]), sb, on=["b"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        k11 = df["nb"].to_numpy(np.float64)
+        fa_ = df["fa"].to_numpy(np.float64)
+        sb_ = df["sb"].to_numpy(np.float64)
+        k12 = fa_ - k11
+        k21 = sb_ - k11
+        k22 = TB - fa_ - sb_ + k11
+
+        def xlx(kv, ev):
+            return np.where(kv > 0, kv * np.log(
+                np.where(kv > 0, kv, 1.0) / ev), 0.0)
+
+        llr = 2.0 * (xlx(k11, fa_ * sb_ / TB)
+                     + xlx(k12, fa_ * (TB - sb_) / TB)
+                     + xlx(k21, (TB - fa_) * sb_ / TB)
+                     + xlx(k22, (TB - fa_) * (TB - sb_) / TB))
+        return pd.DataFrame({
+            "bigram": (df["a"].astype(str) + " "
+                       + df["b"].astype(str)).to_numpy(dtype=object),
+            "n": df["nb"].to_numpy(np.int64),
+            "llr": llr})
+
+    scored = j.map_batches(score, batch_format="pandas")
+    top = scored.sort(["llr", "bigram"], descending=[True, False]).limit(k)
+    return top.map_batches(
+        lambda df: df.assign(llr=df["llr"].round(6)),
+        batch_format="pandas")

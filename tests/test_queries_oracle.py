@@ -17,6 +17,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "llr_collocations",
     "tree_rollup",
     "dq_audit",
     "theil_index",

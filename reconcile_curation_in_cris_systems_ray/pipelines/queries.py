@@ -12807,6 +12807,163 @@ def q_isotonic_calibration(sf_dir: str):
                          "p_cal": np.round(fit, 6)})
 
 
+def q_wasserstein_1d(sf_dir: str):
+    """1-D earth-mover (Wasserstein-1) distance between the click and
+    view value distributions — EXACT via the CDF-area identity
+    W1 = sum |F1(v) - F2(v)| * (v_next - v): the ks_test net-CDF
+    combiner, one keyless Blelloch scan WITH the cross-block lead
+    (the v_next handoff ships one scalar per block), then a
+    shuffle-free partial sum.  The magnitude-aware drift gate beside
+    ks_test's sup-norm."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    counts = ev.map_batches(
+        lambda df: (df[df["event_type"].isin(["click", "view"])]
+                    .groupby("event_type", sort=False).size()
+                    .reset_index(name="n")),
+        batch_format="pandas")
+    nn = rel.partial_groupby_agg(counts, ["event_type"],
+                                 {"n": ("n", "sum")}) \
+        .set_index("event_type")["n"]
+    n1, n2 = float(nn["click"]), float(nn["view"])
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "view"])]
+        dd = np.where(df["event_type"].eq("click"), 1.0 / n1, -1.0 / n2)
+        out = pd.DataFrame({"value": df["value"].to_numpy(np.float64),
+                            "dd": dd})
+        return out.groupby("value", sort=False).sum().reset_index()
+
+    per_value = rel.partial_groupby_agg(
+        ev.map_batches(deltas, batch_format="pandas"),
+        ["value"], {"dd": ("dd", "sum")})
+    import ray.data as rd
+
+    scanned = global_scan(rd.from_pandas(per_value), ["value"],
+                          "dd", "f", lead_of="value", lead_col="v_next")
+
+    def area(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"w": pd.Series([], dtype="float64")})
+        m = df["v_next"].notna().to_numpy()
+        f = np.abs(df["f"].to_numpy(np.float64)[m])
+        gap = (df["v_next"].to_numpy(np.float64)[m]
+               - df["value"].to_numpy(np.float64)[m])
+        return pd.DataFrame({"w": [(f * gap).sum()]})
+
+    parts = scanned.map_batches(area, batch_format="pandas").to_pandas()
+    return pd.DataFrame({"w1": [np.round(float(parts["w"].sum()), 6)]})
+
+
+SQL_WASSERSTEIN_1D = """
+WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+b AS (SELECT value FROM events WHERE event_type = 'view'),
+n AS (SELECT (SELECT count(*) FROM a) AS n1,
+             (SELECT count(*) FROM b) AS n2),
+d AS (SELECT value,
+             sum(CASE WHEN src = 1 THEN 1.0 / (SELECT n1 FROM n)
+                      ELSE -1.0 / (SELECT n2 FROM n) END) AS dd
+      FROM (SELECT value, 1 AS src FROM a
+            UNION ALL SELECT value, 2 FROM b)
+      GROUP BY value),
+s AS (SELECT value,
+             sum(dd) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS f,
+             lead(value) OVER (ORDER BY value) AS v_next
+      FROM d)
+SELECT round(sum(abs(f) * (v_next - value)), 6) AS w1
+FROM s WHERE v_next IS NOT NULL
+"""
+
+
+def q_seq_patterns(sf_dir: str):
+    """Frequent 2-step behavioral sequences: adjacent event-type
+    pairs in each user's (ts, event_id) order, with occurrence and
+    distinct-user support — the PrefixSpan-lite sequential-pattern
+    primitive.  One user co-location shuffle; within the bucket the
+    shift, pair and BOTH supports are vectorized partials (a user's
+    rows never split across buckets, so the distinct-user count sums
+    exactly across buckets)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type"])
+
+    empty = pd.DataFrame({"et_a": pd.Series([], dtype="string"),
+                          "et_b": pd.Series([], dtype="string"),
+                          "n_occur": pd.Series([], dtype="int64"),
+                          "n_users": pd.Series([], dtype="int64")})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        et = df["event_type"].to_numpy(object)
+        same = u[:-1] == u[1:]
+        p = pd.DataFrame({"u": u[:-1][same], "et_a": et[:-1][same],
+                          "et_b": et[1:][same]})
+        if not len(p):
+            return empty
+        g = p.groupby(["et_a", "et_b"], sort=False).agg(
+            n_occur=("u", "size"), n_users=("u", "nunique")).reset_index()
+        g["n_occur"] = g["n_occur"].astype(np.int64)
+        g["n_users"] = g["n_users"].astype(np.int64)
+        return g
+
+    cells = bucketed_map_groups(ev, ["user_id"], pairs, num_buckets=32,
+                                empty_like=empty)
+    out = rel.partial_groupby_agg(
+        cells, ["et_a", "et_b"],
+        {"n_occur": ("n_occur", "sum"), "n_users": ("n_users", "sum")})
+    out["n_occur"] = out["n_occur"].astype(np.int64)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out
+
+
+SQL_SEQ_PATTERNS = """
+WITH s AS (SELECT user_id, event_type,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS nxt
+           FROM events)
+SELECT event_type AS et_a, nxt AS et_b,
+       CAST(count(*) AS BIGINT) AS n_occur,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def q_simpson_diversity(sf_dir: str):
+    """Per-source Simpson diversity 1 - sum p_lang^2 (the
+    concentration-complement profiling statistic beside
+    group_entropy's Shannon form) — one (source, lang) cell combiner,
+    closed form on the bounded frame."""
+    docs = _rp(sf_dir, "documents", ["source", "lang"])
+    cell = rel.partial_groupby_agg(
+        docs.map_batches(
+            lambda df: df.groupby(["source", "lang"], sort=False)
+            .size().reset_index(name="c"),
+            batch_format="pandas"),
+        ["source", "lang"], {"c": ("c", "sum")})
+    ns = cell.groupby("source")["c"].transform("sum").to_numpy(np.float64)
+    p = cell["c"].to_numpy(np.float64) / ns
+    cell["p2"] = p * p
+    g = cell.groupby("source", as_index=False)["p2"].sum()
+    return pd.DataFrame({"source": g["source"].to_numpy(object),
+                         "simpson": np.round(1.0 - g["p2"].to_numpy(), 6)})
+
+
+SQL_SIMPSON_DIVERSITY = """
+WITH cell AS (SELECT source, lang, count(*) AS c
+              FROM documents GROUP BY 1, 2),
+s AS (SELECT source, sum(c) AS ns FROM cell GROUP BY 1)
+SELECT cell.source,
+       round(1.0 - sum((c::DOUBLE / ns) * (c::DOUBLE / ns)), 6) AS simpson
+FROM cell JOIN s ON s.source = cell.source
+GROUP BY cell.source
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -12958,6 +13115,9 @@ QUERIES = {
     "scc_labels": q_scc_labels,
     "llr_collocations": q_llr_collocations,
     "isotonic_calibration": q_isotonic_calibration,
+    "wasserstein_1d": q_wasserstein_1d,
+    "seq_patterns": q_seq_patterns,
+    "simpson_diversity": q_simpson_diversity,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -13247,6 +13407,9 @@ ORACLES = {
     "tree_rollup": SQL_TREE_ROLLUP,
     "dq_audit": SQL_DQ_AUDIT,
     "llr_collocations": SQL_LLR_COLLOCATIONS,
+    "wasserstein_1d": SQL_WASSERSTEIN_1D,
+    "seq_patterns": SQL_SEQ_PATTERNS,
+    "simpson_diversity": SQL_SIMPSON_DIVERSITY,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

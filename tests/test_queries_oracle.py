@@ -17,6 +17,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "wasserstein_1d",
+    "seq_patterns",
+    "simpson_diversity",
     "llr_collocations",
     "tree_rollup",
     "dq_audit",

@@ -12964,6 +12964,82 @@ GROUP BY cell.source
 """
 
 
+def q_holt_linear(sf_dir: str):
+    """Per-user Holt double exponential smoothing (alpha=0.5,
+    beta=0.3; l1=x1, b1=0): final level and trend per user — ewma's
+    two-state sibling for trend-aware forecasting.  Same distributed
+    shape: one user co-location shuffle, then the coupled recurrence
+    folds VECTORIZED ACROSS USERS step-by-step.  The oracle folds the
+    identical float64 expressions through a DuckDB struct-state
+    list_reduce (b recomputes the new level inline — same operands,
+    same IEEE result), pinned bit-exact before round(6)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    # literals, NOT 1-alpha/1-beta: float64(0.7) != 1.0 - float64(0.3),
+    # and the oracle embeds the literal (the ewma_user discipline)
+    al, one_m_al = np.float64(0.5), np.float64(0.5)
+    be, one_m_be = np.float64(0.3), np.float64(0.7)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        x = df["value"].to_numpy(np.float64)
+        codes, uniq = pd.factorize(df["user_id"].to_numpy())
+        pos = df.groupby("user_id", sort=False).cumcount() \
+            .to_numpy(np.int64)
+        order = np.argsort(pos, kind="stable")
+        pos_s, codes_s, x_s = pos[order], codes[order], x[order]
+        bounds = np.searchsorted(
+            pos_s, np.arange(int(pos_s[-1]) + 2 if len(pos_s) else 1))
+        lev = np.zeros(len(uniq))
+        tr = np.zeros(len(uniq))
+        for t in range(len(bounds) - 1):
+            lo, hi = bounds[t], bounds[t + 1]
+            c, v = codes_s[lo:hi], x_s[lo:hi]
+            if t == 0:
+                lev[c] = v
+                tr[c] = 0.0
+            else:
+                lnew = al * v + one_m_al * (lev[c] + tr[c])
+                tr[c] = be * (lnew - lev[c]) + one_m_be * tr[c]
+                lev[c] = lnew
+        return pd.DataFrame({"user_id": uniq,
+                             "level": np.round(lev, 6),
+                             "trend": np.round(tr, 6)})
+
+    return bucketed_map_groups(ev, ["user_id"], fold, num_buckets=64)
+
+
+# recursive CTE rather than a struct-state list_reduce: DuckDB 1.0
+# mis-evaluates a struct lambda whose second field repeats the first
+# field's expression across reduce steps (verified: step 2 of the fold
+# returns 2.2875 for a hand-computable 3.525); each recursive step is
+# a separate execution, so the inlined repetition is safe here
+SQL_HOLT_LINEAR = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+mx AS (SELECT user_id, max(rn) AS mrn FROM seq GROUP BY 1),
+f AS (
+  SELECT user_id, CAST(1 AS BIGINT) AS rn, value AS l,
+         CAST(0.0 AS DOUBLE) AS b
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn,
+         CAST(0.5 AS DOUBLE)*s.value + CAST(0.5 AS DOUBLE)*(f.l + f.b)
+             AS l,
+         CAST(0.3 AS DOUBLE)*((CAST(0.5 AS DOUBLE)*s.value
+                               + CAST(0.5 AS DOUBLE)*(f.l + f.b)) - f.l)
+           + CAST(0.7 AS DOUBLE)*f.b AS b
+  FROM f JOIN seq s ON s.user_id = f.user_id AND s.rn = f.rn + 1)
+SELECT f.user_id, round(l, 6) AS level, round(b, 6) AS trend
+FROM f JOIN mx ON mx.user_id = f.user_id WHERE rn = mrn
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -13118,6 +13194,7 @@ QUERIES = {
     "wasserstein_1d": q_wasserstein_1d,
     "seq_patterns": q_seq_patterns,
     "simpson_diversity": q_simpson_diversity,
+    "holt_linear": q_holt_linear,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -13410,6 +13487,7 @@ ORACLES = {
     "wasserstein_1d": SQL_WASSERSTEIN_1D,
     "seq_patterns": SQL_SEQ_PATTERNS,
     "simpson_diversity": SQL_SIMPSON_DIVERSITY,
+    "holt_linear": SQL_HOLT_LINEAR,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

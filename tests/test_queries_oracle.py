@@ -17,6 +17,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "holt_linear",
     "wasserstein_1d",
     "seq_patterns",
     "simpson_diversity",

@@ -13040,6 +13040,189 @@ FROM f JOIN mx ON mx.user_id = f.user_id WHERE rn = mrn
 """
 
 
+def q_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival statistics — gap count, mean gap
+    (seconds) and coefficient of variation (the burstiness signal:
+    CV >> 1 = bursty, ~1 = Poisson): one user co-location shuffle,
+    then the sorted within-user diff and the (n, mean, sample-std)
+    closed forms are vectorized per bucket.  Users with a single
+    event have no gaps and drop out, matching the SQL lag semantics."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n_gaps": pd.Series([], dtype="int64"),
+                          "mean_gap": pd.Series([], dtype="float64"),
+                          "cv": pd.Series([], dtype="float64")})
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = u[:-1] == u[1:]
+        gu = u[1:][same]
+        gap = (t[1:][same] - t[:-1][same]).astype(np.float64) / 1e6
+        if not len(gu):
+            return empty
+        gap_us = (t[1:][same] - t[:-1][same])
+        f = pd.DataFrame({"u": gu, "gap": gap, "gap_us": gap_us})
+        g = f.groupby("u")["gap"]
+        # mean from the EXACT integer-microsecond sum: gap means land
+        # on the 1e-6 rounding lattice, and float summation order
+        # differences flipped a round(6) boundary at sf0.01 — integer
+        # sums are order-insensitive, so both engines round the same
+        # float
+        s_us = f.groupby("u")["gap_us"].sum().to_numpy(np.float64)
+        n = g.size().to_numpy(np.float64)
+        mean_s = (s_us / n) / 1e6
+        out = pd.DataFrame({
+            "user_id": g.mean().index.to_numpy(np.int64),
+            "n_gaps": g.size().to_numpy(np.int64),
+            "mean_gap": np.round(mean_s, 6),
+            "cv": np.round(g.std(ddof=1).to_numpy(np.float64)
+                           / g.mean().to_numpy(np.float64), 6)})
+        return out
+
+    return bucketed_map_groups(ev, ["user_id"], gaps, num_buckets=64,
+                               empty_like=empty)
+
+
+SQL_INTERARRIVAL_STATS = """
+WITH g AS (SELECT user_id,
+                  epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)) AS gap,
+                  date_diff('microsecond',
+                            lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id),
+                            ts) AS gap_us
+           FROM events)
+SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+       round((CAST(sum(gap_us) AS DOUBLE) / count(*)) / 1e6, 6)
+           AS mean_gap,
+       round(stddev_samp(gap) / avg(gap), 6) AS cv
+FROM g WHERE gap IS NOT NULL GROUP BY 1
+"""
+
+
+def q_window_distinct(sf_dir: str):
+    """Distinct users per hourly tumbling window — the
+    distinct-count-under-windowing operator (window_hourly counts
+    rows; COUNT(DISTINCT) needs its own plan at scale): per-batch
+    (hour, user) dedup partials, ONE bucketed distinct on the pair,
+    then a per-hour count combiner; total events ride along as a
+    second combiner joined on the bounded hour frame."""
+    from ..stages.relational import distinct
+
+    ev = _rp(sf_dir, "events", ["ts", "user_id"])
+
+    def with_hour(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].to_numpy("datetime64[us]").astype("datetime64[h]")
+        return pd.DataFrame({"h": h.astype("datetime64[us]"),
+                             "user_id": df["user_id"]}) \
+            .drop_duplicates(ignore_index=True)
+
+    pairs = distinct(ev.map_batches(with_hour, batch_format="pandas"),
+                     ["h", "user_id"], num_buckets=32)
+    nu = rel.partial_groupby_agg(
+        pairs.map_batches(
+            lambda df: df.assign(n_users=np.int64(1))[["h", "n_users"]],
+            batch_format="pandas"),
+        ["h"], {"n_users": ("n_users", "sum")})
+    ne = rel.partial_groupby_agg(
+        ev.map_batches(
+            lambda df: pd.DataFrame({
+                "h": df["ts"].to_numpy("datetime64[us]")
+                .astype("datetime64[h]").astype("datetime64[us]"),
+                "n_events": np.int64(1)}),
+            batch_format="pandas"),
+        ["h"], {"n_events": ("n_events", "sum")})
+    out = nu.merge(ne, on="h")
+    out["n_users"] = out["n_users"].astype(np.int64)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return out
+
+
+SQL_WINDOW_DISTINCT = """
+SELECT date_trunc('hour', ts) AS h,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+"""
+
+
+def q_sprt_stop(sf_dir: str):
+    """Wald sequential probability ratio test over the (ts, event_id)
+    ordered click/view stream — H1: P(click) = 0.6 vs H0: 0.4,
+    boundaries ln(0.95/0.05) — reporting the first boundary crossing
+    and the decision.  The sequential-testing operator on the scan
+    family: per-row log-likelihood deltas, one keyless Blelloch scan,
+    then a first-crossing partial (per-batch earliest crossing row,
+    driver min over O(blocks) candidates)."""
+    from ..stages.scan import global_scan
+
+    ev = _rp(sf_dir, "events", ["ts", "event_id", "event_type"])
+    la = float(np.log(0.6 / 0.4))
+    lb = float(np.log(0.4 / 0.6))
+    ua = float(np.log(0.95 / 0.05))
+    ub = float(np.log(0.05 / 0.95))
+
+    def deltas(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "view"])]
+        return pd.DataFrame({
+            "ts": df["ts"], "event_id": df["event_id"],
+            "d": np.where(df["event_type"].eq("click"), la, lb)})
+
+    scanned = global_scan(ev.map_batches(deltas, batch_format="pandas"),
+                          ["ts", "event_id"], "d", "llr")
+
+    def first_cross(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "event_id": pd.Series([], dtype="int64"),
+                "llr": pd.Series([], dtype="float64")})
+        llr = df["llr"].to_numpy(np.float64)
+        m = (llr >= ua) | (llr <= ub)
+        if not m.any():
+            return pd.DataFrame({
+                "ts": pd.Series([], dtype="datetime64[us]"),
+                "event_id": pd.Series([], dtype="int64"),
+                "llr": pd.Series([], dtype="float64")})
+        sub = df[m].sort_values(["ts", "event_id"]).head(1)
+        return sub[["ts", "event_id", "llr"]]
+
+    cand = scanned.map_batches(first_cross, batch_format="pandas") \
+        .to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"stop_ts": pd.Series([],
+                                                  dtype="datetime64[us]"),
+                             "llr": pd.Series([], dtype="float64"),
+                             "decision": pd.Series([], dtype="string")})
+    first = cand.sort_values(["ts", "event_id"]).head(1)
+    llr = float(first["llr"].iloc[0])
+    return pd.DataFrame({
+        "stop_ts": first["ts"].to_numpy("datetime64[us]"),
+        "llr": [np.round(llr, 6)],
+        "decision": ["accept_h1" if llr >= ua else "accept_h0"]})
+
+
+SQL_SPRT_STOP = """
+WITH s AS (
+  SELECT ts, event_id,
+         sum(CASE WHEN event_type = 'click' THEN ln(0.6 / 0.4)
+                  ELSE ln(0.4 / 0.6) END)
+           OVER (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS llr
+  FROM events WHERE event_type IN ('click', 'view'))
+SELECT ts AS stop_ts, round(llr, 6) AS llr,
+       CASE WHEN llr >= ln(0.95 / 0.05) THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM s WHERE llr >= ln(0.95 / 0.05) OR llr <= ln(0.05 / 0.95)
+ORDER BY ts, event_id LIMIT 1
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -13195,6 +13378,9 @@ QUERIES = {
     "seq_patterns": q_seq_patterns,
     "simpson_diversity": q_simpson_diversity,
     "holt_linear": q_holt_linear,
+    "interarrival_stats": q_interarrival_stats,
+    "window_distinct": q_window_distinct,
+    "sprt_stop": q_sprt_stop,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -13488,6 +13674,9 @@ ORACLES = {
     "seq_patterns": SQL_SEQ_PATTERNS,
     "simpson_diversity": SQL_SIMPSON_DIVERSITY,
     "holt_linear": SQL_HOLT_LINEAR,
+    "interarrival_stats": SQL_INTERARRIVAL_STATS,
+    "window_distinct": SQL_WINDOW_DISTINCT,
+    "sprt_stop": SQL_SPRT_STOP,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -17,6 +17,9 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "interarrival_stats",
+    "window_distinct",
+    "sprt_stop",
     "holt_linear",
     "wasserstein_1d",
     "seq_patterns",

@@ -13223,6 +13223,21 @@ ORDER BY ts, event_id LIMIT 1
 """
 
 
+def q_silhouette_score(sf_dir: str):
+    """Per-cluster centroid silhouette of the k-means clustering
+    (k=10) — the internal cluster-quality audit beside the external
+    bcubed/ARI measures: one k x dim centroid broadcast, one data
+    pass computing s = (b - a)/max(a, b) per point, per-cluster mean
+    via the combiner.  Rows-only (k-means is iterative); pinned
+    against a sequential numpy reference in tests/test_embcluster
+    semantics via tests/test_silhouette.py."""
+    from ..stages.embcluster import kmeans, silhouette
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    C, _assigned = kmeans(emb, k=10, iters=10)
+    return silhouette(emb, C)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -13381,6 +13396,7 @@ QUERIES = {
     "interarrival_stats": q_interarrival_stats,
     "window_distinct": q_window_distinct,
     "sprt_stop": q_sprt_stop,
+    "silhouette_score": q_silhouette_score,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,

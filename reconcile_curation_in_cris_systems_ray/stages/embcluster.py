@@ -295,3 +295,45 @@ def pca_reference(X: np.ndarray, k: int):
     flip[flip == 0] = 1.0
     W = W * flip[None, :]
     return W, mean, evals[order], Xc @ W
+
+
+def silhouette(ds, C: np.ndarray, id_col: str = "vec_id",
+               vec_col: str = "embedding"):
+    """Centroid silhouette (the simplified/medoid-free variant used
+    at scale — full silhouette is O(n^2)): per point a = distance to
+    its own centroid, b = min distance to any OTHER centroid,
+    s = (b - a) / max(a, b); returned as per-cluster (n, mean_s)
+    via the combiner.  One k x dim broadcast, one data pass."""
+    k, dim = C.shape
+    ref = ray.put(C)
+
+    def part(t: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        X = _matrix(t.column(vec_col))
+        if X.shape[0] == 0:
+            return pa.table({"cluster": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "ssum": pa.array([], type=pa.float64())})
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d = np.sqrt(d2)
+        own = d.argmin(axis=1)
+        a = d[np.arange(len(X)), own]
+        d_other = d.copy()
+        d_other[np.arange(len(X)), own] = np.inf
+        b = d_other.min(axis=1)
+        s = (b - a) / np.maximum(a, b)
+        s = np.where(np.maximum(a, b) > 0, s, 0.0)
+        cnt = np.bincount(own, minlength=k).astype(np.int64)
+        ssum = np.bincount(own, weights=s, minlength=k)
+        return pa.table({"cluster": pa.array(np.arange(k, dtype=np.int64)),
+                         "n": pa.array(cnt),
+                         "ssum": pa.array(ssum)})
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        part, batch_format="pyarrow").to_pandas()
+    g = parts.groupby("cluster", as_index=False)[["n", "ssum"]].sum()
+    g = g[g["n"] > 0]
+    return pd.DataFrame({"cluster": g["cluster"].to_numpy(np.int64),
+                         "n": g["n"].to_numpy(np.int64),
+                         "mean_s": np.round(
+                             g["ssum"].to_numpy() / g["n"].to_numpy(), 6)})

@@ -13238,6 +13238,117 @@ def q_silhouette_score(sf_dir: str):
     return silhouette(emb, C)
 
 
+def q_basket_pairs(sf_dir: str):
+    """Market-basket co-occurrence projection: part pairs appearing
+    together in >= 2 orders — assoc_rules' join-only sibling (no
+    frequent-set broadcast; pair generation happens inside each
+    co-located basket, bounded by basket size, then one cell
+    combiner).  The bipartite order-part graph projected onto parts."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    items = rel.distinct(
+        li.map_batches(lambda df: df.drop_duplicates(ignore_index=True),
+                       batch_format="pandas"),
+        ["l_orderkey", "l_partkey"], num_buckets=32)
+
+    empty = pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                          "part_b": pd.Series([], dtype="int64"),
+                          "support": pd.Series([], dtype="int64")})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        if not len(m):
+            return empty
+        g = m.groupby(["l_partkey_x", "l_partkey_y"], sort=False) \
+            .size().reset_index(name="support")
+        return g.rename(columns={"l_partkey_x": "part_a",
+                                 "l_partkey_y": "part_b"})
+
+    cells = bucketed_map_groups(items, ["l_orderkey"], pairs,
+                                num_buckets=32, empty_like=empty)
+    out = rel.partial_groupby_agg(
+        cells, ["part_a", "part_b"], {"support": ("support", "sum")})
+    out = out[out["support"] >= 2].reset_index(drop=True)
+    out["support"] = out["support"].astype(np.int64)
+    if not len(out):
+        return empty
+    out["part_a"] = out["part_a"].astype(np.int64)
+    out["part_b"] = out["part_b"].astype(np.int64)
+    return out
+
+
+SQL_BASKET_PAIRS = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b2.l_partkey AS part_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM b a JOIN b b2 ON a.l_orderkey = b2.l_orderkey
+                  AND a.l_partkey < b2.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
+def q_skew_report(sf_dir: str):
+    """Key-skew profiling across the join/shuffle keys the engine
+    actually partitions on (user_id, l_partkey, source): distinct-key
+    count, hottest-key count and share — the report that decides
+    salting and bucket counts before a big run.  One per-key count
+    combiner per column; the report closes on bounded cell frames."""
+    def one(ds, col: str, label: str) -> pd.DataFrame:
+        cells = rel.partial_groupby_agg(
+            ds.map_batches(
+                lambda df, c=col: df.groupby(c, sort=False).size()
+                .reset_index(name="c"),
+                batch_format="pandas"),
+            [col], {"c": ("c", "sum")})
+        c = cells["c"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "key_col": [label],
+            "n_keys": [np.int64(len(c))],
+            "max_count": [np.int64(c.max())],
+            "max_share": [np.round(c.max() / c.sum(), 6)]})
+
+    return pd.concat([
+        one(_rp(sf_dir, "events", ["user_id"]), "user_id",
+            "events.user_id"),
+        one(_rp(sf_dir, "lineitem", ["l_partkey"]), "l_partkey",
+            "lineitem.l_partkey"),
+        one(_rp(sf_dir, "documents", ["source"]), "source",
+            "documents.source")], ignore_index=True)
+
+
+SQL_SKEW_REPORT = """
+SELECT 'events.user_id' AS key_col, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(c) AS BIGINT) AS max_count,
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS max_share
+FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+UNION ALL
+SELECT 'lineitem.l_partkey', CAST(count(*) AS BIGINT),
+       CAST(max(c) AS BIGINT),
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_partkey)
+UNION ALL
+SELECT 'documents.source', CAST(count(*) AS BIGINT),
+       CAST(max(c) AS BIGINT),
+       round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+FROM (SELECT count(*) AS c FROM documents GROUP BY source)
+"""
+
+
+def q_pseudo_diameter(sf_dir: str):
+    """Pseudo-diameter of the undirected link graph by the
+    double-sweep BFS heuristic — BFS from the min node, re-seed at
+    the farthest node, sweep again (stages/graph.py::pseudo_diameter;
+    frontier-broadcast hops, edge stream never shuffles).  Rows-only:
+    unbounded iterative reachability; pinned against a sequential BFS
+    in tests/test_diameter.py."""
+    from ..stages.graph import pseudo_diameter
+
+    edges, _nodes, _n = _link_graph_inputs(sf_dir)
+    return pseudo_diameter(edges)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -13397,6 +13508,9 @@ QUERIES = {
     "window_distinct": q_window_distinct,
     "sprt_stop": q_sprt_stop,
     "silhouette_score": q_silhouette_score,
+    "basket_pairs": q_basket_pairs,
+    "skew_report": q_skew_report,
+    "pseudo_diameter": q_pseudo_diameter,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -13693,6 +13807,8 @@ ORACLES = {
     "interarrival_stats": SQL_INTERARRIVAL_STATS,
     "window_distinct": SQL_WINDOW_DISTINCT,
     "sprt_stop": SQL_SPRT_STOP,
+    "basket_pairs": SQL_BASKET_PAIRS,
+    "skew_report": SQL_SKEW_REPORT,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -1342,3 +1342,65 @@ def scc_labels(edges, max_trim_rounds: int = 64,
             [out, pd.DataFrame({"node": missing, "scc": missing})],
             ignore_index=True)
     return out
+
+
+def pseudo_diameter(edges, max_hops: int = 256) -> pd.DataFrame:
+    """Pseudo-diameter by the double-sweep BFS heuristic (Magnien,
+    Latapy & Habib 2009): BFS from a deterministic seed (min node id)
+    to exhaustion over the UNDIRECTED graph, re-seed at the farthest
+    node (tie: min id), sweep again; the second eccentricity is the
+    pseudo-diameter (a lower bound on the true diameter, exact on
+    trees).  Each hop is the bfs_levels frontier-broadcast contract:
+    the frontier ships once, the materialized edge stream re-streams,
+    nothing shuffles.  Restricted to the seed's component (documented:
+    web link graphs have one giant component; isolated nodes have
+    eccentricity 0 and cannot carry the diameter)."""
+    from .relational import partial_groupby_agg
+
+    und = undirected_edges(edges).materialize()
+
+    node_min = int(partial_groupby_agg(
+        und.map_batches(
+            lambda df: pd.DataFrame({
+                "m": [min(int(df["lo"].min()), int(df["hi"].min()))]
+                if len(df) else []}),
+            batch_format="pandas"),
+        ["m"], {"m2": ("m", "min")})["m"].min())
+
+    def sweep(seed: int) -> tuple[int, int]:
+        """BFS from seed; returns (farthest node, eccentricity)."""
+        levels: dict[int, int] = {seed: 0}
+        frontier = {seed}
+        far_node, far_lvl = seed, 0
+        for hop in range(1, max_hops + 1):
+            if not frontier:
+                break
+            ref = ray.put(np.fromiter(frontier, np.int64, len(frontier)))
+
+            def succ(df: pd.DataFrame) -> pd.DataFrame:
+                fr = ray.get(ref)
+                lo = df["lo"].to_numpy(np.int64)
+                hi = df["hi"].to_numpy(np.int64)
+                out = np.concatenate([hi[np.isin(lo, fr)],
+                                      lo[np.isin(hi, fr)]])
+                return pd.DataFrame({"node": np.unique(out)})
+
+            reached = partial_groupby_agg(
+                und.map_batches(succ, batch_format="pandas"),
+                ["node"], {"n2": ("node", "min")})
+            new = sorted(int(n) for n in
+                         reached["node"].to_numpy(np.int64)
+                         if int(n) not in levels)
+            if not new:
+                break
+            for n in new:
+                levels[n] = hop
+            far_node, far_lvl = new[0], hop
+            frontier = set(new)
+        return far_node, far_lvl
+
+    far1, _ = sweep(node_min)
+    far2, ecc2 = sweep(far1)
+    return pd.DataFrame({"seed": [np.int64(node_min)],
+                         "far_node": [np.int64(far2)],
+                         "pseudo_diameter": [np.int64(ecc2)]})

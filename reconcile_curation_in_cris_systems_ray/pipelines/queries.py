@@ -13349,6 +13349,153 @@ def q_pseudo_diameter(sf_dir: str):
     return pseudo_diameter(edges)
 
 
+def q_rolling_zscore(sf_dir: str):
+    """Rolling z-score anomalies over the global (ts, event_id) order
+    — events whose value sits more than 3 sample standard deviations
+    from their trailing 20-row window: ONE halo exchange computes the
+    window count/sum/sum-of-squares (stages/scan.py::
+    global_rolling_stats), then the z expression is identical text in
+    both engines.  Full windows only (n = 20), matching the SQL
+    predicate."""
+    from ..stages.scan import global_rolling_stats
+
+    ev = _rp(sf_dir, "events", ["ts", "event_id", "value"])
+    st = global_rolling_stats(ev, ["ts", "event_id"], "value", 20, "w")
+
+    def anomalies(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["w_n"].to_numpy(np.float64)
+        x = df["value"].to_numpy(np.float64)
+        sx = df["w_sum"].to_numpy(np.float64)
+        sx2 = df["w_sum2"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - sx / n) / np.sqrt(
+                (sx2 - n * (sx / n) * (sx / n)) / (n - 1))
+        keep = (df["w_n"].to_numpy(np.int64) == 20) & (np.abs(z) > 3.0)
+        out = pd.DataFrame({"ts": df["ts"][keep],
+                            "event_id": df["event_id"][keep],
+                            "z": np.round(z[keep], 4)})
+        return out
+
+    return st.map_batches(anomalies, batch_format="pandas")
+
+
+SQL_ROLLING_ZSCORE = """
+WITH s AS (
+  SELECT ts, event_id, value,
+         count(*) OVER w AS n, sum(value) OVER w AS sx,
+         sum(value * value) OVER w AS sx2
+  FROM events
+  WINDOW w AS (ORDER BY ts, event_id ROWS 19 PRECEDING))
+SELECT ts, event_id, round(z, 4) AS z FROM (
+  SELECT ts, event_id, n,
+         (value - sx / n)
+           / sqrt((sx2 - n * (sx / n) * (sx / n)) / (n - 1)) AS z
+  FROM s)
+WHERE n = 20 AND abs(z) > 3.0
+"""
+
+
+def q_random_walks(sf_dir: str):
+    """Deterministic graph random walks (the node2vec/DeepWalk
+    sampling primitive made reproducible): from every seed node
+    (doc_id % 25 = 0), 4 steps where the move from v at step t
+    follows the out-edge minimizing hash(t:v:w) — the hash IS the
+    random number, shared bit-for-bit with the SQL oracle (DuckDB
+    hash() parity via hash_strings_fast, the link-fixture
+    discipline).  Per step: one pass over the materialized edge
+    stream emits per-batch best moves for the O(seeds) active set,
+    the driver reduces a bounded panel; walks end at sinks."""
+    import ray
+
+    from ..functions.similarity import hash_strings_fast
+
+    edges, _nodes, _n = _link_graph_inputs(sf_dir)
+    edges = edges.materialize()
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+    seeds = sorted(int(x) for x in docs.map_batches(
+        lambda df: df[df["doc_id"] % 25 == 0],
+        batch_format="pandas").to_pandas()["doc_id"])
+
+    cur = {s: s for s in seeds}
+    rows = [{"seed": s, "step": 0, "node": s} for s in seeds]
+    for t in range(4):
+        if not cur:
+            break
+        active = np.array(sorted(set(cur.values())), np.int64)
+        ref = ray.put(active)
+
+        def best(df: pd.DataFrame, _t=t) -> pd.DataFrame:
+            act = ray.get(ref)
+            m = np.isin(df["src"].to_numpy(np.int64), act)
+            sub = df[m]
+            if not len(sub):
+                return pd.DataFrame({
+                    "src": pd.Series([], dtype="int64"),
+                    "h": pd.Series([], dtype="uint64"),
+                    "dst": pd.Series([], dtype="int64")})
+            keys = (str(_t) + ":" + sub["src"].astype(str) + ":"
+                    + sub["dst"].astype(str)).tolist()
+            h = hash_strings_fast(keys)
+            out = pd.DataFrame({"src": sub["src"].to_numpy(np.int64),
+                                "h": h,
+                                "dst": sub["dst"].to_numpy(np.int64)})
+            return out.sort_values(["src", "h", "dst"],
+                                   kind="mergesort") \
+                .drop_duplicates("src", keep="first")
+
+        cand = edges.map_batches(best, batch_format="pandas").to_pandas()
+        cand = cand.sort_values(["src", "h", "dst"], kind="mergesort") \
+            .drop_duplicates("src", keep="first")
+        nxt = dict(zip(cand["src"].astype(np.int64),
+                       cand["dst"].astype(np.int64)))
+        new_cur = {}
+        for s, v in cur.items():
+            if v in nxt:
+                w = int(nxt[v])
+                rows.append({"seed": s, "step": t + 1, "node": w})
+                new_cur[s] = w
+        cur = new_cur
+    out = pd.DataFrame(rows)
+    out["step"] = out["step"].astype(np.int64)
+    return out
+
+
+SQL_RANDOM_WALKS = """
+WITH n AS (SELECT count(*) AS nv FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         CAST(hash(CAST(d.doc_id AS VARCHAR) || ':'
+                   || CAST(t.j AS VARCHAR))
+              % (SELECT nv FROM n) AS BIGINT) AS dst
+  FROM documents d,
+       unnest(generate_series(1, d.doc_id % 4)) AS t(j)),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+ch AS (SELECT t, src, dst FROM (
+  SELECT tt.t, e.src, e.dst,
+         row_number() OVER (
+           PARTITION BY tt.t, e.src
+           ORDER BY hash(CAST(tt.t AS VARCHAR) || ':'
+                         || CAST(e.src AS VARCHAR) || ':'
+                         || CAST(e.dst AS VARCHAR)), e.dst) AS rn
+  FROM edges e CROSS JOIN
+       (SELECT unnest(generate_series(0, 3)) AS t) tt) WHERE rn = 1),
+w0 AS (SELECT doc_id AS seed, 0 AS step, doc_id AS node
+       FROM documents WHERE doc_id % 25 = 0),
+w1 AS (SELECT w.seed, 1 AS step, c.dst AS node
+       FROM w0 w JOIN ch c ON c.t = 0 AND c.src = w.node),
+w2 AS (SELECT w.seed, 2 AS step, c.dst AS node
+       FROM w1 w JOIN ch c ON c.t = 1 AND c.src = w.node),
+w3 AS (SELECT w.seed, 3 AS step, c.dst AS node
+       FROM w2 w JOIN ch c ON c.t = 2 AND c.src = w.node),
+w4 AS (SELECT w.seed, 4 AS step, c.dst AS node
+       FROM w3 w JOIN ch c ON c.t = 3 AND c.src = w.node)
+SELECT seed, CAST(step AS BIGINT) AS step, node FROM (
+  SELECT * FROM w0 UNION ALL SELECT * FROM w1
+  UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+  UNION ALL SELECT * FROM w4)
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -13511,6 +13658,8 @@ QUERIES = {
     "basket_pairs": q_basket_pairs,
     "skew_report": q_skew_report,
     "pseudo_diameter": q_pseudo_diameter,
+    "rolling_zscore": q_rolling_zscore,
+    "random_walks": q_random_walks,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -13809,6 +13958,8 @@ ORACLES = {
     "sprt_stop": SQL_SPRT_STOP,
     "basket_pairs": SQL_BASKET_PAIRS,
     "skew_report": SQL_SKEW_REPORT,
+    "rolling_zscore": SQL_ROLLING_ZSCORE,
+    "random_walks": SQL_RANDOM_WALKS,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -221,3 +221,57 @@ def strict_inversions(values: "np.ndarray") -> int:
         arr = (keys >> 1).ravel()
         width *= 2
     return total
+
+
+def global_rolling_stats(ds, order_cols: list[str], value_col: str,
+                         window: int, prefix: str = "w"):
+    """Keyless trailing-window count/sum/sum-of-squares in one halo
+    pass (the global_rolling_mean machinery generalized): appends
+    ``{prefix}_n``, ``{prefix}_sum``, ``{prefix}_sum2`` so callers can
+    close any moment-derived window statistic (rolling z-score,
+    rolling CV) from a single exchange."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.sort(order_cols).materialize()
+    refs = mat.to_arrow_refs()
+    h = window - 1
+
+    @ray.remote
+    def tail(tbl: pa.Table):
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        return v[-h:] if h else v[:0]
+
+    tails = ray.get([tail.remote(r) for r in refs])
+    halos = []
+    for i in range(len(refs)):
+        parts, need = [], h
+        j = i - 1
+        while need > 0 and j >= 0:
+            t = tails[j]
+            take = t[-need:]
+            parts.append(take)
+            need -= len(take)
+            j -= 1
+        halos.append(np.concatenate(parts[::-1]) if parts
+                     else np.array([], dtype=np.float64))
+
+    @ray.remote
+    def roll(tbl: pa.Table, halo):
+        import pandas as pd
+
+        v = tbl[value_col].to_numpy(zero_copy_only=False)
+        s = pd.Series(np.concatenate([halo, v.astype(np.float64)]))
+        n = s.rolling(window, min_periods=1).count() \
+            .to_numpy()[len(halo):]
+        sx = s.rolling(window, min_periods=1).sum() \
+            .to_numpy()[len(halo):]
+        sx2 = (s * s).rolling(window, min_periods=1).sum() \
+            .to_numpy()[len(halo):]
+        tbl = tbl.append_column(f"{prefix}_n",
+                                pa.array(n.astype(np.int64)))
+        tbl = tbl.append_column(f"{prefix}_sum", pa.array(sx))
+        return tbl.append_column(f"{prefix}_sum2", pa.array(sx2))
+
+    out_refs = [roll.remote(r, hl) for r, hl in zip(refs, halos)]
+    return rd.from_arrow_refs(out_refs)

@@ -17,6 +17,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "rolling_zscore",
+    "random_walks",
     "basket_pairs",
     "skew_report",
     "interarrival_stats",

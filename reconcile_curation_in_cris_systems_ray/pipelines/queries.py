@@ -13496,6 +13496,95 @@ SELECT seed, CAST(step AS BIGINT) AS step, node FROM (
 """
 
 
+def q_l_diversity(sf_dir: str):
+    """l-diversity audit (k_anonymity's sibling for attribute
+    disclosure): quasi-identifier groups (c_nationkey, c_mktsegment)
+    whose SENSITIVE attribute (acctbal thousands-bucket) shows fewer
+    than l = 6 distinct values — a homogeneous group leaks the
+    sensitive value even when k-anonymous.  One (group, sensitive)
+    distinct-cell combiner, per-group distinct count on the bounded
+    frame."""
+    cust = _rp(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "nk": df["c_nationkey"].to_numpy(np.int64),
+            "seg": df["c_mktsegment"].to_numpy(object),
+            "sv": (df["c_acctbal"].to_numpy(np.float64)
+                   // 1000.0).astype(np.int64)})
+        return out.drop_duplicates(ignore_index=True) \
+            .assign(one=np.int64(1))
+
+    g = rel.partial_groupby_agg(
+        cust.map_batches(cells, batch_format="pandas"),
+        ["nk", "seg", "sv"], {"one": ("one", "min")})
+    cnt = g.groupby(["nk", "seg"], as_index=False)["one"].count() \
+        .rename(columns={"one": "l"})
+    bad = cnt[cnt["l"] < 6]
+    return pd.DataFrame({"c_nationkey": bad["nk"].to_numpy(np.int64),
+                         "c_mktsegment": bad["seg"].to_numpy(object),
+                         "l": bad["l"].to_numpy(np.int64)})
+
+
+# floor(x / 1000), NOT x // 1000: DuckDB's // on DOUBLE operands is
+# plain division (verified: 836.71 // 1000.0 = 0.83671), so the CAST
+# would round-to-nearest instead of bucketing
+SQL_L_DIVERSITY = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       CAST(count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+            AS BIGINT) AS l
+FROM customer GROUP BY 1, 2
+HAVING count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) < 6
+"""
+
+
+def q_compaction_plan(sf_dir: str):
+    """Small-file compaction planning (the lakehouse maintenance step
+    for the partitioned sink): first-fit-decreasing bin packing of
+    per-file byte sizes into <= 4 MiB merge groups.  File sizes come
+    from ONE metadata pass over a freshly written partitioned dataset
+    (never the data); FFD itself is sequential over the bounded
+    manifest — driver-side by design, like every manifest decision.
+    Rows-only (bin packing is not SQL-expressible); pinned against an
+    independent FFD in tests/test_compaction.py."""
+    import glob as _glob
+
+    from ..stages.shuffle import drop_empty_blocks as _  # noqa: F401
+
+    out_dir = os.path.join("/tmp/graft_compact",
+                           sf_dir.strip("/").replace("/", "_"))
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    li = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_quantity"])
+    li.repartition(24).write_parquet(out_dir)
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.parquet")))
+    sizes = {os.path.basename(f): os.path.getsize(f) for f in files}
+    plan = ffd_pack(sizes, target=4 * 1024 * 1024)
+    return pd.DataFrame(
+        [{"group": g, "file": f, "bytes": np.int64(sizes[f])}
+         for g, fs in enumerate(plan) for f in fs])
+
+
+def ffd_pack(sizes: dict, target: int) -> list:
+    """First-fit-decreasing: files sorted by (size desc, name) into
+    the first group with room; oversized files get their own group."""
+    groups: list[list[str]] = []
+    loads: list[int] = []
+    for name, sz in sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0])):
+        for i, ld in enumerate(loads):
+            if ld + sz <= target:
+                groups[i].append(name)
+                loads[i] += sz
+                break
+        else:
+            groups.append([name])
+            loads.append(sz)
+    return [sorted(g) for g in groups]
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -13660,6 +13749,8 @@ QUERIES = {
     "pseudo_diameter": q_pseudo_diameter,
     "rolling_zscore": q_rolling_zscore,
     "random_walks": q_random_walks,
+    "l_diversity": q_l_diversity,
+    "compaction_plan": q_compaction_plan,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -13960,6 +14051,7 @@ ORACLES = {
     "skew_report": SQL_SKEW_REPORT,
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "random_walks": SQL_RANDOM_WALKS,
+    "l_diversity": SQL_L_DIVERSITY,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -13585,6 +13585,212 @@ def ffd_pack(sizes: dict, target: int) -> list:
     return [sorted(g) for g in groups]
 
 
+def q_trimmed_mean(sf_dir: str):
+    """Per-event-type 10% trimmed mean — winsorize's sibling robust
+    location estimate (drop, don't clamp, beyond the exact
+    interpolated [p10, p90] band): one exact group-quantile pass, the
+    k-row band broadcast, then a filtered (n, sum) combiner."""
+    from ..stages.temporal import quantile_agg
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+    band = quantile_agg(ev, ["event_type"], "value",
+                        {"lo": 0.1, "hi": 0.9}).to_pandas()
+    lo = dict(zip(band["event_type"], band["lo"]))
+    hi = dict(zip(band["event_type"], band["hi"]))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        l = df["event_type"].map(lo).to_numpy(np.float64)
+        h = df["event_type"].map(hi).to_numpy(np.float64)
+        keep = (v >= l) & (v <= h)
+        out = pd.DataFrame({"event_type": df["event_type"][keep],
+                            "n": np.int64(1),
+                            "s": v[keep]})
+        return out.groupby("event_type", sort=False, as_index=False) \
+            .agg(n=("n", "sum"), s=("s", "sum"))
+
+    g = rel.partial_groupby_agg(
+        ev.map_batches(part, batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"), "s": ("s", "sum")})
+    return pd.DataFrame({
+        "event_type": g["event_type"].to_numpy(object),
+        "n_kept": g["n"].to_numpy(np.int64),
+        "tmean": np.round(g["s"].to_numpy(np.float64)
+                          / g["n"].to_numpy(np.float64), 6)})
+
+
+SQL_TRIMMED_MEAN = """
+WITH band AS (SELECT event_type,
+                     quantile_cont(value, 0.1) AS lo,
+                     quantile_cont(value, 0.9) AS hi
+              FROM events GROUP BY 1)
+SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_kept,
+       round(sum(e.value) / count(*), 6) AS tmean
+FROM events e JOIN band b USING (event_type)
+WHERE e.value >= b.lo AND e.value <= b.hi
+GROUP BY e.event_type
+"""
+
+
+def q_burst_viterbi(sf_dir: str):
+    """Kleinberg-style two-state burst detection per user: exact
+    Viterbi over each user's inter-arrival gaps (state 0 = base rate
+    lambda0 = 1/mean_gap, state 1 = burst rate 3*lambda0; exponential
+    emissions, transition penalty gamma = 1.0 entering the burst
+    state), reporting the number of bursty steps on the optimal path.
+    The DP recurrence folds VECTORIZED ACROSS USERS (the ewma/holt
+    step-major layout) with backpointers kept per bucket for the
+    backtrack.  Rows-only: Viterbi is not SQL-expressible; pinned
+    against a per-user sequential reference in tests/test_burst.py."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "n_steps": pd.Series([], dtype="int64"),
+                          "n_burst": pd.Series([], dtype="int64")})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        u = df["user_id"].to_numpy(np.int64)
+        t = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = u[:-1] == u[1:]
+        gu = u[1:][same]
+        gap = (t[1:][same] - t[:-1][same]).astype(np.float64) / 1e6
+        if not len(gu):
+            return empty
+        codes, uniq = pd.factorize(gu)
+        nuser = len(uniq)
+        # per-user base rate from its own mean gap
+        sums = np.bincount(codes, weights=gap, minlength=nuser)
+        cnts = np.bincount(codes, minlength=nuser)
+        lam0 = cnts / sums                      # 1 / mean_gap
+        lam1 = 3.0 * lam0
+        gamma = 1.0
+        pos = pd.Series(gu).groupby(gu).cumcount().to_numpy(np.int64)
+        order = np.argsort(pos, kind="stable")
+        pos_s, codes_s, gap_s = pos[order], codes[order], gap[order]
+        tmax = int(pos_s[-1]) + 1
+        bounds = np.searchsorted(pos_s, np.arange(tmax + 1))
+        big = np.float64(1e18)
+        c0 = np.zeros(nuser)
+        c1 = np.full(nuser, big)
+        bp0 = np.zeros((tmax, nuser), np.int8)
+        bp1 = np.zeros((tmax, nuser), np.int8)
+        n_steps = np.zeros(nuser, np.int64)
+        for step in range(tmax):
+            lo_, hi_ = bounds[step], bounds[step + 1]
+            c = codes_s[lo_:hi_]
+            g = gap_s[lo_:hi_]
+            e0 = -np.log(lam0[c]) + lam0[c] * g
+            e1 = -np.log(lam1[c]) + lam1[c] * g
+            s0_from0 = c0[c]
+            s0_from1 = c1[c]
+            pick0 = (s0_from1 < s0_from0).astype(np.int8)
+            new0 = np.minimum(s0_from0, s0_from1) + e0
+            s1_from0 = c0[c] + gamma
+            s1_from1 = c1[c]
+            pick1 = (s1_from1 < s1_from0).astype(np.int8)
+            new1 = np.minimum(s1_from0, s1_from1) + e1
+            bp0[step, c] = pick0
+            bp1[step, c] = pick1
+            c0[c] = new0
+            c1[c] = new1
+            n_steps[c] += 1
+        # backtrack per user
+        n_burst = np.zeros(nuser, np.int64)
+        state = (c1 < c0).astype(np.int8)
+        for step in range(tmax - 1, -1, -1):
+            lo_, hi_ = bounds[step], bounds[step + 1]
+            c = codes_s[lo_:hi_]
+            st = state[c]
+            n_burst[c] += st
+            prev = np.where(st == 1, bp1[step, c], bp0[step, c])
+            state[c] = prev
+        return pd.DataFrame({"user_id": uniq.astype(np.int64),
+                             "n_steps": n_steps,
+                             "n_burst": n_burst})
+
+    return bucketed_map_groups(ev, ["user_id"], fold, num_buckets=64,
+                               empty_like=empty)
+
+
+def q_gale_shapley(sf_dir: str):
+    """Gale-Shapley stable matching between a customer panel and the
+    supplier panel (proposer = customers; preferences = Jaro-Winkler
+    name similarity desc, ties by counterpart id) — the
+    stability-guaranteed alternative to greedy/mutual-best 1:1
+    assignment.  The preference matrix computes distributed (one
+    broadcast DuckDB JW pass, the fuzzy-join kernel); deferred
+    acceptance then runs on the bounded panel, like every
+    manifest-scale decision.  Rows-only; pinned against an
+    independent sequential implementation in tests/test_stable.py."""
+    import ray
+
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .map_batches(lambda df: df[df["s_suppkey"] < 30],
+                     batch_format="pandas").to_pandas() \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    ref = ray.put(supp)
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda df: df[df["c_custkey"] < 30], batch_format="pandas")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import duckdb
+
+        s = ray.get(ref)
+        con = duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        con.register("c", pa.Table.from_pandas(df, preserve_index=False))
+        con.register("s", pa.Table.from_pandas(s, preserve_index=False))
+        out = con.execute("""
+            SELECT c.c_custkey, s.s_suppkey,
+                   jaro_winkler_similarity(c.c_name, s.s_name) AS jw
+            FROM c, s""").fetchdf()
+        con.close()
+        return out
+
+    pairs = cust.map_batches(score, batch_format="pandas").to_pandas()
+    return pd.DataFrame(gale_shapley_panel(pairs))
+
+
+def gale_shapley_panel(pairs: pd.DataFrame) -> list[dict]:
+    """Deferred acceptance on the bounded (c, s, jw) panel: customers
+    propose in (custkey) order down their preference lists; suppliers
+    hold the best proposal so far (jw desc, custkey asc)."""
+    prefs: dict[int, list[int]] = {}
+    jw: dict[tuple[int, int], float] = {}
+    for _, r in pairs.iterrows():
+        jw[(int(r["c_custkey"]), int(r["s_suppkey"]))] = float(r["jw"])
+    custs = sorted({c for c, _ in jw})
+    supps = sorted({s for _, s in jw})
+    for c in custs:
+        prefs[c] = sorted(supps, key=lambda s: (-jw[(c, s)], s))
+    nxt = {c: 0 for c in custs}
+    held: dict[int, int] = {}
+    free = list(reversed(custs))
+    while free:
+        c = free.pop()
+        if nxt[c] >= len(prefs[c]):
+            continue
+        s = prefs[c][nxt[c]]
+        nxt[c] += 1
+        if s not in held:
+            held[s] = c
+        else:
+            inc = held[s]
+            if (-jw[(c, s)], c) < (-jw[(inc, s)], inc):
+                held[s] = c
+                free.append(inc)
+            else:
+                free.append(c)
+    return [{"s_suppkey": np.int64(s), "c_custkey": np.int64(c),
+             "jw": round(jw[(c, s)], 6)}
+            for s, c in sorted(held.items())]
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -13751,6 +13957,9 @@ QUERIES = {
     "random_walks": q_random_walks,
     "l_diversity": q_l_diversity,
     "compaction_plan": q_compaction_plan,
+    "trimmed_mean": q_trimmed_mean,
+    "burst_viterbi": q_burst_viterbi,
+    "gale_shapley": q_gale_shapley,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -14052,6 +14261,7 @@ ORACLES = {
     "rolling_zscore": SQL_ROLLING_ZSCORE,
     "random_walks": SQL_RANDOM_WALKS,
     "l_diversity": SQL_L_DIVERSITY,
+    "trimmed_mean": SQL_TRIMMED_MEAN,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

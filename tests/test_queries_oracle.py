@@ -17,6 +17,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "trimmed_mean",
     "l_diversity",
     "rolling_zscore",
     "random_walks",

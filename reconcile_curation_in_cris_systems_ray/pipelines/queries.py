@@ -13791,6 +13791,126 @@ def gale_shapley_panel(pairs: pd.DataFrame) -> list[dict]:
             for s, c in sorted(held.items())]
 
 
+def q_capture_recapture(sf_dir: str):
+    """Lincoln-Petersen capture-recapture estimate of the distinct
+    user population from TWO independent deterministic hash samples
+    (hash(uid:a) % 2, hash(uid:b) % 2) — the sampling-based
+    distinct-count estimator beside the HLL sketch, reproduced exactly
+    by the oracle through DuckDB hash() parity.  One bucketed distinct
+    on user_id, then membership-flag combiner sums; closed form
+    N_hat = n1*n2/m on the driver."""
+    from ..functions.similarity import hash_strings_fast
+
+    ev = _rp(sf_dir, "events", ["user_id"])
+    users = rel.distinct(ev, ["user_id"], num_buckets=32)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].astype(str)
+        h1 = hash_strings_fast((u + ":a").tolist()) % np.uint64(2) == 0
+        h2 = hash_strings_fast((u + ":b").tolist()) % np.uint64(2) == 0
+        return pd.DataFrame({
+            "n1": [np.int64(h1.sum())], "n2": [np.int64(h2.sum())],
+            "m": [np.int64((h1 & h2).sum())],
+            "n_true": [np.int64(len(df))]})
+
+    p = users.map_batches(flags, batch_format="pandas").to_pandas().sum()
+    n1, n2, m = float(p["n1"]), float(p["n2"]), float(p["m"])
+    return pd.DataFrame({
+        "n1": [np.int64(p["n1"])], "n2": [np.int64(p["n2"])],
+        "m": [np.int64(p["m"])], "n_true": [np.int64(p["n_true"])],
+        "n_hat": [np.round(n1 * n2 / m, 6)]})
+
+
+SQL_CAPTURE_RECAPTURE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+f AS (SELECT (hash(CAST(user_id AS VARCHAR) || ':a') % 2 = 0) AS h1,
+             (hash(CAST(user_id AS VARCHAR) || ':b') % 2 = 0) AS h2
+      FROM u),
+agg AS (SELECT count(*) FILTER (WHERE h1) AS n1,
+               count(*) FILTER (WHERE h2) AS n2,
+               count(*) FILTER (WHERE h1 AND h2) AS m,
+               count(*) AS n_true
+        FROM f)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       CAST(m AS BIGINT) AS m, CAST(n_true AS BIGINT) AS n_true,
+       round(CAST(n1 AS DOUBLE) * n2 / m, 6) AS n_hat
+FROM agg
+"""
+
+
+def q_xml_ingest(sf_dir: str):
+    """XML-lines source (S5-family sibling of the fixed-width reader):
+    the customer table is spooled to one self-closing ``<row .../>``
+    element per line across distributed shards, read back with the
+    text reader and parsed by a VECTORIZED strict-pattern fast path
+    (pandas str.extract) with a per-row xml.etree fallback for lines
+    the pattern rejects — the error-tolerant-source discipline
+    (sources/jsonl.py) applied to XML.  Attribute values are
+    XML-escaped on write and unescaped on read, so the oracle is the
+    identity SELECT."""
+    import ray.data as rd
+
+    out_dir = os.path.join("/tmp/graft_xml",
+                           sf_dir.strip("/").replace("/", "_"))
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    cust = _rp(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_acctbal"])
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"n": pd.Series([], dtype="int64")})
+        from xml.sax.saxutils import quoteattr
+
+        lines = [
+            f"<row k={quoteattr(str(int(k)))} "
+            f"n={quoteattr(n)} b={quoteattr(f'{b:.6f}')}/>"
+            for k, n, b in zip(df["c_custkey"], df["c_name"],
+                               df["c_acctbal"])]
+        shard = os.path.join(
+            out_dir, f"part-{int(df['c_custkey'].iloc[0]):012d}.xml")
+        with open(shard, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return pd.DataFrame({"n": [np.int64(len(df))]})
+
+    cust.map_batches(write_shard, batch_format="pandas").materialize()
+    txt = rd.read_text(out_dir)
+
+    pat = r'^<row k="([^"<>&]*)" n="([^"<>&]*)" b="([^"<>&]*)"/>$'
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"]
+        m = s.str.extract(pat)
+        bad = m[0].isna()
+        if bad.any():
+            # fallback: real XML parse for escaped/irregular lines
+            import xml.etree.ElementTree as ET
+
+            for i in s.index[bad]:
+                el = ET.fromstring(s.loc[i])
+                m.loc[i, 0] = el.attrib["k"]
+                m.loc[i, 1] = el.attrib["n"]
+                m.loc[i, 2] = el.attrib["b"]
+        out = pd.DataFrame({
+            "c_custkey": m[0].astype(np.int64),
+            "c_name": m[1].astype(object),
+            "c_acctbal": m[2].astype(np.float64)})
+        if len(out) == 0:
+            out = out.astype({"c_name": "string"})
+        return out
+
+    return txt.map_batches(parse, batch_format="pandas")
+
+
+SQL_XML_INGEST = """
+SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+FROM customer
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -13960,6 +14080,8 @@ QUERIES = {
     "trimmed_mean": q_trimmed_mean,
     "burst_viterbi": q_burst_viterbi,
     "gale_shapley": q_gale_shapley,
+    "capture_recapture": q_capture_recapture,
+    "xml_ingest": q_xml_ingest,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -14262,6 +14384,8 @@ ORACLES = {
     "random_walks": SQL_RANDOM_WALKS,
     "l_diversity": SQL_L_DIVERSITY,
     "trimmed_mean": SQL_TRIMMED_MEAN,
+    "capture_recapture": SQL_CAPTURE_RECAPTURE,
+    "xml_ingest": SQL_XML_INGEST,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -17,6 +17,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "capture_recapture",
+    "xml_ingest",
     "trimmed_mean",
     "l_diversity",
     "rolling_zscore",

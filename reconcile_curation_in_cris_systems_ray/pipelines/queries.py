@@ -13911,6 +13911,165 @@ FROM customer
 """
 
 
+def q_geo_nearest(sf_dir: str):
+    """Nearest supplier per customer by haversine distance — the kNN
+    sibling of geo_join: the supplier side is a dimension table, so it
+    broadcasts once (ray.put) and every batch computes a vectorized
+    distance argmin (ties by s_suppkey) — no shuffle at all.  Same
+    deterministic modular coordinates and distance expression as
+    geo_join, mirrored in the SQL window oracle."""
+    import ray
+
+    supp = _rp(sf_dir, "supplier", ["s_suppkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(np.int64)
+    slat = (sk * 7919 % 12000) / 100.0 - 60.0
+    slon = (sk * 104729 % 36000) / 100.0 - 180.0
+    order = np.argsort(sk)
+    ref = ray.put((sk[order], slat[order], slon[order]))
+
+    cust = _rp(sf_dir, "customer", ["c_custkey"])
+
+    def nearest(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+
+        k2, bl, bo = _ray.get(ref)
+        ck = df["c_custkey"].to_numpy(np.int64)
+        al = ((ck * 7919 % 12000) / 100.0 - 60.0)[:, None]
+        ao = ((ck * 104729 % 36000) / 100.0 - 180.0)[:, None]
+        d = 2.0 * 6371.0 * np.arcsin(np.sqrt(
+            np.sin(np.radians(bl[None, :] - al) / 2.0) ** 2
+            + np.cos(np.radians(al)) * np.cos(np.radians(bl[None, :]))
+            * np.sin(np.radians(bo[None, :] - ao) / 2.0) ** 2))
+        # argmin with (distance, s_suppkey) tie rule: suppliers are
+        # pre-sorted by key, so the first minimum wins
+        i = d.argmin(axis=1)
+        return pd.DataFrame({
+            "c_custkey": ck,
+            "s_suppkey": k2[i],
+            "dist_km": np.round(d[np.arange(len(ck)), i], 4)})
+
+    return cust.map_batches(nearest, batch_format="pandas")
+
+
+SQL_GEO_NEAREST = """
+WITH c AS (SELECT c_custkey,
+                  (c_custkey * 7919 % 12000) / 100.0 - 60.0 AS lat,
+                  (c_custkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+           FROM customer),
+s AS (SELECT s_suppkey,
+             (s_suppkey * 7919 % 12000) / 100.0 - 60.0 AS lat,
+             (s_suppkey * 104729 % 36000) / 100.0 - 180.0 AS lon
+      FROM supplier),
+d AS (SELECT c.c_custkey, s.s_suppkey,
+             2.0 * 6371.0 * asin(sqrt(
+                 pow(sin(radians(s.lat - c.lat) / 2.0), 2)
+                 + cos(radians(c.lat)) * cos(radians(s.lat))
+                 * pow(sin(radians(s.lon - c.lon) / 2.0), 2))) AS d
+      FROM c, s)
+SELECT c_custkey, s_suppkey, round(d, 4) AS dist_km FROM (
+  SELECT c_custkey, s_suppkey, d,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY d, s_suppkey) AS rn
+  FROM d) WHERE rn = 1
+"""
+
+
+def q_resample_interp(sf_dir: str):
+    """Per-user hourly grid resampling with LINEAR interpolation —
+    resample_ffill's two-sided sibling (gap values interpolate between
+    the surrounding observations instead of repeating the left one;
+    grid points outside the observed span are dropped).  One user
+    co-location shuffle; within the bucket the grid, the neighbor
+    search (searchsorted) and the interpolation are vectorized."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    hour_us = np.int64(3600000000)
+
+    empty = pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                          "h": pd.Series([], dtype="datetime64[us]"),
+                          "v": pd.Series([], dtype="float64")})
+
+    def interp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        outs = []
+        for u, g in df.groupby("user_id", sort=False):
+            t = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            # one observation per timestamp: keep the LAST (ts,
+            # event_id) — matches the SQL dedup rule
+            _, last_idx = np.unique(t[::-1], return_index=True)
+            keep = len(t) - 1 - last_idx
+            keep.sort()
+            t = t[keep]
+            v = g["value"].to_numpy(np.float64)[keep]
+            if len(t) < 2:
+                continue
+            h0 = -(-t[0] // hour_us)          # ceil to grid
+            h1 = t[-1] // hour_us             # floor to grid
+            if h1 < h0:
+                continue
+            grid = np.arange(h0, h1 + 1, dtype=np.int64) * hour_us
+            j = np.searchsorted(t, grid, side="right") - 1
+            j = np.clip(j, 0, len(t) - 2)
+            t0, t1 = t[j], t[j + 1]
+            v0, v1 = v[j], v[j + 1]
+            frac = (grid - t0).astype(np.float64) \
+                / (t1 - t0).astype(np.float64)
+            vi = v0 + frac * (v1 - v0)
+            exact = np.isin(grid, t)
+            # exact grid hits take the observation itself (frac math
+            # equals it, but keep the identity explicit)
+            outs.append(pd.DataFrame({
+                "user_id": np.full(len(grid), u, np.int64),
+                "h": grid.astype("datetime64[us]"),
+                "v": np.round(np.where(exact, v[
+                    np.searchsorted(t, grid).clip(0, len(t) - 1)], vi),
+                    6)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return bucketed_map_groups(ev, ["user_id"], interp, num_buckets=32,
+                               empty_like=empty)
+
+
+SQL_RESAMPLE_INTERP = """
+WITH obs AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+span AS (SELECT user_id,
+                CAST(ceil(epoch_us(min(ts)) / 3600000000.0) AS BIGINT)
+                    AS h0,
+                epoch_us(max(ts)) // 3600000000 AS h1
+         FROM obs GROUP BY 1 HAVING count(*) >= 2),
+grid AS (SELECT s.user_id,
+                make_timestamp(g.h * 3600000000) AS h,
+                g.h * 3600000000 AS hus
+         FROM span s, LATERAL (
+           SELECT unnest(generate_series(s.h0, s.h1)) AS h) g
+         WHERE s.h1 >= s.h0),
+nb AS (
+  SELECT g.user_id, g.h, g.hus,
+         (SELECT max(o.ts) FROM obs o
+          WHERE o.user_id = g.user_id AND epoch_us(o.ts) <= g.hus) AS tl,
+         (SELECT min(o.ts) FROM obs o
+          WHERE o.user_id = g.user_id AND epoch_us(o.ts) > g.hus) AS tr
+  FROM grid g)
+SELECT nb.user_id, nb.h,
+       round(CASE
+         WHEN epoch_us(nb.tl) = nb.hus THEN ol.value
+         ELSE ol.value + (nb.hus - epoch_us(nb.tl))
+              / CAST(epoch_us(nb.tr) - epoch_us(nb.tl) AS DOUBLE)
+              * (orr.value - ol.value)
+       END, 6) AS v
+FROM nb
+JOIN obs ol ON ol.user_id = nb.user_id AND ol.ts = nb.tl
+LEFT JOIN obs orr ON orr.user_id = nb.user_id AND orr.ts = nb.tr
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14082,6 +14241,8 @@ QUERIES = {
     "gale_shapley": q_gale_shapley,
     "capture_recapture": q_capture_recapture,
     "xml_ingest": q_xml_ingest,
+    "geo_nearest": q_geo_nearest,
+    "resample_interp": q_resample_interp,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -14386,6 +14547,8 @@ ORACLES = {
     "trimmed_mean": SQL_TRIMMED_MEAN,
     "capture_recapture": SQL_CAPTURE_RECAPTURE,
     "xml_ingest": SQL_XML_INGEST,
+    "geo_nearest": SQL_GEO_NEAREST,
+    "resample_interp": SQL_RESAMPLE_INTERP,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

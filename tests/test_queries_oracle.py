@@ -17,6 +17,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "geo_nearest",
+    "resample_interp",
     "capture_recapture",
     "xml_ingest",
     "trimmed_mean",

@@ -14070,6 +14070,64 @@ LEFT JOIN obs orr ON orr.user_id = nb.user_id AND orr.ts = nb.tr
 """
 
 
+def q_stream_join(sf_dir: str):
+    """Windowed stream-stream join — every (click, view) pair of the
+    same user within 2 hours — the streaming-engine staple
+    (Flink/Beam interval join) as one user co-location shuffle plus a
+    per-group SORTED-NEIGHBOR probe: views sort by time once, each
+    click binary-searches its +/-300 s window (searchsorted), and only
+    true pairs materialize — never the per-user cross product."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id",
+                                "event_type"])
+    win_us = np.int64(7200000000)
+
+    empty = pd.DataFrame({"click_id": pd.Series([], dtype="int64"),
+                          "view_id": pd.Series([], dtype="int64"),
+                          "dt_s": pd.Series([], dtype="float64")})
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["click", "view"])]
+        outs = []
+        for _, g in df.groupby("user_id", sort=False):
+            c = g[g["event_type"] == "click"]
+            v = g[g["event_type"] == "view"].sort_values(["ts", "event_id"])
+            if not len(c) or not len(v):
+                continue
+            ct = c["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            vt = v["ts"].to_numpy("datetime64[us]").astype(np.int64)
+            cid = c["event_id"].to_numpy(np.int64)
+            vid = v["event_id"].to_numpy(np.int64)
+            lo = np.searchsorted(vt, ct - win_us, side="left")
+            hi = np.searchsorted(vt, ct + win_us, side="right")
+            n = hi - lo
+            if not n.sum():
+                continue
+            ci = np.repeat(np.arange(len(ct)), n)
+            vi = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)
+                                 if b > a])
+            outs.append(pd.DataFrame({
+                "click_id": cid[ci], "view_id": vid[vi],
+                "dt_s": np.round(
+                    (vt[vi] - ct[ci]).astype(np.float64) / 1e6, 6)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return bucketed_map_groups(ev, ["user_id"], probe, num_buckets=32,
+                               empty_like=empty)
+
+
+SQL_STREAM_JOIN = """
+SELECT c.event_id AS click_id, v.event_id AS view_id,
+       round((epoch_us(v.ts) - epoch_us(c.ts)) / 1e6, 6) AS dt_s
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+ AND c.event_type = 'click' AND v.event_type = 'view'
+ AND epoch_us(v.ts) >= epoch_us(c.ts) - 7200000000
+ AND epoch_us(v.ts) <= epoch_us(c.ts) + 7200000000
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14243,6 +14301,7 @@ QUERIES = {
     "xml_ingest": q_xml_ingest,
     "geo_nearest": q_geo_nearest,
     "resample_interp": q_resample_interp,
+    "stream_join": q_stream_join,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -14549,6 +14608,7 @@ ORACLES = {
     "xml_ingest": SQL_XML_INGEST,
     "geo_nearest": SQL_GEO_NEAREST,
     "resample_interp": SQL_RESAMPLE_INTERP,
+    "stream_join": SQL_STREAM_JOIN,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -34,6 +34,9 @@ BENCH_QUERIES = [
     "chunk_dedup", "unigram_logprob", "pagerank",
     "snm_pairs", "golden_record", "cc_pivot", "soft_tfidf",
     "threshold_sweep", "minhash_pairs",
+    # eighth-session additions: CDC apply, windowed distinct, the
+    # 2-D geo grid join, and the interval stream join
+    "merge_upsert", "window_distinct", "geo_join", "stream_join",
 ]
 
 

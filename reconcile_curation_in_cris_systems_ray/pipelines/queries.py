@@ -14128,6 +14128,59 @@ FROM events c JOIN events v
 """
 
 
+def q_r_swoosh(sf_dir: str):
+    """R-Swoosh merge-based entity resolution (Benjelloun et al.,
+    VLDB J. 2009) within source blocks: records match on token-set
+    Jaccard >= 0.5 and MERGE (union of token sets, min doc_id as the
+    surviving id); crucially, later records are compared against the
+    MERGED profiles, so chains that pairwise-threshold CC would split
+    can still consolidate (and vice versa — merge semantics, not
+    transitive closure).  One blocking co-location shuffle; the
+    sequential R-Swoosh loop runs per block (the algorithm is
+    inherently order-dependent; the (doc_id) processing order makes
+    it deterministic).  Rows-only; pinned against an independent
+    sequential implementation in tests/test_swoosh.py."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "entity_id": pd.Series([], dtype="int64")})
+
+    def swoosh(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in df.groupby("source", sort=False):
+            g = g.sort_values("doc_id")
+            ids = g["doc_id"].to_numpy(np.int64)
+            toks = [frozenset(str(t).lower().split())
+                    for t in g["text"].fillna("")]
+            merged: list[tuple[int, set, list[int]]] = []
+            for rid, tk in zip(ids, toks):
+                cur_id, cur_tk, cur_members = int(rid), set(tk), [int(rid)]
+                changed = True
+                while changed:
+                    changed = False
+                    for i, (mid, mtk, mem) in enumerate(merged):
+                        inter = len(cur_tk & mtk)
+                        union = len(cur_tk | mtk)
+                        if union and inter / union >= 0.5:
+                            cur_id = min(cur_id, mid)
+                            cur_tk |= mtk
+                            cur_members.extend(mem)
+                            del merged[i]
+                            changed = True
+                            break
+                merged.append((cur_id, cur_tk, cur_members))
+            for mid, _tk, mem in merged:
+                outs.append(pd.DataFrame({
+                    "doc_id": np.array(sorted(mem), np.int64),
+                    "entity_id": np.int64(mid)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    return bucketed_map_groups(docs, ["source"], swoosh, num_buckets=32,
+                               empty_like=empty)
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14302,6 +14355,7 @@ QUERIES = {
     "geo_nearest": q_geo_nearest,
     "resample_interp": q_resample_interp,
     "stream_join": q_stream_join,
+    "r_swoosh": q_r_swoosh,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,

@@ -5502,12 +5502,39 @@ def q_label_prop(sf_dir: str):
     hash-derived link graph (stages/graph.py::label_propagation —
     deterministic sync variant, 5 rounds, min-label tie-break;
     broadcast label state + combiner contribution cells, edges
-    materialized once).  Rows-only driver check; equality with a
-    single-node reference is pinned in test_graph.py."""
+    materialized once).  ORACLED (upgraded from rows-only): the sync
+    rounds unroll as chained CTEs, each an argmax-by-(count desc,
+    label) window over the neighbor-label GROUP BY — the pagerank
+    unrolling discipline; equality with a single-node reference is
+    additionally pinned in test_graph.py."""
     from ..stages.graph import label_propagation
 
     edges, _, _ = _link_graph_inputs(sf_dir)
     return label_propagation(edges, n_iter=5)
+
+
+def _label_prop_sql(n_iter: int = 5) -> str:
+    parts = [f"""WITH {_SQL_EDGES_CTE},
+und AS (SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        FROM edges WHERE src <> dst),
+adj AS (SELECT lo AS node, hi AS nbr FROM und
+        UNION ALL SELECT hi, lo FROM und),
+vs AS (SELECT DISTINCT node FROM adj),
+l0 AS (SELECT node, node AS lab FROM vs)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f""",
+l{t} AS (SELECT node, lab FROM (
+  SELECT a.node, p.lab, count(*) AS c,
+         row_number() OVER (PARTITION BY a.node
+                            ORDER BY count(*) DESC, p.lab) AS rn
+  FROM adj a JOIN l{t-1} p ON p.node = a.nbr
+  GROUP BY a.node, p.lab) WHERE rn = 1)""")
+    parts.append(f"""
+SELECT node, lab AS label FROM l{n_iter}""")
+    return "".join(parts)
+
+
+SQL_LABEL_PROP = _label_prop_sql(5)
 
 
 def q_cc_pivot(sf_dir: str):
@@ -14663,6 +14690,7 @@ ORACLES = {
     "geo_nearest": SQL_GEO_NEAREST,
     "resample_interp": SQL_RESAMPLE_INTERP,
     "stream_join": SQL_STREAM_JOIN,
+    "label_prop": SQL_LABEL_PROP,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -17,6 +17,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "label_prop",
     "stream_join",
     "geo_nearest",
     "resample_interp",

@@ -14208,6 +14208,55 @@ def q_r_swoosh(sf_dir: str):
                                empty_like=empty)
 
 
+def q_topk_sim_pairs(sf_dir: str):
+    """Global top-50 closest name pairs (threshold-free): the ER
+    operator behind threshold selection — instead of gating at a fixed
+    score, surface the best candidates corpus-wide.  Within-nation
+    pair generation (the match_auc DuckDB JW kernel), then a
+    distributed sort+limit on (score desc, names) — per-block partial
+    top-k under the hood, never a full materialization."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    cust = _rp(sf_dir, "customer", ["c_name", "c_nationkey"])
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        con.register("t", pa.Table.from_pandas(df, preserve_index=False))
+        out = con.execute("""
+            SELECT a.c_name AS name_a, b.c_name AS name_b,
+                   round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+                       AS jw
+            FROM t a JOIN t b
+              ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+            WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.8
+            """).fetchdf()
+        con.close()
+        return out
+
+    scored = bucketed_map_groups(
+        cust, ["c_nationkey"], pairs_fn, num_buckets=32,
+        empty_like=pd.DataFrame({"name_a": pd.Series([], dtype="string"),
+                                 "name_b": pd.Series([], dtype="string"),
+                                 "jw": pd.Series([], dtype="float64")}))
+    return scored.sort(["jw", "name_a", "name_b"],
+                       descending=[True, False, False]).limit(50)
+
+
+SQL_TOPK_SIM_PAIRS = """
+SELECT a.c_name AS name_a, b.c_name AS name_b,
+       round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS jw
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.8
+ORDER BY round(jaro_winkler_similarity(a.c_name, b.c_name), 6) DESC,
+         name_a, name_b
+LIMIT 50
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14383,6 +14432,7 @@ QUERIES = {
     "resample_interp": q_resample_interp,
     "stream_join": q_stream_join,
     "r_swoosh": q_r_swoosh,
+    "topk_sim_pairs": q_topk_sim_pairs,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -14691,6 +14741,7 @@ ORACLES = {
     "resample_interp": SQL_RESAMPLE_INTERP,
     "stream_join": SQL_STREAM_JOIN,
     "label_prop": SQL_LABEL_PROP,
+    "topk_sim_pairs": SQL_TOPK_SIM_PAIRS,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -9977,12 +9977,18 @@ def q_rfm_segments(sf_dir: str):
             "frequency": g["frequency"].to_numpy(np.int64),
             "monetary": np.round(g["sv"].to_numpy(np.float64), 6)})
 
-    base = bucketed_map_groups(ev, ["user_id"], rfm,
-                               num_buckets=64).materialize()
+    from ..stages.shuffle import drop_empty_blocks
+
+    # drop schema-less 0-row blocks before the acero join (the tracked
+    # empty-block class — surfaced flakily at sf0.001 when the bucketed
+    # shuffle lands an empty block on the join's left side)
+    base = drop_empty_blocks(
+        bucketed_map_groups(ev, ["user_id"], rfm,
+                            num_buckets=64).materialize())
     ranked, n_users = global_dense_rank(base, "frequency", "user_id")
-    ranked = ranked.map_batches(
+    ranked = drop_empty_blocks(ranked.map_batches(
         lambda df: df.rename(columns={"id": "user_id"}),
-        batch_format="pandas")
+        batch_format="pandas").materialize())
     joined = hash_join(base, ranked, on=["user_id"])
     k = 5
     q, r = n_users // k, n_users % k

@@ -14263,6 +14263,55 @@ LIMIT 50
 """
 
 
+def q_optimal_assignment(sf_dir: str):
+    """OPTIMAL 1:1 assignment (Hungarian / Kuhn-Munkres) between the
+    10-customer and 10-supplier panels, maximizing total Jaro-Winkler
+    — the optimality-guaranteed member of the assignment family
+    (greedy_match and mutual_best_match trade optimality for one-pass
+    scale; gale_shapley trades it for stability).  The score matrix
+    computes distributed (broadcast JW pass); Kuhn-Munkres closes on
+    the bounded panel.  Rows-only; optimality and brute-force
+    equality pinned in tests/test_hungarian.py."""
+    import ray
+
+    from ..stages.metrics import hungarian_min
+
+    supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .map_batches(lambda df: df[df["s_suppkey"] < 10],
+                     batch_format="pandas").to_pandas() \
+        .sort_values("s_suppkey").reset_index(drop=True)
+    ref = ray.put(supp)
+
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        lambda df: df[df["c_custkey"] < 10], batch_format="pandas")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        import duckdb
+
+        s = ray.get(ref)
+        con = duckdb.connect()
+        con.execute("PRAGMA threads=1")
+        con.register("c", pa.Table.from_pandas(df, preserve_index=False))
+        con.register("s", pa.Table.from_pandas(s, preserve_index=False))
+        out = con.execute("""
+            SELECT c.c_custkey, s.s_suppkey,
+                   jaro_winkler_similarity(c.c_name, s.s_name) AS jw
+            FROM c, s""").fetchdf()
+        con.close()
+        return out
+
+    pairs = cust.map_batches(score, batch_format="pandas").to_pandas()
+    mat = pairs.pivot(index="c_custkey", columns="s_suppkey",
+                      values="jw").sort_index()
+    mat = mat[sorted(mat.columns)]
+    cols = hungarian_min(-mat.to_numpy(np.float64))
+    ckeys = mat.index.to_numpy(np.int64)
+    skeys = np.array(sorted(mat.columns), np.int64)[cols]
+    jw = mat.to_numpy(np.float64)[np.arange(len(ckeys)), cols]
+    return pd.DataFrame({"c_custkey": ckeys, "s_suppkey": skeys,
+                         "jw": np.round(jw, 6)})
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14439,6 +14488,7 @@ QUERIES = {
     "stream_join": q_stream_join,
     "r_swoosh": q_r_swoosh,
     "topk_sim_pairs": q_topk_sim_pairs,
+    "optimal_assignment": q_optimal_assignment,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,

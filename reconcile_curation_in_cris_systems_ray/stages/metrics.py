@@ -188,3 +188,61 @@ def pava_isotonic(y: "np.ndarray", w: "np.ndarray") -> "np.ndarray":
             wts[-2:] = [tw]
             cnt[-2:] = [cnt[-2] + cnt[-1]]
     return np.repeat(np.array(vals, np.float64), np.array(cnt, np.int64))
+
+
+def hungarian_min(cost) -> "np.ndarray":
+    """O(n^3) Hungarian algorithm (Kuhn-Munkres, potentials/shortest
+    augmenting path formulation) for the rectangular min-cost
+    assignment with n rows <= m columns; returns the assigned column
+    per row.  Driver-side on BOUNDED panels (the Gale-Shapley /
+    greedy-match contract) — the expensive part, scoring the panel,
+    happens distributed upstream."""
+    import numpy as np
+
+    c = np.asarray(cost, np.float64)
+    n, m = c.shape
+    assert n <= m
+    INF = float("inf")
+    u = [0.0] * (n + 1)
+    v = [0.0] * (m + 1)
+    p = [0] * (m + 1)
+    way = [0] * (m + 1)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = [INF] * (m + 1)
+        used = [False] * (m + 1)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, m + 1):
+                if not used[j]:
+                    cur = c[i0 - 1][j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(m + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while True:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+            if j0 == 0:
+                break
+    ans = np.zeros(n, np.int64)
+    for j in range(1, m + 1):
+        if p[j]:
+            ans[p[j] - 1] = j - 1
+    return ans

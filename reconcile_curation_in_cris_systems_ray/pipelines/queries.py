@@ -14312,6 +14312,177 @@ def q_optimal_assignment(sf_dir: str):
                          "jw": np.round(jw, 6)})
 
 
+def q_crossval_nb(sf_dir: str):
+    """5-fold cross-validated Naive Bayes (fold = doc_id % 5) — the
+    train/test-discipline evaluation of the oracled naive_bayes
+    classifier, WITHOUT retraining five times: per-(term, lang, fold)
+    counts are one combiner pass, and each fold's training model is
+    the TOTAL minus that fold's cells (leave-one-fold-out by
+    subtraction); margins (per-fold lang totals, vocabulary, priors)
+    close on the bounded cell frame and the scoring pass applies each
+    doc's own fold model.  Same add-one smoothing, round-9 argmax and
+    broadcast-model contract as naive_bayes (hash-join hydration is
+    the documented web-scale swap).  Output: per fold
+    (n_docs, n_correct)."""
+    from ..stages.shuffle import bucketed_map_groups
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    k = 5
+
+    def cnt_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = ts._ws_tokens(df["text"]).reset_index(drop=True) \
+            .explode().dropna()
+        if len(ex) == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype="string"),
+                                 "lang": pd.Series([], dtype=object),
+                                 "fold": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        lang = df["lang"].to_numpy(object)
+        fold = df["doc_id"].to_numpy(np.int64) % k
+        idx = ex.index.to_numpy()
+        t = pd.DataFrame({"term": ex.to_numpy(object),
+                          "lang": lang[idx], "fold": fold[idx],
+                          "c": np.int64(1)})
+        return t.groupby(["term", "lang", "fold"], sort=False).sum() \
+            .reset_index()
+
+    cells = bucketed_map_groups(
+        docs.map_batches(cnt_partial, batch_format="pandas"),
+        ["term"],
+        lambda df: df.groupby(["term", "lang", "fold"], sort=False)["c"]
+        .sum().reset_index(),
+        num_buckets=64).materialize().to_pandas()
+
+    langs = sorted(cells["lang"].unique())
+    # model maps: total and per-fold (term -> count), per lang
+    tot = cells.groupby(["lang", "term"])["c"].sum()
+    tot_map = {lg: tot.xs(lg).to_dict() for lg in langs}
+    fold_map = {(lg, f): g.set_index("term")["c"].to_dict()
+                for (lg, f), g in cells.groupby(["lang", "fold"])}
+    nl_tot = {lg: float(sum(tot_map[lg].values())) for lg in langs}
+    nl_fold = {(lg, f): float(sum(m.values()))
+               for (lg, f), m in fold_map.items()}
+    # per-fold vocabulary: terms with any training (non-fold) count
+    term_tot = cells.groupby("term")["c"].sum()
+    term_fold = cells.groupby(["term", "fold"])["c"].sum()
+    v_f = {}
+    for f in range(k):
+        tf = term_fold.xs(f, level="fold") \
+            if f in cells["fold"].unique() else pd.Series(dtype="int64")
+        train_term = term_tot.subtract(tf, fill_value=0)
+        v_f[f] = float((train_term > 0).sum()) + 1.0
+
+    nd = docs.map_batches(
+        lambda df: df.assign(fold=df["doc_id"] % k)
+        .groupby(["lang", "fold"], sort=False).size().reset_index(name="n"),
+        batch_format="pandas")
+    nd = rel.partial_groupby_agg(nd, ["lang", "fold"], {"n": ("n", "sum")})
+    nd_lang = nd.groupby("lang")["n"].sum().to_dict()
+    nd_lf = nd.set_index(["lang", "fold"])["n"].to_dict()
+    n_all = float(sum(nd_lang.values()))
+    n_fold = nd.groupby("fold")["n"].sum().to_dict()
+    prior = {(lg, f): np.log(
+        (float(nd_lang[lg]) - float(nd_lf.get((lg, f), 0)))
+        / (n_all - float(n_fold.get(f, 0))))
+        for lg in langs for f in range(k)}
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = ts._ws_tokens(df["text"]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        n = len(df)
+        fold = df["doc_id"].to_numpy(np.int64) % k
+        true_lang = df["lang"].to_numpy(object)
+        idx = ex.index.to_numpy()
+        terms = pd.Series(ex.to_numpy(object))
+        row_fold = fold[idx]
+        scores = np.zeros((n, len(langs)))
+        for li, lg in enumerate(langs):
+            ct = terms.map(tot_map[lg]).fillna(0.0).to_numpy(np.float64)
+            cf = np.zeros(len(terms))
+            for f in range(k):
+                m = row_fold == f
+                if m.any():
+                    fm = fold_map.get((lg, f), {})
+                    cf[m] = terms[m].map(fm).fillna(0.0) \
+                        .to_numpy(np.float64)
+            train_c = ct - cf
+            nlv = np.array([nl_tot[lg] - nl_fold.get((lg, f), 0.0)
+                            + v_f[f] for f in row_fold])
+            val = np.log((train_c + 1.0) / nlv)
+            s = np.zeros(n)
+            np.add.at(s, idx, val)
+            pr = np.array([prior[(lg, f)] for f in fold])
+            scores[:, li] = np.round(s + pr, 9)
+        pred = np.array(langs, dtype=object)[np.argmax(scores, axis=1)]
+        out = pd.DataFrame({"fold": fold, "n_docs": np.int64(1),
+                            "n_correct": (pred == true_lang)
+                            .astype(np.int64)})
+        return out.groupby("fold", sort=False).sum().reset_index()
+
+    g = rel.partial_groupby_agg(
+        docs.map_batches(score, batch_format="pandas"),
+        ["fold"], {"n_docs": ("n_docs", "sum"),
+                   "n_correct": ("n_correct", "sum")})
+    return pd.DataFrame({
+        "fold": g["fold"].to_numpy(np.int64),
+        "n_docs": g["n_docs"].to_numpy(np.int64),
+        "n_correct": g["n_correct"].to_numpy(np.int64)})
+
+
+SQL_CROSSVAL_NB = r"""
+WITH toks AS (
+  SELECT doc_id, doc_id % 5 AS fold, lang,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             AS term
+  FROM documents WHERE trim(coalesce(text, '')) <> ''),
+cells AS (SELECT term, lang, fold, count(*) AS c FROM toks
+          GROUP BY 1, 2, 3),
+tot AS (SELECT term, lang, sum(c) AS ct FROM cells GROUP BY 1, 2),
+folds AS (SELECT DISTINCT fold FROM toks),
+train AS (SELECT f.fold, t.term, t.lang,
+                 CAST(t.ct - coalesce(c.c, 0) AS DOUBLE) AS c
+          FROM tot t CROSS JOIN folds f
+          LEFT JOIN cells c ON c.term = t.term AND c.lang = t.lang
+                           AND c.fold = f.fold),
+nlf AS (SELECT fold, lang, sum(c) AS nl FROM train GROUP BY 1, 2),
+vf AS (SELECT fold, CAST(count(*) AS DOUBLE) + 1.0 AS v FROM (
+         SELECT fold, term FROM train GROUP BY 1, 2
+         HAVING sum(c) > 0)
+       GROUP BY 1),
+ndlf AS (SELECT lang, doc_id % 5 AS fold, count(*) AS n
+         FROM documents GROUP BY 1, 2),
+ndl AS (SELECT lang, sum(n) AS nd FROM ndlf GROUP BY 1),
+ndf AS (SELECT fold, sum(n) AS nf FROM ndlf GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS na FROM documents),
+pri AS (SELECT l.lang, f.fold,
+               ln((l.nd - coalesce(x.n, 0))
+                  / (nn.na - ndf.nf)) AS lp
+        FROM ndl l CROSS JOIN folds f
+        LEFT JOIN ndlf x ON x.lang = l.lang AND x.fold = f.fold
+        JOIN ndf ON ndf.fold = f.fold CROSS JOIN nn),
+sc AS (
+  SELECT t.doc_id, t.fold, d.lang AS true_lang, nlf.lang AS cand,
+         round(sum(ln((coalesce(tr.c, 0) + 1.0) / (nlf.nl + vf.v)))
+               + any_value(pri.lp), 9) AS s
+  FROM toks t
+  JOIN documents d USING (doc_id)
+  JOIN nlf ON nlf.fold = t.fold
+  JOIN vf ON vf.fold = t.fold
+  LEFT JOIN train tr ON tr.term = t.term AND tr.lang = nlf.lang
+                    AND tr.fold = t.fold
+  JOIN pri ON pri.lang = nlf.lang AND pri.fold = t.fold
+  GROUP BY t.doc_id, t.fold, d.lang, nlf.lang, nlf.nl, vf.v),
+pred AS (SELECT doc_id, fold, true_lang, cand,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY s DESC, cand) AS rn
+         FROM sc)
+SELECT CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN cand = true_lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct
+FROM pred WHERE rn = 1 GROUP BY 1
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14489,6 +14660,7 @@ QUERIES = {
     "r_swoosh": q_r_swoosh,
     "topk_sim_pairs": q_topk_sim_pairs,
     "optimal_assignment": q_optimal_assignment,
+    "crossval_nb": q_crossval_nb,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -14798,6 +14970,7 @@ ORACLES = {
     "stream_join": SQL_STREAM_JOIN,
     "label_prop": SQL_LABEL_PROP,
     "topk_sim_pairs": SQL_TOPK_SIM_PAIRS,
+    "crossval_nb": SQL_CROSSVAL_NB,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -17,6 +17,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "crossval_nb",
     "topk_sim_pairs",
     "label_prop",
     "stream_join",

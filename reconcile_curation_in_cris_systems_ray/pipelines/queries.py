@@ -14483,6 +14483,88 @@ FROM pred WHERE rn = 1 GROUP BY 1
 """
 
 
+def q_t_closeness(sf_dir: str):
+    """t-closeness audit (the third release gate beside k_anonymity
+    and l_diversity): per quasi-identifier group (c_nationkey,
+    c_mktsegment), the 1-D earth-mover distance between the group's
+    sensitive distribution (acctbal thousands-bucket) and the GLOBAL
+    one — ordered-category EMD = mean |cumulative difference| over the
+    bucket order.  Groups with EMD > t = 0.25 leak distributional
+    information.  One (group, bucket) cell combiner; the EMD closes
+    vectorized on the bounded cell grid (dense zero cells included,
+    as in the SQL grid)."""
+    cust = _rp(sf_dir, "customer",
+               ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "nk": df["c_nationkey"].to_numpy(np.int64),
+            "seg": df["c_mktsegment"].to_numpy(object),
+            "sv": np.floor(df["c_acctbal"].to_numpy(np.float64)
+                           / 1000.0).astype(np.int64),
+            "c": np.int64(1)})
+        return out.groupby(["nk", "seg", "sv"], sort=False) \
+            .sum().reset_index()
+
+    cell = rel.partial_groupby_agg(
+        cust.map_batches(cells, batch_format="pandas"),
+        ["nk", "seg", "sv"], {"c": ("c", "sum")})
+    buckets = np.sort(cell["sv"].unique())
+    glob = cell.groupby("sv")["c"].sum().reindex(buckets, fill_value=0)
+    n = float(glob.sum())
+    # cumsum THEN divide — the SQL window computes (sum OVER)/total
+    gcdf = np.cumsum(glob.to_numpy(np.float64)) / n
+
+    rows = []
+    for (nk, seg), g in cell.groupby(["nk", "seg"]):
+        cnt = g.set_index("sv")["c"].reindex(buckets, fill_value=0) \
+            .to_numpy(np.float64)
+        cdf = np.cumsum(cnt) / cnt.sum()
+        emd = np.abs(cdf - gcdf).sum() / len(buckets)
+        if emd > 0.25:
+            rows.append({"c_nationkey": np.int64(nk),
+                         "c_mktsegment": seg,
+                         "emd": np.round(emd, 6)})
+    if not rows:
+        return pd.DataFrame({
+            "c_nationkey": pd.Series([], dtype="int64"),
+            "c_mktsegment": pd.Series([], dtype="string"),
+            "emd": pd.Series([], dtype="float64")})
+    return pd.DataFrame(rows)
+
+
+SQL_T_CLOSENESS = """
+WITH base AS (SELECT c_nationkey AS nk, c_mktsegment AS seg,
+                     CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sv
+              FROM customer),
+buckets AS (SELECT DISTINCT sv FROM base),
+grps AS (SELECT DISTINCT nk, seg FROM base),
+grid AS (SELECT g.nk, g.seg, b.sv FROM grps g CROSS JOIN buckets b),
+cell AS (SELECT nk, seg, sv, count(*) AS c FROM base GROUP BY 1, 2, 3),
+full_grid AS (SELECT grid.nk, grid.seg, grid.sv,
+                     coalesce(cell.c, 0) AS c
+              FROM grid LEFT JOIN cell USING (nk, seg, sv)),
+gtot AS (SELECT sv, sum(c) AS gc FROM full_grid GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM base),
+nb AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM buckets),
+cdf AS (
+  SELECT f.nk, f.seg, f.sv,
+         sum(f.c) OVER w / sum(f.c) OVER (PARTITION BY f.nk, f.seg)
+             AS gcdf_grp,
+         sum(g.gc) OVER w2 / nn.n AS gcdf_all
+  FROM full_grid f JOIN gtot g USING (sv) CROSS JOIN nn
+  WINDOW w AS (PARTITION BY f.nk, f.seg ORDER BY f.sv
+               ROWS UNBOUNDED PRECEDING),
+         w2 AS (PARTITION BY f.nk, f.seg ORDER BY f.sv
+                ROWS UNBOUNDED PRECEDING))
+SELECT CAST(nk AS BIGINT) AS c_nationkey, seg AS c_mktsegment,
+       round(sum(abs(gcdf_grp - gcdf_all)) / any_value(nb.k), 6) AS emd
+FROM cdf CROSS JOIN nb
+GROUP BY nk, seg, nb.k
+HAVING sum(abs(gcdf_grp - gcdf_all)) / nb.k > 0.25
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14661,6 +14743,7 @@ QUERIES = {
     "topk_sim_pairs": q_topk_sim_pairs,
     "optimal_assignment": q_optimal_assignment,
     "crossval_nb": q_crossval_nb,
+    "t_closeness": q_t_closeness,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -14971,6 +15054,7 @@ ORACLES = {
     "label_prop": SQL_LABEL_PROP,
     "topk_sim_pairs": SQL_TOPK_SIM_PAIRS,
     "crossval_nb": SQL_CROSSVAL_NB,
+    "t_closeness": SQL_T_CLOSENESS,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -17,6 +17,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "t_closeness",
     "crossval_nb",
     "topk_sim_pairs",
     "label_prop",

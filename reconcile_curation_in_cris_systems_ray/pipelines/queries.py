@@ -14565,6 +14565,122 @@ HAVING sum(abs(gcdf_grp - gcdf_all)) / nb.k > 0.25
 """
 
 
+def q_token_budget_sample(sf_dir: str):
+    """Language-balanced downsampling to a per-language TOKEN budget
+    (the LLM-mixing primitive: every language capped at the smallest
+    language's token total): per-lang token-count combiner fixes the
+    keep fraction f = budget / lang_tokens, then a map-only
+    hash-uniform Bernoulli keep (hash(doc_id)/2^64 < f — the
+    mixture_resample device, deterministic and oracle-reproducible).
+    No shuffle beyond the bounded lang-margin pass."""
+    from ..functions.similarity import hash_strings_fast
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = ts._ws_tokens(df["text"]).str.len().fillna(0) \
+            .astype(np.int64)
+        return pd.DataFrame({"lang": df["lang"].to_numpy(object),
+                             "t": n}).groupby("lang", sort=False) \
+            .sum().reset_index()
+
+    tot = rel.partial_groupby_agg(
+        docs.map_batches(tok_counts, batch_format="pandas"),
+        ["lang"], {"t": ("t", "sum")})
+    budget = float(tot["t"].min())
+    frac = {lg: budget / float(t) for lg, t in zip(tot["lang"], tot["t"])}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        u = hash_strings_fast(df["doc_id"].astype(str).tolist()) \
+            .astype(np.float64) / 18446744073709551616.0
+        f = df["lang"].map(frac).to_numpy(np.float64)
+        m = u < f
+        out = df.loc[m, ["doc_id", "lang"]].copy()
+        out["n_tokens"] = ts._ws_tokens(df["text"][m]).str.len() \
+            .fillna(0).astype(np.int64).to_numpy()
+        if len(out) == 0:
+            out = out.astype({"lang": "string"})
+        return out
+
+    return docs.map_batches(keep, batch_format="pandas")
+
+
+SQL_TOKEN_BUDGET_SAMPLE = r"""
+WITH tc AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(lower(text)),
+                                             '\s+')) END AS t
+  FROM documents),
+tot AS (SELECT lang, sum(t) AS lt FROM tc GROUP BY 1),
+b AS (SELECT CAST(min(lt) AS DOUBLE) AS budget FROM tot)
+SELECT tc.doc_id, tc.lang, CAST(tc.t AS BIGINT) AS n_tokens
+FROM tc JOIN tot USING (lang) CROSS JOIN b
+WHERE hash(CAST(tc.doc_id AS VARCHAR)) / 18446744073709551616.0
+      < b.budget / CAST(tot.lt AS DOUBLE)
+"""
+
+
+def q_interleave_order(sf_dir: str):
+    """Deterministic curriculum/epoch interleaving: documents are
+    quality-bucketed (n_chars // 200), ranked WITHIN their bucket, and
+    assigned a global position that round-robins the buckets (all
+    rank-0 docs first, then all rank-1, ...) — the shuffle-free "mix
+    the strata evenly through the epoch" ordering a trainer consumes.
+    Rank-in-bucket is one co-location pass; the global position is the
+    global_dense_rank primitive on the composite (rank * 64 + bucket)
+    key (bucket cardinality < 64 by construction); one hash join
+    attaches it back."""
+    from ..stages.relational import global_dense_rank, hash_join
+    from ..stages.shuffle import bucketed_map_groups, drop_empty_blocks
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "qb": df["n_chars"].to_numpy(np.int64) // 200})
+
+    def rank_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["qb", "doc_id"], kind="mergesort")
+        df["rank_in_bucket"] = df.groupby("qb", sort=False).cumcount() \
+            .astype(np.int64)
+        return df
+
+    ranked = drop_empty_blocks(bucketed_map_groups(
+        docs.map_batches(with_bucket, batch_format="pandas"),
+        ["qb"], rank_in_bucket, num_buckets=32).materialize())
+
+    keyed = drop_empty_blocks(ranked.map_batches(
+        lambda df: df.assign(
+            pos_key=df["rank_in_bucket"].to_numpy(np.int64) * 64
+            + df["qb"].to_numpy(np.int64)),
+        batch_format="pandas").materialize())
+    pos, _n = global_dense_rank(keyed.map_batches(
+        lambda df: df[["pos_key", "doc_id"]], batch_format="pandas"),
+        "pos_key", "doc_id")
+    pos = drop_empty_blocks(pos.map_batches(
+        lambda df: df.rename(columns={"id": "doc_id", "rn": "pos"}),
+        batch_format="pandas").materialize())
+    out = hash_join(keyed.map_batches(
+        lambda df: df[["doc_id", "qb", "rank_in_bucket"]],
+        batch_format="pandas"), pos, on=["doc_id"])
+    return out
+
+
+SQL_INTERLEAVE_ORDER = """
+WITH b AS (SELECT doc_id, n_chars // 200 AS qb FROM documents),
+r AS (SELECT doc_id, qb,
+             row_number() OVER (PARTITION BY qb ORDER BY doc_id) - 1
+                 AS rank_in_bucket
+      FROM b)
+SELECT doc_id, qb, rank_in_bucket,
+       row_number() OVER (ORDER BY rank_in_bucket * 64 + qb, doc_id)
+           - 1 AS pos
+FROM r
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14744,6 +14860,8 @@ QUERIES = {
     "optimal_assignment": q_optimal_assignment,
     "crossval_nb": q_crossval_nb,
     "t_closeness": q_t_closeness,
+    "token_budget_sample": q_token_budget_sample,
+    "interleave_order": q_interleave_order,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -15055,6 +15173,8 @@ ORACLES = {
     "topk_sim_pairs": SQL_TOPK_SIM_PAIRS,
     "crossval_nb": SQL_CROSSVAL_NB,
     "t_closeness": SQL_T_CLOSENESS,
+    "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
+    "interleave_order": SQL_INTERLEAVE_ORDER,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

@@ -17,6 +17,8 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "token_budget_sample",
+    "interleave_order",
     "t_closeness",
     "crossval_nb",
     "topk_sim_pairs",

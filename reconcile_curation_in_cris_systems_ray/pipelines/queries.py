@@ -14681,6 +14681,112 @@ FROM r
 """
 
 
+def q_woe_iv(sf_dir: str):
+    """Weight-of-evidence binning and information value of the
+    document-length feature against the is-English label — the
+    credit-scoring-style univariate feature-screening audit: per
+    length-bucket (n_chars // 200) event/non-event counts via ONE cell
+    combiner; WOE = ln((good_i/G)/(bad_i/B)) and IV = sum (g-b)*WOE
+    close on the bounded bin frame (zero cells are excluded, the
+    standard convention, matching the SQL HAVING)."""
+    docs = _rp(sf_dir, "documents", ["n_chars", "lang"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "bin": df["n_chars"].to_numpy(np.int64) // 200,
+            "g": df["lang"].eq("en").to_numpy().astype(np.int64),
+            "b": (~df["lang"].eq("en")).to_numpy().astype(np.int64)})
+        return out.groupby("bin", sort=False, as_index=False).sum()
+
+    cell = rel.partial_groupby_agg(
+        docs.map_batches(cells, batch_format="pandas"),
+        ["bin"], {"g": ("g", "sum"), "b": ("b", "sum")})
+    G = float(cell["g"].sum())
+    B = float(cell["b"].sum())
+    keep = (cell["g"] > 0) & (cell["b"] > 0)
+    cell = cell[keep]
+    g = cell["g"].to_numpy(np.float64)
+    b = cell["b"].to_numpy(np.float64)
+    woe = np.log((g / G) / (b / B))
+    iv_term = (g / G - b / B) * woe
+    return pd.DataFrame({"bin": cell["bin"].to_numpy(np.int64),
+                         "n_good": cell["g"].to_numpy(np.int64),
+                         "n_bad": cell["b"].to_numpy(np.int64),
+                         "woe": np.round(woe, 6),
+                         "iv_term": np.round(iv_term, 6)})
+
+
+SQL_WOE_IV = """
+WITH cell AS (
+  SELECT n_chars // 200 AS bin,
+         count(*) FILTER (WHERE lang = 'en') AS g,
+         count(*) FILTER (WHERE lang <> 'en') AS b
+  FROM documents GROUP BY 1),
+t AS (SELECT CAST(sum(g) AS DOUBLE) AS gt,
+             CAST(sum(b) AS DOUBLE) AS bt FROM cell)
+SELECT bin, CAST(g AS BIGINT) AS n_good, CAST(b AS BIGINT) AS n_bad,
+       round(ln((g / gt) / (b / bt)), 6) AS woe,
+       round((g / gt - b / bt) * ln((g / gt) / (b / bt)), 6) AS iv_term
+FROM cell CROSS JOIN t
+WHERE g > 0 AND b > 0
+"""
+
+
+def q_huber_location(sf_dir: str):
+    """Per-event-type Huber M-estimator of location (k = 1.345 sigma,
+    sigma from the exact per-group MAD x 1.4826) — the
+    outlier-resistant mean between trimmed_mean (drop) and winsorize
+    (clamp): 3 IRLS rounds, each ONE shuffle-free weighted-moment
+    combiner pass against the broadcast current estimate (the
+    logreg_train distributed-iteration shape).  Rows-only (iterative
+    float fixpoint); pinned against a sequential numpy IRLS in
+    tests/test_huber.py."""
+    from ..stages.temporal import quantile_agg
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+    med = quantile_agg(ev, ["event_type"], "value",
+                       {"m": 0.5}).to_pandas()
+    med_map = dict(zip(med["event_type"], med["m"]))
+
+    def absdev(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": df["event_type"].to_numpy(object),
+            "value": np.abs(df["value"].to_numpy(np.float64)
+                            - df["event_type"].map(med_map)
+                            .to_numpy(np.float64))})
+        return out
+
+    mad = quantile_agg(ev.map_batches(absdev, batch_format="pandas"),
+                       ["event_type"], "value", {"m": 0.5}).to_pandas()
+    sigma = {et: 1.4826 * m for et, m in zip(mad["event_type"],
+                                             mad["m"])}
+    k = 1.345
+    mu = dict(med_map)
+    for _ in range(3):
+        cur = dict(mu)
+
+        def wmom(df: pd.DataFrame, _cur=cur) -> pd.DataFrame:
+            v = df["value"].to_numpy(np.float64)
+            et = df["event_type"].to_numpy(object)
+            m = df["event_type"].map(_cur).to_numpy(np.float64)
+            s = df["event_type"].map(sigma).to_numpy(np.float64)
+            r = (v - m) / (k * s)
+            w = np.minimum(1.0, 1.0 / np.maximum(np.abs(r), 1e-300))
+            out = pd.DataFrame({"event_type": et, "wx": w * v, "w": w})
+            return out.groupby("event_type", sort=False,
+                               as_index=False).sum()
+
+        g = rel.partial_groupby_agg(
+            ev.map_batches(wmom, batch_format="pandas"),
+            ["event_type"], {"wx": ("wx", "sum"), "w": ("w", "sum")})
+        mu = dict(zip(g["event_type"],
+                      g["wx"].to_numpy(np.float64)
+                      / g["w"].to_numpy(np.float64)))
+    ets = sorted(mu)
+    return pd.DataFrame({"event_type": np.array(ets, object),
+                         "huber_mu": np.round([mu[e] for e in ets], 6)})
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14862,6 +14968,8 @@ QUERIES = {
     "t_closeness": q_t_closeness,
     "token_budget_sample": q_token_budget_sample,
     "interleave_order": q_interleave_order,
+    "woe_iv": q_woe_iv,
+    "huber_location": q_huber_location,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -15175,6 +15283,7 @@ ORACLES = {
     "t_closeness": SQL_T_CLOSENESS,
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "interleave_order": SQL_INTERLEAVE_ORDER,
+    "woe_iv": SQL_WOE_IV,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

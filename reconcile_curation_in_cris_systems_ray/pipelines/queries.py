@@ -14787,6 +14787,84 @@ def q_huber_location(sf_dir: str):
                          "huber_mu": np.round([mu[e] for e in ets], 6)})
 
 
+def q_novelty_score(sf_dir: str):
+    """Per-document bigram novelty — the fraction of a document's
+    distinct bigrams that appear in NO other document (corpus
+    document-frequency 1): the memorization/near-duplication signal
+    complementing winnow/minhash dedup (a low-novelty doc is mostly
+    recombined corpus text).  Per-doc distinct bigrams are map-only
+    (a doc's text lives in one row), the bigram DF is one cell
+    combiner, and the per-doc collapse hydrates DF through a
+    distributed hash join on the bigram — vocabulary never broadcast
+    (the pmi/unigram_logprob discipline)."""
+    from ..stages.relational import hash_join
+    from ..stages.shuffle import bucketed_map_groups, drop_empty_blocks
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = ts._ws_tokens(df["text"]).reset_index(drop=True)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "bg": pd.Series([], dtype="string")})
+        idx = ex.index.to_numpy()
+        vals = ex.to_numpy(object)
+        same = idx[:-1] == idx[1:]
+        ids = df["doc_id"].to_numpy(np.int64)
+        out = pd.DataFrame({
+            "doc_id": ids[idx[:-1][same]],
+            "bg": (pd.Series(vals[:-1][same]).astype(str) + " "
+                   + pd.Series(vals[1:][same]).astype(str))
+            .to_numpy(object)})
+        return out.drop_duplicates(ignore_index=True)
+
+    db = docs.map_batches(doc_bigrams, batch_format="pandas") \
+        .materialize()
+    df_cells = drop_empty_blocks(bucketed_map_groups(
+        db.map_batches(
+            lambda df: df.assign(d=np.int64(1))[["bg", "d"]],
+            batch_format="pandas"),
+        ["bg"],
+        lambda df: df.groupby("bg", sort=False, as_index=False)["d"]
+        .sum(),
+        num_buckets=32).materialize())
+    j = hash_join(db, df_cells, on=["bg"])
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "n": np.int64(1),
+            "u": (df["d"].to_numpy(np.int64) == 1).astype(np.int64)})
+        return out.groupby("doc_id", sort=False, as_index=False).sum()
+
+    g = rel.partial_groupby_agg(
+        j.map_batches(collapse, batch_format="pandas"),
+        ["doc_id"], {"n": ("n", "sum"), "u": ("u", "sum")})
+    return pd.DataFrame({
+        "doc_id": g["doc_id"].to_numpy(np.int64),
+        "n_bigrams": g["n"].to_numpy(np.int64),
+        "novelty": np.round(g["u"].to_numpy(np.float64)
+                            / g["n"].to_numpy(np.float64), 6)})
+
+
+SQL_NOVELTY_SCORE = r"""
+WITH t AS (SELECT doc_id,
+                  regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents WHERE trim(coalesce(text, '')) <> ''),
+pos AS (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2),
+db AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+       FROM pos),
+df AS (SELECT bg, count(*) AS d FROM db GROUP BY 1)
+SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(CASE WHEN df.d = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS novelty
+FROM db JOIN df USING (bg) GROUP BY 1
+"""
+
+
 QUERIES = {
     "filter_project": q_filter_project,
     "groupby_agg": q_groupby_agg,
@@ -14970,6 +15048,7 @@ QUERIES = {
     "interleave_order": q_interleave_order,
     "woe_iv": q_woe_iv,
     "huber_location": q_huber_location,
+    "novelty_score": q_novelty_score,
     # rows-only
     "er_match_pipeline": q_er_match_pipeline,
     "kcore": q_kcore,
@@ -15284,6 +15363,7 @@ ORACLES = {
     "token_budget_sample": SQL_TOKEN_BUDGET_SAMPLE,
     "interleave_order": SQL_INTERLEAVE_ORDER,
     "woe_iv": SQL_WOE_IV,
+    "novelty_score": SQL_NOVELTY_SCORE,
     "fd_violations": SQL_FD_VIOLATIONS,
     "burst_dedup": SQL_BURST_DEDUP,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,

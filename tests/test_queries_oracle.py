@@ -17,6 +17,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    "novelty_score",
     "woe_iv",
     "token_budget_sample",
     "interleave_order",

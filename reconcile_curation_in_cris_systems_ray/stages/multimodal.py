@@ -1,9 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Image/audio decode libraries are not available in this container, so
-the decode kernels are STUBBED behind ``backend="fake"`` (a
-deterministic hash-based fake) / ``backend="strict"`` (raises
-NotImplementedError) — but the Ray-side plumbing is real and tested:
+Image/audio decode *libraries* are not available in this container
+(no Pillow — verified), so most decode kernels are stubbed behind
+``backend="fake"`` (a deterministic hash-based fake) / ``backend=
+"strict"`` (raises NotImplementedError).  One REAL format is wired
+end-to-end: ``backend="png"`` decodes genuine PNG bytes through the
+pure-stdlib codec in ``functions/png.py`` (IHDR/IDAT, filters 0-4,
+gray/RGB/RGBA/palette) and feeds the same (B, 32, 32) float pixel
+contract the pHash / feature stages consume — so `media_decode` and
+`phash_dups` exercise a true decode path, not a fake, for PNG
+payloads.  The Ray-side plumbing is identical across backends:
 schema contract, small-batch actor-pool stage, per-row quarantine,
 and the output layout a real decoder would produce.
 
@@ -39,20 +45,35 @@ class MediaDecodeStage:
 
     ``backend="fake"`` produces deterministic pseudo-features from a
     blake2b digest of the payload — stable across runs/workers, so
-    tests can assert exact values. ``backend="strict"`` raises
-    NotImplementedError (the marker that a real decoder goes here).
+    tests can assert exact values. ``backend="png"`` REALLY decodes
+    PNG payloads (pure-stdlib codec, ``functions/png.py``) and emits
+    true width/height plus a 32-dim feature: the row means of the
+    mean-pooled 32x32 grayscale field. ``backend="strict"`` raises
+    NotImplementedError (the marker that other formats' decoders go
+    here).
     """
 
     def __init__(self, backend: str = "fake"):
-        if backend not in ("fake", "strict"):
+        if backend not in ("fake", "png", "strict"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
+        if backend == "png":
+            # import once per actor (ST1 load-once pattern)
+            from ..functions import png as _png
+            self._png = _png
 
     def _decode_one(self, payload: bytes, kind: str):
         if self.backend == "strict":
             raise NotImplementedError(
                 "real image/audio decoding requires libs not present in "
                 "this container; wire Pillow/torchaudio here")
+        if self.backend == "png":
+            img = self._png.decode_png(payload)
+            height, width = img.shape[0], img.shape[1]
+            field = self._png.resize_mean(
+                self._png.to_gray_f64(img), FEATURE_DIM, FEATURE_DIM)
+            feat = field.mean(axis=1).astype(np.float32)
+            return width, height, feat
         digest = hashlib.blake2b(payload, digest_size=8 + 4 * FEATURE_DIM).digest()
         width = int.from_bytes(digest[:4], "little") % 4096 + 1
         height = int.from_bytes(digest[4:8], "little") % 4096 + 1
@@ -249,9 +270,12 @@ class PhashStage:
     pinned on synthetic pixel images in tests."""
 
     def __init__(self, backend: str = "fake"):
-        if backend not in ("fake", "strict"):
+        if backend not in ("fake", "png", "strict"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
+        if backend == "png":
+            from ..functions import png as _png
+            self._png = _png
 
     def _pixels(self, payload: bytes) -> np.ndarray:
         if self.backend == "strict":
@@ -259,6 +283,13 @@ class PhashStage:
                 "real image decoding requires libs not present in this "
                 "container; wire Pillow here (decode -> grayscale -> "
                 "resize 32x32 -> float)")
+        if self.backend == "png":
+            # REAL path: decode -> BT.601 grayscale -> mean-pool 32x32.
+            # Near-duplicate PNGs (small pixel noise, re-encode) land
+            # within a few Hamming bits; unrelated images ~32 bits.
+            img = self._png.decode_png(payload)
+            return self._png.resize_mean(
+                self._png.to_gray_f64(img), _PHASH_N, _PHASH_N)
         seed = hashlib.blake2b(payload, digest_size=8).digest()
         rng = np.random.default_rng(int.from_bytes(seed, "little"))
         return rng.random((_PHASH_N, _PHASH_N))

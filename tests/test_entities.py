@@ -191,3 +191,45 @@ def test_gazetteer_prefilter_matches_plain_loop(ray_session):
     pd.testing.assert_frame_equal(
         got[["doc_id", "entity", "pos", "n_hits"]], want,
         check_dtype=False)
+
+
+def test_gazetteer_flat_wall_as_gazetteer_grows():
+    """Round-4 task 6 'done' criterion: per-batch wall stays flat as
+    the gazetteer grows 10x — the single-pass multi-pattern scanner's
+    cost is per distinct pattern LENGTH, not per entity."""
+    import time
+
+    from reconcile_curation_in_cris_systems_ray.stages.entities import (
+        EntityExtractor,
+    )
+    import pandas as pd
+
+    rng = __import__("numpy").random.default_rng(0)
+    words = ["".join(chr(97 + c) for c in rng.integers(0, 26, 8))
+             for _ in range(2000)]
+    texts = [" ".join(rng.choice(words, 60)) for _ in range(400)]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+
+    small = [w for w in words[:200]]
+    big = [w + "q" for w in words] + [w + "zz" for w in words]  # 4000, no hits
+    big = small + big  # superset: same hits, 21x entities
+
+    ex_small = EntityExtractor(entities=small)
+    ex_big = EntityExtractor(entities=big)
+    # warm
+    ex_small(df.copy())
+    ex_big(df.copy())
+    t0 = time.perf_counter()
+    out_s = ex_small(df.copy())
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out_b = ex_big(df.copy())
+    t_big = time.perf_counter() - t0
+    # identical hits for the shared 200 entities
+    a = out_s.to_pandas().sort_values(["doc_id", "entity"]).reset_index(drop=True)
+    b = (out_b.to_pandas()
+         .query("entity in @small")
+         .sort_values(["doc_id", "entity"]).reset_index(drop=True))
+    assert a.equals(b)
+    # 21x entities must NOT cost ~21x wall; allow generous 3x headroom
+    assert t_big < 3.0 * t_small + 0.05, (t_small, t_big)

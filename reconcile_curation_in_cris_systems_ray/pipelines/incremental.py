@@ -35,11 +35,16 @@ tests/test_pipeline.py (same clustering, pairwise-identical).
 
 Scale notes: the only full passes over base data are streaming
 map_batches (band re-emission, assignment relabel) — no base-sized
-shuffle, no driver materialization of base data.  Driver-held state is
-bounded by the DELTA: its band-key set, its url-hash set, and the
-delta-touched edge/label maps.  For deltas too large to broadcast as
-Python sets, swap the membership filters for the Bloom prefilter
-(stages/bloom.py) or a distributed semi-join — same semantics.
+shuffle, no driver materialization of base data.  Round-4: the driver
+no longer holds ANY Python set/dict of urls, edges or labels — every
+membership/label structure is a (sorted url-hash, aligned values)
+broadcast lookup built in one remote task from the owning dataset's
+blocks (the ``build_feature_lookup`` pattern); the driver holds only
+object refs.  Broadcast object sizes stay bounded by the DELTA (its
+url hashes, touched band keys, touched-component labels); for deltas
+too large to broadcast, swap the membership lookups for the Bloom
+prefilter (stages/bloom.py) or a distributed semi-join — same
+semantics.
 """
 
 from __future__ import annotations
@@ -137,14 +142,32 @@ def run_incremental(base_features, base_assignments, delta_corpus_ds,
         n_rows_hint=touched_hint, dedup_pairs=narrow)
 
     # --- keep only pairs with >= 1 NEW endpoint --------------------------
-    new_urls = [r["url"] for r in
-                delta_feat.select_columns(["url"]).take_all()]
-    new_uh = ray.put(set(stable_hash_strings(
-        np.asarray(new_urls, dtype=object)).tolist()))
+    # delta url-hash membership as a SORTED ARRAY built in one remote
+    # task from the delta's own blocks (round-4: no take_all of delta
+    # urls to the driver; the driver holds only the object ref)
+    def _build_uh(*blocks):
+        good = [b.select(["url"]) for b in blocks
+                if "url" in b.schema.names and b.num_rows]
+        if not good:
+            return np.empty(0, dtype=np.uint64)
+        urls = pa.concat_tables(good).column("url").to_pandas() \
+            .to_numpy(dtype=object)
+        return np.sort(stable_hash_strings(urls))
+
+    new_uh = ray.remote(_build_uh).remote(*delta_feat.to_arrow_refs())
+
+    def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        if not len(sorted_arr):
+            return np.zeros(len(vals), dtype=bool)
+        i = np.clip(np.searchsorted(sorted_arr, vals), 0,
+                    len(sorted_arr) - 1)
+        return sorted_arr[i] == vals
 
     def has_new(df: pd.DataFrame) -> pd.DataFrame:
         s = ray.get(new_uh)
-        return df[(df["uh_a"].isin(s) | df["uh_b"].isin(s)).to_numpy()]
+        a = df["uh_a"].to_numpy(np.uint64)
+        b = df["uh_b"].to_numpy(np.uint64)
+        return df[_in_sorted(s, a) | _in_sorted(s, b)]
 
     pairs_new = pairs.map_batches(has_new, batch_format="pandas")
 
@@ -161,62 +184,101 @@ def run_incremental(base_features, base_assignments, delta_corpus_ds,
         m = batch.filter(batch.column("is_match"))
         return pa.table({"u": m.column("url_a"), "v": m.column("url_b")})
 
-    edge_rows = scored.map_batches(to_edges, batch_format="pyarrow") \
-        .take_all()
-    metrics["delta_edges"] = len(edge_rows)
+    edges = scored.map_batches(to_edges, batch_format="pyarrow") \
+        .materialize()
+    metrics["delta_edges"] = edges.count()
 
     # --- contract old endpoints to their cluster ids ----------------------
-    new_set = set(new_urls)
-    old_involved = {r[k] for r in edge_rows for k in ("u", "v")
-                    if r[k] not in new_set}
-    inv_ref = ray.put(old_involved)
+    # Round-4: the former driver dicts (old_map / label_map) are now
+    # (sorted url-hash, aligned value) broadcast lookups built in ONE
+    # remote task each from the datasets' own blocks — the driver holds
+    # only object refs; no driver structure proportional to touched
+    # components remains.  All maps are url-hash keyed (64-bit; a
+    # collision costs one wrong relabel within the touched set —
+    # negligible, same bound the flagship's pair hydration documents).
+    def _build_str_lookup(key_col, val_col, *blocks):
+        good = [b.select([key_col, val_col]) for b in blocks
+                if key_col in b.schema.names and b.num_rows]
+        if not good:
+            return (np.empty(0, dtype=np.uint64),
+                    np.empty(0, dtype=object))
+        tbl = pa.concat_tables(good).combine_chunks()
+        kh = stable_hash_strings(
+            tbl.column(key_col).to_pandas().to_numpy(dtype=object))
+        order = np.argsort(kh, kind="mergesort")
+        vals = tbl.column(val_col).to_pandas().to_numpy(dtype=object)
+        return np.ascontiguousarray(kh[order]), vals[order]
+
+    _lookup_task = ray.remote(num_returns=2)(_build_str_lookup)
+
+    def _apply_lookup(h_ref, v_ref, urls: np.ndarray) -> np.ndarray:
+        """urls -> mapped value where present, else identity."""
+        h = ray.get(h_ref)
+        v = ray.get(v_ref)
+        out = urls.copy()
+        if len(h) and len(urls):
+            uh = stable_hash_strings(urls)
+            i = np.clip(np.searchsorted(h, uh), 0, len(h) - 1)
+            ok = h[i] == uh
+            out[ok] = v[i[ok]]
+        return out
+
+    # old endpoints of delta edges (endpoint not in the delta url set),
+    # distinct — stays a Dataset end-to-end
+    def old_eps(df: pd.DataFrame) -> pd.DataFrame:
+        urls = pd.concat([df["u"], df["v"]], ignore_index=True) \
+            .to_numpy(dtype=object)
+        s = ray.get(new_uh)
+        old = urls[~_in_sorted(s, stable_hash_strings(urls))]
+        return pd.DataFrame({"url": pd.unique(old)})
+
+    old_nodes = edges.map_batches(old_eps, batch_format="pandas")
+    inv_h_ref = ray.remote(_build_uh).remote(*[
+        b for b in old_nodes.materialize().to_arrow_refs()])
 
     def involved_only(df: pd.DataFrame) -> pd.DataFrame:
-        inv = ray.get(inv_ref)
-        return df[df["url"].isin(inv)]
+        inv = ray.get(inv_h_ref)
+        urls = df["url"].to_numpy(dtype=object)
+        return df[_in_sorted(inv, stable_hash_strings(urls))]
 
-    old_map = {r["url"]: r["cluster_id"] for r in
-               base_assignments.map_batches(
-                   involved_only, batch_format="pandas").take_all()} \
-        if old_involved else {}
+    touched_asgn = base_assignments.map_batches(
+        involved_only, batch_format="pandas")
+    old_h, old_v = _lookup_task.remote(
+        "url", "cluster_id", *touched_asgn.materialize().to_arrow_refs())
 
-    contracted = [(old_map.get(r["u"], r["u"]), old_map.get(r["v"], r["v"]))
-                  for r in edge_rows]
-    label_map: dict[str, str] = {}
-    if contracted:
-        import ray.data as rd
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": _apply_lookup(old_h, old_v,
+                               df["u"].to_numpy(dtype=object)),
+            "v": _apply_lookup(old_h, old_v,
+                               df["v"].to_numpy(dtype=object))})
 
-        edges_ds = rd.from_arrow(pa.table({
-            "u": pa.array([u for u, _ in contracted], pa.string()),
-            "v": pa.array([v for _, v in contracted], pa.string()),
-        }))
-        star = connected_components(edges_ds, cfg.cluster)
-        label_map = {r["u"]: r["v"] for r in star.take_all()}
-    metrics["merged_labels"] = len(label_map)
+    contracted_edges = edges.map_batches(contract, batch_format="pandas")
+    star = connected_components(contracted_edges, cfg.cluster) \
+        .materialize()
+    metrics["merged_labels"] = star.count()
 
     # --- relabel old clusters + label new urls -----------------------------
-    old_cluster_ids = set(old_map.values())
-    cluster_relabel = {u: v for u, v in label_map.items()
-                       if u in old_cluster_ids}
-    relabel_ref = ray.put(cluster_relabel)
+    # star nodes are exactly {old cluster ids, new urls}; base cluster
+    # ids never equal new urls (urls are unique across base and delta),
+    # so the full star label lookup is equivalent to the old
+    # restricted-to-old-cluster-ids dict
+    lab_h, lab_v = _lookup_task.remote("u", "v", *star.to_arrow_refs())
 
     def relabel(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(relabel_ref)
-        if m:
-            df = df.copy()
-            df["cluster_id"] = df["cluster_id"].map(lambda c: m.get(c, c))
-        return df
+        out = df.copy()
+        out["cluster_id"] = _apply_lookup(
+            lab_h, lab_v, df["cluster_id"].to_numpy(dtype=object))
+        return out
 
     old_updated = base_assignments.map_batches(relabel,
                                                batch_format="pandas")
 
-    label_ref = ray.put(label_map)
-
     def label_new(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(label_ref)
+        urls = df["url"].to_numpy(dtype=object)
         return pd.DataFrame({
-            "url": df["url"].to_numpy(),
-            "cluster_id": df["url"].map(lambda u: m.get(u, u)).to_numpy(),
+            "url": urls,
+            "cluster_id": _apply_lookup(lab_h, lab_v, urls),
         })
 
     new_assign = delta_feat.select_columns(["url"]).map_batches(

@@ -1332,28 +1332,23 @@ WHERE smin / (na.s + nb.s - smin) >= 0.5
 
 def q_icws_pairs(sf_dir: str):
     """ICWS weighted-MinHash near-dup pairs (Ioffe 2010,
-    stages/sketch.py::icws_signatures): probe-set docs whose
-    64-sample signature agreement estimates weighted Jaccard ≥ 0.5.
-    Rows-only (the sketch is randomized-by-hash, not
-    SQL-expressible); estimator accuracy vs the exact
-    weighted_jaccard query is pinned in tests."""
-    from ...stages.sketch import icws_signatures
+    stages/sketch.py::icws_signatures): docs whose 64-sample signature
+    agreement estimates weighted Jaccard ≥ 0.5, generated end-to-end
+    through the DISTRIBUTED banded pair machinery (round-4: r=1 band
+    rows -> bucketed co-location -> pair-key dedup -> broadcast-lookup
+    verify; signatures never ``.to_pandas()`` to the driver).  Probe
+    set doc_id<40 keeps domain parity with the exact weighted_jaccard
+    baseline the accuracy pin compares against.  Rows-only (the
+    sketch is randomized-by-hash, not SQL-expressible)."""
+    from ...stages.sketch import icws_signatures, signature_agreement_pairs
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
     docs = docs.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], 40)),
         batch_format="pyarrow")
-    sigs = icws_signatures(docs, "doc_id", "text", m=64).to_pandas()
-    ids = sigs["doc_id"].to_numpy(np.int64)
-    mat = np.stack(sigs["sig"].to_numpy())          # (n, m)
-    order = np.argsort(ids, kind="stable")
-    ids, mat = ids[order], mat[order]
-    eq = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
-    iu, ju = np.triu_indices(len(ids), k=1)
-    est = eq[iu, ju]
-    hit = est >= 0.5
-    return pd.DataFrame({"doc_a": ids[iu][hit], "doc_b": ids[ju][hit],
-                         "est_wj": np.round(est[hit], 6)})
+    sigs = icws_signatures(docs, "doc_id", "text", m=64)
+    return signature_agreement_pairs(sigs, "doc_id", "sig",
+                                     threshold=0.5)
 
 
 def q_cdc_chunks(sf_dir: str):

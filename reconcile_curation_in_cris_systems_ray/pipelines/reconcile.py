@@ -178,7 +178,12 @@ def run_reconcile(corpus_ds, cfg: ReconcileConfig = ReconcileConfig(),
     # metrics (it was the untimed 40-55% of the wall in round-2 bench)
     t_cc = time.time()
     cc_metrics: dict = {}
-    star = connected_components(edges, cfg.cluster, metrics_out=cc_metrics)
+    # with a checkpoint root, every CC contraction round + the final
+    # union-find star become resumable stages of their own (round-4:
+    # a crash mid-closure no longer restarts the whole fixpoint)
+    star = connected_components(edges, cfg.cluster, metrics_out=cc_metrics,
+                                ckpt=ckpt if checkpoint_root else None,
+                                fp_base=fingerprint(fp_sc, "cc"))
     ckpt.lineage.append({
         "stage": "score+components", "fingerprint": fp_sc, "rows": None,
         "wall_sec": round(time.time() - t_cc, 3), "resumed": False,

@@ -195,7 +195,8 @@ def _driver_finish(edges_ds, metrics_out: dict | None = None):
 
 
 def connected_components(edges_ds, cfg: ClusterConfig = ClusterConfig(),
-                         metrics_out: dict | None = None):
+                         metrics_out: dict | None = None,
+                         ckpt=None, fp_base: str | None = None):
     """Edges (u, v: string) -> star edges (u=node, v=component min url).
 
     Input may be in any orientation; self-loops are dropped.  Returns a
@@ -209,6 +210,16 @@ def connected_components(edges_ds, cfg: ClusterConfig = ClusterConfig(),
     each contraction round shrinks edges toward (#nodes - #components)
     so multi-billion-edge inputs still converge distributed.
 
+    Checkpointed resume (round-4): pass a
+    :class:`..state.manifest.CheckpointManager` (with a root) plus
+    ``fp_base`` and EVERY contraction round becomes a resumable stage
+    (``cc_round_<i>`` Parquet + manifest, fingerprint chained off the
+    previous round) and the union-find finish a final ``cc_star``
+    stage — a crash mid-closure resumes at the first incomplete round
+    instead of restarting the whole fixpoint.  Convergence stats are
+    recomputed from the resumed Parquet (one narrow pass), so resumed
+    and fresh runs take identical branch decisions.
+
     ``metrics_out`` (optional dict) receives sub-stage walls: the
     edge-materialize wall (which, when the upstream scored dataset
     streams, includes the whole hydrate+score execution), round count,
@@ -217,21 +228,42 @@ def connected_components(edges_ds, cfg: ClusterConfig = ClusterConfig(),
     import time as _time
 
     t0 = _time.time()
+    checkpointing = ckpt is not None and getattr(ckpt, "root", None)
     edges = edges_ds.select_columns(["u", "v"]).materialize()
     if metrics_out is not None:
         metrics_out["edges_materialize_sec"] = round(_time.time() - t0, 3)
         metrics_out["input_edges"] = edges.count()
+    from ..state.manifest import fingerprint as _fp
+
+    fp_prev = _fp(fp_base or "cc", _fp(cfg))
     prev = (-1, -1)
     for round_no in range(cfg.max_rounds):
         if edges.count() <= cfg.driver_finish_edges:
             t1 = _time.time()
-            out = _driver_finish(edges, metrics_out=metrics_out).materialize()
+            if checkpointing:
+                out = ckpt.run_stage(
+                    "cc_star", _fp(fp_prev, "star"),
+                    lambda: _driver_finish(edges,
+                                           metrics_out=metrics_out))
+            else:
+                out = _driver_finish(edges,
+                                     metrics_out=metrics_out).materialize()
             if metrics_out is not None:
                 metrics_out["rounds"] = round_no
                 metrics_out["driver_finish_sec"] = round(_time.time() - t1, 3)
             return out
-        edges = _large_star(edges, cfg.num_buckets).materialize()
-        edges = _small_star(edges, cfg.num_buckets).materialize()
+        fp_round = _fp(fp_prev, "round", round_no)
+        if checkpointing:
+            # one resumable stage per round: large-star + small-star
+            # fused into the stage body; a matching manifest skips both
+            edges = ckpt.run_stage(
+                f"cc_round_{round_no}", fp_round,
+                lambda e=edges: _small_star(
+                    _large_star(e, cfg.num_buckets), cfg.num_buckets))
+        else:
+            edges = _large_star(edges, cfg.num_buckets).materialize()
+            edges = _small_star(edges, cfg.num_buckets).materialize()
+        fp_prev = fp_round
         stats = _edge_stats(edges)
         logger.info("cc round %d: %d edges (checksum %d)",
                     round_no, stats[0], stats[1])

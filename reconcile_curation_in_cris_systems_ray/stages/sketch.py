@@ -828,3 +828,132 @@ def icws_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     """Unbiased weighted-Jaccard estimate: fraction of agreeing
     samples."""
     return float(np.mean(np.asarray(sig_a) == np.asarray(sig_b)))
+
+
+def signature_agreement_pairs(sigs_ds, id_col: str = "doc_id",
+                              sig_col: str = "sig", threshold: float = 0.5,
+                              num_buckets: int = 64):
+    """Distributed pair generation over per-position signatures
+    (round-4: replaces the former driver-side all-pairs compare in
+    ``icws_pairs``): emit all id pairs whose signatures agree on at
+    least ``threshold`` of their m positions, with the exact agreement
+    fraction attached.
+
+    Shape (the banded-LSH machinery at r=1): each (position k, sample
+    value) becomes one band row ``(bh = mix(k, sample), id)``; pairs
+    sharing >= 1 band co-locate in one bucketed shuffle, dedup in a
+    second (pair-keyed, ~2 orders smaller) exchange, and verify
+    against a broadcast (sorted-id, signature-matrix) lookup built in
+    ONE remote task from the dataset's own blocks — signatures never
+    touch the driver.  r=1 makes candidate recall EXACT for any
+    threshold >= 1/m: a qualifying pair agrees on >= ceil(threshold*m)
+    >= 1 positions, so it must share a band.  Partitioning assumption:
+    group sizes are bounded by how many docs share one (k, sample)
+    value — a corpus-wide identical boilerplate token can make a hot
+    band, in which case the quadratic output IS the answer; above the
+    2M-row broadcast ceiling swap the verify lookup for the two-sided
+    hash-join hydration (``scoring.hydrate_pairs`` pattern).
+    """
+    import pyarrow as pa
+    import ray
+
+    from .shuffle import bucketed_map_groups
+
+    sigs = sigs_ds.materialize()
+
+    def _mat(tbl: "pa.Table") -> np.ndarray:
+        col = tbl.column(sig_col)
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        return flat.reshape(len(arr), -1).astype(np.int64)
+
+    def explode(tbl: pa.Table) -> pd.DataFrame:
+        mat = _mat(tbl)
+        n, m = mat.shape
+        k = np.tile(np.arange(m, dtype=np.uint64), n)
+        vals = mat.astype(np.uint64).ravel()
+        bh = (vals * np.uint64(0x9E3779B97F4A7C15)
+              + (k + np.uint64(1)) * np.uint64(0xC2B2AE3D27D4EB4F))
+        ids = np.repeat(
+            tbl.column(id_col).to_numpy(zero_copy_only=False), m)
+        return pd.DataFrame({"bh": bh.view(np.int64), "id": ids})
+
+    band = sigs.map_batches(explode, batch_format="pyarrow")
+
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        bh = df["bh"].to_numpy(np.int64)
+        order = np.argsort(bh, kind="stable")
+        h2 = bh[order]
+        ids = df["id"].to_numpy()[order]
+        new = np.empty(len(h2), dtype=bool)
+        if len(h2):
+            new[0] = True
+            new[1:] = h2[1:] != h2[:-1]
+        counts = np.diff(np.append(np.flatnonzero(new), len(h2)))
+        starts = np.append(0, np.cumsum(counts))[:-1]
+        out_a, out_b = [], []
+        for mval in np.unique(counts):
+            if mval < 2:
+                continue
+            g_idx = np.flatnonzero(counts == mval)
+            ti, tj = np.triu_indices(int(mval), k=1)
+            base = starts[g_idx]
+            gi = (base[:, None] + ti[None, :]).ravel()
+            gj = (base[:, None] + tj[None, :]).ravel()
+            a, b = ids[gi], ids[gj]
+            keep = a != b
+            a, b = a[keep], b[keep]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return (pd.DataFrame({"id_a": np.concatenate(out_a),
+                              "id_b": np.concatenate(out_b)})
+                .drop_duplicates())
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    cand = bucketed_map_groups(band, ["bh"], pairgen, num_buckets,
+                               empty_like=empty)
+    cand = bucketed_map_groups(
+        cand, ["id_a", "id_b"],
+        lambda d: d.drop_duplicates(["id_a", "id_b"]),
+        num_buckets, empty_like=empty)
+
+    def _build_lookup(*blocks):
+        # schema-less 0-row blocks (Ray's groupby/normalize artifact)
+        # carry neither column — skip them
+        good = [b.select([id_col, sig_col]) for b in blocks
+                if id_col in b.schema.names and b.num_rows]
+        if not good:
+            return (np.empty(0, dtype=np.int64),
+                    np.empty((0, 1), dtype=np.int64))
+        tbl = pa.concat_tables(good).combine_chunks()
+        ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _mat(tbl)
+        order = np.argsort(ids, kind="mergesort")
+        return np.ascontiguousarray(ids[order]), \
+            np.ascontiguousarray(mat[order])
+
+    ids_ref, mat_ref = ray.remote(num_returns=2)(_build_lookup).remote(
+        *sigs.to_arrow_refs())
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)
+        mat = ray.get(mat_ref)
+        if df.empty or not len(ids):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "est_wj": pd.Series([], dtype="float64")})
+        ia = np.searchsorted(ids, df["id_a"].to_numpy())
+        ib = np.searchsorted(ids, df["id_b"].to_numpy())
+        est = (mat[ia] == mat[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({
+            "doc_a": df["id_a"].to_numpy()[keep],
+            "doc_b": df["id_b"].to_numpy()[keep],
+            "est_wj": np.round(est[keep], 6)})
+
+    return cand.map_batches(verify, batch_format="pandas")

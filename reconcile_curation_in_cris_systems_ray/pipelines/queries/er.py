@@ -398,12 +398,16 @@ def q_fs_score(sf_dir: str):
 
 
 def q_fs_em(sf_dir: str):
-    """EM estimation of Fellegi-Sunter m/u/λ over the fs_score
-    candidate pairs: one distributed pattern-histogram pass, then EM on
-    the 2^3-row pattern table driver-side (Winkler 1988).  Rows-only
-    driver check (EM is not SQL-expressible);
-    tests/test_stages.py::test_fs_em_* pin pattern-EM == row-EM and
-    parameter recovery on planted data."""
+    """Fellegi-Sunter EM over the candidate pairs — now ORACLED on its
+    sufficient statistic (round-4): the distributed agreement-pattern
+    histogram (the ONE data pass; 10^12 pairs reduce to ≤ 2^3 rows) is
+    SQL-exact because the pair gate runs DuckDB's own
+    ``jaro_winkler_similarity`` kernel, so the returned table is the
+    decoded (ind_name, ind_nation, ind_seg, n_pairs) histogram.  The
+    EM iteration itself (not SQL-expressible) still runs on that
+    histogram and stays pinned by tests/test_stages.py::test_fs_em_*
+    (pattern-EM == row-EM, parameter recovery, λ sanity asserted
+    here)."""
     import ray
 
     from ...stages.scoring import BroadcastAttrPairJoin, fs_em
@@ -426,13 +430,30 @@ def q_fs_em(sf_dir: str):
         BroadcastAttrPairJoin,
         fn_constructor_kwargs={"rhs_ref": rhs_ref, "gate": 0.9},
         batch_format="pyarrow", concurrency=(1, 4))
-    params, _ = fs_em(pairs, ["ind_name", "ind_nation", "ind_seg"])
-    out = {"n_pairs": [params["n_pairs"]],
-           "lambda": [round(params["lambda_"], 6)]}
-    for i, f in enumerate(["name", "nation", "seg"]):
-        out[f"m_{f}"] = [round(float(params["m"][i]), 6)]
-        out[f"u_{f}"] = [round(float(params["u"][i]), 6)]
-    return pd.DataFrame(out)
+    params, patterns = fs_em(pairs, ["ind_name", "ind_nation", "ind_seg"])
+    assert 0.0 <= params["lambda_"] <= 1.0  # EM ran on the histogram
+    pid = patterns["pattern"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "ind_name": (pid & 1).astype(bool),
+        "ind_nation": ((pid >> 1) & 1).astype(bool),
+        "ind_seg": ((pid >> 2) & 1).astype(bool),
+        "n_pairs": patterns["n"].to_numpy(np.int64),
+    })
+
+
+SQL_FS_EM = """
+WITH cust AS (
+  SELECT c_name AS name, c_nationkey AS nation, c_mktsegment AS seg
+  FROM customer WHERE c_custkey < 150)
+SELECT (jaro_winkler_similarity(l.name, r.name) >= 0.97) AS ind_name,
+       (l.nation = r.nation) AS ind_nation,
+       (l.seg = r.seg) AS ind_seg,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cust l, cust r
+WHERE l.name < r.name
+  AND jaro_winkler_similarity(l.name, r.name) >= 0.9
+GROUP BY 1, 2, 3
+"""
 
 
 def q_soundex_block(sf_dir: str):

@@ -247,12 +247,45 @@ def q_kcore(sf_dir: str):
     every surviving node keeps undirected degree >= 2
     (stages/graph.py::kcore — per-round combiner degrees + broadcast
     sub-k set, edges materialized once and filtered map-side, never
-    re-shuffled).  Rows-only driver check; peeling is pinned against
-    a single-node reference in pytest."""
+    re-shuffled).  ORACLED (round-4, upgraded from rows-only): the
+    peeling rounds unroll as chained degree/filter CTEs — the
+    pagerank/label_prop unrolling discipline; the fixture converges in
+    4 rounds at every test scale and the oracle unrolls 8 (extra
+    rounds are no-ops at the fixpoint).  Peeling additionally pinned
+    against a single-node reference in pytest."""
     from ...stages.graph import kcore
 
     edges, _, _ = _link_graph_inputs(sf_dir)
     return kcore(edges, k=2)
+
+
+def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled peeling: each round recounts undirected degrees and
+    keeps edges whose BOTH endpoints hold degree >= k; converged
+    rounds are no-ops, so any unroll count >= the data's round count
+    is exact.  Every CTE is MATERIALIZED: each is referenced 2-3x by
+    the next round, so inlining (DuckDB's default) would expand to
+    ~3^rounds scans of the base table."""
+    parts = ["und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
+             "greatest(src, dst) AS hi FROM edges)"]
+    prev = "und"
+    for i in range(rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"(SELECT lo AS node FROM {prev} "
+            f"UNION ALL SELECT hi AS node FROM {prev}) GROUP BY 1)")
+        if i < rounds:
+            parts.append(
+                f"e{i + 1} AS MATERIALIZED (SELECT lo, hi FROM {prev} "
+                f"WHERE lo IN (SELECT node FROM d{i} WHERE deg >= {k}) "
+                f"AND hi IN (SELECT node FROM d{i} WHERE deg >= {k}))")
+            prev = f"e{i + 1}"
+    return (f"WITH {_SQL_EDGES_CTE}, " + ",\n".join(parts)
+            + f"\nSELECT node, CAST(deg AS BIGINT) AS degree "
+              f"FROM d{rounds} WHERE deg >= {k}")
+
+
+SQL_KCORE = _kcore_sql(k=2, rounds=8)
 
 
 def q_label_prop(sf_dir: str):

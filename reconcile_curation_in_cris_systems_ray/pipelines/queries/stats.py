@@ -26,13 +26,64 @@ from ._shared import _md5_lower64, _rp
 
 def q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate COUNT DISTINCT (combiner pattern: one
-    16 KiB sketch per batch, no shuffle).  Rows-only check — the
-    estimate is pinned within 2% of exact by tests/test_sketch.py."""
+    16 KiB sketch per batch, no shuffle).  ORACLED (round-4, upgraded
+    from rows-only): values hash through DuckDB's own ``hash()``
+    kernel, register ranks use exact integer bit-length on both
+    engines, and the estimator's register sum is exact HUGEINT/big-int
+    arithmetic — so SQL rebuilds the registers and the estimate
+    bit-for-bit.  Accuracy vs exact stays pinned within 2% in
+    tests/test_sketch.py."""
     from ...stages.sketch import hll_count_distinct
 
     ds = _rp(sf_dir, "lineitem", ["l_orderkey"])
-    est = hll_count_distinct(ds, "l_orderkey")
+    est = hll_count_distinct(ds, "l_orderkey", hasher="duckdb")
     return pd.DataFrame({"approx_n_orders": [est]})
+
+
+def _hll_sql(val_expr: str, table: str, p: int, out_col: str,
+             group_col: str | None = None) -> str:
+    """DuckDB twin of stages/sketch.py HLL: identical registers
+    (hash() >> (64-p) index, exact bit-length ranks) and identical
+    estimator float ops (exact HUGEINT register sum, one division)."""
+    m = 1 << p
+    wbits = 64 - p
+    rmax_missing = wbits + 1
+    grp_sel = f"{group_col}, " if group_col else ""
+    grp_by = f"GROUP BY {group_col}" if group_col else ""
+    grp_by_idx = f"GROUP BY {grp_sel}idx" if group_col else "GROUP BY idx"
+    return f"""
+WITH h AS (SELECT {grp_sel}hash({val_expr}) AS hv FROM {table}),
+cells AS (SELECT {grp_sel}CAST(hv >> {wbits} AS BIGINT) AS idx,
+                 CAST(hv & ((1::UBIGINT << {wbits}) - 1) AS BIGINT) AS w
+          FROM h),
+regs AS (SELECT {grp_sel}idx,
+                max(CASE WHEN w > 0 THEN {wbits} - length(bin(w)) + 1
+                    ELSE {rmax_missing} END) AS r
+         FROM cells {grp_by_idx}),
+agg AS (SELECT {grp_sel}max(r) AS rmax, count(*) AS n_present,
+               list(r) AS rs
+        FROM regs {grp_by}),
+s AS (SELECT {grp_sel}rmax, {m} - n_present AS zeros,
+             (SELECT sum(1::HUGEINT << (rmax - x.r))
+              FROM unnest(rs) AS x(r))
+             + CAST({m} - n_present AS HUGEINT) * (1::HUGEINT << rmax)
+             AS s_int
+      FROM agg),
+est AS (SELECT {grp_sel}zeros,
+               ((0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0)
+               * (CAST(1::HUGEINT << rmax AS DOUBLE)
+                  / CAST(s_int AS DOUBLE)) AS e
+        FROM s)
+SELECT {grp_sel}CAST(floor(
+         CASE WHEN e <= 2.5 * {m}.0 AND zeros > 0
+              THEN {m}.0 * ln({m}.0 / zeros) ELSE e END + 0.5)
+       AS BIGINT) AS {out_col}
+FROM est
+"""
+
+
+SQL_APPROX_DISTINCT = _hll_sql("CAST(l_orderkey AS VARCHAR)", "lineitem",
+                               14, "approx_n_orders")
 
 
 def q_outlier_filter(sf_dir: str):
@@ -82,15 +133,21 @@ WHERE abs(e.value - s.med) > 3 * s.mad
 def q_approx_distinct_group(sf_dir: str):
     """Per-event-type approximate distinct users via grouped HLL
     sketches: only bounded 4 KiB registers are shuffled, never the
-    user ids.  Rows-only driver check; accuracy vs the exact grouped
-    distinct pinned within 5% (3 sigma at p=12) in
-    tests/test_sketch.py (the exact
-    shuffle route is the `count_distinct` query)."""
+    user ids.  ORACLED (round-4, upgraded from rows-only) with the
+    same DuckDB-hash + exact-integer-estimator discipline as
+    ``approx_distinct``; accuracy vs the exact grouped distinct stays
+    pinned within 5% in tests/test_sketch.py (the exact shuffle route
+    is the `count_distinct` query)."""
     from ...stages.sketch import hll_per_group
 
     ds = _rp(sf_dir, "events", ["event_type", "user_id"])
     return hll_per_group(ds, ["event_type"], "user_id",
-                         out_col="approx_users")
+                         out_col="approx_users", hasher="duckdb")
+
+
+SQL_APPROX_DISTINCT_GROUP = _hll_sql(
+    "CAST(user_id AS VARCHAR)", "events", 12, "approx_users",
+    group_col="event_type")
 
 
 def q_quantile_sketch_group(sf_dir: str):
@@ -2627,3 +2684,38 @@ def q_huber_location(sf_dir: str):
     ets = sorted(mu)
     return pd.DataFrame({"event_type": np.array(ets, object),
                          "huber_mu": np.round([mu[e] for e in ets], 6)})
+
+
+def _huber_sql(rounds: int = 3, k: float = 1.345) -> str:
+    """DuckDB twin of q_huber_location: same medians (quantile_cont),
+    same IRLS weight formula, ``rounds`` unrolled MATERIALIZED CTEs
+    (each referenced by the next round — inlining would re-scan
+    exponentially).  Float sums may differ from the engine's
+    partial-sum order only in final ulps — absorbed by the 6dp
+    round."""
+    parts = [
+        "med AS MATERIALIZED (SELECT event_type, "
+        "quantile_cont(value, 0.5) AS mu FROM events GROUP BY 1)",
+        "sig AS MATERIALIZED (SELECT e.event_type, "
+        "1.4826 * quantile_cont(abs(e.value - m.mu), 0.5) AS sigma "
+        "FROM events e JOIN med m USING (event_type) "
+        "GROUP BY e.event_type)",
+        "base AS MATERIALIZED (SELECT e.event_type, e.value, s.sigma "
+        "FROM events e JOIN sig s USING (event_type))",
+    ]
+    prev = "med"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"it{i} AS MATERIALIZED (SELECT event_type, "
+            f"sum(w * value) / sum(w) AS mu FROM ("
+            f"SELECT b.event_type, b.value, "
+            f"least(1.0, 1.0 / greatest("
+            f"abs((b.value - p.mu) / ({k} * b.sigma)), 1e-300)) AS w "
+            f"FROM base b JOIN {prev} p USING (event_type)) "
+            f"GROUP BY event_type)")
+        prev = f"it{i}"
+    return (f"WITH {', '.join(parts)} "
+            f"SELECT event_type, round(mu, 6) AS huber_mu FROM {prev}")
+
+
+SQL_HUBER_LOCATION = _huber_sql()

@@ -66,12 +66,14 @@ def _hll_partial(values: np.ndarray, p: int = _HLL_P) -> np.ndarray:
         return regs
     idx = (values >> np.uint64(64 - p)).astype(np.int64)
     w = values & np.uint64((1 << (64 - p)) - 1)
-    # rank = leading-zero count of the (64-p)-bit suffix + 1
-    # bit_length via float log2 is exact for < 2^53 and off-by-one at
-    # worst one ulp above — acceptable inside an approximate sketch
+    # rank = leading-zero count of the (64-p)-bit suffix + 1.
+    # bit_length via frexp is EXACT for w < 2^53 (the suffix is at
+    # most 52 bits for p >= 12) — exactness matters because the SQL
+    # oracle mirrors this with length(bin(w)), which is exact too
     bl = np.zeros(values.size, dtype=np.int64)
     nz = w > 0
-    bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+    _, e = np.frexp(w[nz].astype(np.float64))
+    bl[nz] = e
     rank = ((64 - p) - bl + 1).astype(np.uint8)
     np.maximum.at(regs, idx, rank)
     return regs
@@ -79,36 +81,61 @@ def _hll_partial(values: np.ndarray, p: int = _HLL_P) -> np.ndarray:
 
 def _hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimator with small-range (linear counting)
-    correction."""
+    correction.
+
+    The register sum Σ 2^-r is computed EXACTLY in integer arithmetic
+    (Σ counts[r]·2^(Rmax-r), a Python big int) and converted to float
+    only once — so a SQL twin using HUGEINT mirrors the estimate
+    bit-for-bit (float-summation order no longer matters)."""
     m = float(regs.size)
+    rmax = int(regs.max()) if regs.size else 0
+    counts = np.bincount(regs, minlength=rmax + 1)
+    s_int = sum(int(c) << (rmax - r) for r, c in enumerate(counts) if c)
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
+    # op order mirrored exactly by the SQL oracle: (alpha*m*m) *
+    # (float(2^rmax) / float(S))
+    est = (alpha * m * m) * (float(1 << rmax) / float(s_int))
+    zeros = int(counts[0])
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)
+        est = m * float(np.log(m / zeros))
     return float(est)
 
 
-def hll_count_distinct(ds, col: str, p: int = _HLL_P) -> int:
+def _hash_for(vals: np.ndarray, hasher: str) -> np.ndarray:
+    if hasher == "duckdb":
+        from ..functions.similarity import hash_strings_fast
+
+        return hash_strings_fast(vals)
+    return stable_hash_strings(vals)
+
+
+def hll_count_distinct(ds, col: str, p: int = _HLL_P,
+                       hasher: str = "stable") -> int:
     """Approximate COUNT(DISTINCT col): per-batch HLL partials (no
     shuffle — each batch emits one 2^p-byte register row), max-merged
     on the driver.  ~0.8% std error at p=14; the exact-distinct
-    alternative is a full groupby shuffle of every value."""
+    alternative is a full groupby shuffle of every value.
+
+    ``hasher="duckdb"`` routes values through DuckDB's ``hash()``
+    kernel so a SQL oracle can rebuild the registers (and hence the
+    exact estimate) bit-for-bit; the default pandas hash stays for
+    callers that don't need SQL parity."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[col].astype(str).to_numpy(dtype=object)
-        h = stable_hash_strings(vals)
+        h = _hash_for(vals, hasher)
         return pd.DataFrame({"regs": [_hll_partial(h, p).tobytes()]})
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     merged = np.zeros(1 << p, dtype=np.uint8)
     for b in parts["regs"]:
         np.maximum(merged, np.frombuffer(b, dtype=np.uint8), out=merged)
-    return int(round(_hll_estimate(merged)))
+    return int(np.floor(_hll_estimate(merged) + 0.5))
 
 
 def hll_per_group(ds, keys, col: str, p: int = 12,
-                  out_col: str = "approx_n", num_buckets: int = 64):
+                  out_col: str = "approx_n", num_buckets: int = 64,
+                  hasher: str = "stable"):
     """Per-group approximate COUNT(DISTINCT col) — the 100-TB path for
     high-cardinality grouped distincts: each batch emits one 2^p-byte
     HLL register row per group it contains, then ONE co-location
@@ -126,7 +153,7 @@ def hll_per_group(ds, keys, col: str, p: int = 12,
         out_rows, regs = [], []
         for k, g in df.groupby(keys, sort=False):
             vals = g[col].astype(str).to_numpy(dtype=object)
-            h = stable_hash_strings(vals)
+            h = _hash_for(vals, hasher)
             out_rows.append(k if isinstance(k, tuple) else (k,))
             regs.append(_hll_partial(h, p).tobytes())
         kdf = pd.DataFrame(out_rows, columns=keys) if out_rows else \
@@ -143,7 +170,7 @@ def hll_per_group(ds, keys, col: str, p: int = 12,
             for b in g["regs"]:
                 np.maximum(m, np.frombuffer(b, dtype=np.uint8), out=m)
             kt = k if isinstance(k, tuple) else (k,)
-            rows.append((*kt, int(round(_hll_estimate(m)))))
+            rows.append((*kt, int(np.floor(_hll_estimate(m) + 0.5))))
         if not rows:
             out = pd.DataFrame({k: pd.Series([], dtype="object")
                                 for k in keys})

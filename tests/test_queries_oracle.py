@@ -17,6 +17,12 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    # round-4 oracle upgrades (formerly rows-only)
+    "fs_em",
+    "approx_distinct",
+    "approx_distinct_group",
+    "kcore",
+    "huber_location",
     "novelty_score",
     "woe_iv",
     "token_budget_sample",

@@ -91,9 +91,24 @@ _LATIN_GATE_RE = re.compile("[\\u0000-\\u024f]")
 def normalize_text_series(s: pd.Series) -> pd.Series:
     """Vectorized :func:`normalize_text` over a pandas string Series.
 
-    Nulls stay null. Uses pandas vectorized string kernels; the
-    transliteration branch only runs on rows that pass the Latin gate.
+    Nulls stay null.  Round-4 fast path: rows that are PURE ASCII —
+    the overwhelming majority of a web corpus — run entirely through
+    Arrow C++ kernels (utf8_lower, RE2 replace, trim), creating zero
+    Python string objects; this is bit-identical to the slow path
+    because NFKD + ascii-encode is the identity on ASCII and RE2's
+    ``[^\\w\\s]`` equals Python's over ASCII input (both reduce to
+    ``[A-Za-z0-9_]`` / ``[ \\t\\n\\r\\f\\v]``).  Non-ASCII rows keep
+    the pinned pandas/unicodedata semantics (equivalence pinned in
+    tests/test_textnorm.py).
     """
+    s = s.astype("string")
+    arr = pa.Array.from_pandas(s, type=pa.string())
+    out_arr = normalize_text_array(arr)
+    return pd.Series(out_arr.to_pandas(), index=s.index).astype("string")
+
+
+def _normalize_series_slow(s: pd.Series) -> pd.Series:
+    """The original pandas/unicodedata path (non-ASCII rows only)."""
     s = s.astype("string")
     gate = s.str.contains(_LATIN_LETTER_RE, regex=True, na=False)
     out = s.copy()
@@ -111,9 +126,47 @@ def normalize_text_series(s: pd.Series) -> pd.Series:
 
 
 def normalize_text_array(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Arrow-in/Arrow-out wrapper around :func:`normalize_text_series`."""
-    s = arr.to_pandas()
-    return pa.Array.from_pandas(normalize_text_series(s), type=pa.string())
+    """Arrow-native :func:`normalize_text` (the hot path of the
+    flagship's feature stage — see normalize_text_series docstring for
+    the ASCII-fast-path equivalence argument)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type != pa.string() and arr.type != pa.large_string():
+        arr = arr.cast(pa.string())
+    n = len(arr)
+    if n == 0:
+        return arr
+    ascii_mask = pc.fill_null(pc.string_is_ascii(arr), False)
+    n_ascii = pc.sum(ascii_mask).as_py() or 0
+    if n_ascii == n:
+        fast_in = arr
+    elif n_ascii == 0:
+        s = arr.to_pandas()
+        return pa.Array.from_pandas(_normalize_series_slow(s),
+                                    type=pa.string())
+    else:
+        fast_in = arr.filter(ascii_mask)
+    # pure-ASCII pipeline: three C++ passes, zero Python objects.
+    # \x0b added because RE2's \s omits vertical tab while Python's
+    # includes it — the class must keep every Python-\s char
+    fast = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.utf8_lower(fast_in), pattern="[^\\w\\s\\x0b]",
+            replacement=""))
+    if n_ascii == n:
+        return fast
+    # stitch slow-path rows (non-ASCII or null) back in original order
+    mask_np = ascii_mask.to_numpy(zero_copy_only=False)
+    slow_in = arr.filter(pc.invert(ascii_mask))
+    slow = pa.Array.from_pandas(
+        _normalize_series_slow(slow_in.to_pandas()), type=pa.string())
+    out = np.empty(n, dtype=object)
+    out[mask_np] = fast.to_pandas().to_numpy(dtype=object)
+    out[~mask_np] = slow.to_pandas().to_numpy(dtype=object)
+    return pa.array(out, pa.string())
 
 
 def blocking_key_series(s: pd.Series) -> pd.Series:

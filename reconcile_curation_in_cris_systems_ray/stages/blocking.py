@@ -54,20 +54,34 @@ class SignatureStage:
                                 blocking.minhash_seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pandas()
-        norm = normalize_text_series(
-            texts.str.replace("\n", " ", regex=False)).fillna("")
-        titles = normalize_text_series(
-            texts.str.split("\n").str[0]).fillna("")
-        shingle_sets = batch_shingle_sets(norm, self.cfg.shingle_k)
+        import pyarrow.compute as pc
+
+        from ..functions.textnorm import normalize_text_array
+
+        # Arrow-native text path (round-4): newline flatten, first-line
+        # title, normalization and head slice all run as C++ kernels —
+        # no per-row Python string objects for the corpus-sized columns
+        # (this stage touches every byte of the corpus; it was the
+        # scaling bench's largest single wall).  Output bit-identical
+        # to the former pandas path (pinned in test_stages.py).
+        ta = batch.column(self.text_col)
+        if isinstance(ta, pa.ChunkedArray):
+            ta = ta.combine_chunks()
+        flat = pc.replace_substring(ta, pattern="\n", replacement=" ")
+        norm_arr = pc.fill_null(normalize_text_array(flat), "")
+        title_raw = pc.list_element(
+            pc.split_pattern(pc.fill_null(ta, ""), "\n", max_splits=1), 0)
+        titles_arr = pc.fill_null(normalize_text_array(title_raw), "")
+        shingle_sets = batch_shingle_sets(norm_arr, self.cfg.shingle_k)
         sigs = self.hasher.signatures(shingle_sets)
         sets32 = [np.unique(s.astype(np.uint32)) for s in shingle_sets]
         sig32 = sigs.astype(np.uint32)
         n_sh = np.array([s.size for s in sets32], dtype=np.int64)
         return pa.table({
             "url": batch.column("url"),
-            "title_norm": pa.array(titles, pa.string()),
-            "text_head": pa.array(norm.str[: self.head_chars], pa.string()),
+            "title_norm": titles_arr,
+            "text_head": pc.utf8_slice_codeunits(norm_arr, 0,
+                                                 self.head_chars),
             "n_shingles": pa.array(n_sh),
             # binary (uint32 little-endian bytes) — not list<...> — so the
             # column survives Arrow acero hash joins as a payload field

@@ -214,6 +214,21 @@ def _pairs_cross(urls_a: np.ndarray, bands_a,
           band_id, out_a, out_b)
 
 
+def _dedup_pair_arrays(a: np.ndarray, b: np.ndarray):
+    """Distinct (a, b) pairs via lexsort + adjacent-unique — the
+    numpy-native replacement for pandas drop_duplicates on the pair
+    exchange (no object/index machinery; output sorted by (a, b),
+    which downstream consumers don't depend on)."""
+    if a.size == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a2, b2 = a[order], b[order]
+    keep = np.empty(a2.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])
+    return a2[keep], b2[keep]
+
+
 def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                              scoring: ScoringConfig | None = None,
                              n_rows_hint: int | None = None,
@@ -257,23 +272,56 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         salted = band_ds
         group_cols = ["band_hash"]
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(data):
         """Vectorized across groups: a bucket holds ~1e5 tiny band
         groups, so a per-group Python loop is the bottleneck, not the
         pair math.  Groups are boundary-detected on a lexsort, then all
         groups of equal size m generate their triangle pairs in ONE
-        batched numpy expression."""
+        batched numpy expression.
+
+        Dual-format (round-4): accepts a pandas DataFrame (sort-based
+        groupby path) OR a pa.Table (task-shuffle path, Arrow
+        end-to-end — numeric columns view zero-copy into numpy and the
+        result goes back as an Arrow table, skipping both copies of
+        the former to_pandas/from_pandas round-trip on the pipeline's
+        hottest exchange)."""
+        import pyarrow as pa
+
+        is_tbl = isinstance(data, pa.Table)
+        names = set(data.schema.names) if is_tbl else set(data.columns)
+        n = data.num_rows if is_tbl else len(data)
+
+        def npcol(name, dtype=None):
+            if is_tbl:
+                c = data.column(name)
+                c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) \
+                    else c
+                v = c.to_numpy(zero_copy_only=False)
+            else:
+                v = data[name].to_numpy()
+            if dtype is not None and v.dtype != dtype:
+                # int64<->uint64 reinterpret is a view, not a copy
+                v = v.view(dtype) \
+                    if v.dtype.kind in "iu" and v.dtype.itemsize == 8 \
+                    and np.dtype(dtype).itemsize == 8 else v.astype(dtype)
+            return v
+
         out_a: list[np.ndarray] = []
         out_b: list[np.ndarray] = []
 
-        has_bands = "bands" in df.columns
-        has_bid = "band_id" in df.columns
-        has_salt = "salt_i" in df.columns
+        has_bands = "bands" in names
+        has_bid = "band_id" in names
+        has_salt = "salt_i" in names
         cross_mask = (
-            (df["salt_i"].to_numpy() != df["salt_j"].to_numpy())
-            if has_salt else np.zeros(len(df), dtype=bool))
+            (npcol("salt_i") != npcol("salt_j"))
+            if has_salt else np.zeros(n, dtype=bool))
+        main_mask = None
         if cross_mask.any():
-            for (_, si, _), g in df[cross_mask].groupby(
+            # hot-key cross-salt groups: rare; pandas group iteration
+            # over just the affected subset
+            sub = (data.filter(pa.array(cross_mask)).to_pandas()
+                   if is_tbl else data[cross_mask])
+            for (_, si, _), g in sub.groupby(
                     ["band_hash", "salt_i", "salt_j"], sort=False):
                 urls = g["uh"].to_numpy().astype(np.uint64)
                 bands = _decode_bands(g["bands"]) if has_bands else None
@@ -284,26 +332,39 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                              urls[~ma],
                              bands[~ma] if has_bands else None,
                              bid, out_a, out_b)
-            df = df[~cross_mask]
+            main_mask = ~cross_mask
 
-        if len(df) >= 2:
-            bh = df["band_hash"].to_numpy().astype(np.int64)
-            si = (df["salt_i"].to_numpy().astype(np.int64)
-                  if has_salt else np.zeros(len(df), dtype=np.int64))
+        def masked(v):
+            return v if main_mask is None else v[main_mask]
+
+        n_main = n if main_mask is None else int(main_mask.sum())
+        if n_main >= 2:
+            bh = masked(npcol("band_hash", np.int64))
+            si = (masked(npcol("salt_i")).astype(np.int64)
+                  if has_salt else np.zeros(n_main, dtype=np.int64))
             order = np.lexsort((si, bh))
             h2, s2 = bh[order], si[order]
             # band_id is constant within a band_hash group (the hash
             # mixes it in), so it never splits groups — only min-band
             # emission reads it, positionally
-            b2 = (df["band_id"].to_numpy().astype(np.int64)[order]
+            b2 = (masked(npcol("band_id")).astype(np.int64)[order]
                   if has_bid else np.zeros(len(order), dtype=np.int64))
             new = np.empty(len(order), dtype=bool)
             new[0] = True
             new[1:] = (h2[1:] != h2[:-1]) | (s2[1:] != s2[:-1])
             counts = np.diff(np.append(np.flatnonzero(new), len(order)))
             starts = np.append(0, np.cumsum(counts))[:-1]
-            urls_s = df["uh"].to_numpy().astype(np.uint64)[order]
-            bands_s = _decode_bands(df["bands"])[order] if has_bands else None
+            urls_s = masked(npcol("uh", np.uint64))[order]
+            if has_bands:
+                bcol = (pd.Series(data.column("bands").to_pylist())
+                        if is_tbl else data["bands"])
+                if main_mask is not None:
+                    bcol = bcol[main_mask].reset_index(drop=True) \
+                        if not is_tbl else bcol[pd.Series(main_mask)] \
+                        .reset_index(drop=True)
+                bands_s = _decode_bands(bcol)[order]
+            else:
+                bands_s = None
             for m in np.unique(counts):
                 if m < 2:
                     continue
@@ -335,15 +396,20 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
                     out_b.append(np.where(swap, a, b))
 
         if not out_a:
+            if is_tbl:
+                return pa.table({c: pa.array([], pa.uint64())
+                                 for c in _PAIR_COLS})
             return pd.DataFrame({c: pd.Series([], dtype="uint64")
                                  for c in _PAIR_COLS})
-        out = pd.DataFrame({
-            "uh_a": np.concatenate(out_a).astype(np.uint64),
-            "uh_b": np.concatenate(out_b).astype(np.uint64),
-        })
+        a = np.concatenate(out_a).astype(np.uint64, copy=False)
+        b = np.concatenate(out_b).astype(np.uint64, copy=False)
         # in-bucket dedup removes same-band/same-bucket repeats cheaply;
         # cross-band repeats are removed by the pair-key shuffle below
-        return out.drop_duplicates(_PAIR_COLS)
+        a, b = _dedup_pair_arrays(a, b)
+        if is_tbl:
+            return pa.table({"uh_a": pa.array(a, pa.uint64()),
+                             "uh_b": pa.array(b, pa.uint64())})
+        return pd.DataFrame({"uh_a": a, "uh_b": b})
 
     _empty_pairs = pd.DataFrame({c: pd.Series([], dtype="uint64")
                                  for c in _PAIR_COLS})
@@ -361,9 +427,10 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
     exchange = (bucketed_map_groups_tasks if use_tasks
                 else bucketed_map_groups)
     if use_tasks:
+        # arrow_fn: bucket kernels consume/produce pa.Table directly
         pairs = exchange(salted, group_cols, bucket_pairs,
                          num_buckets=blocking.num_buckets,
-                         empty_like=_empty_pairs)
+                         empty_like=_empty_pairs, arrow_fn=True)
     else:
         pairs = bucketed_map_groups(
             salted, group_cols,
@@ -375,6 +442,21 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(_PAIR_COLS)
+
+    def dedup_arrow(tbl) -> "pa.Table":
+        import pyarrow as pa
+
+        def u64(name):
+            c = tbl.column(name)
+            c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            v = c.to_numpy(zero_copy_only=False)
+            return v.view(np.uint64) \
+                if v.dtype.kind in "iu" and v.dtype.itemsize == 8 \
+                else v.astype(np.uint64)
+
+        a, b = _dedup_pair_arrays(u64("uh_a"), u64("uh_b"))
+        return pa.table({"uh_a": pa.array(a, pa.uint64()),
+                         "uh_b": pa.array(b, pa.uint64())})
 
     # global dedup of cross-band duplicates: a second shuffle, but over
     # pair rows (~2 orders of magnitude fewer than band rows); the
@@ -388,9 +470,9 @@ def generate_candidate_pairs(band_ds, blocking: BlockingConfig,
         # aggregator actor), and the dedup output's block count is the
         # downstream hydrate+score stage's parallelism — shrinking it
         # would cap a 32-CPU score stage at 8 tasks
-        return exchange(pairs, _PAIR_COLS, dedup,
+        return exchange(pairs, _PAIR_COLS, dedup_arrow,
                         num_buckets=blocking.num_buckets,
-                        empty_like=_empty_pairs)
+                        empty_like=_empty_pairs, arrow_fn=True)
     # sort path: aggregator count scales with the EXPECTED PAIR rows,
     # not the band rows — at mid scale each extra sort partition is
     # pure per-actor overhead (~250k pair rows per aggregator, floor 8)

@@ -56,7 +56,11 @@ def add_bucket_column(ds, key_cols: list[str], num_buckets: int):
             if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
                 vals = stable_hash_strings(col.to_pandas().to_numpy(dtype=object))
             else:
-                vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+                vals = col.to_numpy(zero_copy_only=False)
+                # 8-byte int -> uint64 reinterpret view, not a copy
+                vals = vals.view(np.uint64) \
+                    if vals.dtype.kind in "iu" and vals.dtype.itemsize == 8 \
+                    else vals.astype(np.uint64)
             h = h * np.uint64(0x9E3779B97F4A7C15) + vals
         bucket = (h % np.uint64(num_buckets)).astype(np.int32)
         return batch.append_column(BUCKET_COL, pa.array(bucket))
@@ -169,7 +173,11 @@ def _split_block(tbl: pa.Table, key_cols: list[str], nb: int):
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             vals = stable_hash_strings(col.to_pandas().to_numpy(dtype=object))
         else:
-            vals = col.to_numpy(zero_copy_only=False).astype(np.uint64)
+            vals = col.to_numpy(zero_copy_only=False)
+            # 8-byte int -> uint64 reinterpret view, not a copy
+            vals = vals.view(np.uint64) \
+                if vals.dtype.kind in "iu" and vals.dtype.itemsize == 8 \
+                else vals.astype(np.uint64)
         h = h * np.uint64(0x9E3779B97F4A7C15) + vals
     bucket = (h % np.uint64(nb)).astype(np.int64)
     order = np.argsort(bucket, kind="stable")
@@ -180,11 +188,18 @@ def _split_block(tbl: pa.Table, key_cols: list[str], nb: int):
     return out if nb > 1 else out[0]
 
 
-def _merge_bucket(bucket_fn, empty_tbl, *shards) -> pa.Table:
+def _merge_bucket(bucket_fn, empty_tbl, arrow_fn, *shards) -> pa.Table:
     tbls = [s for s in shards if s is not None and s.num_rows]
     if not tbls:
         return empty_tbl if empty_tbl is not None else pa.table({})
-    df = pa.concat_tables(tbls, promote_options="default").to_pandas()
+    big = pa.concat_tables(tbls, promote_options="default")
+    if arrow_fn:
+        # Arrow-native bucket kernel: no pandas round-trip on the
+        # exchange path (round-4 — the two copies the to_pandas /
+        # from_pandas pair cost were pure bus traffic on the hottest
+        # exchange)
+        return bucket_fn(big.combine_chunks())
+    df = big.to_pandas()
     out = bucket_fn(df)
     if len(out) == 0:
         out = out.astype({c: "string" for c in out.columns
@@ -195,7 +210,8 @@ def _merge_bucket(bucket_fn, empty_tbl, *shards) -> pa.Table:
 def bucketed_map_groups_tasks(ds, key_cols: list[str],
                               bucket_fn: Callable[[pd.DataFrame], pd.DataFrame],
                               num_buckets: int = 256,
-                              empty_like: pd.DataFrame | None = None):
+                              empty_like: pd.DataFrame | None = None,
+                              arrow_fn: bool = False):
     """Task-shuffle variant of :func:`bucketed_map_groups`: a classic
     two-stage map/reduce exchange over raw Ray tasks — each input block
     splits into per-bucket Arrow shards (zero-copy slices of one sorted
@@ -230,7 +246,7 @@ def bucketed_map_groups_tasks(ds, key_cols: list[str],
             {c: "string" for c in empty_like.columns
              if empty_like[c].dtype == object})
         anchor_tbl = pa.Table.from_pandas(anchor, preserve_index=False)
-    out_refs = [merge.remote(bucket_fn, anchor_tbl,
+    out_refs = [merge.remote(bucket_fn, anchor_tbl, arrow_fn,
                              *[shard_refs[i][j] for i in range(len(refs))])
                 for j in range(nb)]
     out = rd.from_arrow_refs(out_refs)

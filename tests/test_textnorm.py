@@ -62,3 +62,36 @@ def test_blocking_key():
 def test_tokenize():
     assert tokenize(" a  b\tc ") == ["a", "b", "c"]
     assert tokenize("") == []
+
+
+def test_ascii_fast_path_equals_slow_path_fuzz():
+    """Round-4: the Arrow ASCII fast path must be bit-identical to the
+    original pandas/unicodedata path on every row class — ASCII,
+    accented Latin, CJK, mixed, control chars, empties, nulls."""
+    import numpy as np
+    import pandas as pd
+
+    from reconcile_curation_in_cris_systems_ray.functions.textnorm import (
+        _normalize_series_slow, normalize_text, normalize_text_series,
+    )
+
+    rng = np.random.default_rng(7)
+    pieces = ["Hello, World!", "  padded  ", "café étude", "ØrstedæÆß",
+              "北京 大学", "mix 北京 ascii", "under_score-dash.dot",
+              "a\tb\vc\fd\ne", "", "UPPER lower 123", "naïve-façade",
+              "résumé @#$%^&*()", " łódź ıstanbul", "x\x0by z"]
+    vals = [f"{rng.choice(pieces)} {rng.choice(pieces)}"
+            for _ in range(300)] + pieces + [None]
+    s = pd.Series(vals, dtype=object)
+    fast = normalize_text_series(s)
+    slow = _normalize_series_slow(s)
+    for i in range(len(s)):
+        fa, sl = fast.iloc[i], slow.iloc[i]
+        if pd.isna(sl):
+            assert pd.isna(fa), (i, s.iloc[i])
+        else:
+            assert fa == sl, (i, repr(s.iloc[i]), repr(fa), repr(sl))
+    # scalar function parity on the same classes
+    for v in pieces:
+        assert normalize_text(v) == \
+            normalize_text_series(pd.Series([v])).iloc[0], repr(v)

@@ -2413,3 +2413,173 @@ def q_optimal_assignment(sf_dir: str):
     jw = mat.to_numpy(np.float64)[np.arange(len(ckeys)), cols]
     return pd.DataFrame({"c_custkey": ckeys, "s_suppkey": skeys,
                          "jw": np.round(jw, 6)})
+
+
+def q_qgram_block(sf_dir: str):
+    """Positional q-gram blocking (q=4, the classic fuzzy-blocking
+    scheme robust to typos anywhere in the string — complements
+    soundex_block's phonetic and blocking_key's exact-prefix keys):
+    explode each probe name into its DISTINCT 4-grams (one vectorized
+    slice pass per offset), co-locate by gram in ONE bucketed shuffle,
+    emit in-group pairs, and count distinct shared grams per pair in a
+    second pair-keyed exchange; candidates = pairs sharing >= 6 grams.
+    Scale notes: gram groups are bounded by how many names share a
+    4-gram (stopword-ish grams are the hot keys; the same salting /
+    clique-guard machinery as the band exchange applies above probe
+    scale)."""
+    from ...stages.shuffle import bucketed_map_groups
+
+    Q, THRESH = 4, 6
+    pr = _rp(sf_dir, "part", ["p_partkey", "p_name"]).map_batches(
+        lambda t: t.filter(pc.less(t["p_partkey"], 400)),
+        batch_format="pyarrow")
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        nm = df["p_name"].astype(str).str.lower()
+        ids = df["p_partkey"].to_numpy(np.int64)
+        frames = []
+        max_len = int(nm.str.len().max()) if len(nm) else 0
+        for i in range(max_len - Q + 1):
+            piece = nm.str.slice(i, i + Q)
+            ok = piece.str.len() == Q
+            if ok.any():
+                frames.append(pd.DataFrame({
+                    "id": ids[ok.to_numpy()],
+                    "gram": piece[ok].to_numpy(dtype=object)}))
+        if not frames:
+            return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                                 "gram": pd.Series([], dtype="string")})
+        return pd.concat(frames, ignore_index=True) \
+            .drop_duplicates(["id", "gram"])
+
+    gram_rows = pr.map_batches(grams, batch_format="pandas")
+
+    def pairgen(df: pd.DataFrame) -> pd.DataFrame:
+        outs_a, outs_b = [], []
+        gr = df["gram"].to_numpy(dtype=object)
+        order = np.argsort(gr, kind="stable")
+        g2 = gr[order]
+        ids = df["id"].to_numpy(np.int64)[order]
+        new = np.empty(len(g2), dtype=bool)
+        if len(g2):
+            new[0] = True
+            new[1:] = g2[1:] != g2[:-1]
+        counts = np.diff(np.append(np.flatnonzero(new), len(g2)))
+        starts = np.append(0, np.cumsum(counts))[:-1]
+        for m in np.unique(counts):
+            if m < 2:
+                continue
+            gi = np.flatnonzero(counts == m)
+            ti, tj = np.triu_indices(int(m), k=1)
+            base = starts[gi]
+            ia = (base[:, None] + ti[None, :]).ravel()
+            ib = (base[:, None] + tj[None, :]).ravel()
+            a, b = ids[ia], ids[ib]
+            keep = a != b
+            a, b = a[keep], b[keep]
+            outs_a.append(np.minimum(a, b))
+            outs_b.append(np.maximum(a, b))
+        if not outs_a:
+            return pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                                 "part_b": pd.Series([], dtype="int64")})
+        # per-gram pairs are distinct within a group by construction;
+        # keep duplicates ACROSS grams — the next exchange counts them
+        return pd.DataFrame({"part_a": np.concatenate(outs_a),
+                             "part_b": np.concatenate(outs_b)})
+
+    empty = pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                          "part_b": pd.Series([], dtype="int64")})
+    cand = bucketed_map_groups(gram_rows, ["gram"], pairgen,
+                               num_buckets=32, empty_like=empty)
+
+    def count_shared(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["part_a", "part_b"], sort=False)
+             .size().reset_index(name="shared"))
+        out = g[g["shared"] >= THRESH].copy()
+        out["shared"] = out["shared"].astype(np.int64)
+        return out
+
+    empty2 = pd.DataFrame({"part_a": pd.Series([], dtype="int64"),
+                           "part_b": pd.Series([], dtype="int64"),
+                           "shared": pd.Series([], dtype="int64")})
+    return bucketed_map_groups(cand, ["part_a", "part_b"], count_shared,
+                               num_buckets=32, empty_like=empty2)
+
+
+SQL_QGRAM_BLOCK = """
+WITH pr AS (SELECT p_partkey AS id, lower(p_name) AS nm
+            FROM part WHERE p_partkey < 400),
+g AS (SELECT DISTINCT id, substr(nm, CAST(i AS INT), 4) AS gram
+      FROM pr, unnest(generate_series(1, length(nm) - 3)) AS t(i)),
+pairs AS (SELECT a.id AS part_a, b.id AS part_b,
+                 CAST(count(*) AS BIGINT) AS shared
+          FROM g a JOIN g b USING (gram)
+          WHERE a.id < b.id GROUP BY 1, 2)
+SELECT part_a, part_b, shared FROM pairs WHERE shared >= 6
+"""
+
+
+def q_review_queue(sf_dir: str):
+    """Clerical-review queue (the Fellegi-Sunter 'possible match' band
+    operationalized): candidate pairs from the exact md5-MinHash twin
+    (eq >= 4 of 16 components) ranked MOST-AMBIGUOUS-FIRST — smallest
+    |est - 0.5| — and capped at the reviewer budget (top 40, ties by
+    pair id).  This is the human-in-the-loop surface every production
+    linkage deploys between auto-link and auto-reject thresholds.
+    Distribution: signatures map-only, one blocking shuffle, O(pairs)
+    ambiguity sort + limit (Dataset.sort is the bounded final step —
+    the queue is budget-sized by construction)."""
+    from ...stages.shuffle import bucketed_map_groups
+    from ._shared import _minhash_block_pairs, _minhash_signatures
+
+    k = 16
+    sigs = _minhash_signatures(
+        _rp(sf_dir, "documents", ["doc_id", "text", "source"]), k)
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "est": pd.Series([], dtype="float64"),
+                          "amb": pd.Series([], dtype="float64")})
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("source", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            iu, ju, eq = _minhash_block_pairs(g, k)
+            keep = eq >= 4
+            if not keep.any():
+                continue
+            ids = g["doc_id"].to_numpy(dtype=np.int64)
+            est = np.round(eq[keep] / float(k), 6)
+            parts.append(pd.DataFrame({
+                "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                "est": est, "amb": np.round(np.abs(est - 0.5), 6)}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    cand = bucketed_map_groups(sigs, ["source"], pairs, num_buckets=32,
+                               empty_like=empty)
+    return cand.sort(["amb", "id_a", "id_b"]).limit(40)
+
+
+SQL_REVIEW_QUEUE = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+'))) AS tok
+  FROM documents),
+s AS (SELECT unnest(range(16)) AS seed),
+m AS (SELECT doc_id, source, seed,
+             min(md5_number_lower(tok || '#' || seed)) AS mh
+      FROM t CROSS JOIN s GROUP BY 1, 2, 3),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             count(*) FILTER (WHERE a.mh = b.mh) AS eq
+      FROM m a JOIN m b ON b.source = a.source AND b.seed = a.seed
+                        AND b.doc_id > a.doc_id
+      GROUP BY 1, 2)
+SELECT id_a, id_b, round(eq / 16.0, 6) AS est,
+       round(abs(round(eq / 16.0, 6) - 0.5), 6) AS amb
+FROM p WHERE eq >= 4
+ORDER BY amb, id_a, id_b LIMIT 40
+"""

@@ -93,6 +93,49 @@ r{t} AS (
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_katz_centrality(sf_dir: str):
+    """Katz centrality (5 truncated path-count iterations, alpha=0.1,
+    beta=1) over the hash-derived link graph — the prestige measure
+    that, unlike PageRank, gives hubs full (not degree-normalized)
+    influence (stages/graph.py::katz_centrality, pagerank broadcast
+    contract).  Oracle unrolls the iterations as chained CTEs; rounded
+    to 8 decimals on both sides (the pagerank rounding discipline —
+    only groupby-sum reduction order differs)."""
+    from ...stages.graph import katz_centrality
+
+    edges, nodes, _n = _link_graph_inputs(sf_dir)
+    ranks = katz_centrality(edges, nodes, n_iter=5, alpha=0.1, beta=1.0)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["node"]].copy()
+        out["katz"] = df["katz"].to_numpy(np.float64).round(8)
+        return out
+
+    return ranks.map_batches(finish, batch_format="pandas")
+
+
+def _katz_sql(n_iter: int = 5, alpha: float = 0.1,
+              beta: float = 1.0) -> str:
+    """Unrolled Katz iteration matching stages/graph.katz_centrality
+    (MATERIALIZED: each x{t} is referenced by the next round)."""
+    parts = [f"""WITH {_SQL_EDGES_CTE},
+nodes AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+x0 AS MATERIALIZED (SELECT node, {beta} AS x FROM nodes)"""]
+    for t in range(1, n_iter + 1):
+        parts.append(f"""
+x{t} AS MATERIALIZED (
+  SELECT nd.node, {beta} + {alpha} * coalesce(s.contrib, 0) AS x
+  FROM nodes nd
+  LEFT JOIN (SELECT e.dst AS node, sum(r.x) AS contrib
+             FROM edges e JOIN x{t - 1} r ON r.node = e.src
+             GROUP BY e.dst) s ON s.node = nd.node)""")
+    return (",".join(parts)
+            + f"\nSELECT node, round(x, 8) AS katz FROM x{n_iter}")
+
+
+SQL_KATZ_CENTRALITY = _katz_sql()
+
+
 def q_triangle_count(sf_dir: str):
     """Exact global triangle count over the hash-derived link graph:
     canonical-undirected distinct edges, then the wedge-close plan (two

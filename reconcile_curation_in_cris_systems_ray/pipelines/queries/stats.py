@@ -2719,3 +2719,54 @@ def _huber_sql(rounds: int = 3, k: float = 1.345) -> str:
 
 
 SQL_HUBER_LOCATION = _huber_sql()
+
+
+def q_theil_sen(sf_dir: str):
+    """Theil-Sen robust trend slope per event type (median of all
+    pairwise slopes — 29% breakdown point, the robust counterpart of
+    the OLS trend in ols_residuals): bounded probe (user_id < 20),
+    one event-type co-location shuffle, per-group vectorized pairwise
+    slope matrix (value units per HOUR over exact integer-microsecond
+    dt; simultaneous-timestamp pairs excluded), linear-interpolated
+    median.  Scale contract = quantile_agg's: per-group pair count is
+    the documented bound — above it, subsample pairs or switch to the
+    repeated-median variant."""
+    from ...stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_type", "user_id", "ts", "value"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["user_id"], 20)),
+                     batch_format="pyarrow")
+
+    def slopes(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            t = g["ts"].astype("datetime64[us]").astype(np.int64) \
+                .to_numpy()
+            v = g["value"].to_numpy(np.float64)
+            dt = t[None, :] - t[:, None]
+            mask = dt > 0
+            if not mask.any():
+                continue
+            dv = v[None, :] - v[:, None]
+            sl = dv[mask] / (dt[mask] / 3600000000.0)
+            rows.append((et, round(float(np.quantile(sl, 0.5)), 6)))
+        return pd.DataFrame(rows, columns=["event_type", "ts_slope"]) \
+            if rows else pd.DataFrame({
+                "event_type": pd.Series([], dtype="string"),
+                "ts_slope": pd.Series([], dtype="float64")})
+
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype="string"),
+                          "ts_slope": pd.Series([], dtype="float64")})
+    return bucketed_map_groups(ev, ["event_type"], slopes,
+                               num_buckets=16, empty_like=empty)
+
+
+SQL_THEIL_SEN = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t, value AS v
+           FROM events WHERE user_id < 20),
+p AS (SELECT a.event_type,
+             (b.v - a.v) / ((b.t - a.t) / 3600000000.0) AS slope
+      FROM e a JOIN e b ON b.event_type = a.event_type AND b.t > a.t)
+SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS ts_slope
+FROM p GROUP BY 1
+"""

@@ -1931,3 +1931,121 @@ FROM events c JOIN events v
  AND epoch_us(v.ts) >= epoch_us(c.ts) - 7200000000
  AND epoch_us(v.ts) <= epoch_us(c.ts) + 7200000000
 """
+
+
+_ALLEN_LABELS = ["equals", "before", "after", "meets", "met_by",
+                 "overlaps", "overlapped_by", "starts", "started_by",
+                 "during", "contains", "finishes", "finished_by"]
+
+
+def q_allen_relations(sf_dir: str):
+    """Allen interval-algebra census (Allen 1983): classify every
+    same-10-minute-bucket, same-type event-interval pair into the 13 interval
+    relations and count per (event_type, relation) — the temporal-join
+    primitive underlying overlap joins, containment checks and
+    scheduling-conflict detection.  Intervals are
+    [ts, ts + floor(value * 1e6) us] in EXACT integer microseconds
+    (both engines), pairs co-locate on the (event_type, start-bucket)
+    key in one bucketed shuffle, classification is one vectorized
+    np.select ladder (mirrored CASE-for-CASE in the oracle so even
+    degenerate zero-length intervals label identically), counts merge
+    via the combiner."""
+    from ...stages.relational import partial_groupby_agg
+    from ...stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        dur = np.floor(df["value"].to_numpy(np.float64) * 1e6) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].to_numpy(object),
+            "s": t, "e": t + dur,
+            "minute": t // 600_000_000})
+
+    rows = ev.map_batches(prep, batch_format="pandas")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for (et, _), g in df.groupby(["event_type", "minute"],
+                                     sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            g = g.sort_values("event_id", kind="mergesort")
+            s = g["s"].to_numpy()
+            e = g["e"].to_numpy()
+            ia, ib = np.triu_indices(m, k=1)
+            s1, e1, s2, e2 = s[ia], e[ia], s[ib], e[ib]
+            rel = np.select(
+                [
+                    (s1 == s2) & (e1 == e2),
+                    e1 < s2,
+                    e2 < s1,
+                    e1 == s2,
+                    e2 == s1,
+                    (s1 < s2) & (s2 < e1) & (e1 < e2),
+                    (s2 < s1) & (s1 < e2) & (e2 < e1),
+                    (s1 == s2) & (e1 < e2),
+                    (s1 == s2) & (e2 < e1),
+                    (s2 < s1) & (e1 < e2),
+                    (s1 < s2) & (e2 < e1),
+                    (e1 == e2) & (s2 < s1),
+                    (e1 == e2) & (s1 < s2),
+                ],
+                _ALLEN_LABELS, default="other")
+            c = pd.Series(rel).value_counts(sort=False)
+            parts.append(pd.DataFrame({
+                "event_type": et, "relation": c.index.to_numpy(object),
+                "n": c.to_numpy(np.int64)}))
+        if not parts:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype="string"),
+                "relation": pd.Series([], dtype="string"),
+                "n": pd.Series([], dtype="int64")})
+        return pd.concat(parts, ignore_index=True)
+
+    per_bucket = bucketed_map_groups(
+        rows, ["event_type", "minute"], classify, num_buckets=32,
+        empty_like=pd.DataFrame({
+            "event_type": pd.Series([], dtype="string"),
+            "relation": pd.Series([], dtype="string"),
+            "n": pd.Series([], dtype="int64")}))
+    out = partial_groupby_agg(per_bucket, ["event_type", "relation"],
+                              {"n": ("n", "sum")})
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+SQL_ALLEN_RELATIONS = """
+WITH iv AS (
+  SELECT event_id, event_type, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT) AS e,
+         epoch_us(ts) // 600000000 AS minute
+  FROM events),
+p AS (
+  SELECT a.event_type,
+         CASE
+           WHEN a.s = b.s AND a.e = b.e THEN 'equals'
+           WHEN a.e < b.s THEN 'before'
+           WHEN b.e < a.s THEN 'after'
+           WHEN a.e = b.s THEN 'meets'
+           WHEN b.e = a.s THEN 'met_by'
+           WHEN a.s < b.s AND b.s < a.e AND a.e < b.e THEN 'overlaps'
+           WHEN b.s < a.s AND a.s < b.e AND b.e < a.e
+             THEN 'overlapped_by'
+           WHEN a.s = b.s AND a.e < b.e THEN 'starts'
+           WHEN a.s = b.s AND b.e < a.e THEN 'started_by'
+           WHEN b.s < a.s AND a.e < b.e THEN 'during'
+           WHEN a.s < b.s AND b.e < a.e THEN 'contains'
+           WHEN a.e = b.e AND b.s < a.s THEN 'finishes'
+           WHEN a.e = b.e AND a.s < b.s THEN 'finished_by'
+           ELSE 'other' END AS relation
+  FROM iv a JOIN iv b
+    ON b.event_type = a.event_type AND b.minute = a.minute
+   AND b.event_id > a.event_id)
+SELECT event_type, relation, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2
+"""

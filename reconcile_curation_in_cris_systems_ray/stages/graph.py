@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 
 from ..functions.similarity import hash_strings_fast
@@ -1404,3 +1405,55 @@ def pseudo_diameter(edges, max_hops: int = 256) -> pd.DataFrame:
     return pd.DataFrame({"seed": [np.int64(node_min)],
                          "far_node": [np.int64(far2)],
                          "pseudo_diameter": [np.int64(ecc2)]})
+
+
+def katz_centrality(edges, nodes, n_iter: int = 5, alpha: float = 0.1,
+                    beta: float = 1.0):
+    """Katz centrality by truncated path-count iteration (Katz 1953):
+    ``x_t(v) = beta + alpha * Σ_{(u,v) in E} x_{t-1}(u)`` from
+    ``x_0 = beta`` — counts walks into v damped by length, the
+    prestige measure that, unlike PageRank, does not normalize by
+    out-degree (a hub passes its full weight to every target).
+
+    Distribution shape = the pagerank broadcast contract: the O(nodes)
+    state vector ships once per iteration via ``ray.put``; each edge
+    batch emits (dst, contrib) combiner partials; edges are
+    materialized once and streamed per iteration, never re-shuffled.
+    Above the broadcast node ceiling swap the state ship for the
+    hash-join hydration exactly as ``_pagerank_distributed`` does.
+    Returns a Dataset of (node, katz).
+    """
+    from .relational import partial_groupby_agg
+
+    edges = edges.materialize()
+    nd = nodes.materialize().to_pandas()
+    node_idx = pd.Index(nd["node"].to_numpy(np.int64))
+    x = pd.Series(np.full(len(node_idx), float(beta)), index=node_idx)
+
+    for _ in range(n_iter):
+        ref = ray.put(x)
+
+        def contrib_part(df: pd.DataFrame, _r=ref) -> pd.DataFrame:
+            w = ray.get(_r)
+            c = df["src"].map(w).fillna(0.0).to_numpy(np.float64)
+            return (pd.DataFrame({"node": df["dst"].to_numpy(np.int64),
+                                  "contrib": c})
+                    .groupby("node", sort=False, as_index=False)
+                    ["contrib"].sum())
+
+        mapped = edges.map_batches(contrib_part, batch_format="pandas")
+        contribs = partial_groupby_agg(mapped, ["node"],
+                                       {"contrib": ("contrib", "sum")})
+        if len(contribs) == 0:
+            c = pd.Series(0.0, index=node_idx)
+        else:
+            c = (contribs.set_index("node")["contrib"]
+                 .reindex(node_idx).fillna(0.0))
+        x = float(beta) + float(alpha) * c
+
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(node_idx.to_numpy(), pa.int64()),
+        "katz": pa.array(x.to_numpy(np.float64), pa.float64()),
+    }))

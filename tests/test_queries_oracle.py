@@ -17,6 +17,12 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    # round-4 new oracled operators
+    "katz_centrality",
+    "qgram_block",
+    "review_queue",
+    "theil_sen",
+    "allen_relations",
     # round-4 oracle upgrades (formerly rows-only)
     "fs_em",
     "approx_distinct",

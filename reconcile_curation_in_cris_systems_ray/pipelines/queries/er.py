@@ -2583,3 +2583,82 @@ SELECT id_a, id_b, round(eq / 16.0, 6) AS est,
 FROM p WHERE eq >= 4
 ORDER BY amb, id_a, id_b LIMIT 40
 """
+
+
+def q_collective_er(sf_dir: str):
+    """Collective entity resolution, one relational-evidence round
+    (the Bhattacharya-Getoor / Dong-Halevy idea in its simplest exact
+    form): strong matches (md5-MinHash eq >= 8 of 16) form an evidence
+    graph, and a BORDERLINE pair (4 <= eq < 8) is promoted to a match
+    iff its endpoints share a strong common neighbor — match decisions
+    reinforce related decisions instead of being made pairwise in
+    isolation.  Per-source blocking group: pair matrix + one boolean
+    matmul (S @ S) finds all common-neighbor witnesses vectorized; the
+    oracle mirrors it with an EXISTS over the strong adjacency."""
+    from ...stages.shuffle import bucketed_map_groups
+    from ._shared import _minhash_block_pairs, _minhash_signatures
+
+    k = 16
+    sigs = _minhash_signatures(
+        _rp(sf_dir, "documents", ["doc_id", "text", "source"]), k)
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "eq": pd.Series([], dtype="int64"),
+                          "status": pd.Series([], dtype="string")})
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, g in df.groupby("source", sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            g = g.sort_values("doc_id", kind="mergesort")
+            iu, ju, eq = _minhash_block_pairs(g, k)
+            ids = g["doc_id"].to_numpy(np.int64)
+            strong = eq >= 8
+            border = (eq >= 4) & ~strong
+            S = np.zeros((m, m), dtype=bool)
+            S[iu[strong], ju[strong]] = True
+            S |= S.T
+            two_hop = S @ S       # [i,j]: exists common strong neighbor
+            prom = border & two_hop[iu, ju]
+            keep = strong | prom
+            if not keep.any():
+                continue
+            parts.append(pd.DataFrame({
+                "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                "eq": eq[keep],
+                "status": np.where(strong[keep], "match", "promoted")}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return bucketed_map_groups(sigs, ["source"], resolve, num_buckets=32,
+                               empty_like=empty)
+
+
+SQL_COLLECTIVE_ER = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+'))) AS tok
+  FROM documents),
+s AS (SELECT unnest(range(16)) AS seed),
+m AS (SELECT doc_id, source, seed,
+             min(md5_number_lower(tok || '#' || seed)) AS mh
+      FROM t CROSS JOIN s GROUP BY 1, 2, 3),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.source,
+             CAST(count(*) FILTER (WHERE a.mh = b.mh) AS BIGINT) AS eq
+      FROM m a JOIN m b ON b.source = a.source AND b.seed = a.seed
+                        AND b.doc_id > a.doc_id
+      GROUP BY 1, 2, 3),
+strong AS (SELECT id_a, id_b FROM p WHERE eq >= 8),
+adj AS (SELECT id_a AS u, id_b AS v FROM strong
+        UNION ALL SELECT id_b, id_a FROM strong)
+SELECT id_a, id_b, eq, 'match' AS status FROM p WHERE eq >= 8
+UNION ALL
+SELECT b.id_a, b.id_b, b.eq, 'promoted' AS status
+FROM p b
+WHERE b.eq >= 4 AND b.eq < 8
+  AND EXISTS (SELECT 1 FROM adj x JOIN adj y ON y.v = x.v
+              WHERE x.u = b.id_a AND y.u = b.id_b)
+"""

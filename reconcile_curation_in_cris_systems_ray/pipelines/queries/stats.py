@@ -2770,3 +2770,195 @@ p AS (SELECT a.event_type,
 SELECT event_type, round(quantile_cont(slope, 0.5), 6) AS ts_slope
 FROM p GROUP BY 1
 """
+
+
+def q_mann_kendall(sf_dir: str):
+    """Mann-Kendall trend test per event type (the non-parametric
+    companion of theil_sen — same bounded probe, same pair domain:
+    strictly-later timestamps only): S = Σ sign(v_j - v_i), tie-
+    corrected variance, z = (S ∓ 1)/sqrt(var).  One co-location
+    shuffle; pair statistics reduce inside the group (S and the
+    value-tie histogram are the sufficient statistics — at scale the
+    S sum distributes as sorted-rank partials, the documented
+    kendall_tau contract)."""
+    from ...stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_type", "user_id", "ts", "value"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["user_id"], 20)),
+                     batch_format="pyarrow")
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            t = g["ts"].astype("datetime64[us]").astype(np.int64) \
+                .to_numpy()
+            v = g["value"].to_numpy(np.float64)
+            n = len(g)
+            if n < 2:
+                continue
+            dt = t[None, :] - t[:, None]
+            dv = v[None, :] - v[:, None]
+            mask = dt > 0
+            s_stat = int(np.sign(dv[mask]).sum())
+            _, tie_counts = np.unique(v, return_counts=True)
+            ties = tie_counts[tie_counts > 1].astype(np.float64)
+            var = (n * (n - 1) * (2 * n + 5)
+                   - float((ties * (ties - 1) * (2 * ties + 5)).sum())) \
+                / 18.0
+            if s_stat > 0:
+                z = (s_stat - 1) / np.sqrt(var)
+            elif s_stat < 0:
+                z = (s_stat + 1) / np.sqrt(var)
+            else:
+                z = 0.0
+            rows.append((et, s_stat, round(float(z), 6)))
+        return pd.DataFrame(rows, columns=["event_type", "s_stat", "z"]) \
+            if rows else pd.DataFrame({
+                "event_type": pd.Series([], dtype="string"),
+                "s_stat": pd.Series([], dtype="int64"),
+                "z": pd.Series([], dtype="float64")})
+
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype="string"),
+                          "s_stat": pd.Series([], dtype="int64"),
+                          "z": pd.Series([], dtype="float64")})
+    return bucketed_map_groups(ev, ["event_type"], mk,
+                               num_buckets=16, empty_like=empty)
+
+
+SQL_MANN_KENDALL = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t, value AS v
+           FROM events WHERE user_id < 20),
+s AS (SELECT a.event_type,
+             CAST(sum(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat
+      FROM e a JOIN e b ON b.event_type = a.event_type AND b.t > a.t
+      GROUP BY 1),
+n AS (SELECT event_type, count(*) AS n FROM e GROUP BY 1),
+tie AS (SELECT event_type,
+               coalesce(sum(c * (c - 1) * (2 * c + 5.0))
+                        FILTER (WHERE c > 1), 0) AS corr
+        FROM (SELECT event_type, v, count(*) AS c FROM e GROUP BY 1, 2)
+        GROUP BY 1),
+vr AS (SELECT n.event_type,
+              (n.n * (n.n - 1) * (2 * n.n + 5) - tie.corr) / 18.0 AS var
+       FROM n JOIN tie USING (event_type))
+SELECT s.event_type, s.s_stat,
+       round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / sqrt(vr.var)
+                  WHEN s.s_stat < 0 THEN (s.s_stat + 1) / sqrt(vr.var)
+                  ELSE 0.0 END, 6) AS z
+FROM s JOIN vr USING (event_type)
+"""
+
+
+def q_cliffs_delta(sf_dir: str):
+    """Cliff's delta effect size between every ordered pair of event
+    types (the non-parametric Cohen's-d: P(x>y) - P(x<y) over value
+    pairs, bounded probe): per type-pair, delta from sorted-array rank
+    counts (searchsorted — n log n, never the n^2 pair matrix), which
+    equals the exact pairwise definition the oracle computes by cross
+    join.  All probe rows co-locate in ONE group (bounded panel, the
+    documented sequential-close contract for cross-GROUP statistics)."""
+    from ...stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_type", "user_id", "value"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["user_id"], 20)),
+                     batch_format="pyarrow")
+
+    def delta(df: pd.DataFrame) -> pd.DataFrame:
+        groups = {et: np.sort(g["value"].to_numpy(np.float64))
+                  for et, g in df.groupby("event_type", sort=False)}
+        rows = []
+        for ta in sorted(groups):
+            for tb in sorted(groups):
+                if ta >= tb:
+                    continue
+                x, y = groups[ta], groups[tb]
+                # #(x>y) = sum_i #(y < x_i);  #(x<y) = sum_i #(y > x_i)
+                gt = np.searchsorted(y, x, side="left").sum()
+                lt = len(x) * len(y) - np.searchsorted(
+                    y, x, side="right").sum()
+                d = (float(gt) - float(lt)) / (len(x) * len(y))
+                rows.append((ta, tb, round(d, 6)))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "delta"]) \
+            if rows else pd.DataFrame({
+                "type_a": pd.Series([], dtype="string"),
+                "type_b": pd.Series([], dtype="string"),
+                "delta": pd.Series([], dtype="float64")})
+
+    def const(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__g"] = np.int32(0)
+        return out
+
+    empty = pd.DataFrame({"type_a": pd.Series([], dtype="string"),
+                          "type_b": pd.Series([], dtype="string"),
+                          "delta": pd.Series([], dtype="float64")})
+    return bucketed_map_groups(
+        ev.map_batches(const, batch_format="pandas"), ["__g"],
+        lambda d: delta(d.drop(columns=["__g"], errors="ignore")),
+        num_buckets=8, empty_like=empty)
+
+
+SQL_CLIFFS_DELTA = """
+WITH e AS (SELECT event_type, value FROM events WHERE user_id < 20)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round((CAST(count(*) FILTER (WHERE a.value > b.value) AS DOUBLE)
+              - count(*) FILTER (WHERE a.value < b.value))
+             / count(*), 6) AS delta
+FROM e a JOIN e b ON a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def q_hodges_lehmann(sf_dir: str):
+    """Hodges-Lehmann shift estimator between every ordered pair of
+    event types: the MEDIAN of all pairwise differences x_i - y_j —
+    the robust location-shift companion of cliffs_delta, same bounded
+    probe and one-group panel contract; the oracle materializes the
+    cross-join differences and takes quantile_cont."""
+    from ...stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_type", "user_id", "value"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["user_id"], 20)),
+                     batch_format="pyarrow")
+
+    def hl(df: pd.DataFrame) -> pd.DataFrame:
+        groups = {et: g["value"].to_numpy(np.float64)
+                  for et, g in df.groupby("event_type", sort=False)}
+        rows = []
+        for ta in sorted(groups):
+            for tb in sorted(groups):
+                if ta >= tb:
+                    continue
+                diffs = (groups[ta][:, None]
+                         - groups[tb][None, :]).ravel()
+                rows.append((ta, tb,
+                             round(float(np.quantile(diffs, 0.5)), 6)))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "hl_shift"]) \
+            if rows else pd.DataFrame({
+                "type_a": pd.Series([], dtype="string"),
+                "type_b": pd.Series([], dtype="string"),
+                "hl_shift": pd.Series([], dtype="float64")})
+
+    def const(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__g"] = np.int32(0)
+        return out
+
+    empty = pd.DataFrame({"type_a": pd.Series([], dtype="string"),
+                          "type_b": pd.Series([], dtype="string"),
+                          "hl_shift": pd.Series([], dtype="float64")})
+    return bucketed_map_groups(
+        ev.map_batches(const, batch_format="pandas"), ["__g"],
+        lambda d: hl(d.drop(columns=["__g"], errors="ignore")),
+        num_buckets=8, empty_like=empty)
+
+
+SQL_HODGES_LEHMANN = """
+WITH e AS (SELECT event_type, value FROM events WHERE user_id < 20)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       round(quantile_cont(a.value - b.value, 0.5), 6) AS hl_shift
+FROM e a JOIN e b ON a.event_type < b.event_type
+GROUP BY 1, 2
+"""

@@ -23,6 +23,10 @@ PINNED = [
     "review_queue",
     "theil_sen",
     "allen_relations",
+    "mann_kendall",
+    "cliffs_delta",
+    "hodges_lehmann",
+    "collective_er",
     # round-4 oracle upgrades (formerly rows-only)
     "fs_em",
     "approx_distinct",

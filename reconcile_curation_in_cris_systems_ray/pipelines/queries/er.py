@@ -2662,3 +2662,74 @@ WHERE b.eq >= 4 AND b.eq < 8
   AND EXISTS (SELECT 1 FROM adj x JOIN adj y ON y.v = x.v
               WHERE x.u = b.id_a AND y.u = b.id_b)
 """
+
+
+def q_er_pair_features(sf_dir: str):
+    """Splink-style comparison-vector table: every gated candidate
+    pair with its full feature vector — DuckDB's own jaro_winkler
+    kernel (bit-exact oracle twin), integer Levenshtein (exact on any
+    correct implementation), and the per-field agreement indicators
+    the Fellegi-Sunter scorer consumes.  The surface every
+    train-your-own-linkage-model workflow exports."""
+    import ray
+
+    from ...functions.similarity import partial_lev_distance
+    from ...stages.scoring import BroadcastAttrPairJoin
+
+    cust = _rp(sf_dir, "customer",
+               ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]) \
+        .map_batches(lambda t: t.filter(pc.less(t["c_custkey"], 150)),
+                     batch_format="pyarrow")
+
+    def narrow(t: pa.Table) -> pa.Table:
+        return pa.table({"name": t.column("c_name"),
+                         "nation": t.column("c_nationkey"),
+                         "seg": t.column("c_mktsegment")})
+
+    lhs = cust.map_batches(narrow, batch_format="pyarrow").materialize()
+    blocks = [b for b in (ray.get(r) for r in lhs.to_arrow_refs())
+              if b.num_rows]
+    rhs_ref = ray.put(pa.concat_tables(blocks))
+    pairs = lhs.map_batches(
+        BroadcastAttrPairJoin,
+        fn_constructor_kwargs={"rhs_ref": rhs_ref, "gate": 0.9},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def lev_batch(df: pd.DataFrame) -> pd.DataFrame:
+        # full (not windowed) Levenshtein: integer metric, exact on
+        # both engines by definition
+        def lev(a: str, b: str) -> int:
+            if len(a) < len(b):
+                a, b = b, a
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        out = df.copy()
+        out["lev"] = [lev(a, b) for a, b in zip(df["name_a"],
+                                                df["name_b"])]
+        out["lev"] = out["lev"].astype(np.int64)
+        return out
+
+    return pairs.map_batches(lev_batch, batch_format="pandas")
+
+
+SQL_ER_PAIR_FEATURES = """
+WITH cust AS (
+  SELECT c_name AS name, c_nationkey AS nation, c_mktsegment AS seg
+  FROM customer WHERE c_custkey < 150)
+SELECT l.name AS name_a, r.name AS name_b,
+       round(jaro_winkler_similarity(l.name, r.name), 6) AS jw,
+       (jaro_winkler_similarity(l.name, r.name) >= 0.97) AS ind_name,
+       (l.nation = r.nation) AS ind_nation,
+       (l.seg = r.seg) AS ind_seg,
+       CAST(levenshtein(l.name, r.name) AS BIGINT) AS lev
+FROM cust l, cust r
+WHERE l.name < r.name
+  AND jaro_winkler_similarity(l.name, r.name) >= 0.9
+"""

@@ -1375,3 +1375,61 @@ SELECT ap.qid AS query_id,
        round(ap.s / least(rtot.r, 10), 6) AS ap
 FROM ap JOIN rtot ON rtot.cls = ap.qid
 """
+
+
+def q_yannakakis_join(sf_dir: str):
+    """Yannakakis semijoin program for an acyclic 3-way join (nation ⋈
+    customer ⋈ high-value orders): a bottom-up semijoin sweep reduces
+    every relation to the tuples that WILL contribute to the final
+    join before any full join runs — the classical guarantee that
+    intermediate sizes never exceed the output, which at 100 TB is the
+    difference between shuffling the full customer table and shuffling
+    only customers who actually have qualifying orders.  Final
+    aggregate: orders + total spend per nation.  The oracle is the
+    plain 3-way join — semijoin reduction must be result-invariant."""
+    ords = _rp(sf_dir, "orders", ["o_custkey", "o_totalprice"]) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["o_totalprice"], 150000.0)),
+        batch_format="pyarrow")
+    cust = _rp(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _rp(sf_dir, "nation", ["n_nationkey", "n_name"])
+
+    # bottom-up semijoin sweep (reducer pass)
+    cust_red = rel.hash_join(cust, ords, on=["c_custkey"],
+                             right_on=["o_custkey"], how="left_semi")
+    nat_red = rel.hash_join(nat, cust_red, on=["n_nationkey"],
+                            right_on=["c_nationkey"], how="left_semi")
+    # top-down joins over the reduced relations
+    oc = rel.hash_join(ords, cust_red, on=["o_custkey"],
+                       right_on=["c_custkey"])
+    ocn = rel.hash_join(oc, nat_red, on=["c_nationkey"],
+                        right_on=["n_nationkey"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", sort=False).agg(
+            num_orders=("o_totalprice", "size"),
+            total_price=("o_totalprice", "sum")).reset_index()
+        g["num_orders"] = g["num_orders"].astype(np.int64)
+        return g
+
+    out = rel.partial_groupby_agg(
+        ocn.map_batches(lambda t: t.select(["n_name", "o_totalprice"]),
+                        batch_format="pyarrow"),
+        ["n_name"],
+        {"num_orders": ("o_totalprice", "count"),
+         "total_price": ("o_totalprice", "sum")})
+    out["num_orders"] = out["num_orders"].astype(np.int64)
+    out["total_price"] = out["total_price"].round(2)
+    return out
+
+
+SQL_YANNAKAKIS_JOIN = """
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS num_orders,
+       round(sum(o.o_totalprice), 2) AS total_price
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_totalprice > 150000.0
+GROUP BY 1
+"""

@@ -2962,3 +2962,52 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
 FROM e a JOIN e b ON a.event_type < b.event_type
 GROUP BY 1, 2
 """
+
+
+def q_neyman_allocation(sf_dir: str):
+    """Neyman optimal stratified-sampling allocation (the
+    variance-minimizing budget split a curation pipeline uses to
+    decide how many documents to audit per stratum): allocation
+    fraction w_h = N_h·σ_h / Σ N_h·σ_h per event type, σ from the
+    explicit sum/sumsq population formula so both engines share the
+    exact float expression (one combiner pass — count/sum/sumsq are
+    the sufficient statistics; no shuffle of values)."""
+    from ...stages.shuffle import bucketed_map_groups
+
+    ev = _rp(sf_dir, "events", ["event_type", "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        g = df.assign(v=v, v2=v * v).groupby(
+            "event_type", sort=False, as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum"))
+        return g
+
+    parts = rel.partial_groupby_agg(
+        ev.map_batches(moments, batch_format="pandas"),
+        ["event_type"],
+        {"n": ("n", "sum"), "s": ("s", "sum"), "s2": ("s2", "sum")})
+    n = parts["n"].to_numpy(np.float64)
+    s = parts["s"].to_numpy(np.float64)
+    s2 = parts["s2"].to_numpy(np.float64)
+    sigma = np.sqrt((s2 - s * s / n) / n)
+    w = n * sigma
+    w = w / w.sum()
+    out = pd.DataFrame({
+        "event_type": parts["event_type"].to_numpy(object),
+        "stratum_n": parts["n"].to_numpy(np.int64),
+        "alloc_frac": np.round(w, 6)})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_NEYMAN_ALLOCATION = """
+WITH m AS (SELECT event_type, count(*) AS n, sum(value) AS s,
+                  sum(value * value) AS s2
+           FROM events GROUP BY 1),
+w AS (SELECT event_type, n,
+             n * sqrt((s2 - s * s / n) / n) AS nh_sigma
+      FROM m)
+SELECT event_type, CAST(n AS BIGINT) AS stratum_n,
+       round(nh_sigma / (SELECT sum(nh_sigma) FROM w), 6) AS alloc_frac
+FROM w
+"""

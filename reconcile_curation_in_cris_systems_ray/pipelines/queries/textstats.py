@@ -1858,3 +1858,24 @@ SELECT doc_id, qb, rank_in_bucket,
            - 1 AS pos
 FROM r
 """
+
+
+def q_png_dims(sf_dir: str):
+    """ORACLED real-decode check (round-4): every fixture PNG's
+    dimensions are a pure function of doc_id (width 48+(id%7)*8,
+    height 48+(id%5)*8), so SQL predicts them WITHOUT decoding while
+    the engine must actually parse IHDR + inflate + unfilter the real
+    bytes through the pure-stdlib codec to report them — a value-hash
+    gate on the decode path itself, not just its plumbing."""
+    from ...stages.multimodal import decode_media
+
+    out = decode_media(_png_media_ds(sf_dir), backend="png")
+    return out.select_columns(["media_id", "width", "height"])
+
+
+SQL_PNG_DIMS = """
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(48 + (doc_id % 7) * 8 AS INT) AS width,
+       CAST(48 + (doc_id % 5) * 8 AS INT) AS height
+FROM documents
+"""

@@ -27,6 +27,10 @@ PINNED = [
     "cliffs_delta",
     "hodges_lehmann",
     "collective_er",
+    "png_dims",
+    "yannakakis_join",
+    "neyman_allocation",
+    "er_pair_features",
     # round-4 oracle upgrades (formerly rows-only)
     "fs_em",
     "approx_distinct",

@@ -81,15 +81,24 @@ def _delta_features(delta_corpus_ds, cfg: ReconcileConfig):
 NARROW_THRESHOLD = 500_000
 
 
-def _distinct_band_keys(band_ds) -> pd.DataFrame:
-    """Driver-bounded distinct band_hash set of the DELTA (band_hash
-    alone identifies a band group — the band index is mixed in)."""
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        return df[["band_hash"]].drop_duplicates()
+def _build_band_key_set(band_ds):
+    """Sorted distinct band_hash array of the DELTA (band_hash alone
+    identifies a band group — the band index is mixed in), built in ONE
+    remote task from the delta's own materialized blocks.  Round-5: the
+    last driver DataFrame landing in this module is gone; the driver
+    holds only (object ref, count ref) — the same pattern as
+    ``_build_str_lookup`` below."""
+    def build(*blocks):
+        good = [b.select(["band_hash"]) for b in blocks if b.num_rows]
+        if not good:
+            return np.empty(0, dtype=np.int64), 0
+        arr = pa.concat_tables(good).column("band_hash") \
+            .to_numpy(zero_copy_only=False)
+        u = np.unique(arr)  # sorted — searchsorted-ready
+        return np.ascontiguousarray(u, dtype=np.int64), int(len(u))
 
-    return (band_ds.select_columns(["band_hash"])
-            .map_batches(part, batch_format="pandas").to_pandas()
-            .drop_duplicates().reset_index(drop=True))
+    return ray.remote(num_returns=2)(build).remote(
+        *band_ds.to_arrow_refs())
 
 
 def run_incremental(base_features, base_assignments, delta_corpus_ds,
@@ -118,19 +127,20 @@ def run_incremental(base_features, base_assignments, delta_corpus_ds,
     touched_hint = n_delta * cfg.blocking.num_bands * 4
     narrow = touched_hint >= NARROW_THRESHOLD
     delta_bands = emit_band_keys(delta_feat, cfg.blocking,
-                                 include_bands=not narrow)
-    touched_keys = _distinct_band_keys(delta_bands)
-    metrics["touched_bands"] = len(touched_keys)
-    keys_ref = ray.put(touched_keys[["band_hash"]])
+                                 include_bands=not narrow).materialize()
+    keys_ref, n_keys_ref = _build_band_key_set(delta_bands)
+    metrics["touched_bands"] = ray.get(n_keys_ref)
 
     def touched_only(batch: pa.Table) -> pa.Table:
-        # vectorized semi-join against the broadcast delta key table;
-        # emits ARROW so the union with delta_bands stays one block type
+        # vectorized semi-join against the broadcast SORTED delta key
+        # array (searchsorted membership); Arrow filter end-to-end —
+        # no pandas round-trip
         keys = ray.get(keys_ref)
-        kept = batch.to_pandas().merge(keys, on=["band_hash"],
-                                       how="inner")
-        return pa.Table.from_pandas(kept, schema=batch.schema,
-                                    preserve_index=False)
+        if not len(keys) or not batch.num_rows:
+            return batch.slice(0, 0)
+        bh = batch.column("band_hash").to_numpy(zero_copy_only=False)
+        i = np.clip(np.searchsorted(keys, bh), 0, len(keys) - 1)
+        return batch.filter(pa.array(keys[i] == bh))
 
     base_touched = emit_band_keys(base_features, cfg.blocking,
                                   include_bands=not narrow) \
@@ -150,8 +160,8 @@ def run_incremental(base_features, base_assignments, delta_corpus_ds,
                 if "url" in b.schema.names and b.num_rows]
         if not good:
             return np.empty(0, dtype=np.uint64)
-        urls = pa.concat_tables(good).column("url").to_pandas() \
-            .to_numpy(dtype=object)
+        urls = pa.concat_tables(good).column("url") \
+            .to_numpy(zero_copy_only=False).astype(object, copy=False)
         return np.sort(stable_hash_strings(urls))
 
     new_uh = ray.remote(_build_uh).remote(*delta_feat.to_arrow_refs())
@@ -204,9 +214,11 @@ def run_incremental(base_features, base_assignments, delta_corpus_ds,
                     np.empty(0, dtype=object))
         tbl = pa.concat_tables(good).combine_chunks()
         kh = stable_hash_strings(
-            tbl.column(key_col).to_pandas().to_numpy(dtype=object))
+            tbl.column(key_col).to_numpy(zero_copy_only=False)
+            .astype(object, copy=False))
         order = np.argsort(kh, kind="mergesort")
-        vals = tbl.column(val_col).to_pandas().to_numpy(dtype=object)
+        vals = tbl.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(object, copy=False)
         return np.ascontiguousarray(kh[order]), vals[order]
 
     _lookup_task = ray.remote(num_returns=2)(_build_str_lookup)

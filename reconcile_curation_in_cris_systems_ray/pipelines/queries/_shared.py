@@ -145,3 +145,117 @@ def _minhash_block_pairs(g: pd.DataFrame, k: int):
     iu, ju = np.triu_indices(len(g), 1)
     eq = (sig[iu] == sig[ju]).sum(axis=1).astype(np.int64)
     return iu, ju, eq
+
+
+def _expand_source_salts(df: pd.DataFrame,
+                         hot_s: dict) -> pd.DataFrame:
+    """Triangle-salt replication for :func:`_salted_source_pairs`
+    (module-level so the mega-source memory pin can exercise it on a
+    plain frame): rows of sources in ``hot_s`` (source -> s) are
+    replicated s times into triangle groups; all other rows get salt
+    (0, 0) untouched."""
+    s = df["source"].map(hot_s).fillna(1).to_numpy(dtype=np.int64)
+    cold = df[s == 1].copy()
+    cold["salt_i"] = np.int32(0)
+    cold["salt_j"] = np.int32(0)
+    cold["member_salt"] = np.int32(0)
+    hot_df = df[s > 1]
+    if not len(hot_df):
+        return cold
+    sh = s[s > 1]
+    ids = hot_df["doc_id"].to_numpy(np.int64).astype(np.uint64)
+    mine = (((ids * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(33)).astype(np.int64) % sh)
+    # ragged arange: for each hot row, other = 0..s-1
+    rep = np.repeat(np.arange(len(hot_df)), sh)
+    ends = np.cumsum(sh)
+    other = np.arange(int(ends[-1])) - np.repeat(ends - sh, sh)
+    out_hot = hot_df.iloc[rep].copy()
+    mine_r = mine[rep]
+    out_hot["salt_i"] = np.minimum(mine_r, other).astype(np.int32)
+    out_hot["salt_j"] = np.maximum(mine_r, other).astype(np.int32)
+    out_hot["member_salt"] = mine_r.astype(np.int32)
+    return pd.concat([cold, out_hot], ignore_index=True)
+
+
+def _salted_source_pairs(sigs, k: int, cap: int = 1024, min_eq: int = 4,
+                         num_buckets: int = 32):
+    """Every within-source MinHash-signature pair with >= ``min_eq``
+    agreeing components, as ``Dataset[id_a, id_b, eq]`` (id_a < id_b,
+    all int64) — with TRIANGLE SALTING for oversized sources (round-5
+    hardening of the former per-source dense enumeration; the same
+    scheme as the flagship's ``stages/pairs.py``).
+
+    A source with m docs gets ``s = ceil(m / cap)`` salts; each doc
+    takes ``member_salt = mix64(doc_id) % s`` and is replicated into
+    the s triangle groups ``(min(member_salt, t), max(member_salt, t))``
+    for t in 0..s-1, so every cross-salt pair is generated EXACTLY once
+    and no bucket task ever holds more than ~2*cap signatures of one
+    group — per-task memory is flat in the source size (pinned by
+    ``tests/test_salted_pairs.py::test_salted_source_pairs_mega_source``).
+    Sources at or under ``cap`` take the single-group path with zero
+    replication, so the common case pays nothing.
+    """
+    import ray
+
+    from ...stages.shuffle import bucketed_map_groups
+
+    sigs = sigs.materialize()
+    counts = rel.partial_groupby_agg(sigs.select_columns(["source"]),
+                                     ["source"], {"n": (None, "count")})
+    s_map = {src: int(-(-int(n) // cap))
+             for src, n in zip(counts["source"], counts["n"])}
+    salted, group_cols = sigs, ["source"]
+    if s_map and max(s_map.values()) > 1:
+        hot_ref = ray.put({s: v for s, v in s_map.items() if v > 1})
+
+        def expand(df: pd.DataFrame) -> pd.DataFrame:
+            return _expand_source_salts(df, ray.get(hot_ref))
+
+        salted = sigs.map_batches(expand, batch_format="pandas")
+        group_cols = ["source", "salt_i", "salt_j"]
+
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64"),
+                          "eq": pd.Series([], dtype="int64")})
+    mh_cols = [f"mh{s}" for s in range(k)]
+    has_salt = len(group_cols) == 3
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for key, g in df.groupby(group_cols, sort=False):
+            if len(g) < 2:
+                continue
+            if has_salt and key[1] != key[2]:
+                # cross-salt tile: members of salt_i vs members of salt_j
+                ms = g["member_salt"].to_numpy()
+                ga, gb = g[ms == key[1]], g[ms == key[2]]
+                if not len(ga) or not len(gb):
+                    continue
+                sa = ga[mh_cols].to_numpy(np.uint64)
+                sb = gb[mh_cols].to_numpy(np.uint64)
+                eq = ((sa[:, None, :] == sb[None, :, :]).sum(axis=2)
+                      .astype(np.int64))
+                ii, jj = np.nonzero(eq >= min_eq)
+                if not len(ii):
+                    continue
+                ia = ga["doc_id"].to_numpy(np.int64)[ii]
+                ib = gb["doc_id"].to_numpy(np.int64)[jj]
+                parts.append(pd.DataFrame({
+                    "id_a": np.minimum(ia, ib),
+                    "id_b": np.maximum(ia, ib),
+                    "eq": eq[ii, jj]}))
+            else:
+                g = g.sort_values("doc_id", kind="mergesort")
+                iu, ju, eq = _minhash_block_pairs(g, k)
+                keep = eq >= min_eq
+                if not keep.any():
+                    continue
+                ids = g["doc_id"].to_numpy(np.int64)
+                parts.append(pd.DataFrame({
+                    "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                    "eq": eq[keep]}))
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return bucketed_map_groups(salted, group_cols, pairs,
+                               num_buckets=num_buckets, empty_like=empty)

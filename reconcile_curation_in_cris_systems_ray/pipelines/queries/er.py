@@ -2526,41 +2526,26 @@ def q_review_queue(sf_dir: str):
     |est - 0.5| — and capped at the reviewer budget (top 40, ties by
     pair id).  This is the human-in-the-loop surface every production
     linkage deploys between auto-link and auto-reject thresholds.
-    Distribution: signatures map-only, one blocking shuffle, O(pairs)
-    ambiguity sort + limit (Dataset.sort is the bounded final step —
-    the queue is budget-sized by construction)."""
-    from ...stages.shuffle import bucketed_map_groups
-    from ._shared import _minhash_block_pairs, _minhash_signatures
+    Distribution: signatures map-only, one blocking shuffle through the
+    SALTED pair generator (round-5: flat per-task memory even under a
+    mega-source), O(pairs) ambiguity sort + limit (Dataset.sort is the
+    bounded final step — the queue is budget-sized by construction)."""
+    from ._shared import _minhash_signatures, _salted_source_pairs
 
     k = 16
     sigs = _minhash_signatures(
         _rp(sf_dir, "documents", ["doc_id", "text", "source"]), k)
+    cand = _salted_source_pairs(sigs, k, min_eq=4)
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "est": pd.Series([], dtype="float64"),
-                          "amb": pd.Series([], dtype="float64")})
+    def to_queue(df: pd.DataFrame) -> pd.DataFrame:
+        est = np.round(df["eq"].to_numpy(np.int64) / float(k), 6)
+        return pd.DataFrame({
+            "id_a": df["id_a"].to_numpy(np.int64),
+            "id_b": df["id_b"].to_numpy(np.int64),
+            "est": est, "amb": np.round(np.abs(est - 0.5), 6)})
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        parts = []
-        for _, g in df.groupby("source", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values("doc_id", kind="mergesort")
-            iu, ju, eq = _minhash_block_pairs(g, k)
-            keep = eq >= 4
-            if not keep.any():
-                continue
-            ids = g["doc_id"].to_numpy(dtype=np.int64)
-            est = np.round(eq[keep] / float(k), 6)
-            parts.append(pd.DataFrame({
-                "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-                "est": est, "amb": np.round(np.abs(est - 0.5), 6)}))
-        return pd.concat(parts, ignore_index=True) if parts else empty
-
-    cand = bucketed_map_groups(sigs, ["source"], pairs, num_buckets=32,
-                               empty_like=empty)
-    return cand.sort(["amb", "id_a", "id_b"]).limit(40)
+    return (cand.map_batches(to_queue, batch_format="pandas")
+            .sort(["amb", "id_a", "id_b"]).limit(40))
 
 
 SQL_REVIEW_QUEUE = r"""
@@ -2592,48 +2577,61 @@ def q_collective_er(sf_dir: str):
     graph, and a BORDERLINE pair (4 <= eq < 8) is promoted to a match
     iff its endpoints share a strong common neighbor — match decisions
     reinforce related decisions instead of being made pairwise in
-    isolation.  Per-source blocking group: pair matrix + one boolean
-    matmul (S @ S) finds all common-neighbor witnesses vectorized; the
-    oracle mirrors it with an EXISTS over the strong adjacency."""
-    from ...stages.shuffle import bucketed_map_groups
-    from ._shared import _minhash_block_pairs, _minhash_signatures
+    isolation.  Round-5: the per-source dense pair matrix is GONE —
+    candidate pairs come from the salted generator
+    (:func:`_salted_source_pairs`, flat per-task memory even under a
+    mega-source) and the common-strong-neighbor promotion is a
+    distributed WEDGE JOIN over the strong adjacency (border pairs
+    joined to adj on id_a for witnesses, left-semi joined to adj on
+    (id_b, witness)) instead of an in-task boolean matmul; the oracle
+    mirrors it with an EXISTS over the strong adjacency.  Strong edges
+    never cross sources, so joining on bare doc ids is exact."""
+    from ...stages.relational import distinct, hash_join
+    from ._shared import _minhash_signatures, _salted_source_pairs
 
     k = 16
     sigs = _minhash_signatures(
         _rp(sf_dir, "documents", ["doc_id", "text", "source"]), k)
+    cand = _salted_source_pairs(sigs, k, min_eq=4).materialize()
 
-    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                          "id_b": pd.Series([], dtype="int64"),
-                          "eq": pd.Series([], dtype="int64"),
-                          "status": pd.Series([], dtype="string")})
+    def band(lo: int, hi: int | None):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            eq = df["eq"].to_numpy()
+            m = eq >= lo if hi is None else (eq >= lo) & (eq < hi)
+            return df[m]
+        return f
 
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        parts = []
-        for _, g in df.groupby("source", sort=False):
-            m = len(g)
-            if m < 2:
-                continue
-            g = g.sort_values("doc_id", kind="mergesort")
-            iu, ju, eq = _minhash_block_pairs(g, k)
-            ids = g["doc_id"].to_numpy(np.int64)
-            strong = eq >= 8
-            border = (eq >= 4) & ~strong
-            S = np.zeros((m, m), dtype=bool)
-            S[iu[strong], ju[strong]] = True
-            S |= S.T
-            two_hop = S @ S       # [i,j]: exists common strong neighbor
-            prom = border & two_hop[iu, ju]
-            keep = strong | prom
-            if not keep.any():
-                continue
-            parts.append(pd.DataFrame({
-                "id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-                "eq": eq[keep],
-                "status": np.where(strong[keep], "match", "promoted")}))
-        return pd.concat(parts, ignore_index=True) if parts else empty
+    strong = cand.map_batches(band(8, None),
+                              batch_format="pandas").materialize()
 
-    return bucketed_map_groups(sigs, ["source"], resolve, num_buckets=32,
-                               empty_like=empty)
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "u": np.concatenate([df["id_a"].to_numpy(np.int64),
+                                 df["id_b"].to_numpy(np.int64)]),
+            "w": np.concatenate([df["id_b"].to_numpy(np.int64),
+                                 df["id_a"].to_numpy(np.int64)])})
+
+    adj = strong.map_batches(both_dirs, batch_format="pandas") \
+        .materialize()
+
+    border = cand.map_batches(band(4, 8), batch_format="pandas") \
+        .map_batches(lambda df: df.assign(
+            u=df["id_a"].to_numpy(np.int64)), batch_format="pandas")
+    # hop 1: witnesses w adjacent to id_a; hop 2: keep pairs where some
+    # witness is also adjacent to id_b (semi — no multiplicity), then
+    # collapse multiple witnesses per pair
+    wedges = hash_join(border, adj, on=["u"]) \
+        .map_batches(lambda df: df.assign(
+            u=df["id_b"].to_numpy(np.int64)), batch_format="pandas")
+    hits = hash_join(wedges, adj, on=["u", "w"], how="left_semi")
+    promoted = distinct(hits, ["id_a", "id_b", "eq"], num_buckets=32) \
+        .map_batches(lambda df: df.assign(status="promoted"),
+                     batch_format="pandas")
+    matches = strong.map_batches(lambda df: df.assign(status="match"),
+                                 batch_format="pandas")
+    cols = ["id_a", "id_b", "eq", "status"]
+    return matches.select_columns(cols).union(
+        promoted.select_columns(cols))
 
 
 SQL_COLLECTIVE_ER = r"""
@@ -2696,24 +2694,48 @@ def q_er_pair_features(sf_dir: str):
         batch_format="pyarrow", concurrency=(1, 4))
 
     def lev_batch(df: pd.DataFrame) -> pd.DataFrame:
-        # full (not windowed) Levenshtein: integer metric, exact on
-        # both engines by definition
-        def lev(a: str, b: str) -> int:
-            if len(a) < len(b):
-                a, b = b, a
-            prev = list(range(len(b) + 1))
-            for i, ca in enumerate(a, 1):
-                cur = [i]
-                for j, cb in enumerate(b, 1):
-                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                                   prev[j - 1] + (ca != cb)))
-                prev = cur
-            return prev[-1]
-
+        # full (not windowed) Levenshtein, vectorized ACROSS THE PAIR
+        # AXIS (round-5: no per-row Python DP): both name columns are
+        # encoded into padded uint32 codepoint matrices in one buffer
+        # pass, then the classic two-row DP runs as O(La*Lb) numpy
+        # steps, each an O(n_pairs) vector op; each pair's answer is
+        # harvested at DP row i == len_a as the sweep passes it.
+        # Padding never corrupts a harvested cell: D[i][j] depends only
+        # on chars a[:i], b[:j].  Integer metric, exact on both engines
+        # by definition.
         out = df.copy()
-        out["lev"] = [lev(a, b) for a, b in zip(df["name_a"],
-                                                df["name_b"])]
-        out["lev"] = out["lev"].astype(np.int64)
+        n = len(df)
+        if not n:
+            out["lev"] = pd.Series([], dtype="int64")
+            return out
+
+        def enc(col: pd.Series):
+            s = col.astype(str)
+            ln = s.str.len().to_numpy(np.int64)
+            m = int(ln.max())
+            buf = ("".join(s.str.ljust(m, "\x00").tolist())
+                   .encode("utf-32-le"))
+            return np.frombuffer(buf, np.uint32).reshape(n, m), ln
+
+        A, la = enc(df["name_a"])
+        B, lb = enc(df["name_b"])
+        La, Lb = A.shape[1], B.shape[1]
+        res = np.where(la == 0, lb, 0).astype(np.int64)
+        prev = np.broadcast_to(np.arange(Lb + 1, dtype=np.int64),
+                               (n, Lb + 1)).copy()
+        for i in range(1, La + 1):
+            cur = np.empty_like(prev)
+            cur[:, 0] = i
+            sub = prev[:, :-1] + (A[:, i - 1:i] != B)
+            np.minimum(sub, prev[:, 1:] + 1, out=sub)
+            for j in range(1, Lb + 1):
+                np.minimum(sub[:, j - 1], cur[:, j - 1] + 1,
+                           out=cur[:, j])
+            done = la == i
+            if done.any():
+                res[done] = cur[done, lb[done]]
+            prev = cur
+        out["lev"] = res
         return out
 
     return pairs.map_batches(lev_batch, batch_format="pandas")

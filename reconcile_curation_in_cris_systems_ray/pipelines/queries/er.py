@@ -1275,10 +1275,14 @@ def q_greedy_match(sf_dir: str):
     candidates (the oracled minhash_pairs set); matching runs per
     blocking group, which EQUALS the global greedy because candidate
     pairs never cross blocking keys (no shared endpoints between
-    groups — the partitioning assumption, documented).  Rows-only at
-    the driver; the greedy rule is pinned against an independent
-    sequential pass over the oracle-verified global pair list in
-    tests/test_greedy_match.py.
+    groups — the partitioning assumption, documented).  ORACLED
+    (round-5, upgraded from rows-only): the sequential greedy scan is
+    a recursive CTE — each iteration LATERAL-picks the next pair in
+    (eq DESC, id_a, id_b) order whose endpoints are untaken and
+    appends it to the carried taken/picked lists; global greedy equals
+    the per-source result because pairs never cross sources.  The
+    greedy rule is additionally pinned against an independent
+    sequential pass in tests/test_greedy_match.py.
 
     Scale: signatures map-only; one blocking shuffle; per group an
     O(pairs log pairs) sort + one linear scan with boolean
@@ -1324,6 +1328,46 @@ def q_greedy_match(sf_dir: str):
 
     return bucketed_map_groups(sigs, ["source"], match, num_buckets=32,
                                empty_like=empty)
+
+
+SQL_GREEDY_MATCH = r"""
+WITH RECURSIVE
+t AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '[a-z0-9]+'))) AS tok
+  FROM documents),
+s AS (SELECT unnest(range(16)) AS seed),
+m AS (SELECT doc_id, source, seed,
+             min(md5_number_lower(tok || '#' || seed)) AS mh
+      FROM t CROSS JOIN s GROUP BY 1, 2, 3),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(count(*) FILTER (WHERE a.mh = b.mh) AS BIGINT) AS eq
+  FROM m a JOIN m b ON b.source = a.source AND b.seed = a.seed
+                    AND b.doc_id > a.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) FILTER (WHERE a.mh = b.mh) >= 8),
+g AS (
+  SELECT 0 AS it, CAST([] AS BIGINT[]) AS taken,
+         CAST([] AS STRUCT(id_a BIGINT, id_b BIGINT, eq BIGINT)[]) AS picked
+  UNION ALL
+  SELECT g.it + 1,
+         list_append(list_append(g.taken, np.id_a), np.id_b),
+         list_append(g.picked,
+                     {'id_a': np.id_a, 'id_b': np.id_b, 'eq': np.eq})
+  FROM g, LATERAL (
+    SELECT p.id_a, p.id_b, p.eq FROM p
+    WHERE NOT list_contains(g.taken, p.id_a)
+      AND NOT list_contains(g.taken, p.id_b)
+    ORDER BY p.eq DESC, p.id_a, p.id_b LIMIT 1) np
+),
+last AS (SELECT picked FROM g ORDER BY it DESC LIMIT 1)
+SELECT CAST(u['id_a'] AS BIGINT) AS id_a,
+       CAST(u['id_b'] AS BIGINT) AS id_b,
+       CAST(u['eq'] AS BIGINT) AS eq
+FROM (SELECT unnest(picked) AS u FROM last)
+"""
 
 
 def q_band_join(sf_dir: str):
@@ -2183,8 +2227,16 @@ def q_gale_shapley(sf_dir: str):
     assignment.  The preference matrix computes distributed (one
     broadcast DuckDB JW pass, the fuzzy-join kernel); deferred
     acceptance then runs on the bounded panel, like every
-    manifest-scale decision.  Rows-only; pinned against an
-    independent sequential implementation in tests/test_stable.py."""
+    manifest-scale decision.  ORACLED (round-5, upgraded from
+    rows-only): the oracle runs ROUND-BASED deferred acceptance as a
+    recursive CTE — all free proposers propose each round, suppliers
+    keep the best contender by (jw DESC, custkey) window — which
+    yields the identical matching because the proposer-optimal stable
+    matching is independent of proposal order under the strict
+    tie-broken preferences (McVitie-Wilson); jw comes from the same
+    DuckDB kernel on both sides, so comparisons are bit-identical.
+    Additionally pinned against an independent sequential
+    implementation in tests/test_stable.py."""
     import ray
 
     supp = _rp(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
@@ -2248,6 +2300,52 @@ def gale_shapley_panel(pairs: pd.DataFrame) -> list[dict]:
     return [{"s_suppkey": np.int64(s), "c_custkey": np.int64(c),
              "jw": round(jw[(c, s)], 6)}
             for s, c in sorted(held.items())]
+
+
+SQL_GALE_SHAPLEY = r"""
+WITH RECURSIVE
+c AS (SELECT c_custkey AS ck, c_name FROM customer WHERE c_custkey < 30),
+s AS (SELECT s_suppkey AS sk, s_name FROM supplier WHERE s_suppkey < 30),
+jwt AS (SELECT c.ck, s.sk,
+               jaro_winkler_similarity(c.c_name, s.s_name) AS jw
+        FROM c, s),
+pref AS (SELECT ck, sk, jw,
+                row_number() OVER (PARTITION BY ck
+                                   ORDER BY jw DESC, sk) AS rk
+         FROM jwt),
+gs AS (
+  SELECT ck AS cc, 1 AS ptr, CAST(NULL AS BIGINT) AS ms, 0 AS it FROM c
+  UNION ALL
+  SELECT nx.cc, nx.ptr, nx.ms, nx.it FROM (
+    SELECT st.cc,
+           st.ptr + CASE WHEN st.prop_s IS NOT NULL THEN 1 ELSE 0 END
+               AS ptr,
+           CASE WHEN st.cs IS NOT NULL
+                 AND row_number() OVER (PARTITION BY st.cs
+                                        ORDER BY st.cjw DESC, st.cc) = 1
+                THEN st.cs ELSE NULL END AS ms,
+           st.it + 1 AS it,
+           max(CASE WHEN st.prop_s IS NOT NULL THEN 1 ELSE 0 END)
+               OVER () AS any_prop
+    FROM (
+      SELECT p.cc, p.ptr, p.ms, p.it,
+             pr.sk AS prop_s,
+             coalesce(p.ms, pr.sk) AS cs,
+             coalesce(hj.jw, pr.jw) AS cjw
+      FROM gs p
+      LEFT JOIN pref pr ON pr.ck = p.cc AND pr.rk = p.ptr
+                        AND p.ms IS NULL
+      LEFT JOIN jwt hj ON hj.ck = p.cc AND hj.sk = p.ms
+    ) st
+  ) nx WHERE nx.any_prop = 1
+),
+fin AS (SELECT * FROM gs WHERE it = (SELECT max(it) FROM gs))
+SELECT CAST(f.ms AS BIGINT) AS s_suppkey,
+       CAST(f.cc AS BIGINT) AS c_custkey,
+       round(j.jw, 6) AS jw
+FROM fin f JOIN jwt j ON j.ck = f.cc AND j.sk = f.ms
+WHERE f.ms IS NOT NULL
+"""
 
 
 def q_geo_nearest(sf_dir: str):
@@ -2323,8 +2421,15 @@ def q_r_swoosh(sf_dir: str):
     transitive closure).  One blocking co-location shuffle; the
     sequential R-Swoosh loop runs per block (the algorithm is
     inherently order-dependent; the (doc_id) processing order makes
-    it deterministic).  Rows-only; pinned against an independent
-    sequential implementation in tests/test_swoosh.py."""
+    it deterministic).  ORACLED (round-5, upgraded from rows-only):
+    the oracle runs the SAME deterministic small-step state machine as
+    a recursive CTE — per source a row carries (next-record index,
+    current record, ordered profile list as a LIST of structs); each
+    iteration either loads the next record, merges it with the FIRST
+    Jaccard>=0.5 profile (2*|∩| >= |∪| — exact integer arithmetic), or
+    finalizes it; sources step in lockstep until all are done.
+    Additionally pinned against an independent sequential
+    implementation in tests/test_swoosh.py."""
     from ...stages.shuffle import bucketed_map_groups
 
     docs = _rp(sf_dir, "documents", ["doc_id", "source", "text"])
@@ -2364,6 +2469,84 @@ def q_r_swoosh(sf_dir: str):
 
     return bucketed_map_groups(docs, ["source"], swoosh, num_buckets=32,
                                empty_like=empty)
+
+
+SQL_R_SWOOSH = r"""
+WITH RECURSIVE
+rec AS (
+  SELECT source, doc_id,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(coalesce(text, '')), '\s+'),
+           x -> x <> '')) AS toks,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+  FROM documents),
+srcs AS (SELECT DISTINCT source FROM documents),
+sw AS (
+  SELECT source AS src, 1 AS ridx,
+         CAST(NULL AS BIGINT) AS cur_eid,
+         CAST(NULL AS VARCHAR[]) AS cur_toks,
+         CAST(NULL AS BIGINT[]) AS cur_mem,
+         CAST([] AS STRUCT(eid BIGINT, toks VARCHAR[], mem BIGINT[])[])
+             AS profiles,
+         false AS done, 0 AS it
+  FROM srcs
+  UNION ALL
+  SELECT st.src,
+         CASE WHEN st.done THEN st.ridx
+              WHEN NOT st.has_cur AND st.r_doc IS NOT NULL
+                   THEN st.ridx + 1
+              ELSE st.ridx END,
+         CASE WHEN st.done THEN NULL
+              WHEN NOT st.has_cur THEN st.r_doc
+              WHEN st.mi IS NOT NULL
+                   THEN least(st.cur_eid, st.profiles[st.mi]['eid'])
+              ELSE NULL END,
+         CASE WHEN st.done THEN NULL
+              WHEN NOT st.has_cur THEN st.r_toks
+              WHEN st.mi IS NOT NULL
+                   THEN list_distinct(list_concat(
+                            st.cur_toks, st.profiles[st.mi]['toks']))
+              ELSE NULL END,
+         CASE WHEN st.done THEN NULL
+              WHEN NOT st.has_cur THEN
+                   CASE WHEN st.r_doc IS NOT NULL THEN [st.r_doc] END
+              WHEN st.mi IS NOT NULL
+                   THEN list_concat(st.cur_mem, st.profiles[st.mi]['mem'])
+              ELSE NULL END,
+         CASE WHEN st.done OR NOT st.has_cur THEN st.profiles
+              WHEN st.mi IS NOT NULL
+                   THEN list_filter(st.profiles, (pr, i) -> i != st.mi)
+              ELSE list_append(st.profiles,
+                       {'eid': st.cur_eid, 'toks': st.cur_toks,
+                        'mem': st.cur_mem}) END,
+         CASE WHEN st.done THEN true
+              WHEN NOT st.has_cur AND st.r_doc IS NULL THEN true
+              ELSE false END,
+         st.it + 1
+  FROM (
+    SELECT p.*, r.doc_id AS r_doc, r.toks AS r_toks,
+           (p.cur_eid IS NOT NULL) AS has_cur,
+           CASE WHEN p.cur_eid IS NOT NULL THEN
+             list_min(list_filter(list_transform(p.profiles,
+               (pr, i) -> CASE WHEN
+                   len(list_distinct(list_concat(pr.toks, p.cur_toks))) > 0
+                   AND 2 * len(list_intersect(pr.toks, p.cur_toks)) >=
+                       len(list_distinct(list_concat(pr.toks, p.cur_toks)))
+                 THEN i END), x -> x IS NOT NULL))
+           END AS mi,
+           max(CASE WHEN p.done THEN 0 ELSE 1 END) OVER () AS any_active
+    FROM sw p
+    LEFT JOIN rec r ON r.source = p.src AND r.rk = p.ridx
+                    AND p.cur_eid IS NULL AND NOT p.done
+  ) st
+  WHERE st.any_active = 1
+),
+fin AS (SELECT * FROM sw WHERE it = (SELECT max(it) FROM sw)),
+prof AS (SELECT unnest(profiles) AS p FROM fin)
+SELECT CAST(unnest(p['mem']) AS BIGINT) AS doc_id,
+       CAST(p['eid'] AS BIGINT) AS entity_id
+FROM prof
+"""
 
 
 def q_optimal_assignment(sf_dir: str):

@@ -880,12 +880,45 @@ def q_ktruss(sf_dir: str):
     where every edge closes >= 1 triangle within the surviving
     subgraph (stages/graph.py::ktruss — iterative support peeling,
     each round the edge_support wedge-close joins + a map-side drop,
-    fixpoint when nothing drops).  Rows-only driver check; the peeling
-    is pinned against a single-node reference in test_graph.py."""
+    fixpoint when nothing drops).  ORACLED (round-5, upgraded from
+    rows-only): the peeling unrolls as chained MATERIALIZED CTEs —
+    each round recounts triangle contributions on the surviving edge
+    set and keeps edges with support >= 1; converged rounds are
+    no-ops, so any unroll count >= the data's peel depth is exact (the
+    kcore discipline).  Additionally pinned against a single-node
+    reference in test_graph.py."""
     from ...stages.graph import ktruss
 
     edges, _, _ = _link_graph_inputs(sf_dir)
     return ktruss(edges, k=3)
+
+
+def _ktruss_sql(rounds: int = 8) -> str:
+    """Unrolled 3-truss peeling: each round rebuilds the lo<mid<hi
+    triangle set of the current edges, credits each triangle to its
+    three edges, and keeps edges with >= 1 credit.  MATERIALIZED per
+    round — each CTE is referenced 4x by the next round's joins."""
+    parts = ["e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo, "
+             "greatest(src, dst) AS hi FROM edges)"]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(f"""t{i} AS MATERIALIZED (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM {prev} e1
+  JOIN {prev} e2 ON e2.lo = e1.hi
+  JOIN {prev} e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)""")
+        parts.append(f"""e{i} AS MATERIALIZED (
+  SELECT lo, hi FROM (
+    SELECT a AS lo, b AS hi FROM t{i}
+    UNION ALL SELECT b, c FROM t{i}
+    UNION ALL SELECT a, c FROM t{i})
+  GROUP BY 1, 2 HAVING count(*) >= 1)""")
+        prev = f"e{i}"
+    return (f"WITH {_SQL_EDGES_CTE}, " + ",\n".join(parts)
+            + f"\nSELECT lo, hi FROM e{rounds}")
+
+
+SQL_KTRUSS = _ktruss_sql(rounds=8)
 
 
 def q_jaccard_links(sf_dir: str):
@@ -986,13 +1019,43 @@ def q_pseudo_diameter(sf_dir: str):
     """Pseudo-diameter of the undirected link graph by the
     double-sweep BFS heuristic — BFS from the min node, re-seed at
     the farthest node, sweep again (stages/graph.py::pseudo_diameter;
-    frontier-broadcast hops, edge stream never shuffles).  Rows-only:
-    unbounded iterative reachability; pinned against a sequential BFS
-    in tests/test_diameter.py."""
+    frontier-broadcast hops, edge stream never shuffles).  ORACLED
+    (round-5, upgraded from rows-only): both sweeps run as recursive
+    UNION-dedup BFS CTEs bounded at 64 hops (far above the fixture's
+    eccentricity), min(lvl) per node, farthest = (lvl DESC, node)
+    LIMIT 1 — the same tie rule as the Ray sweep.  Additionally
+    pinned against a sequential BFS in tests/test_diameter.py."""
     from ...stages.graph import pseudo_diameter
 
     edges, _nodes, _n = _link_graph_inputs(sf_dir)
     return pseudo_diameter(edges)
+
+
+SQL_PSEUDO_DIAMETER = f"""
+WITH RECURSIVE {_SQL_EDGES_CTE},
+und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,
+                                     greatest(src, dst) AS hi FROM edges),
+adj AS MATERIALIZED (SELECT lo AS x, hi AS y FROM und
+                     UNION ALL SELECT hi, lo FROM und),
+seed AS (SELECT min(x) AS s FROM adj),
+b1(node, lvl) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT a.y, b.lvl + 1 FROM b1 b JOIN adj a ON a.x = b.node
+  WHERE b.lvl < 64),
+l1 AS (SELECT node, min(lvl) AS lvl FROM b1 GROUP BY 1),
+f1 AS (SELECT node FROM l1 ORDER BY lvl DESC, node LIMIT 1),
+b2(node, lvl) AS (
+  SELECT node, 0 FROM f1
+  UNION
+  SELECT a.y, b.lvl + 1 FROM b2 b JOIN adj a ON a.x = b.node
+  WHERE b.lvl < 64),
+l2 AS (SELECT node, min(lvl) AS lvl FROM b2 GROUP BY 1)
+SELECT CAST((SELECT s FROM seed) AS BIGINT) AS seed,
+       CAST((SELECT node FROM l2 ORDER BY lvl DESC, node LIMIT 1) AS BIGINT)
+           AS far_node,
+       CAST((SELECT max(lvl) FROM l2) AS BIGINT) AS pseudo_diameter
+"""
 
 
 def q_random_walks(sf_dir: str):

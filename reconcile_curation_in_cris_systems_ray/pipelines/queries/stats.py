@@ -2117,9 +2117,13 @@ def q_isotonic_calibration(sf_dir: str):
     score_calibration: per-rounded-score (n, n_pos) cells via the
     combiner (the match_auc pair plan), then the linear-time
     Pool-Adjacent-Violators fit on the BOUNDED cell frame.
-    Rows-only: iterative pooling is not SQL-expressible; pinned
-    against a quadratic repeat-pooling reference in
-    tests/test_isotonic.py."""
+    ORACLED (round-5, upgraded from rows-only) via the closed-form
+    minimax identity — fit(i) = max over j<=i of min over k>=i of the
+    weighted segment mean (Σnpos/Σn over cells j..k), computed from
+    exact-integer prefix sums over the bounded cell frame; pooling
+    and minimax agree exactly in real arithmetic and to 6 decimals in
+    doubles.  Additionally pinned against a quadratic repeat-pooling
+    reference in tests/test_isotonic.py."""
     from ...stages.metrics import pava_isotonic
     from ...stages.shuffle import bucketed_map_groups
 
@@ -2161,6 +2165,35 @@ def q_isotonic_calibration(sf_dir: str):
     return pd.DataFrame({"s": cells["s"].to_numpy(np.float64),
                          "n": cells["n"].to_numpy(np.int64),
                          "p_cal": np.round(fit, 6)})
+
+
+SQL_ISOTONIC_CALIBRATION = r"""
+WITH pr AS (
+  SELECT round(jaro_winkler_similarity(a.c_name, b.c_name), 6) AS s,
+         (a.c_mktsegment = b.c_mktsegment) AS pos
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
+  WHERE jaro_winkler_similarity(a.c_name, b.c_name) >= 0.8),
+cells AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS npos
+          FROM pr GROUP BY 1),
+o AS (SELECT s, n, npos, row_number() OVER (ORDER BY s) AS i FROM cells),
+ps AS (SELECT i, s, n, npos,
+              sum(n) OVER (ORDER BY i) AS cn,
+              sum(npos) OVER (ORDER BY i) AS cp
+       FROM o),
+seg AS (SELECT j.i AS j, k.i AS k,
+               (k.cp - coalesce(jp.cp, 0)) * 1.0
+               / (k.cn - coalesce(jp.cn, 0)) AS avgv
+        FROM ps j JOIN ps k ON k.i >= j.i
+        LEFT JOIN ps jp ON jp.i = j.i - 1),
+mm AS (SELECT o.i, g.j, min(g.avgv) AS mn
+       FROM o JOIN seg g ON g.j <= o.i AND g.k >= o.i
+       GROUP BY o.i, g.j),
+fit AS (SELECT i, max(mn) AS p FROM mm GROUP BY i)
+SELECT o.s, o.n, round(f.p, 6) AS p_cal
+FROM o JOIN fit f USING (i)
+"""
 
 
 def q_wasserstein_1d(sf_dir: str):

@@ -1703,8 +1703,14 @@ def q_burst_viterbi(sf_dir: str):
     state), reporting the number of bursty steps on the optimal path.
     The DP recurrence folds VECTORIZED ACROSS USERS (the ewma/holt
     step-major layout) with backpointers kept per bucket for the
-    backtrack.  Rows-only: Viterbi is not SQL-expressible; pinned
-    against a per-user sequential reference in tests/test_burst.py."""
+    backtrack.  ORACLED (round-5, upgraded from rows-only): the
+    forward DP runs as a recursive CTE over the step index (one row
+    per active user per step, carrying both state costs and the step's
+    backpointers), the backtrack as a second recursive CTE walking the
+    accumulated backpointer rows from each user's final argmin state
+    down to step 0; gap/rate/emission arithmetic is the same IEEE
+    double expression on both sides.  Additionally pinned against a
+    per-user sequential reference in tests/test_burst.py."""
     from ...stages.shuffle import bucketed_map_groups
 
     ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id"])
@@ -1777,6 +1783,53 @@ def q_burst_viterbi(sf_dir: str):
 
     return bucketed_map_groups(ev, ["user_id"], fold, num_buckets=64,
                                empty_like=empty)
+
+
+SQL_BURST_VITERBI = r"""
+WITH RECURSIVE
+o AS (SELECT user_id, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+gp AS (SELECT a.user_id, a.rn - 1 AS pos,
+              (epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0 AS gap
+       FROM o a JOIN o b ON b.user_id = a.user_id AND b.rn = a.rn + 1),
+lam AS (SELECT user_id, count(*) / sum(gap) AS lam0 FROM gp GROUP BY 1),
+fwd AS (
+  SELECT user_id, -1 AS t, CAST(0.0 AS DOUBLE) AS c0, CAST(1e18 AS DOUBLE) AS c1,
+         CAST(NULL AS TINYINT) AS pick0, CAST(NULL AS TINYINT) AS pick1
+  FROM (SELECT DISTINCT user_id FROM gp)
+  UNION ALL
+  SELECT f.user_id, f.t + 1,
+         least(f.c0, f.c1) + (-ln(l.lam0) + l.lam0 * g.gap),
+         least(f.c0 + 1.0, f.c1)
+             + (-ln(3.0 * l.lam0) + 3.0 * l.lam0 * g.gap),
+         CAST(CASE WHEN f.c1 < f.c0 THEN 1 ELSE 0 END AS TINYINT),
+         CAST(CASE WHEN f.c1 < f.c0 + 1.0 THEN 1 ELSE 0 END AS TINYINT)
+  FROM fwd f
+  JOIN gp g ON g.user_id = f.user_id AND g.pos = f.t + 1
+  JOIN lam l ON l.user_id = f.user_id
+),
+fwdm AS MATERIALIZED (SELECT * FROM fwd),
+mx AS (SELECT user_id, max(t) AS mt FROM fwdm GROUP BY 1),
+bwd AS (
+  SELECT f.user_id, f.t,
+         CAST(CASE WHEN f.c1 < f.c0 THEN 1 ELSE 0 END AS TINYINT) AS st,
+         CAST(0 AS BIGINT) AS nb
+  FROM fwdm f JOIN mx ON mx.user_id = f.user_id AND mx.mt = f.t
+  UNION ALL
+  SELECT b.user_id, b.t - 1,
+         CASE WHEN b.st = 1 THEN f.pick1 ELSE f.pick0 END,
+         b.nb + b.st
+  FROM bwd b JOIN fwdm f ON f.user_id = b.user_id AND f.t = b.t
+  WHERE b.t >= 0
+)
+SELECT CAST(b.user_id AS BIGINT) AS user_id,
+       CAST(mx.mt + 1 AS BIGINT) AS n_steps,
+       CAST(b.nb AS BIGINT) AS n_burst
+FROM bwd b JOIN mx ON mx.user_id = b.user_id
+WHERE b.t = -1
+"""
 
 
 def q_resample_interp(sf_dir: str):

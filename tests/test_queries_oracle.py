@@ -17,6 +17,14 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    # round-5 oracle upgrades (formerly rows-only)
+    "gale_shapley",
+    "greedy_match",
+    "r_swoosh",
+    "ktruss",
+    "pseudo_diameter",
+    "isotonic_calibration",
+    "burst_viterbi",
     # round-4 new oracled operators
     "katz_centrality",
     "qgram_block",

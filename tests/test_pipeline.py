@@ -310,3 +310,54 @@ def test_partial_resume_recomputes_only_invalidated_stage(
     by_name = {s["stage"]: s for s in out2["metrics"]["stages"]}
     assert by_name["features"].get("resumed") is True
     assert not by_name["pairs"].get("resumed")
+
+
+def test_flagship_crash_after_pairs_resumes_to_identical_assignments(
+        ray_session, corpus, tmp_path, monkeypatch):
+    """Round-5 (verdict task 6): KILL the flagship right after the
+    pairs checkpoint commits (injected failure at the start of the
+    scoring stage), then resume with a fresh run_reconcile on the same
+    root: extracted/features/pairs must come back from their Parquet
+    checkpoints (resumed=True), score+CC+assignments recompute, and
+    the final assignments equal an uncheckpointed reference run —
+    end-to-end kill-resume beyond the CC-round test in
+    test_cluster.py (north-rule resumability evidence)."""
+    import os
+
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.pipelines import (
+        reconcile as rmod,
+    )
+
+    ref = run_reconcile(rd.from_arrow(corpus))
+    a_ref = {r["url"]: r["cluster_id"]
+             for r in ref["assignments"].take_all()}
+
+    root = str(tmp_path / "ckpt")
+    real = rmod.hydrate_score_pairs
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash after pairs checkpoint")
+
+    monkeypatch.setattr(rmod, "hydrate_score_pairs", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        run_reconcile(rd.from_arrow(corpus), checkpoint_root=root,
+                      input_fingerprint="corpus-v2")
+    monkeypatch.setattr(rmod, "hydrate_score_pairs", real)
+
+    # the kill landed after pairs committed, before scored existed
+    for st in ("extracted", "features", "pairs"):
+        assert os.path.exists(os.path.join(root, st, "manifest.json")), st
+    assert not os.path.exists(os.path.join(root, "scored"))
+
+    out = run_reconcile(rd.from_arrow(corpus), checkpoint_root=root,
+                        input_fingerprint="corpus-v2")
+    by_name = {s["stage"]: s for s in out["metrics"]["stages"]}
+    for st in ("extracted", "features", "pairs"):
+        assert by_name[st].get("resumed") is True, st
+    assert not by_name["scored"].get("resumed")
+    assert not by_name["assignments"].get("resumed")
+    a2 = {r["url"]: r["cluster_id"]
+          for r in out["assignments"].take_all()}
+    assert a2 == a_ref

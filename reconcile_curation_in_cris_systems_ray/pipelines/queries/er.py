@@ -2348,6 +2348,45 @@ WHERE f.ms IS NOT NULL
 """
 
 
+SQL_OPTIMAL_ASSIGNMENT = r"""
+WITH RECURSIVE
+c AS (SELECT c_custkey AS ck, c_name,
+             row_number() OVER (ORDER BY c_custkey) AS ci
+      FROM customer WHERE c_custkey < 10),
+s AS (SELECT s_suppkey AS sk, s_name,
+             row_number() OVER (ORDER BY s_suppkey) AS si
+      FROM supplier WHERE s_suppkey < 10),
+jwt AS (SELECT c.ci, c.ck, s.si, s.sk,
+               jaro_winkler_similarity(c.c_name, s.s_name) AS jw
+        FROM c, s),
+d AS (
+  SELECT 0 AS i, CAST(0 AS BIGINT) AS mask, CAST(0.0 AS DOUBLE) AS val,
+         CAST([] AS BIGINT[]) AS path
+  UNION ALL
+  SELECT u.i, u.mask, u.val, u.path FROM (
+    SELECT e.i, e.mask, e.val, e.path,
+           row_number() OVER (PARTITION BY e.mask
+                              ORDER BY e.val DESC, e.path) AS rn
+    FROM (
+      SELECT d.i + 1 AS i,
+             d.mask + (CAST(1 AS BIGINT) << (j.si - 1)) AS mask,
+             d.val + j.jw AS val,
+             list_append(d.path, j.sk) AS path
+      FROM d JOIN jwt j ON j.ci = d.i + 1
+      WHERE (d.mask >> (j.si - 1)) & 1 = 0
+    ) e
+  ) u WHERE u.rn = 1
+),
+fin AS (SELECT path FROM d WHERE i = (SELECT count(*) FROM c)
+        ORDER BY val DESC, path LIMIT 1)
+SELECT CAST(c.ck AS BIGINT) AS c_custkey,
+       CAST(f.path[c.ci] AS BIGINT) AS s_suppkey,
+       round(j.jw, 6) AS jw
+FROM fin f, c
+JOIN jwt j ON j.ci = c.ci AND j.sk = f.path[c.ci]
+"""
+
+
 def q_geo_nearest(sf_dir: str):
     """Nearest supplier per customer by haversine distance — the kNN
     sibling of geo_join: the supplier side is a dimension table, so it
@@ -2556,8 +2595,14 @@ def q_optimal_assignment(sf_dir: str):
     (greedy_match and mutual_best_match trade optimality for one-pass
     scale; gale_shapley trades it for stability).  The score matrix
     computes distributed (broadcast JW pass); Kuhn-Munkres closes on
-    the bounded panel.  Rows-only; optimality and brute-force
-    equality pinned in tests/test_hungarian.py."""
+    the bounded panel.  ORACLED (round-5, upgraded from rows-only):
+    the oracle solves the same assignment by Held-Karp bitmask DP as
+    a recursive CTE (one row per supplier subset per customer rank,
+    max-value path carried as a LIST, deduped per mask each round) —
+    any exact solver agrees when the optimum is unique, and the JW
+    matrix comes from the same DuckDB kernel on both sides.
+    Optimality and brute-force equality stay pinned in
+    tests/test_hungarian.py."""
     import ray
 
     from ...stages.metrics import hungarian_min

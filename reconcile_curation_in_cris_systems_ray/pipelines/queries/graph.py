@@ -384,6 +384,51 @@ def q_cc_pivot(sf_dir: str):
     return cc_pivot(edges)
 
 
+SQL_CC_PIVOT = r"""
+WITH RECURSIVE
+n AS (SELECT count(*) AS nv FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         CAST(hash(CAST(d.doc_id AS VARCHAR) || ':'
+                   || CAST(t.j AS VARCHAR))
+              % (SELECT nv FROM n) AS BIGINT) AS dst
+  FROM documents d,
+       unnest(generate_series(1, d.doc_id % 4)) AS t(j)),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+und AS (SELECT DISTINCT least(src, dst) AS lo,
+                        greatest(src, dst) AS hi FROM edges),
+adj AS (SELECT lo AS x, hi AS y FROM und UNION ALL SELECT hi, lo FROM und),
+pin AS (SELECT x AS node,
+               row_number() OVER (ORDER BY hash(CAST(x AS VARCHAR)), x) - 1
+                   AS pi
+        FROM (SELECT DISTINCT x FROM adj)),
+g AS (
+  SELECT -1 AS rk, CAST([] AS BIGINT[]) AS piv
+  UNION ALL
+  SELECT g.rk + 1,
+         CASE WHEN t.has = 1 THEN g.piv
+              ELSE list_append(g.piv, v.node) END
+  FROM g JOIN pin v ON v.pi = g.rk + 1, LATERAL (
+    SELECT coalesce(max(CASE WHEN list_contains(g.piv, a.y)
+                             THEN 1 ELSE 0 END), 0) AS has
+    FROM adj a WHERE a.x = v.node) t
+),
+fin AS (SELECT piv FROM g ORDER BY rk DESC LIMIT 1),
+pv AS (SELECT unnest(piv) AS p FROM fin),
+att AS (SELECT a.x AS node, a.y AS pnb, u.pi
+        FROM adj a JOIN pv ON pv.p = a.y JOIN pin u ON u.node = a.y
+        WHERE a.x NOT IN (SELECT p FROM pv)),
+best AS (SELECT node, pnb FROM (
+           SELECT node, pnb,
+                  row_number() OVER (PARTITION BY node
+                                     ORDER BY pi, pnb) AS rn
+           FROM att) WHERE rn = 1)
+SELECT CAST(pin.node AS BIGINT) AS node,
+       CAST(coalesce(b.pnb, pin.node) AS BIGINT) AS cluster
+FROM pin LEFT JOIN best b ON b.node = pin.node
+"""
+
+
 def q_bfs_levels(sf_dir: str):
     """Multi-source directed BFS hop distance (4 hops) from the
     doc_id%97==0 seed set over the hash-derived link graph — the
@@ -1013,6 +1058,34 @@ def q_scc_labels(sf_dir: str):
     edges, _nodes, _n = _link_graph_inputs(sf_dir)
     out = scc_labels(edges)
     return out.sort_values("node").reset_index(drop=True)
+
+
+SQL_SCC_LABELS = r"""
+WITH RECURSIVE
+n AS (SELECT count(*) AS nv FROM documents),
+raw AS (
+  SELECT d.doc_id AS src,
+         CAST(hash(CAST(d.doc_id AS VARCHAR) || ':'
+                   || CAST(t.j AS VARCHAR))
+              % (SELECT nv FROM n) AS BIGINT) AS dst
+  FROM documents d,
+       unnest(generate_series(1, d.doc_id % 4)) AS t(j)),
+edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+tc AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT t.a, e.dst FROM tc t JOIN edges e ON e.src = t.b
+),
+mut AS (SELECT t1.a AS node, t1.b AS other
+        FROM tc t1 JOIN tc t2 ON t2.a = t1.b AND t2.b = t1.a),
+lab AS (SELECT node, min(other) AS m FROM mut GROUP BY 1),
+nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges))
+SELECT CAST(n2.node AS BIGINT) AS node,
+       CAST(least(n2.node, coalesce(l.m, n2.node)) AS BIGINT) AS scc
+FROM nodes n2 LEFT JOIN lab l ON l.node = n2.node
+"""
 
 
 def q_pseudo_diameter(sf_dir: str):

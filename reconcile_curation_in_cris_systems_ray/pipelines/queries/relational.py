@@ -1253,9 +1253,12 @@ def q_coverage_sample(sf_dir: str):
     each: the covered-token set broadcasts (as DuckDB-hash digests),
     every batch scores its docs' MARGINAL gain vectorized and emits
     its local argmax, the driver reduces O(batches) candidates.
-    Rows-only (k chained argmax rounds are not reasonably
-    SQL-expressible); pinned in pytest against a single-process exact
-    greedy run."""
+    ORACLED (round-5, upgraded from rows-only): the k greedy rounds
+    run as a recursive CTE — each iteration LATERAL-picks the max
+    marginal-gain doc (gain DESC, doc_id) against a carried
+    covered-token-hash list; token hashes are DuckDB hash() on both
+    sides, so gains are exact integers.  Additionally pinned in
+    pytest against a single-process exact greedy run."""
     from ...functions.similarity import hash_strings_fast
 
     k = 8
@@ -1306,6 +1309,42 @@ def q_coverage_sample(sf_dir: str):
         covered |= set(hash_strings_fast(toks.to_numpy(object))
                        .tolist())
     return pd.DataFrame(picks, columns=["rank", "doc_id", "gain"])
+
+
+SQL_COVERAGE_SAMPLE = r"""
+WITH RECURSIVE
+tk AS (SELECT DISTINCT doc_id, hash(t.tok) AS h
+       FROM (SELECT doc_id,
+                    unnest(regexp_split_to_array(trim(lower(text)),
+                                                 '\s+')) AS tok
+             FROM documents
+             WHERE trim(coalesce(text, '')) <> '') t),
+g AS (
+  SELECT 0 AS it, CAST([] AS BIGINT[]) AS picked,
+         CAST([] AS UBIGINT[]) AS covered,
+         CAST([] AS STRUCT(rnk BIGINT, doc_id BIGINT, gain BIGINT)[])
+             AS hist
+  UNION ALL
+  SELECT g.it + 1, list_append(g.picked, w.doc_id),
+         list_concat(g.covered, w.hs),
+         list_append(g.hist,
+                     {'rnk': g.it + 1, 'doc_id': w.doc_id,
+                      'gain': w.gain})
+  FROM g, LATERAL (
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS gain, list(t.h) AS hs
+    FROM tk t
+    WHERE NOT list_contains(g.picked, t.doc_id)
+      AND NOT list_contains(g.covered, t.h)
+    GROUP BY t.doc_id
+    ORDER BY gain DESC, t.doc_id LIMIT 1) w
+  WHERE g.it < 8
+),
+last AS (SELECT hist FROM g ORDER BY it DESC LIMIT 1)
+SELECT CAST(u['rnk'] AS BIGINT) AS "rank",
+       CAST(u['doc_id'] AS BIGINT) AS doc_id,
+       CAST(u['gain'] AS BIGINT) AS gain
+FROM (SELECT unnest(hist) AS u FROM last)
+"""
 
 
 def q_map_at_k(sf_dir: str):

@@ -25,6 +25,10 @@ PINNED = [
     "pseudo_diameter",
     "isotonic_calibration",
     "burst_viterbi",
+    "cc_pivot",
+    "scc_labels",
+    "optimal_assignment",
+    "coverage_sample",
     # round-4 new oracled operators
     "katz_centrality",
     "qgram_block",

@@ -52,14 +52,198 @@ def _padded_docs(sf_dir: str):
 
 
 def q_near_dup_docs(sf_dir: str):
-    """MinHash-LSH near-dup pairs over documents (exact-Jaccard verify)."""
+    """MinHash-LSH near-dup pairs over documents (exact-Jaccard verify).
+    ORACLED (round-5, upgraded from rows-only): the oracle replays the
+    ENTIRE flagship LSH path bit-for-bit in SQL — shingle hashes as in
+    simhash_pairs, the MinHasher's 64 seeded affine permutations
+    embedded as literals (s*a+b mod 2^64 via 32-bit-split HUGEINT
+    products), uint32-truncated signature minima, 16x4 band-equality
+    candidates, est = agreeing components / 64 >= 0.35, exact uint32
+    shingle Jaccard >= 0.5."""
     return near_dup_pairs(_padded_docs(sf_dir), "doc_id", "text",
                           BlockingConfig(), ScoringConfig())
 
 
 def q_simhash_pairs(sf_dir: str):
-    """SimHash near-dup pairs (Hamming <= 3)."""
+    """SimHash near-dup pairs (Hamming <= 3).  ORACLED (round-5,
+    upgraded from rows-only): the oracle rebuilds the 64-bit SimHash
+    bit-for-bit — normalize twin, whitespace tokens, DuckDB hash()
+    token hashes, the k=3 polynomial rolling shingle combine emulated
+    mod 2^64 via 32-bit-split HUGEINT arithmetic, per-bit majority —
+    and takes all pairs at Hamming <= 3 (pigeonhole over the 4x16-bit
+    bands guarantees the banded plan returns exactly that set)."""
     return simhash_dup_pairs(_padded_docs(sf_dir), "doc_id", "text")
+
+
+SQL_SIMHASH_PAIRS = r"""
+WITH
+norm AS (SELECT doc_id,
+         regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9_[:space:]]', '', 'g'),
+           '^[[:space:]]+|[[:space:]]+$', '', 'g') AS nt
+         FROM documents),
+tl AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(coalesce(nt, ''), '\s+'),
+                          x -> x <> '') AS arr
+       FROM norm),
+th0 AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i,
+               unnest(arr) AS tok
+        FROM tl WHERE len(arr) > 0),
+th AS (SELECT doc_id, i, hash(tok) AS h FROM th0),
+cnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY 1),
+led AS (SELECT th.doc_id, th.i, th.h,
+               lead(th.h, 1) OVER w AS h2, lead(th.h, 2) OVER w AS h3,
+               cnt.n
+        FROM th JOIN cnt USING (doc_id)
+        WINDOW w AS (PARTITION BY th.doc_id ORDER BY th.i)),
+sh0 AS (SELECT doc_id,
+               CASE WHEN n >= 3 THEN ((((((((CAST(h AS HUGEINT)) % 4294967296) * 11400714819323198485 + ((((CAST(h AS HUGEINT)) // 4294967296) * 11400714819323198485) % 4294967296) * 4294967296) % 18446744073709551616 + CAST(h2 AS HUGEINT)) % 18446744073709551616) % 4294967296) * 11400714819323198485 + ((((((((CAST(h AS HUGEINT)) % 4294967296) * 11400714819323198485 + ((((CAST(h AS HUGEINT)) // 4294967296) * 11400714819323198485) % 4294967296) * 4294967296) % 18446744073709551616 + CAST(h2 AS HUGEINT)) % 18446744073709551616) // 4294967296) * 11400714819323198485) % 4294967296) * 4294967296) % 18446744073709551616 + CAST(h3 AS HUGEINT)) % 18446744073709551616
+                    WHEN n = 2 THEN ((((CAST(h AS HUGEINT)) % 4294967296) * 11400714819323198485 + ((((CAST(h AS HUGEINT)) // 4294967296) * 11400714819323198485) % 4294967296) * 4294967296) % 18446744073709551616 + CAST(h2 AS HUGEINT)) % 18446744073709551616
+                    ELSE CAST(h AS HUGEINT) END AS s
+        FROM led
+        WHERE (n >= 3 AND i <= n - 2) OR (n < 3 AND i = 1)),
+shu AS (SELECT DISTINCT doc_id, CAST(s AS UBIGINT) AS s FROM sh0),
+bits AS (SELECT doc_id, b.b,
+                sum(CASE WHEN (s >> CAST(b.b AS UBIGINT))
+                              & CAST(1 AS UBIGINT) = 1
+                         THEN 1 ELSE 0 END) AS cb,
+                count(*) AS ns
+         FROM shu, unnest(range(64)) AS b(b) GROUP BY 1, 2),
+fp0 AS (SELECT doc_id,
+               CAST(sum(CASE WHEN 2 * cb > ns
+                             THEN CAST(1 AS HUGEINT) << CAST(b AS INT)
+                             ELSE 0 END) AS UBIGINT) AS f
+        FROM bits GROUP BY 1),
+allfp AS (SELECT d.doc_id, printf('%012d', d.doc_id) AS pid,
+                 coalesce(f.f, 0) AS f
+          FROM documents d LEFT JOIN fp0 f ON f.doc_id = d.doc_id)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+FROM allfp a JOIN allfp b ON b.doc_id > a.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
+def _near_dup_sql(keep: bool = False) -> str:
+    """Exact SQL twin of near_dup_pairs / dedup_keep_list: the shingle
+    pipeline (normalize twin, DuckDB hash() tokens, k=3 polynomial
+    rolling combine mod 2^64 via 32-bit-split HUGEINT arithmetic), the
+    MinHasher(16, 4, 2024) affine permutations embedded as literals,
+    uint32-truncated signature minima, band-equality candidates,
+    est >= 0.35 prefilter and exact uint32 shingle Jaccard >= 0.5;
+    ``keep=True`` appends the recursive component closure + min-id
+    keep decision of dedup_keep_list."""
+    from ...functions.similarity import MinHasher
+
+    M = 0x9E3779B97F4A7C15
+    T32 = 1 << 32
+    T64 = 1 << 64
+    h = MinHasher(16, 4, 2024)
+    perm_rows = ",\n    ".join(
+        f"({p}, {int(a) % T32}, {int(a) >> 32}, {int(b)})"
+        for p, (a, b) in enumerate(zip(h.a, h.b)))
+
+    def mul(a):
+        return (f"((({a}) % {T32}) * {M} "
+                f"+ (((({a}) // {T32}) * {M}) % {T32}) * {T32}) % {T64}")
+
+    def step(acc, hh):
+        return f"({mul(acc)} + CAST({hh} AS HUGEINT)) % {T64}"
+
+    h1 = "CAST(h AS HUGEINT)"
+    s2 = step(h1, "h2")
+    s3 = step(s2, "h3")
+    prefix = f"""WITH RECURSIVE
+norm AS (SELECT doc_id,
+         regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9_[:space:]]', '', 'g'),
+           '^[[:space:]]+|[[:space:]]+$', '', 'g') AS nt
+         FROM documents),
+tl AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(coalesce(nt, ''), '\\s+'),
+                          x -> x <> '') AS arr
+       FROM norm),
+th0 AS (SELECT doc_id, unnest(range(1, len(arr) + 1)) AS i,
+               unnest(arr) AS tok
+        FROM tl WHERE len(arr) > 0),
+th AS (SELECT doc_id, i, hash(tok) AS h FROM th0),
+cnt AS (SELECT doc_id, count(*) AS n FROM th GROUP BY 1),
+led AS (SELECT th.doc_id, th.i, th.h,
+               lead(th.h, 1) OVER w AS h2, lead(th.h, 2) OVER w AS h3,
+               cnt.n
+        FROM th JOIN cnt USING (doc_id)
+        WINDOW w AS (PARTITION BY th.doc_id ORDER BY th.i)),
+sh0 AS (SELECT doc_id,
+               CASE WHEN n >= 3 THEN {s3}
+                    WHEN n = 2 THEN {s2}
+                    ELSE CAST(h AS HUGEINT) END AS s
+        FROM led
+        WHERE (n >= 3 AND i <= n - 2) OR (n < 3 AND i = 1)),
+shu AS (SELECT DISTINCT doc_id, s FROM sh0),
+s32 AS (SELECT DISTINCT doc_id, CAST(s % {T32} AS BIGINT) AS s FROM shu),
+sz AS (SELECT doc_id, count(*) AS n FROM s32 GROUP BY 1),
+perm(p, al, ah, bv) AS (VALUES
+    {perm_rows}),
+sig AS (SELECT u.doc_id, pm.p,
+               CAST(min(((u.s % {T32}) * pm.al
+                         + ((u.s // {T32}) * pm.al
+                            + (u.s % {T32}) * pm.ah) % {T32} * {T32}
+                         + pm.bv) % {T64}) % {T32} AS BIGINT) AS v
+        FROM (SELECT doc_id, CAST(s AS HUGEINT) AS s FROM shu) u
+        CROSS JOIN perm pm
+        GROUP BY 1, 2),
+band AS (SELECT doc_id, p // 4 AS b,
+                list(v ORDER BY p) AS comps
+         FROM sig GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         FROM band a JOIN band b
+           ON b.b = a.b AND b.comps = a.comps AND b.doc_id > a.doc_id),
+est AS (SELECT c.da, c.db,
+               sum(CASE WHEN sa.v = sb.v THEN 1 ELSE 0 END) / 64.0 AS e
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.da
+        JOIN sig sb ON sb.doc_id = c.db AND sb.p = sa.p
+        GROUP BY 1, 2),
+jac AS (SELECT e.da, e.db, e.e,
+               (SELECT count(*) FROM s32 x JOIN s32 y
+                ON y.s = x.s AND y.doc_id = e.db
+                WHERE x.doc_id = e.da) AS inter,
+               coalesce(za.n, 0) AS na, coalesce(zb.n, 0) AS nb
+        FROM est e
+        LEFT JOIN sz za ON za.doc_id = e.da
+        LEFT JOIN sz zb ON zb.doc_id = e.db
+        WHERE e.e >= 0.35)"""
+    if not keep:
+        return prefix + """
+SELECT printf('%012d', da) AS id_a, printf('%012d', db) AS id_b,
+       e AS est_jaccard,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM jac
+WHERE na + nb - inter > 0
+  AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+"""
+    return prefix + """,
+fp AS (
+  SELECT da, db FROM jac
+  WHERE na + nb - inter > 0
+    AND CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+und2 AS (SELECT da AS a, db AS b FROM fp
+         UNION SELECT db, da FROM fp),
+reach(a, b) AS (
+  SELECT a, b FROM und2
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und2 u ON u.a = r.b),
+comp AS (SELECT a AS node, least(a, min(b)) AS root
+         FROM reach GROUP BY a)
+SELECT printf('%012d', d.doc_id) AS id,
+       printf('%012d', coalesce(c.root, d.doc_id)) AS cluster_id,
+       (c.root IS NULL OR c.root = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+SQL_NEAR_DUP_DOCS = _near_dup_sql(keep=False)
+SQL_NEAR_DUP_KEEP = _near_dup_sql(keep=True)
 
 
 def q_winnow_fingerprint(sf_dir: str):
@@ -103,9 +287,12 @@ FROM wm GROUP BY doc_id
 
 
 def q_near_dup_keep(sf_dir: str):
-    """Near-dup dedup DECISION pipeline (rows-only): MinHash-LSH pairs
-    -> transitive clusters -> keep min id per component; returns
-    (id, cluster_id, keep)."""
+    """Near-dup dedup DECISION pipeline: MinHash-LSH pairs ->
+    transitive clusters -> keep min id per component; returns
+    (id, cluster_id, keep).  ORACLED (round-5, upgraded from
+    rows-only): the near_dup_docs oracle extended with a recursive
+    reachability closure over the verified pair set and a min-id
+    component label."""
     from ...stages.dedup import dedup_keep_list
 
     return dedup_keep_list(_padded_docs(sf_dir), "doc_id", "text",

@@ -270,9 +270,14 @@ def q_canopy_cluster(sf_dir: str):
     Jaccard with loose threshold T1=0.5 (join the canopy) and tight
     threshold T2=0.75 (leave the candidate pool), centers chosen in
     doc_id order.  A document can belong to several canopies; output
-    is (doc_id, canopy_id=center doc_id).  Definition pinned against
-    a pure-sequential reference in tests/test_canopy.py (rows-only at
-    the driver — the greedy is not SQL-expressible).
+    is (doc_id, canopy_id=center doc_id).  ORACLED (round-5, upgraded
+    from rows-only): the greedy runs as a per-source small-step state
+    machine in a recursive CTE (the r_swoosh discipline) — each
+    iteration takes the min active doc as center, emits T1 members and
+    drops T2-tight docs, with both thresholds as exact integer
+    comparisons (2*|∩| >= |∪| and 4*|∩| >= 3*|∪|).  Definition also
+    pinned against a pure-sequential reference in
+    tests/test_canopy.py.
 
     Scale plan: canopies run independently per blocking group
     (source), the repo's bounded-block contract; within a group the
@@ -322,6 +327,67 @@ def q_canopy_cluster(sf_dir: str):
 
     return bucketed_map_groups(ds, ["source"], block, num_buckets=32,
                                empty_like=empty)
+
+
+SQL_CANOPY_CLUSTER = r"""
+WITH RECURSIVE
+tk AS (SELECT DISTINCT doc_id, t.tok FROM (
+         SELECT doc_id,
+                unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                          '[a-z0-9]+')) AS tok
+         FROM documents) t),
+sz AS (SELECT doc_id, count(*) AS n FROM tk GROUP BY 1),
+srcs AS (SELECT source, list(doc_id ORDER BY doc_id) AS ids
+         FROM documents GROUP BY 1),
+g AS (
+  SELECT source, ids AS active,
+         CAST([] AS STRUCT(doc_id BIGINT, canopy_id BIGINT)[]) AS hist,
+         (len(ids) = 0) AS done, 0 AS it
+  FROM srcs
+  UNION ALL
+  SELECT q.source, q.active2, q.hist2, q.done2, q.it + 1 FROM (
+    SELECT p.source, p.it,
+           CASE WHEN p.done THEN p.active
+                ELSE coalesce(w.remaining, []) END AS active2,
+           CASE WHEN p.done THEN p.hist
+                ELSE list_concat(p.hist, coalesce(w.memb, [])) END AS hist2,
+           CASE WHEN p.done THEN true
+                ELSE len(coalesce(w.remaining, [])) = 0 END AS done2,
+           max(CASE WHEN p.done THEN 0 ELSE 1 END) OVER () AS any_active
+    FROM g p, LATERAL (
+      SELECT list({'doc_id': s.did, 'canopy_id': p.active[1]}
+                  ORDER BY s.did) FILTER (WHERE s.loose) AS memb,
+             list(s.did ORDER BY s.did) FILTER (WHERE NOT s.tight)
+                 AS remaining
+      FROM (
+        SELECT u.did,
+               (u.did = p.active[1]
+                OR (u.uni > 0 AND 2 * u.inter >= u.uni)) AS loose,
+               (u.did = p.active[1]
+                OR (u.uni > 0 AND 4 * u.inter >= 3 * u.uni)) AS tight
+        FROM (
+          SELECT d.did,
+                 coalesce((SELECT n FROM sz WHERE doc_id = p.active[1]), 0)
+                   + coalesce((SELECT n FROM sz WHERE doc_id = d.did), 0)
+                   - (SELECT count(*) FROM tk a JOIN tk b
+                      ON b.tok = a.tok AND b.doc_id = d.did
+                      WHERE a.doc_id = p.active[1]) AS uni,
+                 (SELECT count(*) FROM tk a JOIN tk b
+                  ON b.tok = a.tok AND b.doc_id = d.did
+                  WHERE a.doc_id = p.active[1]) AS inter
+          FROM (SELECT unnest(p.active) AS did) d
+        ) u
+      ) s
+    ) w
+  ) q WHERE q.any_active = 1
+),
+fin AS (SELECT source, hist FROM g
+        WHERE it = (SELECT max(it) FROM g)),
+un AS (SELECT unnest(hist) AS u FROM fin)
+SELECT CAST(u['doc_id'] AS BIGINT) AS doc_id,
+       CAST(u['canopy_id'] AS BIGINT) AS canopy_id
+FROM un
+"""
 
 
 def q_dbscan_embed(sf_dir: str):

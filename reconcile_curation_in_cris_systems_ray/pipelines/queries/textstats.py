@@ -321,11 +321,25 @@ def q_media_decode(sf_dir: str):
 
 
 def q_frame_sample(sf_dir: str):
-    """Multimodal frame sampling: explode payloads into frame rows."""
+    """Multimodal frame sampling: explode payloads into frame rows.
+    ORACLED (round-5): the fake backend's frame count is
+    max(1, payload_bytes // 256) with every 10th frame sampled — the
+    payload is the UTF-8 text, so the oracle derives the frame grid
+    from strlen directly."""
     from ...stages.multimodal import frame_sample_stage
 
     out = frame_sample_stage(_media_ds(sf_dir), every_n=10)
     return out.select_columns(["media_id", "frame_idx"])
+
+
+SQL_FRAME_SAMPLE = r"""
+SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(i AS INT) AS frame_idx
+FROM (SELECT doc_id,
+             greatest(1, strlen(coalesce(text, '')) // 256) AS nf
+      FROM documents) d,
+     unnest(range(0, CAST(d.nf AS BIGINT), 10)) AS t(i)
+"""
 
 
 def q_phash_dups(sf_dir: str):

@@ -29,6 +29,11 @@ PINNED = [
     "scc_labels",
     "optimal_assignment",
     "coverage_sample",
+    "canopy_cluster",
+    "frame_sample",
+    "simhash_pairs",
+    "near_dup_docs",
+    "near_dup_keep",
     # round-4 new oracled operators
     "katz_centrality",
     "qgram_block",

@@ -1176,9 +1176,13 @@ def q_smith_waterman(sf_dir: str):
     """Affine-gap Smith-Waterman (Gotoh) local-alignment similarity on
     the corrupted-twin name pairs — the alignment family's third
     member next to partial_ratio (plain local Levenshtein) and
-    Monge-Elkan (token alignment).  Rows-only at the driver (no SQL
-    aligner); recurrence pinned against an independent scalar DP in
-    tests/test_gotoh.py.
+    Monge-Elkan (token alignment).  ORACLED (round-5, upgraded from
+    rows-only): the oracle runs the SAME Gotoh DP as a recursive CTE
+    over anti-diagonals — each iteration derives diagonal d+1 from one
+    scan of the carried (d, d-1) cell rows via a role-expansion join
+    (left/up/diag/keep/boundary), with all scores exact multiples of
+    0.5 so comparisons cannot drift.  Recurrence also pinned against
+    an independent scalar DP in tests/test_gotoh.py.
 
     Scale: pure map — the batched kernel runs the DP loops over padded
     name lengths once per batch with every cell update vectorized
@@ -1196,6 +1200,107 @@ def q_smith_waterman(sf_dir: str):
                              "sim": np.round(sim, 6)})
 
     return parts.map_batches(score, batch_format="pandas")
+
+
+SQL_SMITH_WATERMAN = r"""
+WITH RECURSIVE
+base AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ') AS arr
+  FROM part),
+pr AS (
+  SELECT p_partkey AS pair_id, p_name AS name_a,
+         arr[2] || ' ' ||
+         substr(arr[1], 1,
+                CAST(p_partkey % length(arr[1]) AS INT)) ||
+         substr(arr[1],
+                CAST(p_partkey % length(arr[1]) AS INT) + 2) AS name_b
+  FROM base
+  WHERE len(arr) >= 2 AND length(arr[1]) > 0),
+dims AS (SELECT pair_id, name_a, name_b,
+                length(name_a) AS la, length(name_b) AS lb,
+                length(name_a) + length(name_b) AS lt
+         FROM pr),
+subm AS (SELECT d.pair_id, CAST(i.i AS INT) AS i, CAST(j.j AS INT) AS j,
+                CASE WHEN substr(d.name_a, CAST(i.i AS INT), 1)
+                          = substr(d.name_b, CAST(j.j AS INT), 1)
+                     THEN 2.0 ELSE -1.0 END AS s
+         FROM dims d,
+              unnest(range(1, d.la + 1)) AS i(i),
+              unnest(range(1, d.lb + 1)) AS j(j)),
+roles(role, di) AS (VALUES ('L', 0), ('U', 1), ('D', 1),
+                           ('K', 0), ('BV', 1), ('BH', 0)),
+dp AS (
+  SELECT d.pair_id, 0 AS dg, 0 AS i, 0 AS j,
+         CAST(0.0 AS DOUBLE) AS h, CAST(-1e18 AS DOUBLE) AS e,
+         CAST(-1e18 AS DOUBLE) AS f, 0 AS g,
+         d.la, d.lb, d.lt
+  FROM dims d
+  UNION ALL
+  SELECT c.pair_id,
+         CASE WHEN c.kk THEN c.dg0 ELSE c.dg0 + 1 END AS dg,
+         c.ti AS i,
+         CASE WHEN c.kk THEN c.kj
+              WHEN c.bv THEN 0
+              WHEN c.bh THEN c.dg0 + 1
+              ELSE c.dg0 + 1 - c.ti END AS j,
+         CASE WHEN c.kk THEN c.kh
+              WHEN c.bv OR c.bh THEN 0.0
+              ELSE greatest(0.0,
+                            coalesce(c.h_diag + sb.s, -1e18),
+                            coalesce(c.e_new, -1e18),
+                            coalesce(c.f_new, -1e18)) END AS h,
+         CASE WHEN c.kk THEN c.ke
+              WHEN c.bv OR c.bh THEN -1e18
+              ELSE coalesce(c.e_new, -1e18) END AS e,
+         CASE WHEN c.kk THEN c.kf
+              WHEN c.bv OR c.bh THEN -1e18
+              ELSE coalesce(c.f_new, -1e18) END AS f,
+         CASE WHEN c.kk THEN 1 ELSE 0 END AS g,
+         c.la, c.lb, c.lt
+  FROM (
+    SELECT w.pair_id,
+           (r.role = 'K') AS kk,
+           (r.role = 'BV') AS bv,
+           (r.role = 'BH') AS bh,
+           max(w.dg) AS dg0,
+           w.i + r.di AS ti,
+           CASE WHEN r.role = 'K' THEN w.j ELSE -1 END AS kj,
+           max(CASE WHEN r.role = 'K' THEN w.h END) AS kh,
+           max(CASE WHEN r.role = 'K' THEN w.e END) AS ke,
+           max(CASE WHEN r.role = 'K' THEN w.f END) AS kf,
+           greatest(max(CASE WHEN r.role = 'L' THEN w.h END) - 2.0,
+                    max(CASE WHEN r.role = 'L' THEN w.e END) - 0.5)
+               AS e_new,
+           greatest(max(CASE WHEN r.role = 'U' THEN w.h END) - 2.0,
+                    max(CASE WHEN r.role = 'U' THEN w.f END) - 0.5)
+               AS f_new,
+           max(CASE WHEN r.role = 'D' THEN w.h END) AS h_diag,
+           max(w.la) AS la, max(w.lb) AS lb, max(w.lt) AS lt
+    FROM dp w
+    JOIN roles r
+      ON (r.role IN ('L', 'U') AND w.g = 0)
+      OR (r.role = 'D' AND w.g = 1)
+      OR (r.role = 'K' AND w.g = 0 AND w.dg + 2 <= w.lt)
+      OR (r.role = 'BV' AND w.g = 0 AND w.j = 0 AND w.i + 1 <= w.la)
+      OR (r.role = 'BH' AND w.g = 0 AND w.i = 0 AND w.j + 1 <= w.lb)
+    WHERE w.dg + 1 <= w.lt
+    GROUP BY w.pair_id, (r.role = 'K'), (r.role = 'BV'),
+             (r.role = 'BH'), w.i + r.di,
+             CASE WHEN r.role = 'K' THEN w.j ELSE -1 END
+  ) c
+  LEFT JOIN subm sb ON sb.pair_id = c.pair_id AND sb.i = c.ti
+                    AND sb.j = c.dg0 + 1 - c.ti
+  WHERE c.kk OR c.bv OR c.bh
+     OR (c.ti >= 1 AND c.dg0 + 1 - c.ti >= 1
+         AND c.ti <= c.la AND c.dg0 + 1 - c.ti <= c.lb)
+),
+best AS (SELECT pair_id, max(h) AS b, max(la) AS la, max(lb) AS lb
+         FROM dp WHERE g = 0 GROUP BY 1)
+SELECT CAST(pair_id AS BIGINT) AS pair_id,
+       round(least(greatest(b / (2.0 * greatest(least(la, lb), 1)),
+                            0.0), 1.0), 6) AS sim
+FROM best
+"""
 
 
 def q_dup_rate_by_source(sf_dir: str):
@@ -1525,8 +1630,12 @@ def q_icws_pairs(sf_dir: str):
     rows -> bucketed co-location -> pair-key dedup -> broadcast-lookup
     verify; signatures never ``.to_pandas()`` to the driver).  Probe
     set doc_id<40 keeps domain parity with the exact weighted_jaccard
-    baseline the accuracy pin compares against.  Rows-only (the
-    sketch is randomized-by-hash, not SQL-expressible)."""
+    baseline the accuracy pin compares against.  ORACLED (round-5,
+    upgraded from rows-only): the sketch is randomized-BY-HASH, so the
+    oracle rederives every (r, c, beta) uniform from the same DuckDB
+    hash() kernel, runs the Ioffe argmin in SQL (ln/exp on identical
+    IEEE inputs), rebuilds the hash(token|t) samples and takes all
+    pairs at agreement >= 0.5 (r=1 banding has exact recall)."""
     from ...stages.sketch import icws_signatures, signature_agreement_pairs
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
@@ -1536,6 +1645,57 @@ def q_icws_pairs(sf_dir: str):
     sigs = icws_signatures(docs, "doc_id", "text", m=64)
     return signature_agreement_pairs(sigs, "doc_id", "sig",
                                      threshold=0.5)
+
+
+SQL_ICWS_PAIRS = r"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+tl AS (SELECT doc_id,
+              list_filter(regexp_split_to_array(
+                  trim(lower(coalesce(text, ''))), '\s+'),
+                  x -> x <> '') AS arr
+       FROM docs),
+tok AS (SELECT doc_id, unnest(arr) AS term FROM tl WHERE len(arr) > 0),
+cell AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+uq AS (SELECT DISTINCT term FROM cell),
+kk AS (SELECT unnest(range(64)) AS k),
+uu AS (SELECT term, k,
+        CAST(hash(term || '|' || k || '|0') AS DOUBLE)
+            / 18446744073709551616.0 AS u0,
+        CAST(hash(term || '|' || k || '|1') AS DOUBLE)
+            / 18446744073709551616.0 AS u1,
+        CAST(hash(term || '|' || k || '|2') AS DOUBLE)
+            / 18446744073709551616.0 AS u2,
+        CAST(hash(term || '|' || k || '|3') AS DOUBLE)
+            / 18446744073709551616.0 AS u3,
+        CAST(hash(term || '|' || k || '|4') AS DOUBLE)
+            / 18446744073709551616.0 AS u4
+       FROM uq CROSS JOIN kk),
+par AS (SELECT term, k, -ln(u0 * u1) AS r, -ln(u2 * u3) AS c,
+               u4 AS beta
+        FROM uu),
+av AS (SELECT c2.doc_id, p.k, c2.term,
+              floor(ln(CAST(c2.tf AS DOUBLE)) / p.r + p.beta) AS t,
+              p.c / (exp(p.r * (floor(ln(CAST(c2.tf AS DOUBLE)) / p.r
+                                      + p.beta) - p.beta))
+                     * exp(p.r)) AS a
+       FROM cell c2 JOIN par p USING (term)),
+pick AS (SELECT doc_id, k, term, t FROM (
+          SELECT doc_id, k, term, t,
+                 row_number() OVER (PARTITION BY doc_id, k
+                                    ORDER BY a, term) AS rn
+          FROM av) WHERE rn = 1),
+sig AS (SELECT doc_id, k,
+               hash(term || '|' || CAST(CAST(t AS BIGINT) AS VARCHAR))
+                   AS s
+        FROM pick),
+ag AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              sum(CASE WHEN a.s = b.s THEN 1 ELSE 0 END) / 64.0 AS est
+       FROM sig a JOIN sig b ON b.doc_id > a.doc_id AND b.k = a.k
+       GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       round(est, 6) AS est_wj
+FROM ag WHERE est >= 0.5
+"""
 
 
 def q_cdc_chunks(sf_dir: str):

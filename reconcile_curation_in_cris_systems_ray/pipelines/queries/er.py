@@ -971,8 +971,13 @@ def q_er_match_pipeline(sf_dir: str):
     hash joins -> Monge-Elkan
     scoring on the per-worker JW kernel -> threshold ->
     mutual-best-match 1:1 assignment — and returns (orig_id, dup_id,
-    score) matches.  Rows-only driver check; matching accuracy vs the
-    planted truth is pinned >= 0.95 in pytest."""
+    score) matches.  ORACLED (round-5, upgraded from rows-only): every
+    channel has an exact SQL twin — rank-window SNM over both sort
+    orders, the pigeonhole Hamming join as a half-equality candidate
+    join with exact position-count verify, Monge-Elkan as the scorer's
+    own DuckDB SQL, mutual-best as the two-argmax-window join — so the
+    capstone composes into one oracle.  Matching accuracy vs the
+    planted truth stays pinned >= 0.95 in pytest."""
     import pyarrow.compute as pc_  # noqa: F401
 
     from ...stages.blocking import sorted_neighborhood_pairs
@@ -1065,6 +1070,78 @@ def q_er_match_pipeline(sf_dir: str):
         lambda df: df.rename(columns={"a": "orig_id", "b": "dup_id",
                                       "s": "score"}),
         batch_format="pandas")
+
+
+SQL_ER_MATCH_PIPELINE = r"""
+WITH dupbase AS (
+  SELECT c_custkey, coalesce(c_name, '') AS name,
+         c_custkey % greatest(least(length(coalesce(c_name, '')), 8), 1)
+             AS p
+  FROM customer WHERE c_custkey % 10 = 0),
+recs AS (
+  SELECT c_custkey AS rid, coalesce(c_name, '') AS name FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000,
+         substr(name, 1, CAST(p AS INT)) || 'x'
+           || substr(name, CAST(p AS INT) + 2)
+  FROM dupbase),
+r1 AS (SELECT rid, row_number() OVER (ORDER BY name, rid) AS rn
+       FROM recs),
+r2 AS (SELECT rid, row_number() OVER (ORDER BY reverse(name), rid) AS rn
+       FROM recs),
+offs AS (SELECT unnest(range(1, 4)) AS d),
+snm AS (
+  SELECT least(a.rid, b.rid) AS ia, greatest(a.rid, b.rid) AS ib
+  FROM r1 a CROSS JOIN offs CROSS JOIN r1 b WHERE b.rn = a.rn + offs.d
+  UNION
+  SELECT least(a.rid, b.rid), greatest(a.rid, b.rid)
+  FROM r2 a CROSS JOIN offs CROSS JOIN r2 b WHERE b.rn = a.rn + offs.d),
+hseg AS (SELECT rid, name, length(name) AS ln,
+                substr(name, 1, length(name) // 2) AS h1,
+                substr(name, length(name) // 2 + 1) AS h2
+         FROM recs),
+hcand AS (SELECT DISTINCT a.rid AS ia, b.rid AS ib,
+                 a.name AS na, b.name AS nb
+          FROM hseg a JOIN hseg b
+            ON b.ln = a.ln AND b.rid > a.rid
+           AND (b.h1 = a.h1 OR b.h2 = a.h2)),
+ham AS (SELECT ia, ib FROM hcand
+        WHERE (SELECT count(*)
+               FROM unnest(range(1, length(na) + 1)) t(i)
+               WHERE substr(na, CAST(i AS INT), 1)
+                     <> substr(nb, CAST(i AS INT), 1)) <= 1),
+pairs AS (
+  SELECT DISTINCT ia AS orig_id, ib AS dup_id FROM (
+    SELECT ia, ib FROM snm UNION ALL SELECT ia, ib FROM ham)
+  WHERE ia < 10000000 AND ib >= 10000000),
+hyd AS (SELECT p.orig_id, p.dup_id, a.name AS name_a, b.name AS name_b
+        FROM pairs p JOIN recs a ON a.rid = p.orig_id
+                     JOIN recs b ON b.rid = p.dup_id),
+ta AS (SELECT orig_id, dup_id,
+              unnest(string_split(name_a, ' ')) AS tok FROM hyd),
+tb AS (SELECT orig_id, dup_id,
+              unnest(string_split(name_b, ' ')) AS tok FROM hyd),
+best AS (SELECT ta.orig_id, ta.dup_id, ta.tok,
+                max(jaro_winkler_similarity(ta.tok, tb.tok)) AS b
+         FROM ta JOIN tb ON tb.orig_id = ta.orig_id
+                         AND tb.dup_id = ta.dup_id
+         GROUP BY 1, 2, 3),
+sc AS (SELECT orig_id, dup_id, round(avg(b), 6) AS s
+       FROM best GROUP BY 1, 2
+       HAVING round(avg(b), 6) >= 0.85),
+ba AS (SELECT orig_id, dup_id, s FROM (
+         SELECT orig_id, dup_id, s, row_number() OVER (
+             PARTITION BY orig_id ORDER BY s DESC, dup_id) AS rk
+         FROM sc) WHERE rk = 1),
+bb AS (SELECT orig_id, dup_id FROM (
+         SELECT orig_id, dup_id, row_number() OVER (
+             PARTITION BY dup_id ORDER BY s DESC, orig_id) AS rk
+         FROM sc) WHERE rk = 1)
+SELECT CAST(ba.orig_id AS BIGINT) AS orig_id,
+       CAST(ba.dup_id AS BIGINT) AS dup_id,
+       ba.s AS score
+FROM ba JOIN bb ON bb.orig_id = ba.orig_id AND bb.dup_id = ba.dup_id
+"""
 
 
 def q_meta_blocking(sf_dir: str):

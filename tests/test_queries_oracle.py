@@ -34,6 +34,9 @@ PINNED = [
     "simhash_pairs",
     "near_dup_docs",
     "near_dup_keep",
+    "er_match_pipeline",
+    "smith_waterman",
+    "icws_pairs",
     # round-4 new oracled operators
     "katz_centrality",
     "qgram_block",

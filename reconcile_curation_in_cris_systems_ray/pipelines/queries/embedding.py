@@ -86,7 +86,13 @@ def q_embedding_dups(sf_dir: str):
     deterministically — every 25th vector re-emitted as vec_id +
     1_000_000 with a tiny deterministic perturbation (cosine vs the
     original > 0.999) — and the query must recover exactly the planted
-    pairs (recovery pinned by ``tests/test_stages.py``)."""
+    pairs (recovery pinned by ``tests/test_stages.py``).  ORACLED
+    (round-5, upgraded from rows-only): the oracle rebuilds the
+    planted table with the same sin perturbation and takes all pairs
+    at cosine >= 0.95 — exact-threshold semantics; equal to the LSH
+    plan whenever the hyperplane tables lose no qualifying pair,
+    which the recovery pin asserts (natural pairs top out near 0.5,
+    far under the threshold)."""
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def plant(t: pa.Table) -> pa.Table:
@@ -106,6 +112,28 @@ def q_embedding_dups(sf_dir: str):
     planted = ds.map_batches(plant, batch_format="pyarrow")
     return embedding_dup_pairs(planted, "vec_id", "embedding",
                                cosine_threshold=0.95)
+
+
+SQL_EMBEDDING_DUPS = r"""
+WITH planted AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT e.vec_id + 1000000,
+         list_transform(e.embedding,
+           (x, j) -> CAST(x AS DOUBLE)
+                     * (1.0 + 0.005 * sin(CAST(j - 1 AS DOUBLE)
+                                          + CAST(e.vec_id AS DOUBLE))))
+  FROM embeddings e WHERE e.vec_id % 25 = 0),
+sims AS (
+  SELECT CAST(a.vec_id AS VARCHAR) AS sa,
+         CAST(b.vec_id AS VARCHAR) AS sb,
+         list_cosine_similarity(
+             CAST(a.embedding AS DOUBLE[]),
+             CAST(b.embedding AS DOUBLE[])) AS cosine
+  FROM planted a JOIN planted b ON a.vec_id < b.vec_id)
+SELECT least(sa, sb) AS id_a, greatest(sa, sb) AS id_b, cosine
+FROM sims WHERE cosine >= 0.95
+"""
 
 
 def q_ann_ivf(sf_dir: str):
@@ -397,9 +425,12 @@ def q_dbscan_embed(sf_dir: str):
     (min_samples=3, sklearn convention: the point itself counts),
     clusters = connected components of the core-core subgraph labeled
     by component-min vec_id, borders attach to their minimum-label
-    core neighbor, the rest is noise (cluster -1).  Deterministic
-    everywhere, pinned against a sequential reference DBSCAN in
-    tests/test_dbscan.py (rows-only at the driver).
+    core neighbor, the rest is noise (cluster -1).  ORACLED (round-5,
+    upgraded from rows-only): eps edges via list_cosine_similarity
+    (the cosine_pairs precedent — round-6-stable vs the numpy matmul),
+    cores/borders as plain aggregates, the component closure as a
+    recursive reachability CTE.  Also pinned against a sequential
+    reference DBSCAN in tests/test_dbscan.py.
 
     Scale notes: the edge stage is the documented brute-force baseline
     (LSH-bucketed at 10^12 rows); degree and border-attach finishes
@@ -480,6 +511,51 @@ def q_dbscan_embed(sf_dir: str):
 
     return emb.select_columns(["vec_id"]).map_batches(
         finish, batch_format="pandas")
+
+
+SQL_DBSCAN_EMBED = r"""
+WITH RECURSIVE
+e AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35),
+deg AS (SELECT vec_id, count(*) AS d FROM (
+          SELECT ia AS vec_id FROM e UNION ALL SELECT ib FROM e)
+        GROUP BY 1),
+core AS (SELECT vec_id FROM deg WHERE d >= 2),
+cc_e AS (SELECT ia, ib FROM e
+         WHERE ia IN (SELECT vec_id FROM core)
+           AND ib IN (SELECT vec_id FROM core)),
+und2 AS (SELECT ia AS a, ib AS b FROM cc_e
+         UNION SELECT ib, ia FROM cc_e),
+reach(a, b) AS (
+  SELECT a, b FROM und2
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und2 u ON u.a = r.b),
+comp AS (SELECT a AS node, least(a, min(b)) AS root
+         FROM reach GROUP BY a),
+corelab AS (SELECT c.vec_id, coalesce(cm.root, c.vec_id) AS lab
+            FROM core c LEFT JOIN comp cm ON cm.node = c.vec_id),
+bord AS (SELECT x.vec_id, min(cl.lab) AS lab FROM (
+           SELECT e.ib AS vec_id, e.ia AS core_id FROM e
+           WHERE e.ia IN (SELECT vec_id FROM core)
+             AND e.ib NOT IN (SELECT vec_id FROM core)
+           UNION ALL
+           SELECT e.ia, e.ib FROM e
+           WHERE e.ib IN (SELECT vec_id FROM core)
+             AND e.ia NOT IN (SELECT vec_id FROM core)) x
+         JOIN corelab cl ON cl.vec_id = x.core_id
+         GROUP BY 1)
+SELECT em.vec_id,
+       CAST(CASE WHEN cl.lab IS NOT NULL THEN cl.lab
+                 WHEN bd.lab IS NOT NULL THEN bd.lab
+                 ELSE -1 END AS BIGINT) AS cluster,
+       CASE WHEN cl.lab IS NOT NULL THEN 'core'
+            WHEN bd.lab IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM embeddings em
+LEFT JOIN corelab cl ON cl.vec_id = em.vec_id
+LEFT JOIN bord bd ON bd.vec_id = em.vec_id
+"""
 
 
 def q_ann_pq(sf_dir: str):
@@ -580,9 +656,13 @@ def q_mmr_select(sf_dir: str):
     distributed partial-argmax pass (per-batch best under the
     broadcast selected-set, driver reduces over O(blocks) candidates);
     the selected matrix is k x dim — tiny — so nothing large is ever
-    broadcast or materialized.  Rows-only: order-dependent greedy is
-    not SQL-expressible; pinned against a sequential numpy reference
-    in tests/test_mmr.py."""
+    broadcast or materialized.  ORACLED (round-5, upgraded from
+    rows-only): the greedy runs as a recursive CTE with a carried
+    selected list, one LATERAL argmax per round; the oracle replays
+    the SAME float path (normalize-then-dot via list_inner_product —
+    list_cosine_similarity's dot/(|a||b|) order diverged at a round-6
+    boundary) so scores agree to the rounded digit.  Also pinned
+    against a sequential numpy reference in tests/test_mmr.py."""
     import ray
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -637,6 +717,44 @@ def q_mmr_select(sf_dir: str):
         selected_ids.append(vid)
         selected_mat = np.vstack([selected_mat, vrow])
     return pd.DataFrame(rows)
+
+
+SQL_MMR_SELECT = r"""
+WITH RECURSIVE
+un AS (SELECT vec_id,
+              list_transform(
+                  CAST(embedding AS DOUBLE[]),
+                  x -> x / sqrt(list_inner_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[])))) AS u
+       FROM embeddings),
+g AS (
+  SELECT 0 AS it, CAST([] AS BIGINT[]) AS sel,
+         CAST([] AS STRUCT(rnk BIGINT, vec_id BIGINT, score DOUBLE)[])
+             AS hist
+  UNION ALL
+  SELECT g.it + 1, list_append(g.sel, w.vec_id),
+         list_append(g.hist, {'rnk': g.it + 1, 'vec_id': w.vec_id,
+                              'score': round(w.sc, 6)})
+  FROM g, LATERAL (
+    SELECT e.vec_id,
+           0.7 * list_inner_product(
+                     e.u, (SELECT u FROM un WHERE vec_id = 0))
+           - 0.3 * coalesce(
+                 (SELECT max(list_inner_product(e.u, s.u))
+                  FROM un s
+                  WHERE list_contains(g.sel, s.vec_id)), 0.0) AS sc
+    FROM un e
+    WHERE NOT list_contains(g.sel, e.vec_id)
+    ORDER BY sc DESC, e.vec_id LIMIT 1) w
+  WHERE g.it < 10
+),
+last AS (SELECT hist FROM g ORDER BY it DESC LIMIT 1)
+SELECT CAST(u['rnk'] AS BIGINT) AS "rank",
+       CAST(u['vec_id'] AS BIGINT) AS vec_id,
+       u['score'] AS score
+FROM (SELECT unnest(hist) AS u FROM last)
+"""
 
 
 def q_silhouette_score(sf_dir: str):

@@ -37,6 +37,9 @@ PINNED = [
     "er_match_pipeline",
     "smith_waterman",
     "icws_pairs",
+    "dbscan_embed",
+    "embedding_dups",
+    "mmr_select",
     # round-4 new oracled operators
     "katz_centrality",
     "qgram_block",

@@ -202,9 +202,11 @@ def q_kmeans_embed(sf_dir: str):
     """Distributed Lloyd's k-means over the embeddings table (k=10,
     10 iterations, deterministic min-id init): per iteration one
     centroid broadcast + one data pass emitting k-row partials.
-    Rows-only driver check; tests/test_embcluster.py pins the
-    assignments against an identical-semantics single-node numpy
-    reference."""
+    ORACLED (round-5, upgraded from rows-only): the iterations unroll
+    as chained MATERIALIZED CTEs replaying the SAME expanded distance
+    expression and per-dim grouped centroid means.
+    tests/test_embcluster.py additionally pins the assignments against
+    an identical-semantics single-node numpy reference."""
     from ...stages.embcluster import kmeans
 
     _, assigned = kmeans(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -216,8 +218,11 @@ def q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-means clustering then cosine
     near-dup removal WITHIN clusters only (min-id representative).
     Pairwise work bounded per cluster — the embedding-dedup plan that
-    scales by growing k with the corpus.  Rows-only driver check;
-    planted-duplicate recovery pinned in tests/test_embcluster.py."""
+    scales by growing k with the corpus.  ORACLED (round-5, upgraded
+    from rows-only): the kmeans unroll (iters=5) plus a within-cluster
+    normalize-then-dot pair filter at 0.9 and the lower-id drop rule.
+    Planted-duplicate recovery stays pinned in
+    tests/test_embcluster.py."""
     from ...stages.embcluster import semdedup
 
     return semdedup(_rp(sf_dir, "embeddings", ["vec_id", "embedding"]),
@@ -762,14 +767,129 @@ def q_silhouette_score(sf_dir: str):
     (k=10) — the internal cluster-quality audit beside the external
     bcubed/ARI measures: one k x dim centroid broadcast, one data
     pass computing s = (b - a)/max(a, b) per point, per-cluster mean
-    via the combiner.  Rows-only (k-means is iterative); pinned
-    against a sequential numpy reference in tests/test_embcluster
-    semantics via tests/test_silhouette.py."""
+    via the combiner.  ORACLED (round-5, upgraded from rows-only): the
+    kmeans unroll feeds direct sqrt-of-squared-diff centroid distances
+    (the silhouette stage's own float path) and the closed-form
+    per-cluster mean.  Also pinned against a sequential numpy
+    reference via tests/test_silhouette.py."""
     from ...stages.embcluster import kmeans, silhouette
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     C, _assigned = kmeans(emb, k=10, iters=10)
     return silhouette(emb, C)
+
+
+def _kmeans_sql_prefix(k: int, iters: int) -> tuple[str, str]:
+    """Exact SQL twin of stages/embcluster.kmeans: min-id init, per
+    iteration an argmin assignment using the SAME expanded
+    ``x.x - 2 x.c + c.c`` distance expression and a per-dim grouped
+    mean; empty clusters keep their previous centroid.  Every chained
+    CTE is MATERIALIZED (each is referenced by the next round — the
+    kcore inlining lesson).  Returns (prefix, final_centroid_cte)."""
+    parts = [f"""WITH
+emb AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                     FROM embeddings),
+dims AS MATERIALIZED (SELECT vec_id, unnest(range(1, len(e) + 1)) AS j,
+                unnest(e) AS val FROM emb),
+xx AS MATERIALIZED (SELECT vec_id, list_inner_product(e, e) AS v
+                    FROM emb),
+c0 AS MATERIALIZED (
+       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+              e AS cent
+       FROM (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT {k}))"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f"""
+a{t} AS MATERIALIZED (SELECT vec_id, cluster FROM (
+  SELECT em.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY em.vec_id
+             ORDER BY xx.v - 2.0 * list_inner_product(em.e, c.cent)
+                      + list_inner_product(c.cent, c.cent),
+                      c.cluster) AS rn
+  FROM emb em JOIN xx ON xx.vec_id = em.vec_id CROSS JOIN {prev} c)
+  WHERE rn = 1),
+m{t} AS MATERIALIZED (SELECT a.cluster, d.j, sum(d.val) / count(*) AS v
+         FROM a{t} a JOIN dims d ON d.vec_id = a.vec_id
+         GROUP BY 1, 2),
+c{t} AS MATERIALIZED (SELECT p.cluster,
+                coalesce(nc.cent, p.cent) AS cent
+         FROM {prev} p
+         LEFT JOIN (SELECT cluster, list(v ORDER BY j) AS cent
+                    FROM m{t} GROUP BY 1) nc ON nc.cluster = p.cluster)""")
+        prev = f"c{t}"
+    return ",".join(parts), prev
+
+
+def _final_assign_sql(cfin: str, name: str = "fin") -> str:
+    return f"""
+{name} AS MATERIALIZED (SELECT vec_id, cluster FROM (
+  SELECT em.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY em.vec_id
+             ORDER BY xx.v - 2.0 * list_inner_product(em.e, c.cent)
+                      + list_inner_product(c.cent, c.cent),
+                      c.cluster) AS rn
+  FROM emb em JOIN xx ON xx.vec_id = em.vec_id CROSS JOIN {cfin} c)
+  WHERE rn = 1)"""
+
+
+def _kmeans_sql() -> str:
+    pre, cfin = _kmeans_sql_prefix(10, 10)
+    return (pre + "," + _final_assign_sql(cfin)
+            + "\nSELECT vec_id, CAST(cluster AS BIGINT) AS cluster"
+              " FROM fin")
+
+
+def _silhouette_sql() -> str:
+    pre, cfin = _kmeans_sql_prefix(10, 10)
+    return pre + f""",
+cd AS MATERIALIZED (SELECT cluster, unnest(range(1, len(cent) + 1)) AS j,
+              unnest(cent) AS cv FROM {cfin}),
+dist AS MATERIALIZED (SELECT d.vec_id, cd.cluster,
+                sqrt(sum((d.val - cd.cv) * (d.val - cd.cv))) AS d
+         FROM dims d JOIN cd ON cd.j = d.j
+         GROUP BY 1, 2),
+own AS MATERIALIZED (SELECT vec_id, cluster, d FROM (
+          SELECT vec_id, cluster, d,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY d, cluster) AS rn
+          FROM dist) WHERE rn = 1),
+oth AS MATERIALIZED (SELECT o.vec_id, min(x.d) AS b
+        FROM own o JOIN dist x ON x.vec_id = o.vec_id
+                              AND x.cluster <> o.cluster
+        GROUP BY 1),
+s AS (SELECT o.cluster,
+             CASE WHEN greatest(o.d, t.b) > 0
+                  THEN (t.b - o.d) / greatest(o.d, t.b)
+                  ELSE 0.0 END AS sv
+      FROM own o JOIN oth t ON t.vec_id = o.vec_id)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(sv) / count(*), 6) AS mean_s
+FROM s GROUP BY 1 HAVING count(*) > 0"""
+
+
+def _semdedup_sql() -> str:
+    pre, cfin = _kmeans_sql_prefix(10, 5)
+    return pre + "," + _final_assign_sql(cfin) + """,
+un AS MATERIALIZED (SELECT e.vec_id,
+              list_transform(e.e,
+                  x -> x / greatest(sqrt(list_inner_product(e.e, e.e)),
+                                    1e-12)) AS u
+       FROM emb e),
+drop0 AS MATERIALIZED (SELECT DISTINCT f2.vec_id
+          FROM fin f1 JOIN fin f2 ON f2.cluster = f1.cluster
+                                  AND f2.vec_id > f1.vec_id
+          JOIN un u1 ON u1.vec_id = f1.vec_id
+          JOIN un u2 ON u2.vec_id = f2.vec_id
+          WHERE list_inner_product(u1.u, u2.u) >= 0.9)
+SELECT f.vec_id, CAST(f.cluster AS BIGINT) AS cluster,
+       (d.vec_id IS NULL) AS keep
+FROM fin f LEFT JOIN drop0 d ON d.vec_id = f.vec_id"""
+
+
+SQL_KMEANS_EMBED = _kmeans_sql()
+SQL_SILHOUETTE_SCORE = _silhouette_sql()
+SQL_SEMDEDUP = _semdedup_sql()
 
 
 def q_topk_sim_pairs(sf_dir: str):

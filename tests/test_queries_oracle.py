@@ -40,6 +40,9 @@ PINNED = [
     "dbscan_embed",
     "embedding_dups",
     "mmr_select",
+    "kmeans_embed",
+    "silhouette_score",
+    "semdedup",
     # round-4 new oracled operators
     "katz_centrality",
     "qgram_block",

@@ -1777,10 +1777,12 @@ def q_logreg_train(sf_dir: str):
     full-batch gradient-descent steps — each step ONE combiner pass
     of per-batch gradient/loss partials against the broadcast weight
     vector, the canonical parameter-server-free distributed-GD shape
-    (same skeleton as a data-parallel deep-learning step).  Rows-only
-    (iterative float training is not SQL-expressible); monotone loss
-    and above-baseline accuracy are pinned in pytest.  Returns one
-    row per iteration (iter, loss, acc)."""
+    (same skeleton as a data-parallel deep-learning step).  ORACLED
+    (round-5, upgraded from rows-only): the 10 GD steps unroll as
+    chained MATERIALIZED CTEs replaying the identical IEEE feature,
+    standardization, sigmoid, gradient and update expressions.
+    Monotone loss and above-baseline accuracy stay pinned in pytest.
+    Returns one row per iteration (iter, loss, acc)."""
     docs = _rp(sf_dir, "documents", ["text", "lang"])
 
     def feats(df: pd.DataFrame) -> pd.DataFrame:
@@ -1848,6 +1850,73 @@ def q_logreg_train(sf_dir: str):
     return pd.DataFrame(hist, columns=["iter", "loss", "acc"]) \
         .assign(loss=lambda d: d["loss"].round(6),
                 acc=lambda d: d["acc"].round(6))
+
+
+def _logreg_sql(iters: int = 10) -> str:
+    """Exact SQL twin of q_logreg_train: the same char-statistic
+    features, moment standardization and full-batch GD unrolled as
+    chained MATERIALIZED CTEs — one sigmoid/gradient scan and one
+    weight update per step, identical IEEE expressions."""
+    head = r"""WITH
+fx AS MATERIALIZED (
+  SELECT ln(greatest(CAST(length(t) AS DOUBLE), 1.0)) AS x1,
+         CAST(len(regexp_extract_all(t, '[0-9]')) AS DOUBLE)
+             / greatest(CAST(length(t) AS DOUBLE), 1.0) AS x2,
+         CAST(length(t) - length(replace(t, ' ', '')) AS DOUBLE)
+             / greatest(CAST(length(t) AS DOUBLE), 1.0) AS x3,
+         CAST(len(regexp_extract_all(t, '[a-zA-Z]')) AS DOUBLE)
+             / greatest(CAST(length(t) AS DOUBLE), 1.0) AS x4,
+         CAST(len(regexp_extract_all(t, '\bthe\b')) AS DOUBLE)
+             / greatest(CAST(length(t) - length(replace(t, ' ', ''))
+                             AS DOUBLE), 1.0) AS x5,
+         CASE WHEN lang = 'zh' THEN 1.0 ELSE 0.0 END AS y
+  FROM (SELECT coalesce(text, '') AS t, lang FROM documents)),
+st AS MATERIALIZED (
+  SELECT count(*) AS n,
+         avg(x1) AS mu1, avg(x2) AS mu2, avg(x3) AS mu3,
+         avg(x4) AS mu4, avg(x5) AS mu5,
+         sqrt(greatest(sum(x1*x1)/count(*) - (sum(x1)/count(*))^2, 1e-12)) AS sd1,
+         sqrt(greatest(sum(x2*x2)/count(*) - (sum(x2)/count(*))^2, 1e-12)) AS sd2,
+         sqrt(greatest(sum(x3*x3)/count(*) - (sum(x3)/count(*))^2, 1e-12)) AS sd3,
+         sqrt(greatest(sum(x4*x4)/count(*) - (sum(x4)/count(*))^2, 1e-12)) AS sd4,
+         sqrt(greatest(sum(x5*x5)/count(*) - (sum(x5)/count(*))^2, 1e-12)) AS sd5
+  FROM fx),
+z AS MATERIALIZED (
+  SELECT (x1 - st.mu1) / st.sd1 AS x1, (x2 - st.mu2) / st.sd2 AS x2,
+         (x3 - st.mu3) / st.sd3 AS x3, (x4 - st.mu4) / st.sd4 AS x4,
+         (x5 - st.mu5) / st.sd5 AS x5, y, st.n
+  FROM fx CROSS JOIN st),
+w0 AS MATERIALIZED (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+                           0.0 AS w4, 0.0 AS w5)"""
+    parts = [head]
+    for t in range(iters):
+        parts.append(f"""
+p{t} AS MATERIALIZED (
+  SELECT z.*, 1.0 / (1.0 + exp(-(w.b + w.w1*z.x1 + w.w2*z.x2
+                                 + w.w3*z.x3 + w.w4*z.x4
+                                 + w.w5*z.x5))) AS p
+  FROM z CROSS JOIN w{t} w),
+s{t} AS MATERIALIZED (
+  SELECT max(n) AS n,
+         sum(p - y) AS g0, sum(x1*(p - y)) AS g1, sum(x2*(p - y)) AS g2,
+         sum(x3*(p - y)) AS g3, sum(x4*(p - y)) AS g4,
+         sum(x5*(p - y)) AS g5,
+         sum(-(y * ln(p + 1e-12) + (1 - y) * ln(1 - p + 1e-12))) AS loss,
+         sum(CASE WHEN (p >= 0.5) = (y >= 0.5) THEN 1.0 ELSE 0.0 END)
+             AS acc
+  FROM p{t}),
+w{t + 1} AS MATERIALIZED (
+  SELECT w.b - s.g0 / s.n AS b, w.w1 - s.g1 / s.n AS w1,
+         w.w2 - s.g2 / s.n AS w2, w.w3 - s.g3 / s.n AS w3,
+         w.w4 - s.g4 / s.n AS w4, w.w5 - s.g5 / s.n AS w5
+  FROM w{t} w CROSS JOIN s{t} s)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS iter, round(loss / n, 6) AS loss, "
+        f"round(acc / n, 6) AS acc FROM s{t}" for t in range(iters))
+    return ",".join(parts) + "\n" + tail
+
+
+SQL_LOGREG_TRAIN = _logreg_sql()
 
 
 def q_kendall_tau(sf_dir: str):

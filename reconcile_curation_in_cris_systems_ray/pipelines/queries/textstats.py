@@ -1337,12 +1337,83 @@ def q_bpe_train(sf_dir: str):
     corpus word-count shuffle; each round is a shuffle-free pair-stats
     combiner + driver argmax (deterministic lexicographic tie-break) +
     vectorized vocab-wide regex merge (stages/bpe.py::learn_bpe).
-    Rows-only at the driver; pinned against an independent pure-dict
+    ORACLED (round-5, upgraded from rows-only): the rounds unroll as
+    chained MATERIALIZED CTEs with python's non-overlapping
+    left-to-right merge reproduced by run-parity window logic (RE2 has
+    no lookbehind).  Also pinned against an independent pure-dict
     sequential trainer in tests/test_bpe.py."""
     from ...stages.bpe import learn_bpe
 
     docs = _rp(sf_dir, "documents", ["text"])
     return learn_bpe(docs, "text", n_merges=8)
+
+
+def _bpe_sql(n_merges: int = 8) -> str:
+    """Exact SQL twin of stages/bpe.learn_bpe: per round a weighted
+    adjacent-pair count over the carried symbol arrays, the
+    (count DESC, left, right) argmax, and the NON-OVERLAPPING
+    left-to-right merge — python's regex scan-resume semantics
+    reproduced lookaround-free by run-parity window logic (within a
+    maximal run of consecutive eligible positions, merges start at
+    even offsets and the following symbol is consumed)."""
+    head = r"""WITH
+wc AS MATERIALIZED (
+  SELECT tok AS word, CAST(count(*) AS BIGINT) AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                     '[a-z0-9]+')) AS tok
+    FROM documents) GROUP BY 1),
+v0 AS MATERIALIZED (
+  SELECT word, n,
+         list_append(regexp_split_to_array(word, ''), '</w>') AS arr
+  FROM wc)"""
+    parts = [head]
+    for t in range(1, n_merges + 1):
+        p = t - 1
+        parts.append(f"""
+pc{t} AS MATERIALIZED (
+  SELECT arr[k] AS l, arr[k + 1] AS r, sum(n) AS cnt
+  FROM (SELECT word, n, arr, unnest(range(1, len(arr))) AS k FROM v{p})
+  GROUP BY 1, 2),
+b{t} AS MATERIALIZED (
+  SELECT l, r, cnt FROM pc{t}
+  ORDER BY cnt DESC, l, r LIMIT 1),
+e{t} AS MATERIALIZED (
+  SELECT v.word, v.n, u.k, v.arr[u.k] AS s,
+         (u.k < len(v.arr) AND v.arr[u.k] = b.l
+          AND v.arr[u.k + 1] = b.r) AS elig
+  FROM v{p} v CROSS JOIN b{t} b,
+       LATERAL (SELECT unnest(range(1, len(v.arr) + 1)) AS k) u),
+r{t} AS MATERIALIZED (
+  SELECT word, n, k, s, elig,
+         CASE WHEN elig THEN
+           (k - min(k) OVER (PARTITION BY word, grp)) % 2 = 0
+         ELSE false END AS mstart
+  FROM (
+    SELECT word, n, k, s, elig,
+           CASE WHEN elig THEN
+             k - row_number() OVER (PARTITION BY word, elig ORDER BY k)
+           END AS grp
+    FROM e{t})),
+v{t} AS MATERIALIZED (
+  SELECT x.word, x.n,
+         list(CASE WHEN x.mstart THEN b.l || b.r ELSE x.s END
+              ORDER BY x.k) AS arr
+  FROM (
+    SELECT word, n, k, s, mstart,
+           coalesce(lag(mstart) OVER (PARTITION BY word ORDER BY k),
+                    false) AS consumed
+    FROM r{t}) x
+  CROSS JOIN b{t} b
+  WHERE NOT x.consumed
+  GROUP BY x.word, x.n)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS step, l AS left, r AS right, "
+        f"CAST(cnt AS BIGINT) AS pair_count FROM b{t}"
+        for t in range(1, n_merges + 1))
+    return ",".join(parts) + "\n" + tail
+
+
+SQL_BPE_TRAIN = _bpe_sql()
 
 
 def q_chi2_terms(sf_dir: str):

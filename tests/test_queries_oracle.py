@@ -43,6 +43,8 @@ PINNED = [
     "kmeans_embed",
     "silhouette_score",
     "semdedup",
+    "logreg_train",
+    "bpe_train",
     # round-4 new oracled operators
     "katz_centrality",
     "qgram_block",

@@ -46,8 +46,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     for c in a.columns:
         av, bv = a[c], b[c]
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            av = pd.to_numeric(av, errors="coerce").astype(float)
-            bv = pd.to_numeric(bv, errors="coerce").astype(float)
+            # driver-gate float semantics (same as full_sweep.py's
+            # canon): round to 6 decimals before the exact compare —
+            # engine-vs-SQL reduction orders differ at the ulp level
+            av = pd.to_numeric(av, errors="coerce").astype(float).round(6)
+            bv = pd.to_numeric(bv, errors="coerce").astype(float).round(6)
             both_nan = av.isna() & bv.isna()
             if not (np.isclose(av.fillna(0), bv.fillna(0), rtol=0, atol=0)
                     | both_nan).all():

@@ -137,9 +137,65 @@ FROM sims WHERE cosine >= 0.95
 
 
 def q_ann_ivf(sf_dir: str):
-    """IVF-partitioned approximate top-k."""
+    """IVF-partitioned approximate top-k.  ORACLED (round-5, upgraded
+    from rows-only): the centroid sample is the 16 vectors with the
+    smallest DuckDB-``hash()``ed id strings viewed as int64
+    (stages/ann.py::build_ivf_centroids), so the oracle replays the
+    ENTIRE plan in SQL — centroid selection, L2 normalization, 4-probe
+    assignment per query, nearest-centroid assignment per vector and
+    exact cosine top-10 within the probed lists."""
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     return ivf_topk(ds, _query_vectors(sf_dir), k=10)
+
+
+SQL_ANN_IVF = r"""
+WITH
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM e),
+en AS (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nrm
+       FROM ev GROUP BY vec_id),
+nv AS MATERIALIZED (
+  SELECT ev.vec_id, ev.j, ev.x / en.nrm AS x
+  FROM ev JOIN en USING (vec_id)),
+hh AS (SELECT vec_id,
+              CASE WHEN CAST(hash(CAST(vec_id AS VARCHAR)) AS HUGEINT)
+                        >= 9223372036854775808
+                   THEN CAST(CAST(hash(CAST(vec_id AS VARCHAR)) AS HUGEINT)
+                             - 18446744073709551616 AS BIGINT)
+                   ELSE CAST(hash(CAST(vec_id AS VARCHAR)) AS BIGINT)
+              END AS h
+       FROM e),
+cids AS (SELECT vec_id, row_number() OVER (ORDER BY h) AS cidx
+         FROM hh ORDER BY h LIMIT 16),
+cn AS MATERIALIZED (
+  SELECT c.cidx, nv.j, nv.x AS xc
+  FROM cids c JOIN nv ON nv.vec_id = c.vec_id),
+qn AS MATERIALIZED (
+  SELECT vec_id AS query_id, j, x FROM nv WHERE vec_id < 3),
+probe AS (SELECT query_id, cidx FROM (
+  SELECT query_id, cidx,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot DESC, cidx) AS rn
+  FROM (SELECT q.query_id, c.cidx, sum(q.x * c.xc) AS dot
+        FROM qn q JOIN cn c ON c.j = q.j GROUP BY 1, 2)) WHERE rn <= 4),
+assign AS (SELECT vec_id, cidx FROM (
+  SELECT vec_id, cidx,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dot DESC, cidx) AS rn
+  FROM (SELECT nv.vec_id, c.cidx, sum(nv.x * c.xc) AS dot
+        FROM nv JOIN cn c ON c.j = nv.j GROUP BY 1, 2)) WHERE rn = 1),
+sims AS (SELECT q.query_id, nv.vec_id, sum(nv.x * q.x) AS score
+         FROM nv JOIN qn q ON q.j = nv.j GROUP BY 1, 2)
+SELECT query_id, vec_id, score FROM (
+  SELECT s.query_id, s.vec_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score DESC, s.vec_id) AS rn
+  FROM sims s
+  JOIN assign a ON a.vec_id = s.vec_id
+  JOIN probe p ON p.query_id = s.query_id AND p.cidx = a.cidx)
+WHERE rn <= 10
+"""
 
 
 def q_centroid_agg(sf_dir: str):
@@ -588,11 +644,66 @@ def q_ann_multiprobe(sf_dir: str):
     """Multi-probe hyperplane-LSH top-k (stages/ann.py::
     multiprobe_topk): one hash table, least-confident-bit probing —
     the index-memory-frugal ANN path beside ann_ivf/ann_pq.
-    Rows-only; recall vs brute force pinned in tests."""
+    ORACLED (round-5, upgraded from rows-only): at the registered
+    config (n_planes=6, n_probes=24) the engine's probe list is every
+    mask with <=2 bits flipped (1 + 6 + C(6,2) = 22 <= 24 probes), so
+    the probed bucket set is EXACTLY the codes at Hamming distance
+    <= 2 from the query's code; the oracle embeds the seeded Gaussian
+    planes as literals (the MinHash-constant discipline), rebuilds
+    sign-bit codes in SQL and takes the exact cosine top-10 within
+    bit_count(xor(code, qcode)) <= 2."""
     from ...stages.ann import multiprobe_topk
 
     ds = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
     return multiprobe_topk(ds, _query_vectors(sf_dir), k=10)
+
+
+def _ann_multiprobe_sql() -> str:
+    """Exact SQL twin of q_ann_multiprobe: the same
+    ``default_rng(7).standard_normal((6, 64))`` hyperplanes embedded
+    as full-precision literals; codes from strict dot>0 sign bits over
+    L2-normalized vectors."""
+    rng = np.random.default_rng(7)
+    planes = rng.standard_normal((6, 64))
+    rows = ",\n    ".join(
+        f"({j}, {p + 1}, {v!r})"
+        for j in range(planes.shape[0]) for p, v in enumerate(planes[j]))
+    return f"""
+WITH
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS MATERIALIZED (
+  SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS j FROM e),
+en AS (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nrm
+       FROM ev GROUP BY vec_id),
+nv AS MATERIALIZED (
+  SELECT ev.vec_id, ev.j, ev.x / en.nrm AS x
+  FROM ev JOIN en USING (vec_id)),
+pl(pj, j, w) AS (VALUES
+    {rows}),
+codes AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN dot > 0 THEN 1 << pj ELSE 0 END) AS BIGINT)
+             AS code
+  FROM (SELECT nv.vec_id, pl.pj, sum(nv.x * pl.w) AS dot
+        FROM nv JOIN pl ON pl.j = nv.j GROUP BY 1, 2)
+  GROUP BY vec_id),
+qn AS MATERIALIZED (
+  SELECT vec_id AS query_id, j, x FROM nv WHERE vec_id < 3),
+sims AS (SELECT q.query_id, nv.vec_id, sum(nv.x * q.x) AS score
+         FROM nv JOIN qn q ON q.j = nv.j GROUP BY 1, 2)
+SELECT query_id, vec_id, score FROM (
+  SELECT s.query_id, s.vec_id, s.score,
+         row_number() OVER (PARTITION BY s.query_id
+                            ORDER BY s.score DESC, s.vec_id) AS rn
+  FROM sims s
+  JOIN codes cv ON cv.vec_id = s.vec_id
+  JOIN codes cq ON cq.vec_id = s.query_id
+  WHERE bit_count(xor(cv.code, cq.code)) <= 2)
+WHERE rn <= 10
+"""
+
+
+SQL_ANN_MULTIPROBE = _ann_multiprobe_sql()
 
 
 def q_gh_means(sf_dir: str):

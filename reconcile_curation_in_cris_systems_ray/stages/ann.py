@@ -122,12 +122,15 @@ def build_ivf_centroids(ds, n_centroids: int = 16,
                         id_col: str = "vec_id") -> np.ndarray:
     """Deterministic centroids: the vectors with the ``n_centroids``
     smallest stable-hashed ids (a seeded sample without an extra pass
-    ordering dependence), L2-normalized."""
-    from ..functions.similarity import stable_hash_strings
+    ordering dependence), L2-normalized.  The id hash is DuckDB's
+    ``hash()`` kernel (``hash_strings_fast``) viewed as int64, so the
+    whole selection — and therefore the whole IVF plan — replays
+    exactly in the SQL oracle (``SQL_ANN_IVF``)."""
+    from ..functions.similarity import hash_strings_fast
 
     def cand(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).cast(pa.string()).to_pandas().to_numpy(dtype=object)
-        h = stable_hash_strings(ids).view(np.int64)
+        ids = batch.column(id_col).cast(pa.string())
+        h = hash_strings_fast(ids).view(np.int64)
         kk = min(n_centroids, len(batch))
         sel = np.argpartition(h, kk - 1)[:kk]
         return pa.table({

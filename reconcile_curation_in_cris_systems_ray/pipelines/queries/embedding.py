@@ -621,10 +621,16 @@ LEFT JOIN bord bd ON bd.vec_id = em.vec_id
 
 def q_ann_pq(sf_dir: str):
     """Product-quantization ANN over the embedding table
-    (stages/ann.py::pq_topk): 64-dim floats compressed to 8 uint8
+    (stages/ann.py::pq_topk): 64-dim floats compressed to 16 uint8
     codes, ADC lookup-table scan, per-batch partial top-k — the
-    memory-compression scale path beside ann_ivf.  Rows-only at the
-    driver; recall vs the exact euclidean top-k pinned in
+    memory-compression scale path beside ann_ivf.  ORACLED (round-5,
+    upgraded from rows-only): the training sample is the 512 smallest
+    DuckDB-``hash()``ed ids, so the oracle unrolls the full per-
+    subspace Lloyd training (16 subspaces x 8 iterations as chained
+    MATERIALIZED CTEs, first-64-by-hash init, empty-cluster carry),
+    re-encodes every vector, rebuilds the per-query ADC LUT and takes
+    the negated-distance top-10 — the complete PQ plan in SQL.
+    Recall vs the exact euclidean top-k stays pinned in
     tests/test_ann_pq.py."""
     from ...stages.ann import _as_matrix, pq_topk
 
@@ -638,6 +644,87 @@ def q_ann_pq(sf_dir: str):
     # i.i.d. embeddings are PQ's hard case (no cluster structure):
     # 16 subspaces x 64 centroids measured mean recall@10 ~0.6 here
     return pq_topk(emb, queries, k=10, m_sub=16, n_cent=64, train_n=512)
+
+
+def _ann_pq_sql(m_sub: int = 16, sub_d: int = 4, n_cent: int = 64,
+                train_n: int = 512, iters: int = 8, n_q: int = 5) -> str:
+    """Exact SQL twin of q_ann_pq / stages/ann.py::pq_topk: the
+    per-subspace Lloyd iterations unroll as chained MATERIALIZED CTEs
+    (the kmeans_embed discipline), all subspaces trained at once in
+    long (sub, c, pos, val) form; argmins replay numpy's first-index
+    tie-break via ORDER BY d2, c."""
+    parts = [f"""
+WITH
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sv AS MATERIALIZED (
+  SELECT vec_id, CAST((p - 1) // {sub_d} AS INT) AS sub,
+         CAST((p - 1) % {sub_d} AS INT) AS pos, x
+  FROM (SELECT vec_id, unnest(v) AS x,
+               generate_subscripts(v, 1) AS p FROM e)),
+hh AS (SELECT vec_id,
+              CASE WHEN CAST(hash(CAST(vec_id AS VARCHAR)) AS HUGEINT)
+                        >= 9223372036854775808
+                   THEN CAST(CAST(hash(CAST(vec_id AS VARCHAR)) AS HUGEINT)
+                             - 18446744073709551616 AS BIGINT)
+                   ELSE CAST(hash(CAST(vec_id AS VARCHAR)) AS BIGINT)
+              END AS h
+       FROM e),
+tr AS (SELECT vec_id, row_number() OVER (ORDER BY h) AS r
+       FROM hh ORDER BY h LIMIT {train_n}),
+tx AS MATERIALIZED (
+  SELECT t.r, s.sub, s.pos, s.x
+  FROM tr t JOIN sv s USING (vec_id)),
+c0 AS MATERIALIZED (
+  SELECT sub, CAST(r - 1 AS INT) AS c, pos, x AS val
+  FROM tx WHERE r <= {n_cent})"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+a{t} AS MATERIALIZED (
+  SELECT r, sub, c FROM (
+    SELECT d.r, d.sub, d.c,
+           row_number() OVER (PARTITION BY d.r, d.sub
+                              ORDER BY d.d2, d.c) AS rn
+    FROM (SELECT t.r, t.sub, cc.c,
+                 sum((t.x - cc.val) * (t.x - cc.val)) AS d2
+          FROM tx t JOIN c{t - 1} cc
+            ON cc.sub = t.sub AND cc.pos = t.pos
+          GROUP BY 1, 2, 3) d) WHERE rn = 1),
+c{t} AS MATERIALIZED (
+  SELECT p.sub, p.c, p.pos, coalesce(m.mv, p.val) AS val
+  FROM c{t - 1} p
+  LEFT JOIN (SELECT a.sub, a.c, t.pos, avg(t.x) AS mv
+             FROM a{t} a JOIN tx t ON t.r = a.r AND t.sub = a.sub
+             GROUP BY 1, 2, 3) m
+    ON m.sub = p.sub AND m.c = p.c AND m.pos = p.pos)""")
+    parts.append(f""",
+codes AS MATERIALIZED (
+  SELECT vec_id, sub, c FROM (
+    SELECT d.vec_id, d.sub, d.c,
+           row_number() OVER (PARTITION BY d.vec_id, d.sub
+                              ORDER BY d.d2, d.c) AS rn
+    FROM (SELECT s.vec_id, s.sub, cc.c,
+                 sum((s.x - cc.val) * (s.x - cc.val)) AS d2
+          FROM sv s JOIN c{iters} cc
+            ON cc.sub = s.sub AND cc.pos = s.pos
+          GROUP BY 1, 2, 3) d) WHERE rn = 1),
+lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, cc.sub, cc.c,
+         sum((q.x - cc.val) * (q.x - cc.val)) AS d2
+  FROM sv q JOIN c{iters} cc ON cc.sub = q.sub AND cc.pos = q.pos
+  WHERE q.vec_id < {n_q}
+  GROUP BY 1, 2, 3)
+SELECT query_id, vec_id, score FROM (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id) AS rn
+  FROM (SELECT l.query_id, k.vec_id, -sum(l.d2) AS score
+        FROM codes k JOIN lut l ON l.sub = k.sub AND l.c = k.c
+        GROUP BY 1, 2)) WHERE rn <= 10
+""")
+    return "".join(parts)
+
+
+SQL_ANN_PQ = _ann_pq_sql()
 
 
 def q_ann_multiprobe(sf_dir: str):

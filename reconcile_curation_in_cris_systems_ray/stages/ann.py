@@ -205,19 +205,19 @@ def pq_topk(ds, queries: np.ndarray, k: int = 10, m_sub: int = 8,
     raw matrix after encoding.
 
     Training follows PQ practice: a deterministic sample (the
-    ``train_n`` smallest stable-hashed ids — the IVF-centroid
-    discipline) is broadcast once and each subspace's codebook is
+    ``train_n`` smallest DuckDB-``hash()``ed ids — the IVF-centroid
+    discipline, SQL-replayable like build_ivf_centroids) is broadcast
+    once and each subspace's codebook is
     Lloyd-iterated on the driver (train_n x dims/m_sub floats — tiny);
     encode and query are map-only over the broadcast codebooks.
     Returns (query_id, vec_id, score) with score = NEGATED ADC
     distance so the shared top-k keeps the nearest."""
-    from ..functions.similarity import stable_hash_strings
+    from ..functions.similarity import hash_strings_fast
     from .relational import topk_per_group
 
     def cand(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).cast(pa.string()).to_pandas() \
-            .to_numpy(dtype=object)
-        h = stable_hash_strings(ids).view(np.int64)
+        ids = batch.column(id_col).cast(pa.string())
+        h = hash_strings_fast(ids).view(np.int64)
         kk = min(train_n, len(batch))
         sel = np.argpartition(h, kk - 1)[:kk] if len(batch) > kk \
             else np.arange(len(batch))

@@ -268,20 +268,25 @@ def _media_ds(sf_dir: str):
 
 
 def _png_media_ds(sf_dir: str, plant_dups: bool = False):
-    """Documents re-cast as REAL PNG payloads: a deterministic smooth
-    grayscale field per doc_id (8x8 seeded noise mean-upsampled — rich
-    low-frequency content, what pHash keys on), encoded through the
-    pure-stdlib PNG writer with the scanline filter varying by id so
-    the decoder's None/Sub/Up paths all run.  ``plant_dups`` re-emits
-    every 50th image under "<id>dup" with small pixel noise and a
-    DIFFERENT filter type — a true near-duplicate (different bytes,
+    """Documents re-cast as REAL image payloads in TWO container
+    formats: a deterministic smooth grayscale field per doc_id (8x8
+    seeded noise mean-upsampled — rich low-frequency content, what
+    pHash keys on), encoded through the pure-stdlib PNG writer (the
+    scanline filter varying by id so the decoder's None/Sub/Up paths
+    all run) — except every ``doc_id % 4 == 1`` row, which ships the
+    SAME pixels as a 24-bit BMP (``functions/bmp.py``), exercising the
+    decode stage's magic-byte dispatch.  ``plant_dups`` re-emits every
+    50th image under "<id>dup" with small pixel noise in the OTHER
+    container (PNG original -> BMP dup and vice versa) — a true
+    CROSS-FORMAT near-duplicate (different bytes, different codec,
     visually identical) for the pHash recovery pin."""
     ds = _rp(sf_dir, "documents", ["doc_id"])
 
-    def to_png(t: pa.Table) -> pa.Table:
+    def to_img(t: pa.Table) -> pa.Table:
+        from ...functions.bmp import encode_bmp_rgb24
         from ...functions.png import encode_png_gray, resize_mean
 
-        ids, payloads = [], []
+        ids, payloads, mimes = [], [], []
         for did in t.column("doc_id").to_pylist():
             h = 48 + (did % 5) * 8
             w = 48 + (did % 7) * 8
@@ -289,33 +294,44 @@ def _png_media_ds(sf_dir: str, plant_dups: bool = False):
             field = resize_mean(rng.random((8, 8)), h, w)
             img = (field * 255).astype(np.uint8)
             ids.append(f"m{did}")
-            payloads.append(encode_png_gray(img, filter_type=did % 3))
+            if did % 4 == 1:
+                payloads.append(encode_bmp_rgb24(img))
+                mimes.append("image/bmp")
+            else:
+                payloads.append(encode_png_gray(img, filter_type=did % 3))
+                mimes.append("image/png")
             if plant_dups and did % 50 == 0:
                 noisy = np.clip(
                     img.astype(np.int16)
                     + rng.integers(-2, 3, img.shape), 0, 255
                 ).astype(np.uint8)
                 ids.append(f"m{did}dup")
-                payloads.append(
-                    encode_png_gray(noisy, filter_type=(did + 1) % 3))
+                if did % 4 == 1:
+                    payloads.append(
+                        encode_png_gray(noisy, filter_type=(did + 1) % 3))
+                    mimes.append("image/png")
+                else:
+                    payloads.append(encode_bmp_rgb24(noisy))
+                    mimes.append("image/bmp")
         return pa.table({
             "media_id": pa.array(ids, pa.string()),
             "kind": pa.array(["image"] * len(ids), pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["image/png"] * len(ids), pa.string()),
+            "mime": pa.array(mimes, pa.string()),
         })
 
-    return ds.map_batches(to_png, batch_format="pyarrow")
+    return ds.map_batches(to_img, batch_format="pyarrow")
 
 
 def q_media_decode(sf_dir: str):
-    """Multimodal decode over REAL PNG bytes: binary payload -> true
-    width/height + features via the actor-pool stage and the
-    pure-stdlib PNG codec (``functions/png.py``) — no fake backend in
-    this path."""
+    """Multimodal decode over REAL image bytes in two container
+    formats: binary payload -> true width/height + features via the
+    actor-pool stage with magic-byte dispatch across the pure-stdlib
+    PNG and BMP codecs (``functions/png.py`` / ``functions/bmp.py``)
+    — no fake backend in this path."""
     from ...stages.multimodal import decode_media
 
-    out = decode_media(_png_media_ds(sf_dir), backend="png")
+    out = decode_media(_png_media_ds(sf_dir), backend="image")
     return out.select_columns(["media_id", "kind", "n_bytes", "width",
                                "height", "decode_error"])
 
@@ -343,20 +359,21 @@ FROM (SELECT doc_id,
 
 
 def q_phash_dups(sf_dir: str):
-    """Perceptual-hash near-duplicate pairs over REAL PNG payloads,
-    end-to-end real: pure-stdlib PNG decode -> BT.601 grayscale ->
-    mean-pool 32x32 -> DCT-II pHash (8x8 low-frequency block, median
-    threshold, 64 bits) -> pigeonhole Hamming pair join on the
-    16-nibble hex hash (max_dist=2 nibbles).  The planted dups are
-    TRUE near-duplicates: noise-perturbed pixels re-encoded with a
-    different scanline filter, so payload bytes differ but the hash
-    lands within a couple of bits — recovery pinned in
-    test_multimodal.py."""
+    """Perceptual-hash near-duplicate pairs over REAL image payloads
+    in two container formats, end-to-end real: magic-dispatched
+    pure-stdlib PNG/BMP decode -> BT.601 grayscale -> mean-pool 32x32
+    -> DCT-II pHash (8x8 low-frequency block, median threshold, 64
+    bits) -> pigeonhole Hamming pair join on the 16-nibble hex hash
+    (max_dist=2 nibbles).  The planted dups are TRUE CROSS-FORMAT
+    near-duplicates: noise-perturbed pixels re-encoded into the OTHER
+    container (PNG original -> BMP dup and vice versa), so payload
+    bytes AND codec differ but the hash lands within a couple of bits
+    — recovery pinned in test_multimodal.py."""
     from ...stages.multimodal import phash_media
     from ...stages.pairs import hamming_pairs
 
     hashed = phash_media(_png_media_ds(sf_dir, plant_dups=True),
-                         backend="png")
+                         backend="image")
     return hamming_pairs(hashed, "media_id", "phash", max_dist=2)
 
 

@@ -3,13 +3,15 @@
 Image/audio decode *libraries* are not available in this container
 (no Pillow — verified), so most decode kernels are stubbed behind
 ``backend="fake"`` (a deterministic hash-based fake) / ``backend=
-"strict"`` (raises NotImplementedError).  One REAL format is wired
+"strict"`` (raises NotImplementedError).  TWO real formats are wired
 end-to-end: ``backend="png"`` decodes genuine PNG bytes through the
 pure-stdlib codec in ``functions/png.py`` (IHDR/IDAT, filters 0-4,
-gray/RGB/RGBA/palette) and feeds the same (B, 32, 32) float pixel
+gray/RGB/RGBA/palette), and ``backend="image"`` adds magic-byte
+dispatch to the pure-stdlib BMP codec (``functions/bmp.py``, 24/32-bit
+BI_RGB) — both feed the same (B, 32, 32) float pixel
 contract the pHash / feature stages consume — so `media_decode` and
-`phash_dups` exercise a true decode path, not a fake, for PNG
-payloads.  The Ray-side plumbing is identical across backends:
+`phash_dups` exercise true decode paths, not fakes, across two
+container formats (including CROSS-format near-dup recovery).  The Ray-side plumbing is identical across backends:
 schema contract, small-batch actor-pool stage, per-row quarantine,
 and the output layout a real decoder would produce.
 
@@ -48,27 +50,41 @@ class MediaDecodeStage:
     tests can assert exact values. ``backend="png"`` REALLY decodes
     PNG payloads (pure-stdlib codec, ``functions/png.py``) and emits
     true width/height plus a 32-dim feature: the row means of the
-    mean-pooled 32x32 grayscale field. ``backend="strict"`` raises
-    NotImplementedError (the marker that other formats' decoders go
-    here).
+    mean-pooled 32x32 grayscale field. ``backend="image"`` extends the
+    real path with magic-byte dispatch across the wired pure-stdlib
+    codecs (PNG signature -> ``functions/png.py``; ``BM`` ->
+    ``functions/bmp.py``); unknown magic becomes a per-row
+    ``decode_error``, the error-tolerant-source discipline.
+    ``backend="strict"`` raises NotImplementedError (the marker that
+    genuinely external-library formats — JPEG/WebP/audio — go here).
     """
 
     def __init__(self, backend: str = "fake"):
-        if backend not in ("fake", "png", "strict"):
+        if backend not in ("fake", "png", "image", "strict"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
-        if backend == "png":
+        if backend in ("png", "image"):
             # import once per actor (ST1 load-once pattern)
+            from ..functions import bmp as _bmp
             from ..functions import png as _png
             self._png = _png
+            self._bmp = _bmp
+
+    def _decode_pixels(self, payload: bytes) -> np.ndarray:
+        """Real path: payload -> (H, W[, C]) uint8 via magic dispatch."""
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return self._png.decode_png(payload)
+        if self.backend == "image" and payload[:2] == b"BM":
+            return self._bmp.decode_bmp(payload)
+        raise ValueError("unsupported image format (magic bytes)")
 
     def _decode_one(self, payload: bytes, kind: str):
         if self.backend == "strict":
             raise NotImplementedError(
                 "real image/audio decoding requires libs not present in "
                 "this container; wire Pillow/torchaudio here")
-        if self.backend == "png":
-            img = self._png.decode_png(payload)
+        if self.backend in ("png", "image"):
+            img = self._decode_pixels(payload)
             height, width = img.shape[0], img.shape[1]
             field = self._png.resize_mean(
                 self._png.to_gray_f64(img), FEATURE_DIM, FEATURE_DIM)
@@ -270,12 +286,14 @@ class PhashStage:
     pinned on synthetic pixel images in tests."""
 
     def __init__(self, backend: str = "fake"):
-        if backend not in ("fake", "png", "strict"):
+        if backend not in ("fake", "png", "image", "strict"):
             raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
-        if backend == "png":
+        if backend in ("png", "image"):
+            from ..functions import bmp as _bmp
             from ..functions import png as _png
             self._png = _png
+            self._bmp = _bmp
 
     def _pixels(self, payload: bytes) -> np.ndarray:
         if self.backend == "strict":
@@ -283,11 +301,16 @@ class PhashStage:
                 "real image decoding requires libs not present in this "
                 "container; wire Pillow here (decode -> grayscale -> "
                 "resize 32x32 -> float)")
-        if self.backend == "png":
+        if self.backend in ("png", "image"):
             # REAL path: decode -> BT.601 grayscale -> mean-pool 32x32.
-            # Near-duplicate PNGs (small pixel noise, re-encode) land
-            # within a few Hamming bits; unrelated images ~32 bits.
-            img = self._png.decode_png(payload)
+            # Near-duplicate images (small pixel noise, re-encode —
+            # even into a DIFFERENT container format via the "image"
+            # backend's magic dispatch) land within a few Hamming
+            # bits; unrelated images ~32 bits.
+            if payload[:2] == b"BM" and self.backend == "image":
+                img = self._bmp.decode_bmp(payload)
+            else:
+                img = self._png.decode_png(payload)
             return self._png.resize_mean(
                 self._png.to_gray_f64(img), _PHASH_N, _PHASH_N)
         seed = hashlib.blake2b(payload, digest_size=8).digest()

@@ -199,3 +199,99 @@ def test_phash_png_recovers_planted_near_duplicates(ray_session):
     assert planted <= pairs
     # and nothing else pairs (unrelated smooth fields differ by ~32 bits)
     assert pairs == planted
+
+
+def test_bmp_roundtrip_exact():
+    """encode_bmp_rgb24 -> decode_bmp is pixel-exact, for even and odd
+    widths (row padding) and for grayscale input (replicated to RGB)."""
+    from reconcile_curation_in_cris_systems_ray.functions.bmp import (
+        decode_bmp, encode_bmp_rgb24,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(5, 7), (8, 8), (3, 2), (17, 31)]:
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        out = decode_bmp(encode_bmp_rgb24(img))
+        assert out.shape == (h, w, 3)
+        assert np.array_equal(out, img)
+    gray = (rng.random((6, 5)) * 255).astype(np.uint8)
+    out = decode_bmp(encode_bmp_rgb24(gray))
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_bmp_decode_rejects_malformed():
+    import pytest
+
+    from reconcile_curation_in_cris_systems_ray.functions.bmp import (
+        decode_bmp, encode_bmp_rgb24,
+    )
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BMgarbage")
+    with pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG\r\n\x1a\nnot a bmp")
+    good = encode_bmp_rgb24(np.zeros((4, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_bmp(good[: len(good) - 8])  # truncated pixel array
+
+
+def test_media_decode_image_backend_mixed_formats(ray_session):
+    """backend="image" magic-dispatches PNG and BMP payloads in one
+    batch and reports true dims for both; unknown magic is quarantined
+    per-row."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.functions.bmp import (
+        encode_bmp_rgb24,
+    )
+    from reconcile_curation_in_cris_systems_ray.functions.png import (
+        encode_png_gray,
+    )
+    from reconcile_curation_in_cris_systems_ray.stages.multimodal import (
+        decode_media,
+    )
+
+    rng = np.random.default_rng(7)
+    img_a = (rng.random((40, 56)) * 255).astype(np.uint8)
+    img_b = (rng.random((24, 33, 3)) * 255).astype(np.uint8)  # odd width
+    rows = [
+        {"media_id": "png0", "kind": "image",
+         "payload": encode_png_gray(img_a), "mime": "image/png"},
+        {"media_id": "bmp0", "kind": "image",
+         "payload": encode_bmp_rgb24(img_b), "mime": "image/bmp"},
+        {"media_id": "unk", "kind": "image",
+         "payload": b"GIF87a....", "mime": "image/gif"},
+    ]
+    out = decode_media(rd.from_pandas(pd.DataFrame(rows)),
+                       backend="image").to_pandas().set_index("media_id")
+    assert (out.loc["png0", "width"], out.loc["png0", "height"]) == (56, 40)
+    assert out.loc["png0", "decode_error"] is None
+    assert (out.loc["bmp0", "width"], out.loc["bmp0", "height"]) == (33, 24)
+    assert out.loc["bmp0", "decode_error"] is None
+    assert out.loc["unk", "decode_error"] is not None
+
+
+def test_phash_cross_format_locality():
+    """The SAME pixels through PNG and BMP containers hash to (nearly)
+    identical pHash bits — the container contributes nothing; only
+    pixel content does."""
+    from reconcile_curation_in_cris_systems_ray.functions.bmp import (
+        decode_bmp, encode_bmp_rgb24,
+    )
+    from reconcile_curation_in_cris_systems_ray.functions.png import (
+        decode_png, encode_png_gray, resize_mean, to_gray_f64,
+    )
+    from reconcile_curation_in_cris_systems_ray.stages.multimodal import (
+        phash64,
+    )
+
+    rng = np.random.default_rng(3)
+    img = (resize_mean(rng.random((8, 8)), 64, 48) * 255).astype(np.uint8)
+    px_png = resize_mean(to_gray_f64(decode_png(encode_png_gray(img))),
+                         32, 32)
+    px_bmp = resize_mean(to_gray_f64(decode_bmp(encode_bmp_rgb24(img))),
+                         32, 32)
+    h = phash64(np.stack([px_png, px_bmp]))
+    dist = bin(int.from_bytes(bytes(h[0]), "big")
+               ^ int.from_bytes(bytes(h[1]), "big")).count("1")
+    assert dist <= 2, dist

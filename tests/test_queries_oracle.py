@@ -17,6 +17,12 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 # extend as queries are added / fixed
 PINNED = [
+    # round-5 oracle upgrades (formerly rows-only), second wave: the
+    # ANN family (DuckDB-hash centroid/training samples make the index
+    # builds SQL-replayable)
+    "ann_ivf",
+    "ann_multiprobe",
+    "ann_pq",
     # round-5 oracle upgrades (formerly rows-only)
     "gale_shapley",
     "greedy_match",

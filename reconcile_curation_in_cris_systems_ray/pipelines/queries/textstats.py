@@ -1963,15 +1963,17 @@ FROM r
 
 
 def q_png_dims(sf_dir: str):
-    """ORACLED real-decode check (round-4): every fixture PNG's
-    dimensions are a pure function of doc_id (width 48+(id%7)*8,
-    height 48+(id%5)*8), so SQL predicts them WITHOUT decoding while
-    the engine must actually parse IHDR + inflate + unfilter the real
-    bytes through the pure-stdlib codec to report them — a value-hash
-    gate on the decode path itself, not just its plumbing."""
+    """ORACLED real-decode check (round-4; widened round-5 to BOTH
+    real codecs): every fixture image's dimensions are a pure function
+    of doc_id (width 48+(id%7)*8, height 48+(id%5)*8), so SQL predicts
+    them WITHOUT decoding while the engine must actually parse the
+    real bytes — PNG rows through IHDR + inflate + unfilter, BMP rows
+    (doc_id % 4 == 1) through the DIB header/scanline parser — to
+    report them: a value-hash gate on both decode paths themselves,
+    not just their plumbing."""
     from ...stages.multimodal import decode_media
 
-    out = decode_media(_png_media_ds(sf_dir), backend="png")
+    out = decode_media(_png_media_ds(sf_dir), backend="image")
     return out.select_columns(["media_id", "width", "height"])
 
 

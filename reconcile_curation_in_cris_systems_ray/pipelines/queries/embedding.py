@@ -753,7 +753,7 @@ def _ann_multiprobe_sql() -> str:
     rng = np.random.default_rng(7)
     planes = rng.standard_normal((6, 64))
     rows = ",\n    ".join(
-        f"({j}, {p + 1}, {v!r})"
+        f"({j}, {p + 1}, {float(v)!r})"
         for j in range(planes.shape[0]) for p, v in enumerate(planes[j]))
     return f"""
 WITH

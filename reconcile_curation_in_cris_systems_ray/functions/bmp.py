@@ -48,8 +48,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes -> (H, W, 3) uint8 RGB.  Supports the uncompressed
     (BI_RGB) 24- and 32-bit BITMAPINFOHEADER form, bottom-up or
     top-down; raises ValueError on anything else."""
-    if len(data) < _FILE_HDR.size + 4 or data[:2] != b"BM":
-        raise ValueError("not a BMP payload")
+    if len(data) < _FILE_HDR.size + _INFO_HDR.size or data[:2] != b"BM":
+        raise ValueError("not a BMP payload (or truncated header)")
     _, _, _, _, off = _FILE_HDR.unpack_from(data, 0)
     hdr_size = struct.unpack_from("<I", data, _FILE_HDR.size)[0]
     if hdr_size < _INFO_HDR.size:

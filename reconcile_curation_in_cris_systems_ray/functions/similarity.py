@@ -55,8 +55,13 @@ def hash_strings_fast(values) -> np.ndarray:
     dominant cost was hash_array over millions of token objects).
 
     Deterministic across processes and workers for the environment's
-    pinned DuckDB build.  Used ONLY for shingle/equality tokens —
-    values that are opaque and never persisted across environments;
+    pinned DuckDB build.  Used for shingle/equality tokens and (since
+    round 5) for the ANN index samples (stages/ann.py IVF centroids /
+    PQ training rows), which makes those index builds SQL-replayable
+    by the DuckDB oracles.  Caveat that use inherits: a DuckDB upgrade
+    may change ``hash()``, so a PERSISTED IVF/PQ index must be rebuilt
+    when the engine's DuckDB build changes (the index manifest should
+    record the build; assignments are otherwise silently different).
     ``stable_hash_strings`` remains the hash for url/bucket keys.
     """
     import pyarrow as pa

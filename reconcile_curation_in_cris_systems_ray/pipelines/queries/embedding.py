@@ -646,13 +646,16 @@ def q_ann_pq(sf_dir: str):
     return pq_topk(emb, queries, k=10, m_sub=16, n_cent=64, train_n=512)
 
 
-def _ann_pq_sql(m_sub: int = 16, sub_d: int = 4, n_cent: int = 64,
+def _ann_pq_sql(m_sub: int = 16, dim: int = 64, n_cent: int = 64,
                 train_n: int = 512, iters: int = 8, n_q: int = 5) -> str:
     """Exact SQL twin of q_ann_pq / stages/ann.py::pq_topk: the
     per-subspace Lloyd iterations unroll as chained MATERIALIZED CTEs
     (the kmeans_embed discipline), all subspaces trained at once in
     long (sub, c, pos, val) form; argmins replay numpy's first-index
-    tie-break via ORDER BY d2, c."""
+    tie-break via ORDER BY d2, c.  The subspace width derives from
+    (dim, m_sub) exactly as pq_topk derives it, so the two parameter
+    sets cannot silently disagree."""
+    sub_d = dim // m_sub
     parts = [f"""
 WITH
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -273,13 +273,16 @@ def _png_media_ds(sf_dir: str, plant_dups: bool = False):
     seeded noise mean-upsampled — rich low-frequency content, what
     pHash keys on), encoded through the pure-stdlib PNG writer (the
     scanline filter varying by id so the decoder's None/Sub/Up paths
-    all run) — except every ``doc_id % 4 == 1`` row, which ships the
-    SAME pixels as a 24-bit BMP (``functions/bmp.py``), exercising the
-    decode stage's magic-byte dispatch.  ``plant_dups`` re-emits every
-    50th image under "<id>dup" with small pixel noise in the OTHER
-    container (PNG original -> BMP dup and vice versa) — a true
-    CROSS-FORMAT near-duplicate (different bytes, different codec,
-    visually identical) for the pHash recovery pin."""
+    all run) — except rows with ``doc_id % 4 in (1, 2)``, which ship
+    the SAME pixels as a 24-bit BMP (``functions/bmp.py``), exercising
+    the decode stage's magic-byte dispatch.  ``plant_dups`` re-emits
+    every 50th image under "<id>dup" with small pixel noise in the
+    OTHER container — dup sites are even ids, so ``id % 4 == 0`` sites
+    plant PNG original -> BMP dup and ``id % 4 == 2`` sites plant BMP
+    original -> PNG dup; multiples of 50 alternate between the two, so
+    BOTH directions of the true CROSS-FORMAT near-duplicate (different
+    bytes, different codec, visually identical) are generated and
+    recovered by the pHash pin."""
     ds = _rp(sf_dir, "documents", ["doc_id"])
 
     def to_img(t: pa.Table) -> pa.Table:
@@ -294,7 +297,7 @@ def _png_media_ds(sf_dir: str, plant_dups: bool = False):
             field = resize_mean(rng.random((8, 8)), h, w)
             img = (field * 255).astype(np.uint8)
             ids.append(f"m{did}")
-            if did % 4 == 1:
+            if did % 4 in (1, 2):
                 payloads.append(encode_bmp_rgb24(img))
                 mimes.append("image/bmp")
             else:
@@ -306,11 +309,11 @@ def _png_media_ds(sf_dir: str, plant_dups: bool = False):
                     + rng.integers(-2, 3, img.shape), 0, 255
                 ).astype(np.uint8)
                 ids.append(f"m{did}dup")
-                if did % 4 == 1:
+                if did % 4 == 2:   # BMP original -> PNG dup
                     payloads.append(
                         encode_png_gray(noisy, filter_type=(did + 1) % 3))
                     mimes.append("image/png")
-                else:
+                else:              # PNG original -> BMP dup
                     payloads.append(encode_bmp_rgb24(noisy))
                     mimes.append("image/bmp")
         return pa.table({

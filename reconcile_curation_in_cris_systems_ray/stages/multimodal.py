@@ -39,6 +39,19 @@ MEDIA_SCHEMA = pa.schema([
 FEATURE_DIM = 32
 
 
+def _decode_image_pixels(payload: bytes, png_mod, bmp_mod, *,
+                         allow_bmp: bool) -> np.ndarray:
+    """THE real decode path, shared by the decode and pHash stages:
+    payload -> (H, W[, C]) uint8 via magic-byte dispatch.  Raises
+    ValueError on unknown magic (including BMP when the caller's
+    backend is PNG-only) so both stages quarantine identically."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_mod.decode_png(payload)
+    if allow_bmp and payload[:2] == b"BM":
+        return bmp_mod.decode_bmp(payload)
+    raise ValueError("unsupported image format (magic bytes)")
+
+
 class MediaDecodeStage:
     """Actor-pool callable: (media_id, kind, payload) -> decoded features.
 
@@ -70,21 +83,14 @@ class MediaDecodeStage:
             self._png = _png
             self._bmp = _bmp
 
-    def _decode_pixels(self, payload: bytes) -> np.ndarray:
-        """Real path: payload -> (H, W[, C]) uint8 via magic dispatch."""
-        if payload[:8] == b"\x89PNG\r\n\x1a\n":
-            return self._png.decode_png(payload)
-        if self.backend == "image" and payload[:2] == b"BM":
-            return self._bmp.decode_bmp(payload)
-        raise ValueError("unsupported image format (magic bytes)")
-
     def _decode_one(self, payload: bytes, kind: str):
         if self.backend == "strict":
             raise NotImplementedError(
                 "real image/audio decoding requires libs not present in "
                 "this container; wire Pillow/torchaudio here")
         if self.backend in ("png", "image"):
-            img = self._decode_pixels(payload)
+            img = _decode_image_pixels(payload, self._png, self._bmp,
+                                       allow_bmp=self.backend == "image")
             height, width = img.shape[0], img.shape[1]
             field = self._png.resize_mean(
                 self._png.to_gray_f64(img), FEATURE_DIM, FEATURE_DIM)
@@ -307,10 +313,8 @@ class PhashStage:
             # even into a DIFFERENT container format via the "image"
             # backend's magic dispatch) land within a few Hamming
             # bits; unrelated images ~32 bits.
-            if payload[:2] == b"BM" and self.backend == "image":
-                img = self._bmp.decode_bmp(payload)
-            else:
-                img = self._png.decode_png(payload)
+            img = _decode_image_pixels(payload, self._png, self._bmp,
+                                       allow_bmp=self.backend == "image")
             return self._png.resize_mean(
                 self._png.to_gray_f64(img), _PHASH_N, _PHASH_N)
         seed = hashlib.blake2b(payload, digest_size=8).digest()
@@ -321,11 +325,28 @@ class PhashStage:
         if len(batch) == 0:
             return pa.table({"media_id": pa.array([], pa.string()),
                              "phash": pa.array([], pa.string())})
-        payloads = batch.column("payload").to_pylist()
-        pix = np.stack([self._pixels(p) for p in payloads])
-        h = phash64(pix)
+        # per-row quarantine, same discipline as MediaDecodeStage: one
+        # undecodable payload drops that ROW from the pair candidate
+        # set, never the batch/actor (NotImplementedError still
+        # propagates — the strict-backend marker is a config error)
+        ids, fields = [], []
+        for mid, p in zip(batch.column("media_id").to_pylist(),
+                          batch.column("payload").to_pylist()):
+            try:
+                if p is None:
+                    raise ValueError("null payload")
+                fields.append(self._pixels(p))
+                ids.append(mid)
+            except NotImplementedError:
+                raise
+            except Exception:
+                continue
+        if not ids:
+            return pa.table({"media_id": pa.array([], pa.string()),
+                             "phash": pa.array([], pa.string())})
+        h = phash64(np.stack(fields))
         hexes = [bytes(row).hex() for row in h]
-        return pa.table({"media_id": batch.column("media_id"),
+        return pa.table({"media_id": pa.array(ids, pa.string()),
                          "phash": pa.array(hexes, pa.string())})
 
 

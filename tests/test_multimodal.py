@@ -295,3 +295,51 @@ def test_phash_cross_format_locality():
     dist = bin(int.from_bytes(bytes(h[0]), "big")
                ^ int.from_bytes(bytes(h[1]), "big")).count("1")
     assert dist <= 2, dist
+
+
+def test_media_fixture_plants_both_cross_format_directions(ray_session):
+    """The planted near-dups must include BOTH container directions —
+    PNG original -> BMP dup AND BMP original -> PNG dup (regression:
+    an earlier rule keyed the direction on doc_id % 4 == 1, which no
+    even dup site can satisfy, leaving one direction untested)."""
+    from reconcile_curation_in_cris_systems_ray.pipelines.queries.textstats import (  # noqa: E501
+        _png_media_ds,
+    )
+
+    df = _png_media_ds("/root/testdata/sf0.001",
+                       plant_dups=True).to_pandas()
+    m = df.set_index("media_id")["mime"]
+    directions = set()
+    for mid in m.index:
+        if mid.endswith("dup"):
+            directions.add((m[mid[:-3]], m[mid]))
+    assert ("image/png", "image/bmp") in directions
+    assert ("image/bmp", "image/png") in directions
+
+
+def test_phash_stage_quarantines_bad_payload_rows(ray_session):
+    """One undecodable payload drops that row, never the batch — the
+    same per-row discipline as the decode stage."""
+    import ray.data as rd
+
+    from reconcile_curation_in_cris_systems_ray.functions.png import (
+        encode_png_gray,
+    )
+    from reconcile_curation_in_cris_systems_ray.stages.multimodal import (
+        phash_media,
+    )
+
+    img = (np.random.default_rng(1).random((40, 40)) * 255) \
+        .astype(np.uint8)
+    rows = [
+        {"media_id": "ok", "kind": "image",
+         "payload": encode_png_gray(img), "mime": "image/png"},
+        {"media_id": "bad", "kind": "image",
+         "payload": b"GIF87a....", "mime": "image/gif"},
+        {"media_id": "null", "kind": "image",
+         "payload": None, "mime": "image/png"},
+    ]
+    out = phash_media(rd.from_pandas(pd.DataFrame(rows)),
+                      backend="image").to_pandas()
+    assert list(out["media_id"]) == ["ok"]
+    assert len(out["phash"].iloc[0]) == 16
